@@ -1,0 +1,87 @@
+"""Tokenizer/normalizer unit tests with exact golden outputs, modeled on the
+reference's operator unit tests (/root/reference/tests/test_data_utils.py:16-63)."""
+
+import pyarrow as pa
+
+from wikirec_ray.stages.analyze import (
+    WikirecCleaner,
+    add_token_list,
+    clean_text_single,
+    doc_lengths,
+    doc_term_freqs,
+    wikirec_tokenize_single,
+)
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_doc_term_freqs_basic():
+    out = doc_term_freqs(_tbl(["a b a", "B c"]))
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in out.to_pylist()}
+    assert rows == {(0, "a"): 2, (0, "b"): 1, (1, "b"): 1, (1, "c"): 1}
+
+
+def test_doc_term_freqs_punct_and_empty():
+    out = doc_term_freqs(_tbl(["x-y:z/x", "", "  ", "42 ref"]))
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in out.to_pylist()}
+    assert rows == {
+        (0, "x"): 2, (0, "y"): 1, (0, "z"): 1,
+        (3, "42"): 1, (3, "ref"): 1,
+    }
+
+
+def test_doc_lengths():
+    out = doc_lengths(_tbl(["a b a", "", "one"]))
+    assert out["doc_len"].to_pylist() == [3, 0, 1]
+
+
+def test_add_token_list():
+    out = add_token_list(_tbl(["Big-Data rocks", ""]))
+    assert out["tokens"].to_pylist() == [["big", "data", "rocks"], []]
+
+
+# --- wikirec-faithful chain (clean(), data_utils.py:670-1008 semantics) ----
+
+
+def test_clean_whitespace_collapse():
+    assert clean_text_single("a" + " " * 25 + "b") == "a b"
+
+
+def test_clean_url_strip():
+    # words starting "http" are dropped (data_utils.py:771-778)
+    assert clean_text_single("see http://x.com now") == "see now"
+    assert clean_text_single("httpfoo bar") == "bar"
+
+
+def test_clean_references_truncate():
+    # without Category: text is truncated at ==References== (data_utils.py:788-790)
+    assert clean_text_single("body text ==References== refs here") == "body text "
+
+
+def test_clean_references_with_category():
+    # with Category: the refs section up to " Category" is replaced (:783-787)
+    s = clean_text_single("body ==References== junk Category:Books end")
+    assert "junk" not in s and "body" in s and "Category" in s
+
+
+def test_clean_punct_and_headers():
+    assert clean_text_single("a/b-c:d") == "a b c d"
+    assert clean_text_single("x ==Header== y") == "x  y"
+    assert clean_text_single("don’t stop–now!") == "dont stopnow"
+
+
+def test_wikirec_tokenize():
+    toks = wikirec_tokenize_single(
+        "The Quick http://url 42 ref brown-fox ab jumped", min_token_len=3
+    )
+    # "the" stopword, url dropped, 42 numeric, ref dropped, ab too short
+    assert toks == ["quick", "brown", "fox", "jumped"]
+
+
+def test_wikirec_cleaner_batch_matches_single():
+    texts = ["The Quick brown-fox", "see ==References== gone", "don’t 42 stop"]
+    out = WikirecCleaner()(_tbl(texts))
+    assert out["tokens"].to_pylist() == [wikirec_tokenize_single(t) for t in texts]

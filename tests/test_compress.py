@@ -1,0 +1,57 @@
+"""Codec roundtrips (delta-gap + LEB128 varint), incl. hypothesis fuzzing."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wikirec_ray.functions.compress import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_empty():
+    assert varint_encode(np.empty(0, np.uint64)) == b""
+    assert len(varint_decode(b"")) == 0
+
+
+def test_known_values():
+    v = np.array([0, 1, 127, 128, 300, 2**63, 2**64 - 1], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v), len(v)), v)
+    # single-byte encodings for < 128
+    assert varint_encode(np.array([5], np.uint64)) == b"\x05"
+    assert varint_encode(np.array([300], np.uint64)) == b"\xac\x02"
+
+
+def test_count_validation():
+    with pytest.raises(ValueError):
+        varint_decode(varint_encode(np.array([1, 2], np.uint64)), 3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip_fuzz(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v), len(v)), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=300))
+def test_postings_roundtrip_fuzz(ids):
+    doc_ids = np.array(sorted(ids), dtype=np.uint64)
+    tfs = (doc_ids % 97 + 1).astype(np.uint64)
+    db, tb = encode_postings(doc_ids, tfs)
+    d2, t2 = decode_postings(db, tb, len(doc_ids))
+    assert np.array_equal(d2, doc_ids)
+    assert np.array_equal(t2, tfs)
+
+
+def test_delta():
+    ids = np.array([3, 5, 6, 100], dtype=np.uint64)
+    assert np.array_equal(delta_encode(ids), np.array([3, 2, 1, 94], np.uint64))
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)

@@ -1,0 +1,203 @@
+"""Index build + BM25 query: rank- and score-identity vs a single-process
+NumPy/dict oracle (FIXTURES.md F3/F4), WAND == exact, resume equivalence."""
+
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from wikirec_ray.pipelines.query import IndexReader, recommend
+from wikirec_ray.schema import BM25_B, BM25_K1
+
+QUERIES = [
+    ["spark", "join"],
+    ["vector", "window", "hash"],
+    ["the"],
+    ["absentterm"],
+    ["dup", "stream", "slow", "big"],
+    ["customer"],
+    ["the", "a", "spark"],
+    ["key", "value"],
+    ["order", "sort", "merge", "part", "scan"],
+    ["spark", "absentterm"],
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_tokens):
+    docs = corpus_tokens
+    N = len(docs)
+    dls = {d: len(ws) for d, ws in docs.items()}
+    avgdl = sum(dls.values()) / N
+    dfc: Counter = Counter()
+    tfs = {}
+    for d, ws in docs.items():
+        c = Counter(ws)
+        tfs[d] = c
+        for w in c:
+            dfc[w] += 1
+
+    def topk(terms, k=10):
+        scores = {}
+        for d in docs:
+            s = 0.0
+            for t in terms:
+                tf = tfs[d].get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log(1 + (N - dfc[t] + 0.5) / (dfc[t] + 0.5))
+                s += idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * dls[d] / avgdl)
+                )
+            if round(s, 9) > 0:
+                scores[d] = round(s, 9)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    return {"topk": topk, "N": N, "avgdl": avgdl, "df": dfc, "dls": dls}
+
+
+def test_stats_match_oracle(built_index, oracle):
+    index_dir, manifest = built_index
+    assert manifest["stats"]["n_docs"] == oracle["N"]
+    assert abs(manifest["stats"]["avgdl"] - oracle["avgdl"]) < 1e-12
+
+
+def test_df_matches_oracle(built_index, oracle):
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    assert reader.df == dict(oracle["df"])
+
+
+def test_norms_match_oracle(built_index, oracle):
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for d, dl in oracle["dls"].items():
+        assert reader.norms[d] == dl
+
+
+def test_postings_sorted_and_complete(built_index, corpus_tokens):
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for term in ["spark", "the", "customer"]:
+        doc_ids, tfs = reader.postings(term)
+        assert np.all(np.diff(doc_ids.astype(np.int64)) > 0)  # strictly sorted
+        expect = {d: ws.count(term) for d, ws in corpus_tokens.items() if term in ws}
+        assert dict(zip(doc_ids.tolist(), tfs.tolist())) == expect
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 50])
+def test_topk_rank_and_score_identity(built_index, oracle, k):
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for q in QUERIES:
+        got = reader.topk(q, k)
+        want = oracle["topk"](q, k)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9, (q, d1)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 50])
+def test_wand_equals_exact(built_index, k):
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for q in QUERIES:
+        assert reader.topk_wand(q, k) == reader.topk(q, k), q
+
+
+def test_query_dataset_stage(built_index, ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.query import score_queries_dataset
+
+    index_dir, _ = built_index
+    qds = ray.data.from_items(
+        [{"query_id": i, "terms": q, "k": 10} for i, q in enumerate(QUERIES)]
+    )
+    out = score_queries_dataset(qds, index_dir, concurrency=2).take_all()
+    reader = IndexReader(index_dir)
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, q in enumerate(QUERIES):
+        want = reader.topk(q, 10)
+        got = sorted(by_q.get(i, []))
+        assert [(d) for _, d, _ in got] == [d for d, _ in want], q
+
+
+def test_recommend_accumulator(built_index, corpus_tokens):
+    """Replicates model.py:331-381 semantics: weights = ratings/10, the
+    enumerate-index quirk, input exclusion, best-first ordering."""
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    q0 = sorted(set(corpus_tokens[0]))
+    q1 = sorted(set(corpus_tokens[1]))
+    s0 = reader.score_exact(q0)
+    s1 = reader.score_exact(q1)
+    got = recommend(reader, [q0, q1], [0, 1], ratings=[8.0, 4.0], n=10)
+    expect = (1 * (0.8 * s0) + 0.4 * s1) / 2.0
+    expect[[0, 1]] = -np.inf
+    er = np.round(expect, 9)
+    want = sorted(np.flatnonzero(er > 0).tolist(), key=lambda d: (-er[d], d))[:10]
+    assert [d for d, _ in got] == want
+    assert 0 not in [d for d, _ in got] and 1 not in [d for d, _ in got]
+    with pytest.raises(ValueError):
+        recommend(reader, [q0], [0], ratings=[11.0])
+
+
+def test_resume_skips_and_is_identical(built_index, ray_session, tmp_path):
+    """Kill-free variant of FIXTURES F4.4/F4.5: a second build over the same
+    input skips every partition and leaves identical manifests; a build with
+    one deleted partition file rebuilds only that partition."""
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    index_dir, manifest1 = built_index
+    ds = ray.data.read_parquet(
+        os.path.join(os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+                     "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    manifest2 = build_index(ds, index_dir, resume=True)
+    parts2 = manifest2["partitions"]
+    assert all(e.get("skipped") for e in parts2.values() if e["kind"] in ("norms", "postings")), \
+        "resume must skip validated partitions"
+    for key, e1 in manifest1["partitions"].items():
+        assert parts2[key]["md5"] == e1["md5"], key
+    # damage one postings partition -> only it (and downstream merge) rebuilds
+    victim = next(k for k, e in parts2.items() if e["kind"] == "postings")
+    os.remove(os.path.join(index_dir, victim))
+    manifest3 = build_index(ds, index_dir, resume=True)
+    assert manifest3["partitions"][victim]["skipped"] is False
+    assert manifest3["partitions"][victim]["md5"] == parts2[victim]["md5"]
+    others = [
+        k for k, e in manifest3["partitions"].items()
+        if e["kind"] == "postings" and k != victim
+    ]
+    assert all(manifest3["partitions"][k]["skipped"] for k in others)
+
+
+def test_parallelism_invariance(ray_session, oracle, tmp_path):
+    """FIXTURES F4.3: identical index content at 2 vs 16 blocks."""
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    readers = []
+    for nblocks in (2, 16):
+        d = str(tmp_path / f"idx{nblocks}")
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"],
+            override_num_blocks=nblocks,
+        )
+        build_index(ds, d, resume=False)
+        readers.append(IndexReader(d))
+    a, b = readers
+    assert a.df == b.df
+    for q in QUERIES:
+        assert a.topk(q, 10) == b.topk(q, 10)

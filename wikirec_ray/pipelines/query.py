@@ -1,0 +1,402 @@
+"""BM25 top-k retrieval over the segment index + wikirec's recommend combine.
+
+Replaces the reference's query path (``/root/reference/src/wikirec/model.py:
+293-383``): wikirec answers "top-n similar" by scanning one row of a dense
+N×N matrix; we score query terms against compressed posting lists.
+
+Scoring (Okapi BM25, k1/b pinned by the north rule)::
+
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+Ranking contract (mirrors ``recommend``'s: rank-ordered best-first, stable on
+ties — Python's stable sort at model.py:372-379): order by round(score, 9)
+descending, then doc_id ascending; only docs matching ≥1 query term appear.
+Rounding to 9 dp before ranking makes rank order reproducible across engines
+(NumPy vs the DuckDB oracle) whose float sums may differ in the last ulp.
+
+Two paths, pytest-asserted identical:
+- exact term-at-a-time (decode every posting, dense accumulate), and
+- block-max WAND (document-at-a-time with per-block upper bounds; skipped
+  blocks are never varint-decoded) — rank-safe, so results match exactly.
+
+Queries stream through the engine as a Dataset: ``score_queries_dataset``
+runs an actor pool (``map_batches(BM25Scorer, concurrency=…)``) where each
+actor opens the index once in ``__init__`` and scores query batches
+vectorized.  On a cluster the same stage shards by doc range (each actor
+scores its ranges, a final per-query merge takes the global top-k); in this
+sandbox each actor holds the whole (small) index.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS
+from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_stats
+
+ROUND_DP = 9
+
+
+class IndexReader:
+    """Driver/actor-side handle on a built index: stats + df + lazy segments."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.df = load_df(index_dir)
+        self.norms = load_norms(index_dir)
+        self._segments: dict[int, SegmentReader] = {}
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        if df == 0:
+            return 0.0
+        n = self.stats["n_docs"]
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def segment(self, tpart: int) -> SegmentReader:
+        seg = self._segments.get(tpart)
+        if seg is None:
+            seg = SegmentReader(
+                os.path.join(self.index_dir, "segments", f"seg-{tpart:03d}.parquet")
+            )
+            self._segments[tpart] = seg
+        return seg
+
+    def term_segment(self, term: str) -> SegmentReader:
+        return self.segment(zlib.crc32(term.encode("utf-8")) % N_TERM_PARTITIONS)
+
+    def postings(self, term: str):
+        return self.term_segment(term).postings(term)
+
+    # ---------------- exact term-at-a-time ------------------------------
+    def score_exact(self, terms: list[str]) -> np.ndarray:
+        """Dense per-doc score array (float64, length n_docs)."""
+        avgdl = self.stats["avgdl"]
+        scores = np.zeros(len(self.norms), dtype=np.float64)
+        for term in terms:
+            idf = self.idf(term)
+            if idf == 0.0:
+                continue
+            doc_ids, tfs = self.postings(term)
+            if len(doc_ids) == 0:
+                continue
+            d = doc_ids.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            dl = self.norms[d].astype(np.float64)
+            scores[d] += idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return scores
+
+    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """[(doc_id, score)] best-first; ties → doc_id ascending."""
+        scores = self.score_exact(terms)
+        return topk_from_dense(scores, k)
+
+    # ---------------- block-max WAND ------------------------------------
+    def topk_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Rank-safe block-max WAND; identical output to ``topk``."""
+        return wand_topk(self, terms, k)
+
+
+def topk_from_dense(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    r = np.round(scores, ROUND_DP)
+    nz = np.flatnonzero(r > 0)
+    if len(nz) == 0:
+        return []
+    if len(nz) > k:
+        # tie-inclusive preselect: keep everything >= the kth largest rounded
+        # score, then settle the edge deterministically by (score, doc_id)
+        kth = -np.partition(-r[nz], k - 1)[k - 1]
+        nz = nz[r[nz] >= kth]
+    order = sorted(nz.tolist(), key=lambda d: (-r[d], d))[:k]
+    return [(int(d), float(r[d])) for d in order]
+
+
+# ---------------------------------------------------------------------------
+# WAND
+# ---------------------------------------------------------------------------
+
+
+class _TermCursor:
+    """Cursor over one term's block-structured postings; decodes lazily."""
+
+    __slots__ = ("idf", "row", "blk_last", "blk_counts", "nblk", "bmax", "b",
+                 "doc_ids", "tfs", "i", "max_contrib")
+
+    def __init__(self, reader: SegmentReader, term: str, idf: float):
+        from wikirec_ray.state.segments import unpack_f32, unpack_i64
+
+        self.idf = idf
+        self.row = reader.term_row(term)
+        self.blk_last = unpack_i64(self.row["blk_last"])
+        self.blk_counts = unpack_i64(self.row["blk_counts"])
+        self.nblk = len(self.blk_last)
+        self.bmax = unpack_f32(self.row["bmax_blob"]).astype(np.float64) * idf
+        self.b = -1
+        self.doc_ids = None
+        self.tfs = None
+        self.i = 0
+        self.max_contrib = float(self.bmax.max()) if self.nblk else 0.0
+
+    def _load_block(self, b: int) -> None:
+        self.doc_ids, self.tfs = SegmentReader.decode_block(self.row, b)
+        self.b = b
+        self.i = 0
+
+    def cur_doc(self) -> int:
+        if self.b >= self.nblk:
+            return 1 << 62
+        if self.b < 0:
+            # not yet positioned: first doc of first block without decoding?
+            self._load_block(0)
+        return int(self.doc_ids[self.i])
+
+    def block_upper(self) -> float:
+        return float(self.bmax[self.b]) if 0 <= self.b < self.nblk else 0.0
+
+    def advance_to(self, target: int) -> None:
+        """Position at first posting with doc_id >= target (block-skipping:
+        blocks whose last doc < target are never decoded)."""
+        if self.b >= self.nblk:
+            return
+        if self.b >= 0 and self.doc_ids is not None and int(self.doc_ids[-1]) >= target:
+            # target within current block
+            self.i = int(np.searchsorted(self.doc_ids, target))
+            if self.i < len(self.doc_ids):
+                return
+            nb = self.b + 1
+        else:
+            nb = int(np.searchsorted(self.blk_last, target))
+            nb = max(nb, self.b + 1 if self.b >= 0 else 0)
+        if nb >= self.nblk:
+            self.b = self.nblk
+            return
+        self._load_block(nb)
+        self.i = int(np.searchsorted(self.doc_ids, target))
+        while self.i >= len(self.doc_ids):
+            if self.b + 1 >= self.nblk:
+                self.b = self.nblk
+                return
+            self._load_block(self.b + 1)
+            self.i = int(np.searchsorted(self.doc_ids, target))
+
+    def score_current(self, norms: np.ndarray, avgdl: float) -> float:
+        tf = float(self.tfs[self.i])
+        dl = float(norms[int(self.doc_ids[self.i])])
+        return self.idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+    def next(self) -> None:
+        self.i += 1
+        if self.doc_ids is not None and self.i >= len(self.doc_ids):
+            if self.b + 1 < self.nblk:
+                self._load_block(self.b + 1)
+            else:
+                self.b = self.nblk
+
+
+_SENTINEL = 1 << 62
+
+
+def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND (Ding & Suel's block-max bounds over Broder's WAND
+    pivoting), exact w.r.t. the term-at-a-time path: thresholds compare
+    *unrounded* upper bounds against the current heap minimum, and admitted
+    docs are fully rescored with the same float64 formula; final ranking uses
+    the same round-then-(score desc, doc_id asc) ordering."""
+    avgdl = reader.stats["avgdl"]
+    cursors = []
+    for term in sorted(set(terms)):
+        idf = reader.idf(term)
+        if idf == 0.0:
+            continue
+        seg = reader.term_segment(term)
+        if not seg.has(term):
+            continue
+        cursors.append(_TermCursor(seg, term, idf))
+    if not cursors:
+        return []
+    # Heap of (rounded_score, -doc_id): the weakest entry (lowest score, then
+    # highest doc_id) sits at heap[0], matching the (score desc, doc_id asc)
+    # ranking contract.  Upper-bound comparisons use EPS slack because the
+    # heap holds *rounded* scores while bounds are unrounded.
+    EPS = 10.0 ** (-ROUND_DP)
+    heap: list[tuple[float, int]] = []
+    threshold = 0.0  # a result must have rounded score > 0 to qualify at all
+
+    while True:
+        live = [c for c in cursors if c.cur_doc() < _SENTINEL]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        full = len(heap) >= k
+        # pivot: smallest prefix whose term-max contributions could still
+        # reach the threshold (>= with slack: boundary ties must be examined
+        # because doc_id breaks them)
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.max_contrib
+            if (not full and acc > 0.0) or (full and acc >= threshold - EPS):
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = live[pivot_idx].cur_doc()
+        # fold in any further cursors already sitting on the pivot doc — they
+        # contribute to it, and excluding them both weakens the block bound
+        # and can stall the skip (boundary = pivot_doc - 1 → no progress)
+        while pivot_idx + 1 < len(live) and live[pivot_idx + 1].cur_doc() == pivot_doc:
+            pivot_idx += 1
+        prefix = live[: pivot_idx + 1]
+        # block-max refinement over the blocks covering pivot_doc
+        block_acc = sum(c.block_upper() for c in prefix)
+        if full and block_acc < threshold - EPS:
+            # these blocks can't produce a qualifying doc — skip to the
+            # nearest block boundary, capped just below the next cursor's
+            # current doc (beyond that, non-prefix terms could contribute and
+            # the bound would no longer cover the doc)
+            boundary = min(int(c.blk_last[c.b]) for c in prefix if c.b < c.nblk)
+            if pivot_idx + 1 < len(live):
+                boundary = min(boundary, live[pivot_idx + 1].cur_doc() - 1)
+            for c in prefix:
+                if c.cur_doc() <= boundary:
+                    c.advance_to(boundary + 1)
+            continue
+        if live[0].cur_doc() == pivot_doc:
+            # all prefix cursors aligned on pivot → score it fully
+            score = 0.0
+            for c in cursors:
+                if c.cur_doc() == pivot_doc:
+                    score += c.score_current(reader.norms, avgdl)
+            item = (round(score, ROUND_DP), -pivot_doc)
+            if item[0] > 0:
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                if len(heap) >= k:
+                    threshold = heap[0][0]
+            for c in cursors:
+                if c.cur_doc() == pivot_doc:
+                    c.next()
+        else:
+            # advance the earliest cursor up to the pivot
+            live[0].advance_to(pivot_doc)
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level query stage
+# ---------------------------------------------------------------------------
+
+
+class BM25Scorer:
+    """Actor-pool stage: queries in, (query_id, rank, doc_id, score) out.
+
+    Index opened once per actor (__init__), batches scored in __call__ —
+    the T8 pattern from SURVEY.md §2.3 (the reference's analog keeps the
+    whole sim-matrix in driver RAM, model.py:258-290)."""
+
+    def __init__(self, index_dir: str, k: int = 10, use_wand: bool = False):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.use_wand = use_wand
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        terms_col = batch["terms"].to_pylist()
+        k_col = batch["k"].to_pylist() if "k" in batch.column_names else [self.k] * batch.num_rows
+        for qid, terms, k in zip(batch["query_id"].to_pylist(), terms_col, k_col):
+            hits = (
+                self.reader.topk_wand(terms, int(k))
+                if self.use_wand
+                else self.reader.topk(terms, int(k))
+            )
+            for r, (d, s) in enumerate(hits, start=1):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(round(s, 6))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def score_queries_dataset(
+    queries: ray.data.Dataset, index_dir: str, k: int = 10, use_wand: bool = False,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    return queries.map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "use_wand": use_wand},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# wikirec recommend() combine
+# ---------------------------------------------------------------------------
+
+
+def recommend(
+    reader: IndexReader,
+    input_queries: list[list[str]],
+    input_doc_ids: list[int],
+    ratings: list[float] | None = None,
+    n: int = 10,
+) -> list[tuple[int, float]]:
+    """Multi-input accumulator replicating ``model.py:331-381`` exactly,
+    including its idiosyncratic enumerate-index weighting (model.py:352,357 —
+    the running sims vector is multiplied by the loop index r before
+    averaging; reference contract, preserved bug-or-not, covered by the
+    reference's tests at tests/test_model.py:89-98):
+
+        r == 0:            sims = w0·s0           (s0 alone if unrated)
+        r > 0, rated:      sims = (r·sims + w_r·s_r) / 2
+        r > 0, unrated:    sims = (r·sims + s_r) / 2
+
+    where w_i = ratings[i] / 10 (model.py:331-334) and s_i is the BM25 score
+    vector of input i's term set.  Input docs are excluded from the result
+    (model.py:381); ranking best-first with doc_id tiebreak."""
+    if ratings is not None:
+        if any(not (0 <= x <= 10) for x in ratings):
+            raise ValueError("ratings must be in [0, 10]")  # model.py:332
+        weights = [x / 10.0 for x in ratings]
+    else:
+        weights = None
+    sims: np.ndarray | None = None
+    for r, terms in enumerate(input_queries):
+        s = reader.score_exact(terms)
+        if r == 0:
+            sims = weights[0] * s if weights is not None else s
+        elif weights is not None:
+            sims = (r * sims + weights[r] * s) / 2.0
+        else:
+            sims = (r * sims + s) / 2.0
+    sims[np.asarray(input_doc_ids, dtype=np.int64)] = -np.inf  # exclusion
+    rounded = np.round(sims, ROUND_DP)
+    order = sorted(
+        np.flatnonzero(rounded > 0).tolist(), key=lambda d: (-rounded[d], d)
+    )[:n]
+    return [(int(d), float(rounded[d])) for d in order]

@@ -1,0 +1,57 @@
+"""Schemas and engine-wide constants.
+
+The primary input is a Common-Crawl-style web-page table (the graft
+``input_hint``)::
+
+    url: string (unique key)   warc_ts: timestamp[us]
+    html: binary               text: string          lang: string
+
+which replaces the reference's positional ``(title, text, wikilinks)``
+article tuple (``/root/reference/src/wikirec/data_utils.py:204-241``) — ``url``
+is the document key where wikirec used the list position / title.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# Okapi BM25 parameters pinned by the north rule.
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+# Tokenizer: lowercase + split on runs of non-alphanumeric characters.
+# Chosen because it is exactly expressible both as vectorized Arrow kernels
+# (pc.utf8_lower + pc.split_pattern_regex) and as ANSI SQL
+# (string_split_regex(lower(text), '[^a-z0-9]+')), which is what lets the
+# DuckDB oracle validate every downstream operator.  The reference's richer
+# 7-step cleaning chain (data_utils.py:670-1008) is implemented separately in
+# stages/analyze.py (wikirec_clean) behind config flags, mirroring clean()'s
+# parameters.
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+# Index layout knobs.
+N_TERM_PARTITIONS = 32  # tpart = hash(term) % N_TERM_PARTITIONS
+DOC_RANGE_SIZE = 8192  # salt: doc_id // DOC_RANGE_SIZE bounds shuffle groups
+BLOCK_SIZE = 128  # postings per block-max block
+
+
+def term_partition_expr():
+    """Deterministic term -> partition id, stable across processes."""
+    # zlib.crc32 is stable (unlike hash()) and fast; used everywhere a term
+    # must map to the same partition in different worker processes.
+    import zlib
+
+    def tpart(term: str) -> int:
+        return zlib.crc32(term.encode("utf-8")) % N_TERM_PARTITIONS
+
+    return tpart

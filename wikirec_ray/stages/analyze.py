@@ -1,0 +1,210 @@
+"""Normalization + tokenization stages (zero-copy Arrow ``map_batches`` kernels).
+
+Two analyzers:
+
+1. ``default`` — lowercase + split on non-alphanumeric runs.  Exactly
+   SQL-expressible (see ``schema.TOKEN_SPLIT_REGEX``); this is the analyzer
+   the index/BM25 engine and the DuckDB oracle both use.
+
+2. ``wikirec_clean`` — a faithful re-implementation of the reference's
+   normalization chain semantics (steps M4-M9 of SURVEY.md §2.2), i.e.
+   ``clean()`` at ``/root/reference/src/wikirec/data_utils.py:670-1008``:
+   whitespace collapse (:760-769), URL strip (:771-778), references-section
+   strip (:783-790), punctuation/header strip (:795-809), whitespace
+   tokenize (:812), lowercase + numeric/"ref"/stopword removal (:549-597).
+   Implemented vectorized (compiled regex over pandas string arrays) rather
+   than the reference's per-string Python loops; step ORDER is preserved
+   because byte-identity of the intermediate text depends on it.
+
+All per-batch functions are pure and stateless; corpus-global steps
+(document frequency, min-DF vocabulary pruning — data_utils.py:945-969) live
+in ``stages/stats.py`` as aggregation + broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from wikirec_ray.schema import TOKEN_SPLIT_REGEX
+
+# ---------------------------------------------------------------------------
+# default analyzer (engine + SQL-oracle tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_column(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """string column -> large_list<string> of lowercase tokens (may contain
+    empty strings at text boundaries; callers filter them)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return pc.split_pattern_regex(pc.utf8_lower(texts), pattern=TOKEN_SPLIT_REGEX)
+
+
+def _flat_tokens(texts: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Return (parent_row_index, token) with empty tokens removed."""
+    toks = tokenize_column(texts)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    return parents.filter(mask), flat.filter(mask)
+
+
+def doc_term_freqs(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, text) batch -> (id, term, tf) rows, pre-aggregated within the
+    batch (one row per document covers its full text, so per-batch tf is the
+    final tf — no cross-batch combine needed).
+
+    This is the engine's posting-entry generator; its TF (term count per doc)
+    deliberately differs from the reference's DF-style counting at
+    data_utils.py:945-948, which counts *documents* per term — that lives in
+    stats.document_frequencies.
+    """
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    pairs = pa.table({"_row": parents, "term": flat})
+    grouped = pairs.group_by(["_row", "term"]).aggregate([("term", "count")])
+    ids = batch[id_col].take(grouped["_row"])
+    return pa.table(
+        {
+            id_col: ids,
+            "term": grouped["term"],
+            "tf": pc.cast(grouped["term_count"], pa.int64()),
+        }
+    )
+
+
+def doc_lengths(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, text) -> (id, doc_len) where doc_len = number of tokens."""
+    parents, _ = _flat_tokens(batch[text_col].combine_chunks())
+    counts = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(counts, parents.to_numpy(zero_copy_only=False), 1)
+    return pa.table({id_col: batch[id_col], "doc_len": pa.array(counts)})
+
+
+def add_token_list(batch: pa.Table, text_col: str = "text", out_col: str = "tokens") -> pa.Table:
+    """Append a large_list<string> tokens column (empty tokens removed)."""
+    toks = tokenize_column(batch[text_col])
+    # Rebuild the list array without empty strings, preserving row boundaries.
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    kept_parents = parents[mask]
+    counts = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(counts, kept_parents, 1)
+    offsets = np.zeros(batch.num_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    clean = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), flat.filter(pc.not_equal(flat, ""))
+    )
+    return batch.append_column(out_col, clean)
+
+
+# ---------------------------------------------------------------------------
+# wikirec_clean analyzer (reference-faithful chain, M4-M9)
+# ---------------------------------------------------------------------------
+
+# Minimal English stopword set for the stopword-removal step when NLTK is
+# unavailable (the reference pulls stopwords.words(language) at
+# data_utils.py:715-728; this container has no NLTK corpora, so the set is a
+# config parameter with this default).
+DEFAULT_STOPWORDS = frozenset(
+    """a an and are as at be by for from has he in is it its of on that the to
+    was were will with this but they have had what when where who which why how
+    all each she her his him or not no so if then than too very can could would
+    should do does did been being we you your i me my our us their them""".split()
+)
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation + "–" + "’")
+_HEADER_RE = re.compile(r"==[^=]+==")
+_COMMENT_RE = re.compile(r"< !--.*?-- >", re.DOTALL)
+_REFS_WITH_CAT_RE = re.compile(r"==References==.*? Category", re.DOTALL)
+
+
+def clean_text_single(text: str) -> str:
+    """Reference normalization chain on ONE string; the per-row oracle.
+
+    Step order matches data_utils.py:760-809 exactly (M4 -> M5 -> M6 -> M7):
+    1. collapse runs of 2..25 spaces to one (the reference loops the
+       replacement from 25 down to 2, data_utils.py:760-769 — equivalent to
+       one regex pass for runs <= 25, which we apply for any run length);
+    2. remove whitespace-delimited words starting with "http" (:771-778);
+    3. strip the ==References== section — up to " Category" when a Category
+       marker exists, else truncate at ==References== (:783-790);
+    4. replace / - : with space, drop ==headers== and < !--..-- > comments,
+       strip punctuation incl. – and ’ (:795-809).
+    """
+    t = re.sub(r" {2,}", " ", text)
+    t = " ".join(w for w in t.split(" ") if w[:4] != "http")
+    if "Category:" in t:
+        t = _REFS_WITH_CAT_RE.sub(" Category", t)
+    elif "==References==" in t:
+        t = t.split("==References==")[0]
+    t = t.replace("/", " ").replace("-", " ").replace(":", " ")
+    t = _HEADER_RE.sub("", t)
+    t = _COMMENT_RE.sub("", t)
+    t = t.translate(_PUNCT_TABLE)
+    return t
+
+
+def wikirec_tokenize_single(
+    text: str,
+    stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+    words_to_ignore: frozenset[str] = frozenset(),
+    min_token_len: int = 3,
+) -> list[str]:
+    """clean -> whitespace tokenize (:812) -> lowercase + drop numerics,
+    "ref", stopwords, ignored words (:549-597) -> min length filter (:962-966,
+    DF part applied corpus-globally in stats)."""
+    out = []
+    for tok in clean_text_single(text).split():
+        low = tok.lower()
+        if low.isnumeric() or low == "ref":
+            continue
+        if low in stopwords or low in words_to_ignore:
+            continue
+        if len(low) < min_token_len:
+            continue
+        out.append(low)
+    return out
+
+
+class WikirecCleaner:
+    """Actor-pool stage: vectorized reference cleaning chain per batch.
+
+    Stateful only in that the regexes/stopword set are built once per actor
+    (__init__), mirroring how the reference builds its stopword set once and
+    shares it via fork (data_utils.py:715-728).
+    """
+
+    def __init__(
+        self,
+        stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+        words_to_ignore: frozenset[str] = frozenset(),
+        min_token_len: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.stopwords = stopwords
+        self.words_to_ignore = words_to_ignore
+        self.min_token_len = min_token_len
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        toks = [
+            wikirec_tokenize_single(
+                t or "", self.stopwords, self.words_to_ignore, self.min_token_len
+            )
+            for t in texts
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "tokens": pa.array(toks, type=pa.large_list(pa.string())),
+            }
+        )

@@ -1,0 +1,409 @@
+"""Distributed inverted-index construction (the engine's wide step).
+
+Replaces the reference's ``gen_embeddings``/``gen_sim_matrix`` pair
+(``/root/reference/src/wikirec/model.py:38-290``): where wikirec fits a
+TfidfVectorizer (global DF/IDF state, ``model.py:166-170``) and materializes a
+dense N×N similarity matrix, we build compressed posting lists with a
+**groupby-on-term shuffle** and never materialize anything dense.
+
+Pipeline (two streaming passes over the corpus, no full materialization):
+
+  pass A  map_batches(doc_lengths) → groupby(doc range) → norms files
+          + corpus stats (N, avgdl)                      [small shuffle]
+  pass B  map_batches(doc_term_freqs + inline doc_len)
+          → groupby((tpart, range_id)).map_groups(encode)
+          → postings/tpart-*/range-*.parquet             [THE term shuffle]
+  merge   per-tpart task: concatenate each term's range chunks in doc-range
+          order (ranges are doc_id-disjoint & ordered → merge is pure
+          concatenation, no re-sort, no second shuffle)
+          → segments/seg-*.parquet + df.parquet (df(term) = Σ n — one
+          posting per (term, doc), so DF falls out of the merge for free,
+          with the reference's DF-not-TF semantics, data_utils.py:945-948)
+
+Skew: the shuffle key is ``(hash(term) % N_TERM_PARTITIONS, doc_id //
+DOC_RANGE_SIZE)`` — the doc range is a built-in salt, so a heavy-hitter term
+("the", df≈N) is split across N/DOC_RANGE_SIZE bounded groups instead of
+landing on one reducer.  Every group holds ≤ DOC_RANGE_SIZE docs × its term
+share; group size is bounded *independently of term skew*.
+
+Resumability: every partition file is written atomically and recorded in
+``manifest.json`` with bytes+md5+wall_ms; a re-run with ``resume=True``
+validates and skips finished partitions (the reference's file-existence skip,
+``data_utils.py:302,457-459``, hardened with content hashes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from wikirec_ray.functions.compress import varint_encode
+from wikirec_ray.schema import BLOCK_SIZE, BM25_B, BM25_K1, DOC_RANGE_SIZE, N_TERM_PARTITIONS
+from wikirec_ray.stages.analyze import doc_lengths, doc_term_freqs
+from wikirec_ray.state.segments import (
+    SEGMENT_SCHEMA,
+    atomic_write_table,
+    load_manifest,
+    pack_f32,
+    pack_i64,
+    partition_is_valid,
+    save_manifest,
+    unpack_f32,
+    unpack_i64,
+)
+
+
+def term_partitions_for(terms) -> np.ndarray:
+    """Stable term -> tpart (crc32, identical in every worker process)."""
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % N_TERM_PARTITIONS for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, text) -> (tpart, range_id, doc_id, term, tf, dl) rows.
+
+    dl (doc length) rides along inline so the encoder never needs a norms
+    join; each document lives wholly inside one input batch, so per-batch tf
+    and dl are exact."""
+    tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
+    doc_ids = tf_tbl[id_col].to_numpy()
+    tfs = tf_tbl["tf"].to_numpy()
+    # dl = sum of tf per doc, scattered back to posting rows
+    batch_ids = batch[id_col].to_numpy()
+    id_to_pos = {int(d): i for i, d in enumerate(batch_ids)}
+    pos = np.fromiter((id_to_pos[int(d)] for d in doc_ids), dtype=np.int64, count=len(doc_ids))
+    dl_per_doc = np.zeros(len(batch_ids), dtype=np.int64)
+    np.add.at(dl_per_doc, pos, tfs)
+    # dictionary-encode terms once per batch for the crc pass
+    terms = tf_tbl["term"]
+    dict_arr = terms.combine_chunks().dictionary_encode()
+    tpart_per_uniq = term_partitions_for(dict_arr.dictionary.to_pylist())
+    tparts = tpart_per_uniq[dict_arr.indices.to_numpy(zero_copy_only=False)]
+    return pa.table(
+        {
+            "tpart": pa.array(tparts),
+            "range_id": pa.array(doc_ids // DOC_RANGE_SIZE),
+            "doc_id": tf_tbl[id_col],
+            "term": terms,
+            "tf": tf_tbl["tf"],
+            "dl": pa.array(dl_per_doc[pos]),
+        }
+    )
+
+
+def _bm25_tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """idf-independent BM25 factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def _admissible_f32(x: np.ndarray) -> np.ndarray:
+    """float64 upper bounds -> float32, rounded UP so bounds stay admissible."""
+    f = x.astype(np.float32)
+    low = f.astype(np.float64) < x
+    if low.any():
+        f[low] = np.nextafter(f[low], np.float32(np.inf))
+    return f
+
+
+def _encode_terms_table(
+    terms: list[str], starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
+    dls: np.ndarray, avgdl: float,
+) -> pa.Table:
+    """Encode (term-sorted, doc-sorted-within-term) posting arrays into one
+    SEGMENT_SCHEMA table. ``starts`` has len(terms)+1 boundaries."""
+    factors = _bm25_tf_factor(tfs, dls, avgdl)
+    cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
+    for ti, term in enumerate(terms):
+        s, e = int(starts[ti]), int(starts[ti + 1])
+        n = e - s
+        blk_last, blk_counts, doc_off, tf_off, bmax = [], [], [0], [0], []
+        doc_parts, tf_parts = [], []
+        for bs in range(s, e, BLOCK_SIZE):
+            be = min(bs + BLOCK_SIZE, e)
+            d = doc_ids[bs:be]
+            gaps = np.empty(be - bs, np.uint64)
+            gaps[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=gaps[1:])
+            db = varint_encode(gaps)
+            tb = varint_encode(tfs[bs:be])
+            doc_parts.append(db)
+            tf_parts.append(tb)
+            doc_off.append(doc_off[-1] + len(db))
+            tf_off.append(tf_off[-1] + len(tb))
+            blk_last.append(int(d[-1]))
+            blk_counts.append(be - bs)
+            bmax.append(float(factors[bs:be].max()))
+        bmax_f32 = _admissible_f32(np.array(bmax, np.float64))
+        cols["term"].append(term)
+        cols["n"].append(n)
+        cols["blk_last"].append(pack_i64(blk_last))
+        cols["blk_counts"].append(pack_i64(blk_counts))
+        cols["blk_doc_off"].append(pack_i64(doc_off))
+        cols["blk_tf_off"].append(pack_i64(tf_off))
+        cols["doc_blob"].append(b"".join(doc_parts))
+        cols["tf_blob"].append(b"".join(tf_parts))
+        cols["bmax_blob"].append(pack_f32(bmax_f32))
+        cols["term_max"].append(float(bmax_f32.max()) if len(bmax_f32) else 0.0)
+    return pa.table(cols, schema=SEGMENT_SCHEMA)
+
+
+def _entry_table(entries: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "key": pa.array([e["key"] for e in entries]),
+            "entry": pa.array([json.dumps(e) for e in entries]),
+        }
+    )
+
+
+def make_postings_encoder(index_dir: str, avgdl: float, prior_partitions: dict, resume: bool):
+    """Group encoder for groupby((tpart, range_id)) — runs once per shuffle
+    group, writes one partial segment file, returns its manifest entry."""
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        tpart = int(group["tpart"][0].as_py())
+        range_id = int(group["range_id"][0].as_py())
+        path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}", f"range-{range_id:06d}.parquet")
+        key = os.path.relpath(path, index_dir)
+        if resume and partition_is_valid(path, prior_partitions.get(key)):
+            e = dict(prior_partitions[key])
+            e.update(key=key, skipped=True)
+            return _entry_table([e])
+        t0 = time.monotonic()
+        terms_arr = group["term"].to_pandas().to_numpy()
+        doc_ids = group["doc_id"].to_numpy().astype(np.uint64)
+        tfs = group["tf"].to_numpy().astype(np.uint64)
+        dls = group["dl"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc_ids, terms_arr))
+        terms_sorted = terms_arr[order]
+        uniq, starts_idx = np.unique(terms_sorted, return_index=True)
+        starts = np.append(starts_idx, len(terms_sorted))
+        table = _encode_terms_table(
+            uniq.tolist(), starts, doc_ids[order], tfs[order], dls[order], avgdl
+        )
+        entry = atomic_write_table(table, path)
+        entry.update(
+            key=key,
+            kind="postings",
+            tpart=tpart,
+            range_id=range_id,
+            n_terms=len(uniq),
+            n_postings=len(doc_ids),
+            encode_ms=round((time.monotonic() - t0) * 1000, 3),
+            skipped=False,
+        )
+        return _entry_table([entry])
+
+    return encode_group
+
+
+def make_norms_writer(index_dir: str, prior_partitions: dict, resume: bool):
+    def write_norms(group: pa.Table) -> pa.Table:
+        range_id = int(group["range_id"][0].as_py())
+        path = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
+        key = os.path.relpath(path, index_dir)
+        doc_ids = group["doc_id"].to_numpy()
+        dls = group["doc_len"].to_numpy()
+        order = np.argsort(doc_ids)
+        n_docs, sum_dl = len(doc_ids), int(dls.sum())
+        if resume and partition_is_valid(path, prior_partitions.get(key)):
+            e = dict(prior_partitions[key])
+            e.update(key=key, skipped=True, n_docs=n_docs, sum_dl=sum_dl)
+            return _entry_table([e])
+        tbl = pa.table({"doc_id": pa.array(doc_ids[order]), "doc_len": pa.array(dls[order])})
+        entry = atomic_write_table(tbl, path)
+        entry.update(key=key, kind="norms", range_id=range_id, n_docs=n_docs, sum_dl=sum_dl, skipped=False)
+        return _entry_table([entry])
+
+    return write_norms
+
+
+def _merge_tpart(
+    index_dir: str,
+    tpart: int,
+    prior_partitions: dict,
+    resume: bool,
+    expected_inputs: dict[str, str] | None = None,
+) -> list[dict]:
+    """Merge one tpart's range files into its immutable segment + DF rows.
+
+    Pure concatenation per term: range files are read in ascending range_id
+    order and each term's blocks/blobs are appended with offset rebasing —
+    doc ranges are disjoint and ordered so postings stay doc_id-sorted."""
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}")
+    seg_path = os.path.join(index_dir, "segments", f"seg-{tpart:03d}.parquet")
+    key = os.path.relpath(seg_path, index_dir)
+    df_path = os.path.join(index_dir, "df", f"df-{tpart:03d}.parquet")
+    df_key = os.path.relpath(df_path, index_dir)
+    files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
+    if (
+        resume
+        and partition_is_valid(seg_path, prior_partitions.get(key))
+        and partition_is_valid(df_path, prior_partitions.get(df_key))
+        and (
+            expected_inputs is None
+            or prior_partitions.get(key, {}).get("inputs") == expected_inputs
+        )
+    ):
+        e = dict(prior_partitions[key])
+        e.update(key=key, skipped=True)
+        de = dict(prior_partitions[df_key])
+        de.update(key=df_key, skipped=True)
+        return [e, de]
+    t0 = time.monotonic()
+    acc: dict[str, dict] = {}
+    for fname in files:
+        t = pq.read_table(os.path.join(part_dir, fname))
+        for row in t.to_pylist():
+            a = acc.get(row["term"])
+            if a is None:
+                acc[row["term"]] = {k: row[k] for k in SEGMENT_SCHEMA.names}
+            else:
+                a["n"] += row["n"]
+                a["blk_last"] += row["blk_last"]
+                a["blk_counts"] += row["blk_counts"]
+                a["blk_doc_off"] += pack_i64(unpack_i64(row["blk_doc_off"])[1:] + len(a["doc_blob"]))
+                a["blk_tf_off"] += pack_i64(unpack_i64(row["blk_tf_off"])[1:] + len(a["tf_blob"]))
+                a["doc_blob"] += row["doc_blob"]
+                a["tf_blob"] += row["tf_blob"]
+                a["bmax_blob"] += row["bmax_blob"]
+                a["term_max"] = max(a["term_max"], row["term_max"])
+    terms = sorted(acc)
+    table = pa.table(
+        {name: [acc[t][name] for t in terms] for name in SEGMENT_SCHEMA.names},
+        schema=SEGMENT_SCHEMA,
+    )
+    entry = atomic_write_table(table, seg_path)
+    entry.update(
+        key=key,
+        kind="segment",
+        tpart=tpart,
+        n_terms=len(terms),
+        n_postings=int(sum(acc[t]["n"] for t in terms)),
+        merge_ms=round((time.monotonic() - t0) * 1000, 3),
+        inputs=expected_inputs or {},
+        skipped=False,
+    )
+    # DF falls out of the merge: one posting per (term, doc) => df = n.
+    df_tbl = pa.table(
+        {"term": pa.array(terms), "df": pa.array([acc[t]["n"] for t in terms], pa.int64())}
+    )
+    df_entry = atomic_write_table(df_tbl, df_path)
+    df_entry.update(key=df_key, kind="df", tpart=tpart, skipped=False)
+    return [entry, df_entry]
+
+
+def build_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    resume: bool = True,
+    lineage: dict | None = None,
+) -> dict:
+    """Build the full index from a Dataset(id, text, …); returns the manifest.
+
+    ``ds`` is consumed twice (doc-length pass, postings pass) — both passes
+    stream; nothing is materialized driver-side except manifest entries and
+    the (term, df) vocabulary files.
+    """
+    prior = load_manifest(index_dir) if resume else None
+    prior_parts = (prior or {}).get("partitions", {})
+    t_start = time.monotonic()
+
+    # -- pass A: norms + corpus stats ------------------------------------
+    dl_ds = ds.map_batches(
+        lambda b: doc_lengths(b, id_col=id_col, text_col=text_col).append_column(
+            "range_id", pa.array(b[id_col].to_numpy() // DOC_RANGE_SIZE)
+        ),
+        batch_format="pyarrow",
+    )
+    norm_entries = [
+        json.loads(r["entry"])
+        for r in dl_ds.groupby("range_id")
+        .map_groups(make_norms_writer(index_dir, prior_parts, resume), batch_format="pyarrow")
+        .take_all()
+    ]
+    n_docs = sum(e["n_docs"] for e in norm_entries)
+    total_tokens = sum(e["sum_dl"] for e in norm_entries)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # -- pass B: the term shuffle ----------------------------------------
+    postings_ds = ds.map_batches(
+        lambda b: _postings_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+    post_entries = [
+        json.loads(r["entry"])
+        for r in postings_ds.groupby(["tpart", "range_id"])
+        .map_groups(
+            make_postings_encoder(index_dir, avgdl, prior_parts, resume),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ]
+
+    # -- merge: one task per tpart, no shuffle ---------------------------
+    # lineage: a segment may be reused only if the exact set+hash of its
+    # input postings partitions is unchanged since it was built
+    tparts = sorted({e["tpart"] for e in post_entries if e.get("tpart") is not None})
+    inputs_by_tpart: dict[int, dict[str, str]] = {t: {} for t in tparts}
+    for e in post_entries:
+        if e.get("kind") == "postings" or e.get("tpart") in inputs_by_tpart:
+            inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
+    merge_entries_nested = (
+        ray.data.from_items([{"tpart": t} for t in tparts])
+        .map_batches(
+            lambda b: _entry_table(
+                [
+                    e
+                    for t in b["tpart"].to_pylist()
+                    for e in _merge_tpart(
+                        index_dir, int(t), prior_parts, resume, inputs_by_tpart[int(t)]
+                    )
+                ]
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .take_all()
+    )
+    merge_entries = [json.loads(r["entry"]) for r in merge_entries_nested]
+
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "k1": BM25_K1,
+        "b": BM25_B,
+        "n_term_partitions": N_TERM_PARTITIONS,
+        "doc_range_size": DOC_RANGE_SIZE,
+        "block_size": BLOCK_SIZE,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+    manifest = {
+        "version": 1,
+        "stats": stats,
+        "lineage": lineage or {},
+        "build_wall_s": round(time.monotonic() - t_start, 3),
+        "partitions": {
+            e["key"]: {k: v for k, v in e.items() if k != "key"}
+            for e in norm_entries + post_entries + merge_entries
+        },
+    }
+    save_manifest(index_dir, manifest)
+    return manifest

@@ -1,0 +1,76 @@
+"""Corpus-global statistics: document frequency, doc lengths, N, avgdl.
+
+The reference computes document frequency with a driver-local
+``defaultdict(int)`` — per doc, ``set(tokens)`` then +=1 per distinct token
+(``/root/reference/src/wikirec/data_utils.py:945-948``; note it counts
+*documents containing the term*, not term occurrences).  Here the same
+semantics run distributed: each ``map_batches`` task emits per-batch partial
+DF rows (one row per term per batch — already reduced by a within-batch Arrow
+group-by), and a small ``groupby("term").sum`` finishes the job.  The partial
+pre-aggregation is what keeps the shuffle input ~|vocab per batch| rather than
+~|postings|.
+
+BM25 additionally needs per-doc length and the corpus average (avgdl); the
+reference's analog is the implicit doc length inside TfidfVectorizer
+(``model.py:166-170``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from wikirec_ray.stages.analyze import _flat_tokens, doc_lengths
+
+
+def _partial_df_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    """One (term, df) row per distinct term in the batch (df = number of the
+    batch's docs containing it)."""
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    pairs = pa.table({"_row": parents, "term": flat})
+    # distinct (doc, term) then count docs per term — DF-not-TF semantics
+    # (data_utils.py:945-948).
+    distinct = pairs.group_by(["_row", "term"]).aggregate([])
+    out = distinct.group_by("term").aggregate([("_row", "count")])
+    return pa.table({"term": out["term"], "df": pc.cast(out["_row_count"], pa.int64())})
+
+
+def document_frequencies(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Dataset(id, text, ...) -> Dataset(term, df). One small shuffle over
+    per-batch partials."""
+    partials = ds.map_batches(
+        lambda b: _partial_df_batch(b, text_col), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("term").aggregate(Sum("df", alias_name="df"))
+
+
+def doc_length_dataset(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Dataset(id, text, ...) -> Dataset(id, doc_len). Pure map, no shuffle."""
+    return ds.map_batches(
+        lambda b: doc_lengths(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+def corpus_stats(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """{'n_docs': N, 'avgdl': mean doc length, 'total_tokens': sum}.
+
+    Computed as a streaming aggregate over doc lengths (ds.mean/count never
+    materialize the corpus).
+    """
+    dl = doc_length_dataset(ds, id_col=id_col, text_col=text_col)
+    from ray.data.aggregate import Count, Sum
+
+    row = dl.aggregate(Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_tokens"))
+    n = int(row["n_docs"])
+    tot = int(row["total_tokens"] or 0)
+    return {"n_docs": n, "total_tokens": tot, "avgdl": (tot / n) if n else 0.0}

@@ -1,0 +1,248 @@
+"""Immutable index segments + per-partition manifests (lineage & metrics).
+
+Index layout (all files immutable once renamed into place)::
+
+    <index_dir>/
+      stats.json                      # n_docs, avgdl, total_tokens, k1, b, lineage
+      df.parquet                      # (term, df) — BM25's n(t), DF-not-TF
+                                      #   semantics of data_utils.py:945-948
+      norms/range-<r>.parquet         # (doc_id, doc_len) per doc-id range
+      postings/tpart-<t>/range-<r>.parquet
+                                      # partial posting lists: one shuffle
+                                      #   group = (term-hash partition, doc
+                                      #   range); the doc range IS the salt
+                                      #   that bounds heavy-hitter groups
+      segments/seg-<t>.parquet        # per-tpart merged segment: a term's
+                                      #   postings = its range chunks
+                                      #   concatenated in range order
+                                      #   (doc ranges are doc_id-disjoint and
+                                      #   ordered, so the merge is a pure
+                                      #   concatenation — no re-sort)
+      manifest.json                   # every partition: path, rows, bytes,
+                                      #   md5, build wall-ms, input lineage
+
+Partial/merged segment schema (one row per term); the decode/skip unit is a
+*block* of ≤128 postings (delta-gap restarts at every block, so WAND can skip
+a block without decoding it)::
+
+    term: string, n: int64 (total postings),
+    blk_last:   binary (int64[] LE — last doc_id per block, the skip key),
+    blk_counts: binary (int64[] LE — postings per block),
+    blk_doc_off/blk_tf_off: binary (int64[] LE, len nblk+1 — byte offsets of
+                each block's varint run inside doc_blob/tf_blob),
+    doc_blob/tf_blob: binary (delta-gap + varint, restart per block),
+    bmax_blob:  binary (float32[] — per block, an upper bound on the
+    idf-independent BM25 factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)); idf is
+    applied at query time, so block-max bounds need no global DF at encode
+    time; bounds are rounded *up* when narrowing to float32 so they stay
+    admissible), term_max: float32.
+
+The reference's checkpoint analog is its file-existence skip of completed
+ndjson partitions (``/root/reference/src/wikirec/data_utils.py:302,457-459``);
+here every partition write is atomic (tmp + rename) and carries a sidecar
+entry in the manifest, so a re-run validates and skips finished partitions
+("resumable from checkpoint with per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("n", pa.int64()),
+        ("blk_last", pa.binary()),
+        ("blk_counts", pa.binary()),
+        ("blk_doc_off", pa.binary()),
+        ("blk_tf_off", pa.binary()),
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("bmax_blob", pa.binary()),
+        ("term_max", pa.float32()),
+    ]
+)
+
+
+def _md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def atomic_write_table(table: pa.Table, path: str) -> dict:
+    """Write parquet atomically; return a manifest entry (path, rows, bytes,
+    md5, wall_ms)."""
+    t0 = time.monotonic()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return {
+        "path": path,
+        "rows": table.num_rows,
+        "bytes": os.path.getsize(path),
+        "md5": _md5(path),
+        "wall_ms": round((time.monotonic() - t0) * 1000, 3),
+    }
+
+
+def partition_is_valid(path: str, manifest_entry: dict | None) -> bool:
+    """A partition may be skipped on resume iff its file exists and matches
+    the recorded manifest entry (size + md5)."""
+    if manifest_entry is None or not os.path.exists(path):
+        return False
+    try:
+        return (
+            os.path.getsize(path) == manifest_entry["bytes"]
+            and _md5(path) == manifest_entry["md5"]
+        )
+    except OSError:
+        return False
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_manifest(index_dir: str, manifest: dict) -> None:
+    p = os.path.join(index_dir, "manifest.json")
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def pack_i64(a) -> bytes:
+    return np.ascontiguousarray(a, dtype="<i8").tobytes()
+
+
+def unpack_i64(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<i8")
+
+
+def pack_f32(a) -> bytes:
+    return np.ascontiguousarray(a, dtype="<f4").tobytes()
+
+
+def unpack_f32(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<f4")
+
+
+class SegmentReader:
+    """Decoded access to one merged segment (one term partition).
+
+    Holds the segment's Arrow table (memory-mapped parquet read) and exposes
+    per-term postings decode.  At cluster scale each query-serving actor
+    holds a subset of segments; doc-length norms are loaded per doc-range on
+    demand.
+    """
+
+    def __init__(self, seg_path: str):
+        self.table = pq.read_table(seg_path)
+        self._row_by_term = {
+            t: i for i, t in enumerate(self.table["term"].to_pylist())
+        }
+
+    def terms(self) -> list[str]:
+        return list(self._row_by_term)
+
+    def has(self, term: str) -> bool:
+        return term in self._row_by_term
+
+    def term_row(self, term: str) -> dict | None:
+        i = self._row_by_term.get(term)
+        if i is None:
+            return None
+        return self.table.slice(i, 1).to_pylist()[0]
+
+    @staticmethod
+    def decode_block(row: dict, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ONE block of a term row (the WAND skip unit)."""
+        from wikirec_ray.functions.compress import delta_decode, varint_decode
+
+        counts = unpack_i64(row["blk_counts"])
+        doc_off = unpack_i64(row["blk_doc_off"])
+        tf_off = unpack_i64(row["blk_tf_off"])
+        k = int(counts[b])
+        doc_ids = delta_decode(varint_decode(row["doc_blob"][doc_off[b] : doc_off[b + 1]], k))
+        tfs = varint_decode(row["tf_blob"][tf_off[b] : tf_off[b + 1]], k)
+        return doc_ids, tfs
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """term -> (doc_ids ascending uint64, tfs uint64), all blocks
+        concatenated (blocks are doc-id-ordered and disjoint)."""
+        row = self.term_row(term)
+        if row is None:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        counts = unpack_i64(row["blk_counts"])
+        doc_ids = np.empty(int(counts.sum()), np.uint64)
+        tfs = np.empty_like(doc_ids)
+        pos = 0
+        for b in range(len(counts)):
+            k = int(counts[b])
+            doc_ids[pos : pos + k], tfs[pos : pos + k] = self.decode_block(row, b)
+            pos += k
+        return doc_ids, tfs
+
+    def block_maxes(self, term: str) -> np.ndarray:
+        i = self._row_by_term.get(term)
+        if i is None:
+            return np.empty(0, np.float32)
+        row = self.table.slice(i, 1).to_pylist()[0]
+        return unpack_f32(row["bmax_blob"])
+
+    def term_max(self, term: str) -> float:
+        i = self._row_by_term.get(term)
+        if i is None:
+            return 0.0
+        return float(self.table["term_max"][i].as_py())
+
+
+def load_norms(index_dir: str) -> np.ndarray:
+    """Dense doc_id -> doc_len array over all ranges (sandbox-scale helper;
+    a cluster deployment loads only the ranges a server scores)."""
+    norms_dir = os.path.join(index_dir, "norms")
+    paths = sorted(
+        os.path.join(norms_dir, p) for p in os.listdir(norms_dir) if p.endswith(".parquet")
+    )
+    tables = [pq.read_table(p) for p in paths]
+    if not tables:
+        return np.empty(0, np.int64)
+    t = pa.concat_tables(tables)
+    doc_ids = t["doc_id"].to_numpy()
+    dls = t["doc_len"].to_numpy()
+    out = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 0, dtype=np.int64)
+    out[doc_ids] = dls
+    return out
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def load_df(index_dir: str) -> dict[str, int]:
+    """term -> document frequency, from the per-tpart df files the merge
+    emits (DF == postings count, one posting per (term, doc))."""
+    d = os.path.join(index_dir, "df")
+    tables = [
+        pq.read_table(os.path.join(d, p)) for p in sorted(os.listdir(d)) if p.endswith(".parquet")
+    ]
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    return dict(zip(t["term"].to_pylist(), t["df"].to_numpy().tolist()))
