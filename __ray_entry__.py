@@ -1,44 +1,631 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (synthetic Common-Crawl pages →
+HTML extraction → inverted-index build → BM25 query set) on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one.  The SQL is generated from the SAME
+Python constants (query set, stopword list, thresholds, BM25 parameters) the
+Ray pipelines use, so the two sides cannot drift.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in wikirec_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from wikirec_ray.schema import BM25_B, BM25_K1
+from wikirec_ray.stages.analyze import DEFAULT_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# shared constants (drive BOTH the Ray pipelines and the oracle SQL)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_SET: list[tuple[int, list[str]]] = [
+    (0, ["spark", "join"]),
+    (1, ["vector", "window", "hash"]),
+    (2, ["the", "customer"]),
+    (3, ["absentterm"]),
+    (4, ["order", "sort", "merge", "part", "scan"]),
+    (5, ["key", "value", "big"]),
+    (6, ["group"]),
+    (7, ["stream", "dup"]),
+]
+BM25_K = 10
+RECO_INPUT_DOCS = [3, 7]
+RECO_RATINGS = [8.0, 4.0]
+RECO_N = 10
+JACCARD_MAX_DOC = 40
+ANN_N_QUERIES = 8
+ANN_K = 10
+EMB_DUP_THRESHOLD = 0.4
+PRUNE_MIN_DF = 2
+PRUNE_MIN_LEN = 3
+TOP_TERMS_N = 20
+BIGRAM_TOP_N = 30
+
+_CACHE_ROOT = "/tmp/wikirec_ray_cache"
+
+# SQL building blocks -------------------------------------------------------
+
+# tokenizer: MUST mirror stages/analyze.py (lower + split non-alnum + drop '')
+_TOK = (
+    "SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(string_split_regex("
+    "lower(text), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''"
+)
+_TOKS_LIST = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_BM25_CORE = f"""
+tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_score_expr() -> str:
+    k1, b = BM25_K1, BM25_B
+    return (
+        f"ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * ({k1} + 1) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))"
+    )
+
+
+def _sql_stopword_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(DEFAULT_STOPWORDS)) + "]"
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_CACHE_ROOT, f"index-{tag}")
+
+
+def _documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume-validate) the BM25 index for a sf dir; cached across
+    queries() calls via the per-partition manifest."""
+    from wikirec_ray.stages.index_build import build_index
+
+    index_dir = _index_dir_for(sf_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(
+        _documents(sf_dir),
+        index_dir,
+        resume=True,
+        lineage={"input": os.path.join(sf_dir, "documents.parquet")},
+    )
+    return index_dir
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: synth pages → extract text from html →
+    assign doc ids → build inverted index → run the BM25 query set through
+    the actor-pool scorer.  Returns the (query_id, rank, doc_id, score)
+    Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from wikirec_ray.pipelines.query import score_queries_dataset
+    from wikirec_ray.sources.synth import pages_dataset
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_dataset(sf_dir, columns=["url", "html"])
+    corpus = extract_pages(pages).map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    index_dir = os.path.join(_CACHE_ROOT, "index-entry-sf0.001")
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(corpus, index_dir, resume=True, lineage={"input": sf_dir})
+    qds = ray.data.from_items(
+        [{"query_id": q, "terms": t, "k": BM25_K} for q, t in BM25_QUERY_SET]
+    )
+    return score_queries_dataset(qds, index_dir, k=BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tokens_tf(sf_dir):
+        from wikirec_ray.stages.analyze import doc_term_freqs
+
+        return _documents(sf_dir).map_batches(doc_term_freqs, batch_format="pyarrow")
+
+    def doc_lengths_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import token_counts
+
+        return token_counts(_documents(sf_dir))
+
+    def corpus_stats_q(sf_dir):
+        import pandas as pd
+
+        from wikirec_ray.stages.stats import corpus_stats
+
+        s = corpus_stats(_documents(sf_dir))
+        return pd.DataFrame(
+            {
+                "n_docs": [s["n_docs"]],
+                "total_tokens": [s["total_tokens"]],
+                "avgdl": [round(s["avgdl"], 6)],
+            }
+        )
+
+    def term_df(sf_dir):
+        from wikirec_ray.stages.stats import document_frequencies
+
+        return document_frequencies(_documents(sf_dir))
+
+    def top_terms(sf_dir):
+        from wikirec_ray.stages.stats import document_frequencies
+
+        return (
+            document_frequencies(_documents(sf_dir))
+            .sort(["df", "term"], descending=[True, False])
+            .limit(TOP_TERMS_N)
+        )
+
+    def bm25_topk(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.query import score_queries_dataset
+
+        index_dir = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "terms": t, "k": BM25_K} for q, t in BM25_QUERY_SET]
+        )
+        return score_queries_dataset(qds, index_dir, k=BM25_K)
+
+    def bm25_topk_wand(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.query import score_queries_dataset
+
+        index_dir = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "terms": t, "k": BM25_K} for q, t in BM25_QUERY_SET]
+        )
+        return score_queries_dataset(qds, index_dir, k=BM25_K, use_wand=True)
+
+    def recommend_q(sf_dir):
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader, recommend
+
+        index_dir = _ensure_index(sf_dir)
+        reader = IndexReader(index_dir)
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in _documents(sf_dir).take_all()
+            if r["doc_id"] in RECO_INPUT_DOCS
+        }
+        import re
+
+        qsets = [
+            sorted(set(w for w in re.split(r"[^a-z0-9]+", (docs[d] or "").lower()) if w))
+            for d in RECO_INPUT_DOCS
+        ]
+        hits = recommend(reader, qsets, RECO_INPUT_DOCS, ratings=RECO_RATINGS, n=RECO_N)
+        return pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in hits],
+                "score": [round(s, 6) for _, s in hits],
+            }
+        )
+
+    def exact_dedup_q(sf_dir):
+        # duplicated input: every 10th doc re-appears under doc_id+1000000
+        # (same construction as the SQL oracle's UNION ALL)
+        import numpy as np
+
+        from wikirec_ray.pipelines.dedup import exact_dedup
+
+        ds = _documents(sf_dir)
+
+        def replicate(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            mask = ids % 10 == 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[mask] + 1000000),
+                    "text": b["text"].filter(pa.array(mask)),
+                }
+            )
+
+        dups = ds.map_batches(replicate, batch_format="pyarrow")
+        return exact_dedup(ds.union(dups))
+
+    def jaccard_pairs_q(sf_dir):
+        from wikirec_ray.pipelines.dedup import jaccard_pairs
+
+        ds = _documents(sf_dir).map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], JACCARD_MAX_DOC)),
+            batch_format="pyarrow",
+        )
+        return jaccard_pairs(ds)
+
+    def quality_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import quality_scores
+
+        return quality_scores(_documents(sf_dir))
+
+    def lang_histogram_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import lang_histogram
+
+        return lang_histogram(_documents(sf_dir, columns=("doc_id", "lang")))
+
+    def fingerprints_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import fingerprints
+
+        return fingerprints(_documents(sf_dir))
+
+    def bigrams_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import bigram_counts
+
+        return bigram_counts(_documents(sf_dir), top_n=BIGRAM_TOP_N)
+
+    def vocab_prune_q(sf_dir):
+        from wikirec_ray.stages.stats import vocabulary_prune
+
+        return vocabulary_prune(
+            _documents(sf_dir), min_df=PRUNE_MIN_DF, min_len=PRUNE_MIN_LEN
+        )
+
+    def extract_text_q(sf_dir):
+        from wikirec_ray.sources.synth import pages_dataset
+        from wikirec_ray.stages.extract import extract_pages
+
+        return extract_pages(pages_dataset(sf_dir, columns=["url", "html"]))
+
+    def pages_meta_q(sf_dir):
+        from wikirec_ray.sources.synth import pages_dataset
+
+        return pages_dataset(sf_dir, columns=["url", "warc_ts", "lang"])
+
+    def media_features_q(sf_dir):
+        from wikirec_ray.pipelines.multimodal import media_features
+
+        return media_features(_documents(sf_dir)).select_columns(
+            ["media_id", "n_bytes", "first_byte"]
+        )
+
+    def ann_topk_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.ann import ann_topk_queries
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann_topk_queries(ds, n_queries=ANN_N_QUERIES, k=ANN_K)
+
+    def embedding_dups_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.dedup import embedding_dup_pairs
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD)
+
+    # ---- non-SQL-expressible (driver records rows-only checks) ----------
+
+    def minhash_dedup_q(sf_dir):
+        from wikirec_ray.pipelines.dedup import minhash_dedup_groups
+
+        return minhash_dedup_groups(_documents(sf_dir), threshold=0.8)
+
+    def simhash_q(sf_dir):
+        from wikirec_ray.pipelines.dedup import simhash_fingerprints
+
+        return simhash_fingerprints(_documents(sf_dir)).select_columns(
+            ["doc_id", "simhash"]
+        )
+
+    def langid_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import LangId
+
+        return _documents(sf_dir).map_batches(
+            LangId, batch_format="pyarrow", concurrency=2
+        )
+
+    def lsh_ann_q(sf_dir):
+        import numpy as np
+        import ray.data
+
+        from wikirec_ray.pipelines.ann import lsh_topk
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qrows = sorted(
+            (r for r in ds.take_all() if r["vec_id"] < ANN_N_QUERIES),
+            key=lambda r: r["vec_id"],
+        )
+        qids = [int(r["vec_id"]) for r in qrows]
+        qvecs = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+        return lsh_topk(ds, qids, qvecs, k=ANN_K)
+
+    def wikirec_clean_q(sf_dir):
+        from wikirec_ray.stages.analyze import WikirecCleaner
+
+        out = _documents(sf_dir).map_batches(
+            WikirecCleaner, batch_format="pyarrow", concurrency=2
+        )
+        import pyarrow as pa
+
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_clean_tokens": pc.cast(pc.list_value_length(b["tokens"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return {
+        "tokens_tf": tokens_tf,
+        "doc_lengths": doc_lengths_q,
+        "corpus_stats": corpus_stats_q,
+        "term_df": term_df,
+        "top_terms": top_terms,
+        "bm25_topk": bm25_topk,
+        "bm25_topk_wand": bm25_topk_wand,
+        "recommend": recommend_q,
+        "exact_dedup": exact_dedup_q,
+        "jaccard_pairs": jaccard_pairs_q,
+        "quality_scores": quality_q,
+        "lang_histogram": lang_histogram_q,
+        "fingerprints": fingerprints_q,
+        "bigram_counts": bigrams_q,
+        "vocab_prune": vocab_prune_q,
+        "extract_text": extract_text_q,
+        "pages_meta": pages_meta_q,
+        "media_features": media_features_q,
+        "ann_topk": ann_topk_q,
+        "embedding_dups": embedding_dups_q,
+        "minhash_dedup": minhash_dedup_q,
+        "simhash": simhash_q,
+        "langid": langid_q,
+        "lsh_ann": lsh_ann_q,
+        "wikirec_clean": wikirec_clean_q,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    score = _bm25_score_expr()
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
+    )
+    stoplist = _sql_stopword_list()
+    reco = RECO_INPUT_DOCS
+    w0, w1 = RECO_RATINGS[0] / 10.0, RECO_RATINGS[1] / 10.0
+
+    return {
+        "tokens_tf": f"""
+            WITH tok AS ({_TOK})
+            SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id, len({_TOKS_LIST})::BIGINT AS n_tokens FROM documents
+        """,
+        "corpus_stats": f"""
+            WITH tok AS ({_TOK}),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+                   COALESCE(SUM(dl), 0)::BIGINT AS total_tokens,
+                   ROUND(SUM(dl)::DOUBLE / (SELECT COUNT(*) FROM documents), 6) AS avgdl
+            FROM dl
+        """,
+        "term_df": f"""
+            WITH tok AS ({_TOK})
+            SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+        """,
+        "top_terms": f"""
+            WITH tok AS ({_TOK})
+            SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+            ORDER BY df DESC, term LIMIT {TOP_TERMS_N}
+        """,
+        "bm25_topk": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {BM25_K}
+        """,
+        "bm25_topk_wand": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {BM25_K}
+        """,
+        "recommend": f"""
+            WITH {_BM25_CORE},
+            q0 AS (SELECT DISTINCT term FROM tok WHERE doc_id = {reco[0]}),
+            q1 AS (SELECT DISTINCT term FROM tok WHERE doc_id = {reco[1]}),
+            s0 AS (
+                SELECT tf.doc_id, SUM({score}) AS s
+                FROM q0 q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id
+            ),
+            s1 AS (
+                SELECT tf.doc_id, SUM({score}) AS s
+                FROM q1 q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id
+            ),
+            comb AS (
+                SELECT COALESCE(s0.doc_id, s1.doc_id) AS doc_id,
+                       ({w0} * COALESCE(s0.s, 0) + {w1} * COALESCE(s1.s, 0)) / 2 AS score
+                FROM s0 FULL OUTER JOIN s1 ON s0.doc_id = s1.doc_id
+                WHERE COALESCE(s0.doc_id, s1.doc_id) NOT IN ({reco[0]}, {reco[1]})
+            )
+            SELECT doc_id, ROUND(score, 6) AS score FROM (
+                SELECT doc_id, score,
+                       row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+                FROM comb WHERE round(score, 9) > 0
+            ) WHERE rn <= {RECO_N}
+        """,
+        "exact_dedup": """
+            WITH inp AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+                   COUNT(*)::BIGINT AS n_dups
+            FROM inp GROUP BY md5(text)
+        """,
+        "jaccard_pairs": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t AS term FROM (
+                    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                    FROM documents WHERE doc_id < {JACCARD_MAX_DOC}
+                ) WHERE t <> ''
+            ),
+            sz AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::DOUBLE AS i
+                FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+                SELECT doc_id, length(text) AS n_chars, {_TOKS_LIST} AS toks
+                FROM documents
+            )
+            SELECT doc_id, n_chars::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+                   ROUND(len(list_filter(toks, x -> list_contains({stoplist}, x)))::DOUBLE
+                         / GREATEST(len(toks), 1), 6) AS stop_ratio,
+                   ROUND(len(list_distinct(toks))::DOUBLE
+                         / GREATEST(len(toks), 1), 6) AS uniq_ratio
+            FROM t
+        """,
+        "lang_histogram": """
+            SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "bigram_counts": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            b AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+            )
+            SELECT w1, w2, COUNT(*)::BIGINT AS n FROM b GROUP BY w1, w2
+            ORDER BY n DESC, w1, w2 LIMIT {BIGRAM_TOP_N}
+        """,
+        "vocab_prune": f"""
+            WITH tok AS ({_TOK}),
+            dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+            keep AS (
+                SELECT term FROM dfv
+                WHERE df >= {PRUNE_MIN_DF} AND length(term) >= {PRUNE_MIN_LEN}
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_kept
+            FROM tok JOIN keep USING (term) GROUP BY doc_id
+        """,
+        "extract_text": """
+            SELECT 'https://example.org/' || source || '/' || lang || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   text
+            FROM documents
+        """,
+        "pages_meta": """
+            SELECT 'https://example.org/' || source || '/' || lang || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 17 SECOND AS warc_ts,
+                   lang
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text) END::BIGINT AS first_byte
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_N_QUERIES}
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim
+            FROM (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id
+                       ) AS rn
+                FROM s
+            ) WHERE rn <= {ANN_K}
+        """,
+        "embedding_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= {EMB_DUP_THRESHOLD}
+        """,
+    }

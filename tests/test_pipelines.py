@@ -1,0 +1,234 @@
+"""Dedup / ANN / textstats / multimodal operator tests, incl. planted
+near-duplicates (the synthetic corpus has none of its own)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray_session, rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "spark join window hash merge sort filter scan table column row value "
+    "stream batch vector group order key part customer line data query agg"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    """10 distinct docs + 3 near-dup variants of doc 0 + 1 exact dup."""
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    rows = []
+    for i in range(10):
+        w = [words[int(x)] for x in rng.integers(0, len(words), 60)]
+        rows.append((i, " ".join(w)))
+    base_words = rows[0][1].split()
+    v1 = base_words.copy(); v1[5] = "changed"
+    v2 = base_words.copy(); v2[10] = "other"; v2[20] = "words"
+    v3 = base_words[:-3]
+    rows += [(100, " ".join(v1)), (101, " ".join(v2)), (102, " ".join(v3))]
+    rows.append((103, rows[0][1]))  # exact dup
+    return rows
+
+
+def test_exact_dedup(planted, ray_session):
+    from wikirec_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(ray_session, planted)).take_all()
+    by_fp = {r["fingerprint"]: r for r in out}
+    assert len(out) == len(planted) - 1  # 103 collapses into 0
+    dup = [r for r in out if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_minhash_finds_planted_near_dups(planted, ray_session):
+    from wikirec_ray.pipelines.dedup import minhash_dedup_groups
+
+    out = minhash_dedup_groups(
+        _docs_ds(ray_session, planted), threshold=0.5
+    ).take_all()
+    group = {r["doc_id"]: r["group_id"] for r in out}
+    # all planted variants cluster with doc 0
+    assert group[100] == group[0] == group[101] == group[102] == group[103]
+    # distinct docs stay singletons
+    assert len({group[i] for i in range(1, 10)}) == 9
+    assert all(group[i] != group[0] for i in range(1, 10))
+
+
+def test_minhash_estimate_close_to_true_jaccard(planted):
+    from wikirec_ray.functions.hashing import (
+        minhash_params,
+        minhash_signature,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    a, b = minhash_params(256)
+    t0 = planted[0][1].split()
+    t1 = planted[10][1].split()  # one word changed
+    s0 = set(map(tuple, zip(t0, t0[1:], t0[2:])))
+    s1 = set(map(tuple, zip(t1, t1[1:], t1[2:])))
+    true_j = len(s0 & s1) / len(s0 | s1)
+    sig0 = minhash_signature(shingle_hashes(token_hashes(t0), 3), a, b)
+    sig1 = minhash_signature(shingle_hashes(token_hashes(t1), 3), a, b)
+    est = (sig0 == sig1).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_candidates(planted, ray_session):
+    from wikirec_ray.pipelines.dedup import simhash_candidates
+
+    out = simhash_candidates(
+        _docs_ds(ray_session, planted), max_hamming=10
+    ).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 103) in pairs  # identical docs, hamming 0
+    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert h[(0, 103)] == 0
+    # near-dups are close in hamming space
+    assert (0, 100) in pairs
+
+
+def test_jaccard_pairs_exact(planted, ray_session):
+    from wikirec_ray.pipelines.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_docs_ds(ray_session, planted)).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # oracle for pair (0, 103): identical token sets
+    assert got[(0, 103)] == 1.0
+    # spot-check one pair against a set-based oracle
+    t0 = set(planted[0][1].split())
+    t5 = set(planted[5][1].split())
+    want = round(len(t0 & t5) / len(t0 | t5), 6)
+    assert abs(got[(0, 5)] - want) < 1e-9
+
+
+def test_embedding_dups_and_ann(ray_session, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from wikirec_ray.pipelines.ann import ann_topk_queries, lsh_topk
+    from wikirec_ray.pipelines.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # numpy oracle
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+
+    # brute-force ANN matches oracle
+    out = ann_topk_queries(ds, n_queries=4, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos_sim"]))
+    for q in range(4):
+        row = sims[q].copy()
+        row[q] = -np.inf
+        r6 = np.round(row, 6)
+        want = sorted(range(len(ids)), key=lambda j: (-r6[j], ids[j]))[:5]
+        got = [n for n, _ in sorted(by_q[q], key=lambda x: (-x[1], x[0]))]
+        assert got == [int(ids[j]) for j in want], q
+
+    # embedding near-dup pairs match oracle at threshold
+    thr = 0.4
+    out2 = embedding_dup_pairs(ds, threshold=thr).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in out2}
+    want_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= thr
+    }
+    assert got_pairs == want_pairs
+
+    # LSH recall vs brute force; these synthetic embeddings are near-uniform
+    # so candidate sets must stay generous (4 bits + 1-bit multiprobe covers
+    # ~30% of the corpus → measured recall ~0.65)
+    qv = mat[:4]
+    lsh_out = lsh_topk(ds, ids[:4].tolist(), qv, k=5, n_bits=4).take_all()
+    lsh_by_q = {}
+    for r in lsh_out:
+        lsh_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for q in range(4):
+        brute = {n for n, _ in by_q[q]}
+        approx = lsh_by_q.get(q, set())
+        recalls.append(len(brute & approx) / max(len(brute), 1))
+    assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_textstats(ray_session):
+    from wikirec_ray.pipelines.textstats import LangId, quality_scores
+
+    rows = [
+        (0, "the cat is on the mat and it is flat"),
+        (1, "der hund ist von der stadt und das ist gut"),
+        (2, "el perro de la casa es un animal por la noche"),
+        (3, "xyzzy plugh"),
+    ]
+    ds = _docs_ds(ray_session, rows)
+    out = {
+        r["doc_id"]: r
+        for r in ds.map_batches(
+            LangId, batch_format="pyarrow", concurrency=2
+        ).take_all()
+    }
+    assert out[0]["pred_lang"] == "en"
+    assert out[1]["pred_lang"] == "de"
+    assert out[2]["pred_lang"] == "es"
+    assert out[3]["pred_lang"] == "und"
+
+    q = {r["doc_id"]: r for r in quality_scores(ds).take_all()}
+    assert q[0]["n_tokens"] == 10
+    assert q[3]["uniq_ratio"] == 1.0
+    assert 0 < q[0]["stop_ratio"] < 1
+
+
+def test_multimodal_plumbing(ray_session):
+    from wikirec_ray.pipelines.multimodal import DecodeStage, media_features
+
+    with pytest.raises(NotImplementedError):
+        DecodeStage(kernel="real")
+
+    rows = [(0, "hello"), (1, ""), (2, "ünïcode")]
+    out = {r["media_id"]: r for r in media_features(_docs_ds(ray_session, rows)).take_all()}
+    assert out[0]["n_bytes"] == 5 and out[0]["first_byte"] == ord("h")
+    assert out[1]["n_bytes"] == 0 and out[1]["first_byte"] == 0
+    assert out[2]["n_bytes"] == len("ünïcode".encode()) and out[2]["mean_byte"] > 0
+
+
+def test_bigrams(ray_session):
+    from wikirec_ray.pipelines.textstats import bigram_counts
+
+    rows = [(0, "a b a b c"), (1, "a b x")]
+    out = bigram_counts(_docs_ds(ray_session, rows), top_n=10).take_all()
+    got = {(r["w1"], r["w2"]): r["n"] for r in out}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("b", "x"): 1}
+
+
+def test_entry_contract(ray_session):
+    """Driver smoke: entry() runs and yields rows with a stable schema."""
+    import __ray_entry__ as em
+
+    out = em.entry()
+    rows = out.take_all()
+    assert len(rows) >= 0
+    assert set(rows[0].keys()) == {"query_id", "rank", "doc_id", "score"}
+    names = set(em.queries())
+    assert set(em.oracle_sql()) <= names

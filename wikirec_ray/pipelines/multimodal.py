@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract as actor-pool ``map_batches`` stages.
+
+The container ships no image/audio codecs, so the *decode kernel* is gated:
+``DecodeStage(kernel="real")`` raises ``NotImplementedError`` with the
+intended dependency, while ``kernel="fake"`` runs a deterministic byte-level
+"decode" (header parse + byte statistics) so the Ray-side plumbing — binary
+Arrow columns, actor signature, small batch sizes for wide rows, output
+layout — is real and tested end-to-end.
+
+Schema convention for a media table::
+
+    media_id: int64, kind: string ('image'|'audio'|...), payload: binary,
+    meta_width/meta_height (images) or meta_sample_rate (audio): int32
+
+Large payloads → keep ``batch_size`` small (wide binary rows) and
+``batch_format="pyarrow"`` (binary round-trips zero-copy through Arrow but
+becomes object dtype in pandas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def synth_media_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Deterministic fake media derived from the documents table: payload =
+    utf-8 bytes of text behind a tiny header. Stands in for real image/audio
+    bytes in tests and oracle checks."""
+    ids = batch[id_col].to_numpy()
+    payloads = []
+    for i, t in zip(ids, batch[text_col].to_pylist()):
+        body = (t or "").encode("utf-8")
+        header = b"FAKE" + int(i).to_bytes(8, "little") + len(body).to_bytes(4, "little")
+        payloads.append(header + body)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class DecodeStage:
+    """Actor-pool decode/feature stage.
+
+    kernel="real": would use PIL/libav — unavailable here, raises
+    NotImplementedError at construction (fail fast, per-actor __init__).
+    kernel="fake": deterministic byte-level features (n_bytes of the body,
+    first body byte, mean body byte) — enough to exercise schema, actor
+    lifecycle and output layout."""
+
+    HEADER = 16  # b"FAKE" + id u64 + body_len u32
+
+    def __init__(self, kernel: str = "fake"):
+        if kernel == "real":
+            raise NotImplementedError(
+                "real media decode needs PIL/torchaudio/PyAV; not shipped in "
+                "this container — use kernel='fake' for plumbing tests"
+            )
+        if kernel != "fake":
+            raise ValueError(f"unknown kernel {kernel!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes, first, mean = [], [], []
+        for p in batch["payload"].to_pylist():
+            body = p[self.HEADER :]
+            n_bytes.append(len(body))
+            first.append(body[0] if body else 0)
+            arr = np.frombuffer(body, np.uint8)
+            mean.append(round(float(arr.mean()), 6) if len(arr) else 0.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "first_byte": pa.array(first, pa.int64()),
+                "mean_byte": pa.array(mean, pa.float64()),
+            }
+        )
+
+
+def media_features(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text",
+    concurrency: int | tuple = 2,
+) -> ray.data.Dataset:
+    """documents -> fake media payloads -> actor-pool decode -> features.
+    Small batch_size: media rows are wide."""
+    media = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+    return media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"kernel": "fake"},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )

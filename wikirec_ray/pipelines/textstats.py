@@ -1,0 +1,176 @@
+"""Text-analysis operators over the documents table: token counting, quality
+signals, language ID, fingerprinting.
+
+These extend the reference's per-token filters (``data_utils.py:549-597,
+962-978`` — its notion of "quality" is stopword/numeric/length pruning) into
+the standard large-scale training-data signals.  All per-doc computations are
+single ``map_batches`` passes; no shuffles except the final small histogram
+groupbys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from wikirec_ray.stages.analyze import DEFAULT_STOPWORDS, _flat_tokens
+
+# Tiny per-language stopword profiles for the heuristic language scorer.
+# Real deployments plug in fastText/CLD3 via the same actor-pool stage; the
+# heuristic keeps the container dependency-free and deterministic.
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it for was on are as with".split()),
+    "de": frozenset("der die das und ist von zu mit den im für auf ein eine".split()),
+    "es": frozenset("el la de que y en los del se las por un para es una".split()),
+    "fr": frozenset("le la de et les des en un une du est pour que dans il".split()),
+    "it": frozenset("il la di che e per un una del con non sono della i".split()),
+}
+
+
+def token_counts(ds: ray.data.Dataset, id_col="doc_id", text_col="text") -> ray.data.Dataset:
+    """(id, n_tokens) — whitespace/punct tokenization, matching the SQL
+    oracle's string_split_regex."""
+    from wikirec_ray.stages.analyze import doc_lengths
+
+    return ds.map_batches(
+        lambda b: doc_lengths(b, id_col=id_col, text_col=text_col).rename_columns(
+            [id_col, "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _quality_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    texts = batch[text_col].combine_chunks()
+    parents, flat = _flat_tokens(texts)
+    par = parents.to_numpy(zero_copy_only=False)
+    toks = flat.to_pylist()
+    n = batch.num_rows
+    n_tokens = np.zeros(n, np.int64)
+    np.add.at(n_tokens, par, 1)
+    stop_hits = np.zeros(n, np.int64)
+    is_stop = np.fromiter((t in DEFAULT_STOPWORDS for t in toks), bool, count=len(toks))
+    np.add.at(stop_hits, par[is_stop], 1)
+    # distinct tokens per doc
+    uniq = np.zeros(n, np.int64)
+    if len(toks):
+        pairs = pa.table({"p": pa.array(par), "t": flat})
+        g = pairs.group_by(["p", "t"]).aggregate([])
+        np.add.at(uniq, g["p"].to_numpy(), 1)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "stop_ratio": pa.array(np.round(stop_hits / denom, 6)),
+            "uniq_ratio": pa.array(np.round(uniq / denom, 6)),
+        }
+    )
+
+
+def quality_scores(ds: ray.data.Dataset, id_col="doc_id", text_col="text") -> ray.data.Dataset:
+    """(id, n_chars, n_tokens, stop_ratio, uniq_ratio) quality signals."""
+    return ds.map_batches(
+        lambda b: _quality_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+
+
+class LangId:
+    """Actor-pool heuristic language identifier (stopword-profile argmax).
+
+    Profiles are built once per actor (__init__) — the T1 stateful-stage
+    pattern (SURVEY.md §2.3); ties and zero-evidence docs → 'und'."""
+
+    def __init__(self, profiles: dict[str, frozenset[str]] | None = None,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.profiles = profiles or LANG_PROFILES
+        self.langs = sorted(self.profiles)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        toks = flat.to_pylist()
+        n = batch.num_rows
+        scores = np.zeros((n, len(self.langs)), np.int64)
+        for li, lang in enumerate(self.langs):
+            prof = self.profiles[lang]
+            hit = np.fromiter((t in prof for t in toks), bool, count=len(toks))
+            np.add.at(scores[:, li], par[hit], 1)
+        best = scores.argmax(axis=1)
+        has_evidence = scores.max(axis=1) > 0
+        # tie → und (ambiguous)
+        sorted_scores = np.sort(scores, axis=1)
+        tie = (scores.max(axis=1) == sorted_scores[:, -2]) & (scores.max(axis=1) > 0)
+        pred = [
+            self.langs[b] if ok and not t else "und"
+            for b, ok, t in zip(best, has_evidence, tie)
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "pred_lang": pa.array(pred, pa.string()),
+                "evidence": pa.array(scores.max(axis=1)),
+            }
+        )
+
+
+def lang_histogram(ds: ray.data.Dataset, lang_col: str = "lang") -> ray.data.Dataset:
+    """(lang, n_docs) from the declared-language column (small groupby)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(lang_col).aggregate(Count(alias_name="n_docs"))
+
+
+def _bigram_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial adjacent-pair counts (the distributed analog of
+    gensim.Phrases' pair statistics, data_utils.py:819-844 / SURVEY A3)."""
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    par = parents.to_numpy(zero_copy_only=False)
+    if len(par) < 2:
+        return pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    same_doc = par[1:] == par[:-1]
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same_doc))
+    w2 = flat.slice(1).filter(pa.array(same_doc))
+    g = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]).aggregate([("w1", "count")])
+    return pa.table(
+        {"w1": g["w1"], "w2": g["w2"], "n": pc.cast(g["w1_count"], pa.int64())}
+    )
+
+
+def bigram_counts(
+    ds: ray.data.Dataset, top_n: int = 30, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Top-N adjacent token pairs: per-batch partial counts (vectorized via
+    Arrow offsets — no Python token loop), small groupby-sum, global
+    sort+limit with deterministic (n desc, w1, w2) tie order."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(lambda b: _bigram_batch(b, text_col), batch_format="pyarrow")
+    totals = partials.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(top_n)
+
+
+def _fingerprint_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    fps = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps, pa.string())})
+
+
+def fingerprints(ds: ray.data.Dataset, id_col="doc_id", text_col="text") -> ray.data.Dataset:
+    """(id, md5(text)) content fingerprints — the exact-dedup key and the
+    cross-engine-checkable analog of a rolling content hash."""
+    return ds.map_batches(
+        lambda b: _fingerprint_batch(b, id_col, text_col), batch_format="pyarrow"
+    )

@@ -59,6 +59,45 @@ def doc_length_dataset(
     )
 
 
+def vocabulary_prune(
+    ds: ray.data.Dataset,
+    min_df: int = 2,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-doc surviving-token counts after the reference's vocabulary
+    pruning (keep tokens with len >= min_token_len and corpus DF >=
+    min_token_freq — data_utils.py:962-969, SURVEY M14).
+
+    Two-pass broadcast design: DF table aggregated once (small), shipped to
+    every task via ``ray.put``, then a pure map filters tokens per batch.
+    Returns (id, n_kept) for docs with >= 1 surviving token."""
+    import ray
+
+    df_rows = document_frequencies(ds, id_col=id_col, text_col=text_col).take_all()
+    keep = frozenset(
+        r["term"] for r in df_rows if r["df"] >= min_df and len(r["term"]) >= min_len
+    )
+    keep_ref = ray.put(keep)
+
+    def count_kept(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        kept = ray.get(keep_ref)
+        parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        mask = np.fromiter((t in kept for t in flat.to_pylist()), bool, count=len(flat))
+        counts = np.zeros(batch.num_rows, np.int64)
+        np.add.at(counts, par[mask], 1)
+        nz = np.flatnonzero(counts > 0)
+        return pa.table(
+            {id_col: batch[id_col].take(nz), "n_kept": pa.array(counts[nz])}
+        )
+
+    return ds.map_batches(count_kept, batch_format="pyarrow")
+
+
 def corpus_stats(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict:
