@@ -1,0 +1,270 @@
+"""Benchmark: end-to-end extraction + inverted-index build + BM25 queries.
+
+Prints ONE JSON line on stdout:
+  {"metric": "e2e_sec", "value": <build+query sec>, "unit": "sec",
+   "queries": {"index_build": s, "bm25_exact": s, "bm25_wand": s},
+   "sf": ..., "num_cpus": N, "docs": D, "build_docs_per_sec": ...,
+   "query_p50_ms": ..., "query_p99_ms": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
+32), BENCH_REPLICAS (default 20 — the sf documents table is amplified
+deterministically to replicas × N docs so the run measures compute, not
+scheduling overhead).
+
+``--scaling``: runs the same benchmark in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-built) corpus and reports both
+throughputs plus scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "20"))
+CACHE_ROOT = "/tmp/wikirec_ray_cache"
+N_QUERIES = 200
+TOP_K = 10
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def corpus_dir() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return os.path.join(CACHE_ROOT, f"bench-pages-{tag}-x{REPLICAS}")
+
+
+def build_corpus() -> str:
+    """Amplify sf documents into a pages table (deterministic, cached):
+    replica r of doc i gets doc_id = r*N + i and its word sequence rotated
+    by a doc-dependent offset (term stats stay realistic, content varies)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.sources.synth import _pages_batch
+
+    out = corpus_dir()
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_base = docs.count()
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        sources = batch["source"].to_pylist()
+        out_ids, out_txt, out_lang, out_src = [], [], [], []
+        for r in range(REPLICAS):
+            for i, t, lg, sc in zip(ids.tolist(), texts, langs, sources):
+                nid = r * n_base + i
+                words = (t or "").split(" ")
+                rot = (nid * 7) % max(len(words), 1)
+                out_ids.append(nid)
+                out_txt.append(" ".join(words[rot:] + words[:rot]))
+                out_lang.append(lg)
+                out_src.append(sc)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+                "lang": pa.array(out_lang, pa.string()),
+                "source": pa.array(out_src, pa.string()),
+            }
+        )
+
+    (
+        docs.map_batches(amplify, batch_format="pyarrow", batch_size=512)
+        .map_batches(_pages_batch, batch_format="pyarrow", batch_size=2048)
+        .repartition(64)
+        .write_parquet(tmp)
+    )
+    os.rename(tmp, out)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def make_queries(seed: int = 5):
+    """Deterministic query mix over the corpus vocabulary: 1-4 terms, skewed
+    toward short queries, some with an absent term."""
+    import numpy as np
+
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.sql(
+            f"""SELECT DISTINCT t FROM (SELECT unnest(string_split_regex(lower(text),
+            '[^a-z0-9]+')) AS t FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE t <> ''
+            ORDER BY t"""
+        ).fetchall()
+    ]
+    con.close()
+    rng = np.random.default_rng(seed)
+    queries = []
+    for i in range(N_QUERIES):
+        n_terms = int(rng.integers(1, 5))
+        terms = list(rng.choice(vocab, size=min(n_terms, len(vocab)), replace=False))
+        if i % 17 == 0:
+            terms.append("zzabsent")
+        queries.append((i, terms))
+    return queries
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    pages_dir = build_corpus()
+    # untimed warmup: spawns the worker pool AND pulls the corpus through the
+    # OS page cache, so the timed run measures compute+shuffle, not process
+    # fork + first disk read
+    ray.data.read_parquet(pages_dir).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    index_dir = os.path.join(CACHE_ROOT, f"bench-index-{NUM_CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
+
+    # -- timed: extraction + index build ---------------------------------
+    t0 = time.monotonic()
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    corpus = extract_pages(pages).map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    manifest = build_index(corpus, index_dir, resume=False, lineage={"input": pages_dir})
+    build_sec = time.monotonic() - t0
+    n_docs = manifest["stats"]["n_docs"]
+    log(f"build: {n_docs} docs in {build_sec:.2f}s = {n_docs/build_sec:.0f} docs/s")
+
+    # -- timed: query latency (single-client, per-query wall) ------------
+    queries = make_queries()
+    reader = IndexReader(index_dir)
+    lat_exact = []
+    t1 = time.monotonic()
+    for _, terms in queries:
+        q0 = time.monotonic()
+        reader.topk(terms, TOP_K)
+        lat_exact.append(time.monotonic() - q0)
+    exact_sec = time.monotonic() - t1
+    # WAND on a sample: with this tiny synthetic vocabulary every term is a
+    # heavy hitter (df ≈ N), so document-at-a-time pruning has nothing to
+    # skip and degenerates to a Python-speed full scan — the numbers are
+    # reported for completeness, the exact vectorized path is the serving
+    # path for this corpus shape (see BASELINE.md)
+    wand_queries = queries[:: max(1, len(queries) // 50)]
+    lat_wand = []
+    t2 = time.monotonic()
+    for _, terms in wand_queries:
+        q0 = time.monotonic()
+        reader.topk_wand(terms, TOP_K)
+        lat_wand.append(time.monotonic() - q0)
+    wand_sec = time.monotonic() - t2
+    le = np.array(lat_exact) * 1000
+    lw = np.array(lat_wand) * 1000
+    log(
+        f"queries: exact p50={np.percentile(le,50):.1f}ms p99={np.percentile(le,99):.1f}ms; "
+        f"wand p50={np.percentile(lw,50):.1f}ms p99={np.percentile(lw,99):.1f}ms"
+    )
+
+    result = {
+        "metric": "e2e_sec",
+        "value": round(build_sec + exact_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(build_sec, 3),
+            "bm25_exact": round(exact_sec, 3),
+            "bm25_wand": round(wand_sec, 3),
+        },
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "docs": int(n_docs),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_ms": round(float(np.percentile(le, 50)), 3),
+        "query_p99_ms": round(float(np.percentile(le, 99)), 3),
+        "wand_p50_ms": round(float(np.percentile(lw, 50)), 3),
+        "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # corpus is built+cached by the first child; both children then read the
+    # same files
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    f"build_sec_cpus{lo}": t_lo,
+                    f"build_sec_cpus{hi}": t_hi,
+                },
+                "docs": r_hi["docs"],
+                "docs_per_sec_lo": r_lo["build_docs_per_sec"],
+                "docs_per_sec_hi": r_hi["build_docs_per_sec"],
+                "sf": r_hi["sf"],
+                "num_cpus": [lo, hi],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -10,8 +10,10 @@ Pipeline (two streaming passes over the corpus, no full materialization):
 
   pass A  map_batches(doc_lengths) → groupby(doc range) → norms files
           + corpus stats (N, avgdl)                      [small shuffle]
-  pass B  map_batches(doc_term_freqs + inline doc_len)
-          → groupby((tpart, range_id)).map_groups(encode)
+  pass B  map_batches(combiner: per-batch partial posting RUNS, already
+          delta+varint encoded — one blob row per (term, doc-range) per
+          batch instead of one row per posting, ~100× fewer shuffle bytes)
+          → groupby((tpart, range_id)).map_groups(merge runs + block encode)
           → postings/tpart-*/range-*.parquet             [THE term shuffle]
   merge   per-tpart task: concatenate each term's range chunks in doc-range
           order (ranges are doc_id-disjoint & ordered → merge is pure
@@ -69,33 +71,53 @@ def term_partitions_for(terms) -> np.ndarray:
 
 
 def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """(doc_id, text) -> (tpart, range_id, doc_id, term, tf, dl) rows.
+    """(doc_id, text) -> PARTIAL POSTING RUNS: one row per (tpart, range_id,
+    term) present in the batch, with the term's in-batch postings already
+    delta-gap+varint encoded.
 
-    dl (doc length) rides along inline so the encoder never needs a norms
-    join; each document lives wholly inside one input batch, so per-batch tf
-    and dl are exact."""
+    This is the combiner that makes the term shuffle scale: instead of one
+    row per (term, doc) — |postings| rows of ~40 B — the all-to-all moves one
+    compact blob row per (term, doc-range) per batch, ~100× fewer bytes.
+    The group encoder merges the sorted runs."""
+    from wikirec_ray.functions.compress import encode_postings
+
     tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
-    doc_ids = tf_tbl[id_col].to_numpy()
-    tfs = tf_tbl["tf"].to_numpy()
-    # dl = sum of tf per doc, scattered back to posting rows
-    batch_ids = batch[id_col].to_numpy()
-    id_to_pos = {int(d): i for i, d in enumerate(batch_ids)}
-    pos = np.fromiter((id_to_pos[int(d)] for d in doc_ids), dtype=np.int64, count=len(doc_ids))
-    dl_per_doc = np.zeros(len(batch_ids), dtype=np.int64)
-    np.add.at(dl_per_doc, pos, tfs)
-    # dictionary-encode terms once per batch for the crc pass
-    terms = tf_tbl["term"]
-    dict_arr = terms.combine_chunks().dictionary_encode()
-    tpart_per_uniq = term_partitions_for(dict_arr.dictionary.to_pylist())
-    tparts = tpart_per_uniq[dict_arr.indices.to_numpy(zero_copy_only=False)]
+    doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
+    tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
+    range_ids = (doc_ids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
+    # dictionary-encode terms once per batch (vocab per batch << rows)
+    dict_arr = tf_tbl["term"].combine_chunks().dictionary_encode()
+    uniq_terms = dict_arr.dictionary.to_pylist()
+    tpart_per_uniq = term_partitions_for(uniq_terms)
+    term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((doc_ids, range_ids, term_codes))
+    tc, rg, di, tf = term_codes[order], range_ids[order], doc_ids[order], tfs[order]
+    boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
+    starts = np.concatenate([[0], boundary, [len(tc)]])
+
+    cols = {"tpart": [], "range_id": [], "term": [], "n": [], "first_doc": [],
+            "doc_blob": [], "tf_blob": []}
+    for si in range(len(starts) - 1):
+        s, e = int(starts[si]), int(starts[si + 1])
+        code = int(tc[s])
+        db, tb = encode_postings(di[s:e], tf[s:e])
+        cols["tpart"].append(int(tpart_per_uniq[code]))
+        cols["range_id"].append(int(rg[s]))
+        cols["term"].append(uniq_terms[code])
+        cols["n"].append(e - s)
+        cols["first_doc"].append(int(di[s]))
+        cols["doc_blob"].append(db)
+        cols["tf_blob"].append(tb)
     return pa.table(
         {
-            "tpart": pa.array(tparts),
-            "range_id": pa.array(doc_ids // DOC_RANGE_SIZE),
-            "doc_id": tf_tbl[id_col],
-            "term": terms,
-            "tf": tf_tbl["tf"],
-            "dl": pa.array(dl_per_doc[pos]),
+            "tpart": pa.array(cols["tpart"], pa.int64()),
+            "range_id": pa.array(cols["range_id"], pa.int64()),
+            "term": pa.array(cols["term"], pa.string()),
+            "n": pa.array(cols["n"], pa.int64()),
+            "first_doc": pa.array(cols["first_doc"], pa.int64()),
+            "doc_blob": pa.array(cols["doc_blob"], pa.binary()),
+            "tf_blob": pa.array(cols["tf_blob"], pa.binary()),
         }
     )
 
@@ -168,10 +190,17 @@ def _entry_table(entries: list[dict]) -> pa.Table:
 
 
 def make_postings_encoder(index_dir: str, avgdl: float, prior_partitions: dict, resume: bool):
-    """Group encoder for groupby((tpart, range_id)) — runs once per shuffle
-    group, writes one partial segment file, returns its manifest entry."""
+    """Group encoder for groupby((tpart, range_id)) — merges the batch-level
+    partial runs of each term (decode → concat → sort by doc_id → block
+    encode), writes one partial segment file, returns its manifest entry.
+
+    Doc lengths come from the range's norms file (written by pass A — the
+    group covers exactly one doc range, so this is a single local read, not
+    a join)."""
 
     def encode_group(group: pa.Table) -> pa.Table:
+        from wikirec_ray.functions.compress import decode_postings
+
         tpart = int(group["tpart"][0].as_py())
         range_id = int(group["range_id"][0].as_py())
         path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}", f"range-{range_id:06d}.parquet")
@@ -181,16 +210,38 @@ def make_postings_encoder(index_dir: str, avgdl: float, prior_partitions: dict, 
             e.update(key=key, skipped=True)
             return _entry_table([e])
         t0 = time.monotonic()
-        terms_arr = group["term"].to_pandas().to_numpy()
-        doc_ids = group["doc_id"].to_numpy().astype(np.uint64)
-        tfs = group["tf"].to_numpy().astype(np.uint64)
-        dls = group["dl"].to_numpy().astype(np.int64)
-        order = np.lexsort((doc_ids, terms_arr))
-        terms_sorted = terms_arr[order]
-        uniq, starts_idx = np.unique(terms_sorted, return_index=True)
-        starts = np.append(starts_idx, len(terms_sorted))
+        import pyarrow.parquet as pq
+
+        norms = pq.read_table(
+            os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
+        )
+        norm_ids = norms["doc_id"].to_numpy().astype(np.uint64)  # sorted
+        norm_dls = norms["doc_len"].to_numpy().astype(np.int64)
+
+        rows = group.to_pylist()
+        by_term: dict[str, list[dict]] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        terms = sorted(by_term)
+        all_docs, all_tfs, starts = [], [], [0]
+        for term in terms:
+            runs = by_term[term]
+            if len(runs) == 1:
+                d, f = decode_postings(runs[0]["doc_blob"], runs[0]["tf_blob"], runs[0]["n"])
+            else:
+                parts = [decode_postings(r["doc_blob"], r["tf_blob"], r["n"]) for r in runs]
+                d = np.concatenate([p[0] for p in parts])
+                f = np.concatenate([p[1] for p in parts])
+                o = np.argsort(d, kind="stable")
+                d, f = d[o], f[o]
+            all_docs.append(d)
+            all_tfs.append(f)
+            starts.append(starts[-1] + len(d))
+        doc_ids = np.concatenate(all_docs) if all_docs else np.empty(0, np.uint64)
+        tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, np.uint64)
+        dls = norm_dls[np.searchsorted(norm_ids, doc_ids)]
         table = _encode_terms_table(
-            uniq.tolist(), starts, doc_ids[order], tfs[order], dls[order], avgdl
+            terms, np.asarray(starts), doc_ids, tfs, dls, avgdl
         )
         entry = atomic_write_table(table, path)
         entry.update(
@@ -198,8 +249,8 @@ def make_postings_encoder(index_dir: str, avgdl: float, prior_partitions: dict, 
             kind="postings",
             tpart=tpart,
             range_id=range_id,
-            n_terms=len(uniq),
-            n_postings=len(doc_ids),
+            n_terms=len(terms),
+            n_postings=int(len(doc_ids)),
             encode_ms=round((time.monotonic() - t0) * 1000, 3),
             skipped=False,
         )
@@ -324,6 +375,32 @@ def build_index(
     prior_parts = (prior or {}).get("partitions", {})
     t_start = time.monotonic()
 
+    # Size shuffle parallelism to the cluster: the default min_parallelism
+    # (200) makes every sort/groupby pay ~200 reduce tasks of fixed overhead
+    # even when the cluster has 8 CPUs — measured 2× slowdown on the wide
+    # step at this scale.  Restored on exit.
+    import ray as _ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_min_parallelism = ctx.min_parallelism
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ctx.min_parallelism = max(ncpu, 16)
+    except Exception:
+        pass
+    try:
+        return _build_index_inner(
+            ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start
+        )
+    finally:
+        ctx.min_parallelism = prev_min_parallelism
+
+
+def _build_index_inner(
+    ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start
+) -> dict:
+
     # -- pass A: norms + corpus stats ------------------------------------
     dl_ds = ds.map_batches(
         lambda b: doc_lengths(b, id_col=id_col, text_col=text_col).append_column(
@@ -343,7 +420,9 @@ def build_index(
 
     # -- pass B: the term shuffle ----------------------------------------
     postings_ds = ds.map_batches(
-        lambda b: _postings_batch(b, id_col, text_col), batch_format="pyarrow"
+        lambda b: _postings_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=4096,  # bigger batches → fewer partial runs in the shuffle
     )
     post_entries = [
         json.loads(r["entry"])

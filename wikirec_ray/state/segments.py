@@ -151,11 +151,13 @@ class SegmentReader:
     demand.
     """
 
-    def __init__(self, seg_path: str):
+    def __init__(self, seg_path: str, cache_terms: int = 256):
         self.table = pq.read_table(seg_path)
         self._row_by_term = {
             t: i for i, t in enumerate(self.table["term"].to_pylist())
         }
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_terms = cache_terms
 
     def terms(self) -> list[str]:
         return list(self._row_by_term)
@@ -184,18 +186,33 @@ class SegmentReader:
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """term -> (doc_ids ascending uint64, tfs uint64), all blocks
-        concatenated (blocks are doc-id-ordered and disjoint)."""
+        decoded in ONE vectorized pass.
+
+        The concatenated per-block varint runs form one valid varint stream;
+        gaps are cumsum'd globally and then corrected per block (each block's
+        first value is absolute, not a gap): for block starting at index s,
+        doc_id[i] = csum[i] − csum[s] + v[s].  Hot terms are memoized (query
+        sets repeat terms; the cache is the in-memory tier a segment server
+        would keep)."""
+        from wikirec_ray.functions.compress import varint_decode
+
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
         row = self.term_row(term)
         if row is None:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         counts = unpack_i64(row["blk_counts"])
-        doc_ids = np.empty(int(counts.sum()), np.uint64)
-        tfs = np.empty_like(doc_ids)
-        pos = 0
-        for b in range(len(counts)):
-            k = int(counts[b])
-            doc_ids[pos : pos + k], tfs[pos : pos + k] = self.decode_block(row, b)
-            pos += k
+        n = int(counts.sum())
+        gaps = varint_decode(row["doc_blob"], n)
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        adj = csum[starts] - gaps[starts]  # uint64 wraparound-safe
+        doc_ids = csum - np.repeat(adj, counts)
+        tfs = varint_decode(row["tf_blob"], n)
+        if len(self._postings_cache) < self._cache_terms:
+            self._postings_cache[term] = (doc_ids, tfs)
         return doc_ids, tfs
 
     def block_maxes(self, term: str) -> np.ndarray:
