@@ -47,6 +47,11 @@ PRUNE_MIN_DF = 2
 PRUNE_MIN_LEN = 3
 TOP_TERMS_N = 20
 BIGRAM_TOP_N = 30
+TRUNCATE_AT = 50
+FREQ_TERM_MIN_TOTAL = 900  # splits the sf0.01 term-count distribution
+SAMPLE_MOD, SAMPLE_RESIDUE = 7, 3
+PHRASE_MIN_COUNT = 10
+PHRASE_THRESHOLD = 0.0002
 
 _CACHE_ROOT = "/tmp/wikirec_ray_cache"
 
@@ -300,6 +305,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _documents(sf_dir), min_df=PRUNE_MIN_DF, min_len=PRUNE_MIN_LEN
         )
 
+    def token_join_q(sf_dir):
+        from wikirec_ray.stages.analyze import truncate_and_join
+
+        return _documents(sf_dir).map_batches(
+            lambda b: truncate_and_join(b, TRUNCATE_AT), batch_format="pyarrow"
+        )
+
+    def frequent_terms_q(sf_dir):
+        from wikirec_ray.stages.stats import frequent_terms
+
+        return frequent_terms(_documents(sf_dir), min_total=FREQ_TERM_MIN_TOTAL)
+
+    def sample_mod_q(sf_dir):
+        from wikirec_ray.stages.stats import deterministic_sample
+
+        return deterministic_sample(
+            _documents(sf_dir, columns=("doc_id", "lang")),
+            modulus=SAMPLE_MOD, residue=SAMPLE_RESIDUE,
+        )
+
+    def phrase_scores_q(sf_dir):
+        import pandas as pd
+
+        from wikirec_ray.stages.phrases import train_phrases
+
+        table = train_phrases(
+            _documents(sf_dir), min_count=PHRASE_MIN_COUNT, threshold=PHRASE_THRESHOLD
+        )
+        items = sorted(table.items())
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k, _ in items],
+                "w2": [k[1] for k, _ in items],
+                "score": [round(v, 6) for _, v in items],
+            }
+        )
+
+    def phrase_apply_q(sf_dir):
+        import pyarrow as pa2
+
+        from wikirec_ray.stages.phrases import apply_phrases, train_phrases
+
+        table = train_phrases(
+            _documents(sf_dir), min_count=PHRASE_MIN_COUNT, threshold=PHRASE_THRESHOLD
+        )
+        out = apply_phrases(_documents(sf_dir), table)
+        return out.map_batches(
+            lambda b: pa2.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens_aug": pc.cast(pc.list_value_length(b["tokens"]), pa2.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def extract_text_q(sf_dir):
         from wikirec_ray.sources.synth import pages_dataset
         from wikirec_ray.stages.extract import extract_pages
@@ -404,6 +465,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints_q,
         "bigram_counts": bigrams_q,
         "vocab_prune": vocab_prune_q,
+        "token_join": token_join_q,
+        "frequent_terms": frequent_terms_q,
+        "sample_mod": sample_mod_q,
+        "phrase_scores": phrase_scores_q,
+        "phrase_apply": phrase_apply_q,
         "extract_text": extract_text_q,
         "pages_meta": pages_meta_q,
         "media_features": media_features_q,
@@ -582,6 +648,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*)::BIGINT AS n_kept
             FROM tok JOIN keep USING (term) GROUP BY doc_id
+        """,
+        "token_join": f"""
+            SELECT doc_id, array_to_string({_TOKS_LIST}[1:{TRUNCATE_AT}], ' ') AS text_sub
+            FROM documents
+        """,
+        "frequent_terms": f"""
+            WITH tok AS ({_TOK})
+            SELECT term, COUNT(*)::BIGINT AS total_tf FROM tok GROUP BY term
+            HAVING COUNT(*) >= {FREQ_TERM_MIN_TOTAL}
+        """,
+        "sample_mod": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % {SAMPLE_MOD} = {SAMPLE_RESIDUE}
+        """,
+        "phrase_scores": f"""
+            WITH tok AS ({_TOK}),
+            uni AS (SELECT term AS w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY term),
+            v AS (SELECT COUNT(*)::DOUBLE AS c FROM uni),
+            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            pairs AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+            ),
+            big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs GROUP BY w1, w2)
+            SELECT w1, w2,
+                   ROUND((nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n), 6) AS score
+            FROM big CROSS JOIN v
+            JOIN uni ua ON ua.w = big.w1 JOIN uni ub ON ub.w = big.w2
+            WHERE nab >= {PHRASE_MIN_COUNT}
+              AND (nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n) > {PHRASE_THRESHOLD}
+        """,
+        "phrase_apply": f"""
+            WITH tok AS ({_TOK}),
+            uni AS (SELECT term AS w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY term),
+            v AS (SELECT COUNT(*)::DOUBLE AS c FROM uni),
+            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            pairs AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+            ),
+            big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs GROUP BY w1, w2),
+            ph AS (
+                SELECT w1, w2 FROM big CROSS JOIN v
+                JOIN uni ua ON ua.w = big.w1 JOIN uni ub ON ub.w = big.w2
+                WHERE nab >= {PHRASE_MIN_COUNT}
+                  AND (nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n) > {PHRASE_THRESHOLD}
+            ),
+            found AS (
+                SELECT pairs.doc_id, COUNT(*)::BIGINT AS c
+                FROM pairs JOIN ph USING (w1, w2) GROUP BY pairs.doc_id
+            )
+            SELECT t.doc_id,
+                   (len(t.toks) + COALESCE(found.c, 0))::BIGINT AS n_tokens_aug
+            FROM t LEFT JOIN found ON found.doc_id = t.doc_id
         """,
         "extract_text": """
             SELECT 'https://example.org/' || source || '/' || lang || '/'

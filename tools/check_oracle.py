@@ -87,6 +87,10 @@ def main():
             n_fail += 1
             continue
         ok = True
+        if len(ray_df) == 0 and len(sql_df) == 0:
+            print(f"ok    {name}: 0 rows both sides [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
         if list(ray_df.columns) != list(sql_df.columns):
             print(f"FAIL  {name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}")
             ok = False

@@ -103,6 +103,18 @@ def add_token_list(batch: pa.Table, text_col: str = "text", out_col: str = "toke
     return batch.append_column(out_col, clean)
 
 
+def truncate_and_join(
+    batch: pa.Table, max_token_index: int, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc token-list head + join back to a string — the reference's
+    ``_subset_and_combine_tokens`` (data_utils.py:642-667, slice at :666) and
+    ``_combine_tokens_to_str`` (:527-546) in one vectorized kernel
+    (pc.list_slice + pc.binary_join; no Python token loop)."""
+    toks = add_token_list(batch, text_col=text_col)["tokens"]
+    sub = pc.list_slice(toks, 0, max_token_index)
+    return pa.table({id_col: batch[id_col], "text_sub": pc.binary_join(sub, " ")})
+
+
 # ---------------------------------------------------------------------------
 # wikirec_clean analyzer (reference-faithful chain, M4-M9)
 # ---------------------------------------------------------------------------

@@ -59,6 +59,48 @@ def doc_length_dataset(
     )
 
 
+def frequent_terms(
+    ds: ray.data.Dataset,
+    min_total: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """(term, total_tf) for terms whose corpus occurrence count >= min_total
+    — the shape of the reference's wikilink frequency cut (Counter + keep
+    count >= 4, model.py:437-443 / SURVEY A2), over terms."""
+    import pyarrow.compute as pc2
+
+    from ray.data.aggregate import Sum
+    from wikirec_ray.stages.analyze import doc_term_freqs
+
+    partials = ds.map_batches(
+        lambda b: doc_term_freqs(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    totals = partials.groupby("term").aggregate(Sum("tf", alias_name="total_tf"))
+    return totals.map_batches(
+        lambda b: b.filter(pc2.greater_equal(b["total_tf"], min_total)),
+        batch_format="pyarrow",
+    )
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset, modulus: int = 7, residue: int = 3, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Reproducible corpus subsample by id congruence — the cross-engine-
+    checkable stand-in for the reference's np.random.choice subsampling
+    (data_utils.py:996-1005); ``ds.random_sample(frac, seed)`` remains the
+    statistical path when bitwise reproducibility across engines is not
+    needed."""
+    import numpy as np
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        return batch.filter(pa.array(ids % modulus == residue))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
 def vocabulary_prune(
     ds: ray.data.Dataset,
     min_df: int = 2,
