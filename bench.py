@@ -188,12 +188,15 @@ def run_bench() -> dict:
     # reported for completeness, the exact vectorized path is the serving
     # path for this corpus shape (see BASELINE.md)
     wand_queries = queries[:: max(1, len(queries) // 50)]
+    wand_budget_s = float(os.environ.get("BENCH_WAND_BUDGET_S", "30"))
     lat_wand = []
     t2 = time.monotonic()
     for _, terms in wand_queries:
         q0 = time.monotonic()
         reader.topk_wand(terms, TOP_K)
         lat_wand.append(time.monotonic() - q0)
+        if time.monotonic() - t2 > wand_budget_s:
+            break  # time-boxed sample; percentiles over completed queries
     wand_sec = time.monotonic() - t2
     le = np.array(lat_exact) * 1000
     lw = np.array(lat_wand) * 1000
