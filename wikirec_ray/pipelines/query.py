@@ -128,20 +128,27 @@ def topk_from_dense(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
 
 
 class _TermCursor:
-    """Cursor over one term's block-structured postings; decodes lazily."""
+    """Cursor over one term's block-structured postings; decodes lazily.
+
+    Block upper bounds are computed at cursor construction from the stored
+    per-block (max tf, min dl) pairs: the BM25 factor is monotone ↑tf / ↓dl,
+    so idf · factor(maxtf, mindl, avgdl) is admissible (see segments.py)."""
 
     __slots__ = ("idf", "row", "blk_last", "blk_counts", "nblk", "bmax", "b",
                  "doc_ids", "tfs", "i", "max_contrib")
 
-    def __init__(self, reader: SegmentReader, term: str, idf: float):
-        from wikirec_ray.state.segments import unpack_f32, unpack_i64
+    def __init__(self, reader: SegmentReader, term: str, idf: float, avgdl: float):
+        from wikirec_ray.stages.index_build import _bm25_factor
+        from wikirec_ray.state.segments import unpack_i64
 
         self.idf = idf
         self.row = reader.term_row(term)
         self.blk_last = unpack_i64(self.row["blk_last"])
         self.blk_counts = unpack_i64(self.row["blk_counts"])
         self.nblk = len(self.blk_last)
-        self.bmax = unpack_f32(self.row["bmax_blob"]).astype(np.float64) * idf
+        maxtf = unpack_i64(self.row["blk_maxtf"])
+        mindl = unpack_i64(self.row["blk_mindl"])
+        self.bmax = idf * _bm25_factor(maxtf, mindl, avgdl)
         self.b = -1
         self.doc_ids = None
         self.tfs = None
@@ -224,7 +231,7 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, 
         seg = reader.term_segment(term)
         if not seg.has(term):
             continue
-        cursors.append(_TermCursor(seg, term, idf))
+        cursors.append(_TermCursor(seg, term, idf, avgdl))
     if not cursors:
         return []
     # Heap of (rounded_score, -doc_id): the weakest entry (lowest score, then

@@ -6,32 +6,41 @@ TfidfVectorizer (global DF/IDF state, ``model.py:166-170``) and materializes a
 dense N×N similarity matrix, we build compressed posting lists with a
 **groupby-on-term shuffle** and never materialize anything dense.
 
-Pipeline (two streaming passes over the corpus, no full materialization):
+SINGLE-PASS pipeline (one tokenize, one shuffle, no full materialization):
 
-  pass A  map_batches(doc_lengths) → groupby(doc range) → norms files
-          + corpus stats (N, avgdl)                      [small shuffle]
-  pass B  map_batches(combiner: per-batch partial posting RUNS, already
-          delta+varint encoded — one blob row per (term, doc-range) per
-          batch instead of one row per posting, ~100× fewer shuffle bytes)
-          → groupby((tpart, range_id)).map_groups(merge runs + block encode)
-          → postings/tpart-*/range-*.parquet             [THE term shuffle]
-  merge   per-tpart task: concatenate each term's range chunks in doc-range
-          order (ranges are doc_id-disjoint & ordered → merge is pure
-          concatenation, no re-sort, no second shuffle)
-          → segments/seg-*.parquet + df.parquet (df(term) = Σ n — one
-          posting per (term, doc), so DF falls out of the merge for free,
-          with the reference's DF-not-TF semantics, data_utils.py:945-948)
+  combiner   map_batches → per-batch partial posting RUNS, already
+             delta+varint encoded (one blob row per (term, doc-range) per
+             batch — ~100× fewer shuffle bytes than row-per-posting), plus
+             one norms run per (batch, doc-range) under the reserved
+             partition tpart = -1 carrying (doc_id, doc_len) pairs
+  shuffle    groupby((tpart, range_id)).map_groups:
+               tpart == -1 → merge norms runs → norms/range-*.parquet
+                             (+ n_docs / Σdl for corpus stats)
+               tpart >= 0  → merge each term's runs (decode → concat →
+                             sort) → block encode → postings/tpart-*/
+                             range-*.parquet
+  merge      per-tpart task: concatenate each term's range chunks in
+             doc-range order (ranges are doc_id-disjoint & ordered → pure
+             concatenation, no re-sort, no second shuffle)
+             → segments/seg-*.parquet + df.parquet (df(term) = Σ n — one
+             posting per (term, doc), the reference's DF-not-TF counting,
+             data_utils.py:945-948)
+
+The single pass is possible because the encoder holds NO corpus-global
+state: block-max metadata is (max tf, min dl) per block — the BM25 factor
+is monotone in both, so the admissible score bound is computed at query
+time with idf and avgdl (see state/segments.py).
 
 Skew: the shuffle key is ``(hash(term) % N_TERM_PARTITIONS, doc_id //
 DOC_RANGE_SIZE)`` — the doc range is a built-in salt, so a heavy-hitter term
 ("the", df≈N) is split across N/DOC_RANGE_SIZE bounded groups instead of
-landing on one reducer.  Every group holds ≤ DOC_RANGE_SIZE docs × its term
-share; group size is bounded *independently of term skew*.
+landing on one reducer; group size is bounded independently of term skew.
 
 Resumability: every partition file is written atomically and recorded in
-``manifest.json`` with bytes+md5+wall_ms; a re-run with ``resume=True``
-validates and skips finished partitions (the reference's file-existence skip,
-``data_utils.py:302,457-459``, hardened with content hashes).
+``manifest.json`` with bytes+md5+wall_ms and input lineage; a re-run with
+``resume=True`` validates and skips finished partitions (the reference's
+file-existence skip, ``data_utils.py:302,457-459``, hardened with content
+hashes).
 """
 
 from __future__ import annotations
@@ -47,18 +56,18 @@ import ray.data
 
 from wikirec_ray.functions.compress import varint_encode
 from wikirec_ray.schema import BLOCK_SIZE, BM25_B, BM25_K1, DOC_RANGE_SIZE, N_TERM_PARTITIONS
-from wikirec_ray.stages.analyze import doc_lengths, doc_term_freqs
+from wikirec_ray.stages.analyze import doc_term_freqs
 from wikirec_ray.state.segments import (
     SEGMENT_SCHEMA,
     atomic_write_table,
     load_manifest,
-    pack_f32,
     pack_i64,
     partition_is_valid,
     save_manifest,
-    unpack_f32,
     unpack_i64,
 )
+
+NORMS_TPART = -1  # reserved shuffle partition for doc-length runs
 
 
 def term_partitions_for(terms) -> np.ndarray:
@@ -70,86 +79,111 @@ def term_partitions_for(terms) -> np.ndarray:
     )
 
 
-def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """(doc_id, text) -> PARTIAL POSTING RUNS: one row per (tpart, range_id,
-    term) present in the batch, with the term's in-batch postings already
-    delta-gap+varint encoded.
+RUN_SCHEMA = pa.schema(
+    [
+        ("tpart", pa.int64()),
+        ("range_id", pa.int64()),
+        ("term", pa.string()),
+        ("n", pa.int64()),
+        ("first_doc", pa.int64()),
+        ("doc_blob", pa.binary()),   # varint delta-gap doc ids
+        ("tf_blob", pa.binary()),    # varint tfs (norms runs: doc lengths)
+        ("dl_blob", pa.binary()),    # varint per-posting doc lengths
+    ]
+)
 
-    This is the combiner that makes the term shuffle scale: instead of one
-    row per (term, doc) — |postings| rows of ~40 B — the all-to-all moves one
-    compact blob row per (term, doc-range) per batch, ~100× fewer bytes.
-    The group encoder merges the sorted runs."""
-    from wikirec_ray.functions.compress import encode_postings
+
+def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, text) -> partial posting runs + norms runs (RUN_SCHEMA).
+
+    One row per (tpart, range_id, term) present in the batch with that
+    term's in-batch postings (and their doc lengths) varint-encoded; plus
+    one row per doc-range under tpart=-1 carrying (doc_id, doc_len).  Each
+    doc lives wholly inside one batch, so per-batch tf and dl are exact."""
+    from wikirec_ray.functions.compress import delta_encode
 
     tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
     doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
     tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
     range_ids = (doc_ids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
-    # dictionary-encode terms once per batch (vocab per batch << rows)
+
+    # doc lengths: sum tf per doc, scattered back to posting rows
+    batch_ids = batch[id_col].to_numpy().astype(np.uint64)
+    order_b = np.argsort(batch_ids)
+    sorted_bids = batch_ids[order_b]
+    pos = np.searchsorted(sorted_bids, doc_ids)
+    dl_per_doc = np.zeros(len(batch_ids), dtype=np.uint64)
+    np.add.at(dl_per_doc, pos, tfs)
+    dls = dl_per_doc[pos]
+
     dict_arr = tf_tbl["term"].combine_chunks().dictionary_encode()
     uniq_terms = dict_arr.dictionary.to_pylist()
     tpart_per_uniq = term_partitions_for(uniq_terms)
     term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
     order = np.lexsort((doc_ids, range_ids, term_codes))
-    tc, rg, di, tf = term_codes[order], range_ids[order], doc_ids[order], tfs[order]
+    tc, rg, di, tf, dl = (
+        term_codes[order], range_ids[order], doc_ids[order], tfs[order], dls[order]
+    )
     boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
     starts = np.concatenate([[0], boundary, [len(tc)]])
 
-    cols = {"tpart": [], "range_id": [], "term": [], "n": [], "first_doc": [],
-            "doc_blob": [], "tf_blob": []}
+    cols: dict[str, list] = {k: [] for k in RUN_SCHEMA.names}
+
+    def emit(tpart, range_id, term, d, t, dlv):
+        if len(d) == 0:
+            return
+        cols["tpart"].append(tpart)
+        cols["range_id"].append(range_id)
+        cols["term"].append(term)
+        cols["n"].append(len(d))
+        cols["first_doc"].append(int(d[0]))
+        cols["doc_blob"].append(varint_encode(delta_encode(d)))
+        cols["tf_blob"].append(varint_encode(t))
+        cols["dl_blob"].append(varint_encode(dlv) if dlv is not None else b"")
+
     for si in range(len(starts) - 1):
         s, e = int(starts[si]), int(starts[si + 1])
         code = int(tc[s])
-        db, tb = encode_postings(di[s:e], tf[s:e])
-        cols["tpart"].append(int(tpart_per_uniq[code]))
-        cols["range_id"].append(int(rg[s]))
-        cols["term"].append(uniq_terms[code])
-        cols["n"].append(e - s)
-        cols["first_doc"].append(int(di[s]))
-        cols["doc_blob"].append(db)
-        cols["tf_blob"].append(tb)
-    return pa.table(
-        {
-            "tpart": pa.array(cols["tpart"], pa.int64()),
-            "range_id": pa.array(cols["range_id"], pa.int64()),
-            "term": pa.array(cols["term"], pa.string()),
-            "n": pa.array(cols["n"], pa.int64()),
-            "first_doc": pa.array(cols["first_doc"], pa.int64()),
-            "doc_blob": pa.array(cols["doc_blob"], pa.binary()),
-            "tf_blob": pa.array(cols["tf_blob"], pa.binary()),
-        }
+        emit(int(tpart_per_uniq[code]), int(rg[s]), uniq_terms[code],
+             di[s:e], tf[s:e], dl[s:e])
+
+    # norms runs: (doc_id, doc_len) per doc-range in this batch
+    # (dl_per_doc is indexed by position in sorted_bids, so it is already
+    # aligned; docs with zero tokens correctly carry dl = 0)
+    doc_ranges = (sorted_bids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
+    sorted_dls = dl_per_doc
+    r_bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(doc_ranges)) + 1, [len(sorted_bids)]]
     )
+    for ri in range(len(r_bounds) - 1):
+        s, e = int(r_bounds[ri]), int(r_bounds[ri + 1])
+        emit(NORMS_TPART, int(doc_ranges[s]), "", sorted_bids[s:e],
+             sorted_dls[s:e], None)
+
+    return pa.table(cols, schema=RUN_SCHEMA)
 
 
-def _bm25_tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
-    """idf-independent BM25 factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))."""
-    tf = tfs.astype(np.float64)
-    dl = dls.astype(np.float64)
+def _bm25_factor(tf: np.ndarray | float, dl: np.ndarray | float, avgdl: float):
+    """idf-independent BM25 factor; monotone ↑tf, ↓dl (used for bounds)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-
-
-def _admissible_f32(x: np.ndarray) -> np.ndarray:
-    """float64 upper bounds -> float32, rounded UP so bounds stay admissible."""
-    f = x.astype(np.float32)
-    low = f.astype(np.float64) < x
-    if low.any():
-        f[low] = np.nextafter(f[low], np.float32(np.inf))
-    return f
 
 
 def _encode_terms_table(
     terms: list[str], starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
-    dls: np.ndarray, avgdl: float,
+    dls: np.ndarray,
 ) -> pa.Table:
     """Encode (term-sorted, doc-sorted-within-term) posting arrays into one
-    SEGMENT_SCHEMA table. ``starts`` has len(terms)+1 boundaries."""
-    factors = _bm25_tf_factor(tfs, dls, avgdl)
+    SEGMENT_SCHEMA table. ``starts`` has len(terms)+1 boundaries. Holds no
+    corpus-global state (block bounds are raw maxtf/mindl)."""
     cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
     for ti, term in enumerate(terms):
         s, e = int(starts[ti]), int(starts[ti + 1])
         n = e - s
-        blk_last, blk_counts, doc_off, tf_off, bmax = [], [], [0], [0], []
+        blk_last, blk_counts, doc_off, tf_off = [], [], [0], [0]
+        maxtf, mindl = [], []
         doc_parts, tf_parts = [], []
         for bs in range(s, e, BLOCK_SIZE):
             be = min(bs + BLOCK_SIZE, e)
@@ -165,8 +199,8 @@ def _encode_terms_table(
             tf_off.append(tf_off[-1] + len(tb))
             blk_last.append(int(d[-1]))
             blk_counts.append(be - bs)
-            bmax.append(float(factors[bs:be].max()))
-        bmax_f32 = _admissible_f32(np.array(bmax, np.float64))
+            maxtf.append(int(tfs[bs:be].max()))
+            mindl.append(int(dls[bs:be].min()))
         cols["term"].append(term)
         cols["n"].append(n)
         cols["blk_last"].append(pack_i64(blk_last))
@@ -175,8 +209,10 @@ def _encode_terms_table(
         cols["blk_tf_off"].append(pack_i64(tf_off))
         cols["doc_blob"].append(b"".join(doc_parts))
         cols["tf_blob"].append(b"".join(tf_parts))
-        cols["bmax_blob"].append(pack_f32(bmax_f32))
-        cols["term_max"].append(float(bmax_f32.max()) if len(bmax_f32) else 0.0)
+        cols["blk_maxtf"].append(pack_i64(maxtf))
+        cols["blk_mindl"].append(pack_i64(mindl))
+        cols["term_maxtf"].append(max(maxtf))
+        cols["term_mindl"].append(min(mindl))
     return pa.table(cols, schema=SEGMENT_SCHEMA)
 
 
@@ -189,95 +225,83 @@ def _entry_table(entries: list[dict]) -> pa.Table:
     )
 
 
-def make_postings_encoder(index_dir: str, avgdl: float, prior_partitions: dict, resume: bool):
-    """Group encoder for groupby((tpart, range_id)) — merges the batch-level
-    partial runs of each term (decode → concat → sort by doc_id → block
-    encode), writes one partial segment file, returns its manifest entry.
-
-    Doc lengths come from the range's norms file (written by pass A — the
-    group covers exactly one doc range, so this is a single local read, not
-    a join)."""
+def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
+    """One callable for every shuffle group: norms groups (tpart=-1) merge
+    doc-length runs; postings groups merge+block-encode posting runs."""
 
     def encode_group(group: pa.Table) -> pa.Table:
-        from wikirec_ray.functions.compress import decode_postings
+        from wikirec_ray.functions.compress import decode_postings, varint_decode
 
         tpart = int(group["tpart"][0].as_py())
         range_id = int(group["range_id"][0].as_py())
-        path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}", f"range-{range_id:06d}.parquet")
+
+        if tpart == NORMS_TPART:
+            path = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
+            key = os.path.relpath(path, index_dir)
+            runs = group.to_pylist()
+            parts = [decode_postings(r["doc_blob"], r["tf_blob"], r["n"]) for r in runs]
+            ids = np.concatenate([p[0] for p in parts])
+            dls_all = np.concatenate([p[1] for p in parts])
+            o = np.argsort(ids)
+            ids, dls_all = ids[o], dls_all[o]
+            n_docs, sum_dl = len(ids), int(dls_all.sum())
+            if resume and partition_is_valid(path, prior_partitions.get(key)):
+                e = dict(prior_partitions[key])
+                e.update(key=key, skipped=True, n_docs=n_docs, sum_dl=sum_dl)
+                return _entry_table([e])
+            tbl = pa.table(
+                {"doc_id": pa.array(ids.astype(np.int64)),
+                 "doc_len": pa.array(dls_all.astype(np.int64))}
+            )
+            entry = atomic_write_table(tbl, path)
+            entry.update(key=key, kind="norms", range_id=range_id,
+                         n_docs=n_docs, sum_dl=sum_dl, skipped=False)
+            return _entry_table([entry])
+
+        path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}",
+                            f"range-{range_id:06d}.parquet")
         key = os.path.relpath(path, index_dir)
         if resume and partition_is_valid(path, prior_partitions.get(key)):
             e = dict(prior_partitions[key])
             e.update(key=key, skipped=True)
             return _entry_table([e])
         t0 = time.monotonic()
-        import pyarrow.parquet as pq
-
-        norms = pq.read_table(
-            os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
-        )
-        norm_ids = norms["doc_id"].to_numpy().astype(np.uint64)  # sorted
-        norm_dls = norms["doc_len"].to_numpy().astype(np.int64)
-
         rows = group.to_pylist()
         by_term: dict[str, list[dict]] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
         terms = sorted(by_term)
-        all_docs, all_tfs, starts = [], [], [0]
+        all_docs, all_tfs, all_dls, starts = [], [], [], [0]
         for term in terms:
             runs = by_term[term]
-            if len(runs) == 1:
-                d, f = decode_postings(runs[0]["doc_blob"], runs[0]["tf_blob"], runs[0]["n"])
-            else:
-                parts = [decode_postings(r["doc_blob"], r["tf_blob"], r["n"]) for r in runs]
-                d = np.concatenate([p[0] for p in parts])
-                f = np.concatenate([p[1] for p in parts])
+            parts = [
+                (*decode_postings(r["doc_blob"], r["tf_blob"], r["n"]),
+                 varint_decode(r["dl_blob"], r["n"]))
+                for r in runs
+            ]
+            d = np.concatenate([p[0] for p in parts])
+            f = np.concatenate([p[1] for p in parts])
+            l = np.concatenate([p[2] for p in parts])
+            if len(runs) > 1:
                 o = np.argsort(d, kind="stable")
-                d, f = d[o], f[o]
+                d, f, l = d[o], f[o], l[o]
             all_docs.append(d)
             all_tfs.append(f)
+            all_dls.append(l)
             starts.append(starts[-1] + len(d))
         doc_ids = np.concatenate(all_docs) if all_docs else np.empty(0, np.uint64)
         tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, np.uint64)
-        dls = norm_dls[np.searchsorted(norm_ids, doc_ids)]
-        table = _encode_terms_table(
-            terms, np.asarray(starts), doc_ids, tfs, dls, avgdl
-        )
+        dls = np.concatenate(all_dls) if all_dls else np.empty(0, np.uint64)
+        table = _encode_terms_table(terms, np.asarray(starts), doc_ids, tfs, dls)
         entry = atomic_write_table(table, path)
         entry.update(
-            key=key,
-            kind="postings",
-            tpart=tpart,
-            range_id=range_id,
-            n_terms=len(terms),
-            n_postings=int(len(doc_ids)),
-            encode_ms=round((time.monotonic() - t0) * 1000, 3),
-            skipped=False,
+            key=key, kind="postings", tpart=tpart, range_id=range_id,
+            n_terms=len(terms), n_postings=int(len(doc_ids)),
+            encode_ms=round((time.monotonic() - t0) * 1000, 3), skipped=False,
         )
         return _entry_table([entry])
 
     return encode_group
-
-
-def make_norms_writer(index_dir: str, prior_partitions: dict, resume: bool):
-    def write_norms(group: pa.Table) -> pa.Table:
-        range_id = int(group["range_id"][0].as_py())
-        path = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
-        key = os.path.relpath(path, index_dir)
-        doc_ids = group["doc_id"].to_numpy()
-        dls = group["doc_len"].to_numpy()
-        order = np.argsort(doc_ids)
-        n_docs, sum_dl = len(doc_ids), int(dls.sum())
-        if resume and partition_is_valid(path, prior_partitions.get(key)):
-            e = dict(prior_partitions[key])
-            e.update(key=key, skipped=True, n_docs=n_docs, sum_dl=sum_dl)
-            return _entry_table([e])
-        tbl = pa.table({"doc_id": pa.array(doc_ids[order]), "doc_len": pa.array(dls[order])})
-        entry = atomic_write_table(tbl, path)
-        entry.update(key=key, kind="norms", range_id=range_id, n_docs=n_docs, sum_dl=sum_dl, skipped=False)
-        return _entry_table([entry])
-
-    return write_norms
 
 
 def _merge_tpart(
@@ -330,8 +354,10 @@ def _merge_tpart(
                 a["blk_tf_off"] += pack_i64(unpack_i64(row["blk_tf_off"])[1:] + len(a["tf_blob"]))
                 a["doc_blob"] += row["doc_blob"]
                 a["tf_blob"] += row["tf_blob"]
-                a["bmax_blob"] += row["bmax_blob"]
-                a["term_max"] = max(a["term_max"], row["term_max"])
+                a["blk_maxtf"] += row["blk_maxtf"]
+                a["blk_mindl"] += row["blk_mindl"]
+                a["term_maxtf"] = max(a["term_maxtf"], row["term_maxtf"])
+                a["term_mindl"] = min(a["term_mindl"], row["term_mindl"])
     terms = sorted(acc)
     table = pa.table(
         {name: [acc[t][name] for t in terms] for name in SEGMENT_SCHEMA.names},
@@ -339,14 +365,10 @@ def _merge_tpart(
     )
     entry = atomic_write_table(table, seg_path)
     entry.update(
-        key=key,
-        kind="segment",
-        tpart=tpart,
-        n_terms=len(terms),
+        key=key, kind="segment", tpart=tpart, n_terms=len(terms),
         n_postings=int(sum(acc[t]["n"] for t in terms)),
         merge_ms=round((time.monotonic() - t0) * 1000, 3),
-        inputs=expected_inputs or {},
-        skipped=False,
+        inputs=expected_inputs or {}, skipped=False,
     )
     # DF falls out of the merge: one posting per (term, doc) => df = n.
     df_tbl = pa.table(
@@ -367,9 +389,8 @@ def build_index(
 ) -> dict:
     """Build the full index from a Dataset(id, text, …); returns the manifest.
 
-    ``ds`` is consumed twice (doc-length pass, postings pass) — both passes
-    stream; nothing is materialized driver-side except manifest entries and
-    the (term, df) vocabulary files.
+    Single streaming pass over the corpus; nothing is materialized
+    driver-side except manifest entries and the (term, df) vocabulary files.
     """
     prior = load_manifest(index_dir) if resume else None
     prior_parts = (prior or {}).get("partitions", {})
@@ -400,50 +421,35 @@ def build_index(
 def _build_index_inner(
     ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start
 ) -> dict:
-
-    # -- pass A: norms + corpus stats ------------------------------------
-    dl_ds = ds.map_batches(
-        lambda b: doc_lengths(b, id_col=id_col, text_col=text_col).append_column(
-            "range_id", pa.array(b[id_col].to_numpy() // DOC_RANGE_SIZE)
-        ),
-        batch_format="pyarrow",
-    )
-    norm_entries = [
-        json.loads(r["entry"])
-        for r in dl_ds.groupby("range_id")
-        .map_groups(make_norms_writer(index_dir, prior_parts, resume), batch_format="pyarrow")
-        .take_all()
-    ]
-    n_docs = sum(e["n_docs"] for e in norm_entries)
-    total_tokens = sum(e["sum_dl"] for e in norm_entries)
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-
-    # -- pass B: the term shuffle ----------------------------------------
-    postings_ds = ds.map_batches(
+    # -- the single shuffle: postings + norms in one groupby -------------
+    runs = ds.map_batches(
         lambda b: _postings_batch(b, id_col, text_col),
         batch_format="pyarrow",
         batch_size=4096,  # bigger batches → fewer partial runs in the shuffle
     )
-    post_entries = [
+    entries = [
         json.loads(r["entry"])
-        for r in postings_ds.groupby(["tpart", "range_id"])
-        .map_groups(
-            make_postings_encoder(index_dir, avgdl, prior_parts, resume),
-            batch_format="pyarrow",
-        )
+        for r in runs.groupby(["tpart", "range_id"])
+        .map_groups(make_group_encoder(index_dir, prior_parts, resume),
+                    batch_format="pyarrow")
         .take_all()
     ]
+    norm_entries = [e for e in entries if e["kind"] == "norms"]
+    post_entries = [e for e in entries if e["kind"] == "postings"]
+    n_docs = sum(e["n_docs"] for e in norm_entries)
+    total_tokens = sum(e["sum_dl"] for e in norm_entries)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     # -- merge: one task per tpart, no shuffle ---------------------------
     # lineage: a segment may be reused only if the exact set+hash of its
     # input postings partitions is unchanged since it was built
-    tparts = sorted({e["tpart"] for e in post_entries if e.get("tpart") is not None})
+    tparts = sorted({e["tpart"] for e in post_entries})
     inputs_by_tpart: dict[int, dict[str, str]] = {t: {} for t in tparts}
     for e in post_entries:
-        if e.get("kind") == "postings" or e.get("tpart") in inputs_by_tpart:
-            inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
-    merge_entries_nested = (
-        ray.data.from_items([{"tpart": t} for t in tparts])
+        inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
+    merge_entries = [
+        json.loads(r["entry"])
+        for r in ray.data.from_items([{"tpart": t} for t in tparts])
         .map_batches(
             lambda b: _entry_table(
                 [
@@ -458,8 +464,7 @@ def _build_index_inner(
             batch_size=1,
         )
         .take_all()
-    )
-    merge_entries = [json.loads(r["entry"]) for r in merge_entries_nested]
+    ]
 
     stats = {
         "n_docs": n_docs,
@@ -475,13 +480,13 @@ def _build_index_inner(
         json.dump(stats, f, indent=1)
 
     manifest = {
-        "version": 1,
+        "version": 2,
         "stats": stats,
         "lineage": lineage or {},
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "partitions": {
             e["key"]: {k: v for k, v in e.items() if k != "key"}
-            for e in norm_entries + post_entries + merge_entries
+            for e in entries + merge_entries
         },
     }
     save_manifest(index_dir, manifest)

@@ -31,11 +31,17 @@ a block without decoding it)::
     blk_doc_off/blk_tf_off: binary (int64[] LE, len nblk+1 — byte offsets of
                 each block's varint run inside doc_blob/tf_blob),
     doc_blob/tf_blob: binary (delta-gap + varint, restart per block),
-    bmax_blob:  binary (float32[] — per block, an upper bound on the
-    idf-independent BM25 factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)); idf is
-    applied at query time, so block-max bounds need no global DF at encode
-    time; bounds are rounded *up* when narrowing to float32 so they stay
-    admissible), term_max: float32.
+    blk_maxtf:  binary (int64[] LE — max tf per block),
+    blk_mindl:  binary (int64[] LE — min doc length per block),
+    term_maxtf / term_mindl: int64.
+
+Block-max metadata is stored as (max tf, min dl) per block rather than a
+precomputed score bound: the idf-independent BM25 factor
+tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) is monotonically increasing in tf and
+decreasing in dl, so factor(maxtf, mindl) is an admissible per-block upper
+bound computed at query time (with idf and avgdl applied there).  This keeps
+the ENCODER free of all corpus-global state — no avgdl, no DF — which is
+what lets index construction run as a single shuffle pass.
 
 The reference's checkpoint analog is its file-existence skip of completed
 ndjson partitions (``/root/reference/src/wikirec/data_utils.py:302,457-459``);
@@ -65,8 +71,10 @@ SEGMENT_SCHEMA = pa.schema(
         ("blk_tf_off", pa.binary()),
         ("doc_blob", pa.binary()),
         ("tf_blob", pa.binary()),
-        ("bmax_blob", pa.binary()),
-        ("term_max", pa.float32()),
+        ("blk_maxtf", pa.binary()),
+        ("blk_mindl", pa.binary()),
+        ("term_maxtf", pa.int64()),
+        ("term_mindl", pa.int64()),
     ]
 )
 
@@ -215,18 +223,13 @@ class SegmentReader:
             self._postings_cache[term] = (doc_ids, tfs)
         return doc_ids, tfs
 
-    def block_maxes(self, term: str) -> np.ndarray:
+    def block_bounds(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(max tf, min dl) per block — inputs to the query-time bound."""
         i = self._row_by_term.get(term)
         if i is None:
-            return np.empty(0, np.float32)
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         row = self.table.slice(i, 1).to_pylist()[0]
-        return unpack_f32(row["bmax_blob"])
-
-    def term_max(self, term: str) -> float:
-        i = self._row_by_term.get(term)
-        if i is None:
-            return 0.0
-        return float(self.table["term_max"][i].as_py())
+        return unpack_i64(row["blk_maxtf"]), unpack_i64(row["blk_mindl"])
 
 
 def load_norms(index_dir: str) -> np.ndarray:
