@@ -395,7 +395,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD)
 
+    def events_window_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.windows import tumbling_window_agg
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        return tumbling_window_agg(ds)
+
+    def sessions_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.windows import sessionize
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        )
+        return sessionize(ds)
+
     # ---- non-SQL-expressible (driver records rows-only checks) ----------
+
+    def stemmed_q(sf_dir):
+        from wikirec_ray.stages.stem import Stemmer
+
+        out = _documents(sf_dir).map_batches(
+            Stemmer, batch_format="pyarrow", concurrency=2
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": pc.cast(pc.list_value_length(b["tokens"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def random_sample_q(sf_dir):
+        return _documents(sf_dir, columns=("doc_id",)).random_sample(0.2, seed=42)
 
     def minhash_dedup_q(sf_dir):
         from wikirec_ray.pipelines.dedup import minhash_dedup_groups
@@ -475,6 +516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_q,
         "ann_topk": ann_topk_q,
         "embedding_dups": embedding_dups_q,
+        "events_window": events_window_q,
+        "sessions": sessions_q,
+        "stemmed_tokens": stemmed_q,
+        "random_sample": random_sample_q,
         "minhash_dedup": minhash_dedup_q,
         "simhash": simhash_q,
         "langid": langid_q,
@@ -720,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
                    CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text) END::BIGINT AS first_byte
             FROM documents
+        """,
+        "events_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   ROUND(SUM(value), 6) AS sum_value, COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -1,0 +1,119 @@
+"""Porter stemmer (paper examples) + window-shaped aggregates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from wikirec_ray.stages.stem import Lemmatizer, Stemmer, porter_stem
+
+# Full-pipeline golden outputs. The Porter (1980) paper's per-step examples
+# show one step's effect in isolation (e.g. step 1b alone maps agreed→agree;
+# the full algorithm continues to agre via step 5a) — these expectations are
+# end-to-end, and the paper's own complete examples (GENERALIZATIONS→GENER,
+# OSCILLATORS→OSCIL) are reproduced exactly.
+PAPER_PAIRS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologou", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+    ("generalization", "gener"), ("oscillators", "oscil"),
+]
+
+
+@pytest.mark.parametrize("word,want", PAPER_PAIRS)
+def test_porter_paper_examples(word, want):
+    assert porter_stem(word) == want
+
+
+def test_stemmer_stage(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["hopping caresses, motoring!", ""], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["tokens"] for r in ds.map_batches(
+        Stemmer, batch_format="pyarrow", concurrency=2
+    ).take_all()}
+    assert out[0] == ["hop", "caress", "motor"]
+    assert out[1] == []
+
+
+def test_lemmatizer_gated():
+    with pytest.raises(NotImplementedError):
+        Lemmatizer()
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.windows import tumbling_window_agg
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:05",
+         "2024-01-01 00:20"]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"event_type": ["a", "a", "a", "b"], "ts": ts,
+             "value": [1.0, 2.0, 4.0, 8.0]}
+        )
+    )
+    out = tumbling_window_agg(ds).take_all()
+    got = {(r["event_type"], str(r["window_start"])): (r["n_events"], r["sum_value"])
+           for r in out}
+    assert got[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[("a", "2024-01-01 01:00:00")] == (1, 4.0)
+    assert got[("b", "2024-01-01 00:00:00")] == (1, 8.0)
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.windows import sessionize
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",
+         "2024-01-01 00:00"]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"user_id": [1, 1, 1, 2], "ts": ts, "event_id": [0, 1, 2, 3]}
+        )
+    )
+    out = {r["user_id"]: r["n_sessions"] for r in sessionize(ds).take_all()}
+    assert out == {1: 2, 2: 1}  # user 1: gap 50min > 30min splits sessions

@@ -1,0 +1,212 @@
+"""Rule-based English stemming stage — the engine's stand-in for the
+reference's Snowball-stemmer fallback (``/root/reference/src/wikirec/
+data_utils.py:906-940``: when no spaCy model exists, every token is stemmed;
+T1/M11 in SURVEY §2).
+
+This is an implementation of the classic Porter stemming algorithm (Porter,
+1980, "An algorithm for suffix stripping" — public domain algorithm),
+written from the published step tables.  NLTK/Snowball are not shipped in
+this container; the lemmatizer slot (``data_utils.py:892-904``) is gated
+behind an import-try of spaCy and raises with guidance when absent.
+
+Runs as an actor-pool ``map_batches`` stage; the stem cache (vocabulary is
+zipfian — most tokens repeat) lives per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from wikirec_ray.stages.analyze import _flat_tokens
+
+_VOWEL = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWEL:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences in the stem."""
+    m = 0
+    prev_cons = True
+    started = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if not cons:
+            started = True
+        elif started and not prev_cons:
+            m += 1
+        prev_cons = cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def porter_stem(word: str) -> str:
+    """Porter 1980, steps 1a-5b."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+class Stemmer:
+    """Actor-pool stage: (id, text) -> (id, tokens: stemmed). Cache built per
+    actor (__init__); the reference's analog stems inside the driver loop
+    (data_utils.py:934-940)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache: dict[str, str] = {}
+
+    def stem(self, tok: str) -> str:
+        s = self._cache.get(tok)
+        if s is None:
+            s = porter_stem(tok)
+            self._cache[tok] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        toks = [self.stem(t) for t in flat.to_pylist()]
+        bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
+        out = [toks[bounds[i] : bounds[i + 1]] for i in range(batch.num_rows)]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "tokens": pa.array(out, type=pa.large_list(pa.string())),
+            }
+        )
+
+
+class Lemmatizer:
+    """T1 slot: spaCy lemmatization actor (model load once per actor,
+    data_utils.py:892-904). spaCy is not shipped in this container — the
+    constructor import-tries and raises with guidance; ``Stemmer`` is the
+    working fallback, mirroring the reference's own fallback chain
+    (data_utils.py:906-940)."""
+
+    def __init__(self, model: str = "en_core_web_sm", **_):
+        try:
+            import spacy  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "spaCy is not available in this environment; use stem.Stemmer "
+                "(the reference's own fallback when no spaCy model exists, "
+                "data_utils.py:906-940)"
+            ) from e
+
+    def __call__(self, batch):  # pragma: no cover - unreachable without spacy
+        raise NotImplementedError
