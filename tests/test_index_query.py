@@ -181,6 +181,42 @@ def test_resume_skips_and_is_identical(built_index, ray_session, tmp_path):
     assert all(manifest3["partitions"][k]["skipped"] for k in others)
 
 
+def test_merge_ignores_stale_partition_files(built_index, ray_session, tmp_path):
+    """A leftover range file from a previous (larger) run must not leak into
+    the merged segments: merge consumes exactly this run's input list."""
+    import shutil
+
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    index_dir, _ = built_index
+    src = str(tmp_path / "stale_idx")
+    shutil.copytree(index_dir, src)
+    # plant a stale file: copy an existing postings partition under a range
+    # id this corpus never produced
+    tdirs = sorted(os.listdir(os.path.join(src, "postings")))
+    tdir = os.path.join(src, "postings", tdirs[0])
+    real = sorted(os.listdir(tdir))[0]
+    shutil.copy(os.path.join(tdir, real), os.path.join(tdir, "range-999999.parquet"))
+    # force the merge for that tpart to actually re-run (otherwise the valid
+    # prior segment is skipped and the stale file is never even considered)
+    os.remove(os.path.join(src, "segments", f"seg-{tdirs[0].split('-')[1]}.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+                     "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    build_index(ds, src, resume=True)
+    from wikirec_ray.pipelines.query import IndexReader
+
+    a = IndexReader(index_dir)
+    b = IndexReader(src)
+    assert a.df == b.df  # stale file would double every df in its tpart
+    for q in QUERIES:
+        assert a.topk(q, 10) == b.topk(q, 10)
+
+
 def test_parallelism_invariance(ray_session, oracle, tmp_path):
     """FIXTURES F4.3: identical index content at 2 vs 16 blocks."""
     import ray.data

@@ -323,7 +323,12 @@ def _merge_tpart(
     key = os.path.relpath(seg_path, index_dir)
     df_path = os.path.join(index_dir, "df", f"df-{tpart:03d}.parquet")
     df_key = os.path.relpath(df_path, index_dir)
-    files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
+    # merge exactly this run's inputs — never whatever happens to be on disk
+    # (stale ranges from a previous, larger corpus must not leak in)
+    if expected_inputs is not None:
+        files = sorted(expected_inputs)
+    else:
+        files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
     if (
         resume
         and partition_is_valid(seg_path, prior_partitions.get(key))
@@ -392,7 +397,10 @@ def build_index(
     Single streaming pass over the corpus; nothing is materialized
     driver-side except manifest entries and the (term, df) vocabulary files.
     """
+    MANIFEST_VERSION = 2
     prior = load_manifest(index_dir) if resume else None
+    if prior is not None and prior.get("version") != MANIFEST_VERSION:
+        prior = None  # older segment format — never resume across versions
     prior_parts = (prior or {}).get("partitions", {})
     t_start = time.monotonic()
 
