@@ -140,6 +140,9 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # size shuffle parallelism to the cluster (default 200 reduce tasks cost
+    # ~2× in fixed overhead on small clusters; measured in BASELINE.md)
+    ctx.min_parallelism = max(NUM_CPUS, 16)
 
     from wikirec_ray.pipelines.query import IndexReader
     from wikirec_ray.stages.extract import extract_pages
@@ -205,6 +208,28 @@ def run_bench() -> dict:
         f"wand p50={np.percentile(lw,50):.1f}ms p99={np.percentile(lw,99):.1f}ms"
     )
 
+    # -- timed: dedup operators over the corpus --------------------------
+    from wikirec_ray.pipelines.dedup import exact_dedup, minhash_candidates
+
+    def with_ids(b: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64())
+        return pa.table({"doc_id": ids, "text": b["text"]})
+
+    docs_text = ray.data.read_parquet(pages_dir, columns=["url", "text"]).map_batches(
+        with_ids, batch_format="pyarrow"
+    )
+    t3 = time.monotonic()
+    n_groups = exact_dedup(docs_text).count()
+    dedup_exact_sec = time.monotonic() - t3
+    log(f"exact dedup: {n_groups} groups in {dedup_exact_sec:.2f}s")
+
+    minhash_docs = int(os.environ.get("BENCH_MINHASH_DOCS", "20000"))
+    mh_input = docs_text.limit(minhash_docs)
+    t4 = time.monotonic()
+    n_cand = minhash_candidates(mh_input, concurrency=(2, 8)).count()
+    minhash_sec = time.monotonic() - t4
+    log(f"minhash-lsh: {n_cand} candidate pairs over {minhash_docs} docs in {minhash_sec:.2f}s")
+
     result = {
         "metric": "e2e_sec",
         "value": round(build_sec + exact_sec, 3),
@@ -213,6 +238,8 @@ def run_bench() -> dict:
             "index_build": round(build_sec, 3),
             "bm25_exact": round(exact_sec, 3),
             "bm25_wand": round(wand_sec, 3),
+            "dedup_exact": round(dedup_exact_sec, 3),
+            "dedup_minhash": round(minhash_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
