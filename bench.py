@@ -254,6 +254,107 @@ def run_bench() -> dict:
     return result
 
 
+def zipf_corpus(n_docs: int, vocab: int = 50_000, doc_len: int = 80, seed: int = 9):
+    """Deterministic zipfian-vocabulary corpus (the realistic term
+    distribution the tiny sf vocabulary lacks): doc i draws its tokens from
+    a Zipf(1.1) law over ``vocab`` pseudo-words with rng(seed+i)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_dir = os.path.join(CACHE_ROOT, f"zipf-{n_docs}-{vocab}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    import ray.data
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        texts = []
+        for i in ids.tolist():
+            rng = np.random.default_rng(seed + i)
+            ks = rng.zipf(1.1, size=doc_len * 3)
+            ks = ks[ks <= vocab][:doc_len]
+            texts.append(" ".join(f"w{k}" for k in ks))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    ray.data.range(n_docs).map_batches(gen, batch_format="pyarrow", batch_size=4096) \
+        .repartition(64).write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def run_zipf() -> None:
+    """WAND vs exact on a realistic (zipfian) vocabulary: rare terms give
+    block-max pruning something to skip; prints one JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import numpy as np
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = max(NUM_CPUS, 16)
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.stages.index_build import build_index
+
+    n_docs = int(os.environ.get("BENCH_ZIPF_DOCS", "200000"))
+    corpus_dir_ = zipf_corpus(n_docs)
+    index_dir = os.path.join(CACHE_ROOT, f"zipf-index-{NUM_CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir)
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(corpus_dir_)
+    manifest = build_index(ds, index_dir, resume=False, lineage={"input": corpus_dir_})
+    build_sec = time.monotonic() - t0
+    log(f"zipf build: {n_docs} docs in {build_sec:.2f}s")
+
+    reader = IndexReader(index_dir)
+    df = reader.df
+    terms = sorted(df)
+    by_df = sorted(terms, key=lambda t: df[t])
+    rng = np.random.default_rng(3)
+    # selective queries: one mid-frequency + 1-3 rarer terms
+    queries = []
+    for i in range(100):
+        rare = [by_df[int(x)] for x in rng.integers(len(by_df) // 2, len(by_df) - 1000, 3)]
+        mid = by_df[int(rng.integers(len(by_df) - 400, len(by_df) - 50))]
+        queries.append(rare[: 1 + i % 3] + [mid])
+    lat_e, lat_w = [], []
+    for q in queries:
+        t = time.monotonic(); reader.topk(q, 10); lat_e.append(time.monotonic() - t)
+    for q in queries:
+        t = time.monotonic(); reader.topk_wand(q, 10); lat_w.append(time.monotonic() - t)
+    # spot-check rank identity on this corpus shape too
+    mismatch = sum(reader.topk(q, 10) != reader.topk_wand(q, 10) for q in queries[:20])
+    le, lw = np.array(lat_e) * 1000, np.array(lat_w) * 1000
+    print(json.dumps({
+        "metric": "zipf_wand_p50_ms",
+        "value": round(float(np.percentile(lw, 50)), 3),
+        "unit": "ms",
+        "queries": {
+            "build_sec": round(build_sec, 3),
+            "exact_p50_ms": round(float(np.percentile(le, 50)), 3),
+            "exact_p99_ms": round(float(np.percentile(le, 99)), 3),
+            "wand_p50_ms": round(float(np.percentile(lw, 50)), 3),
+            "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
+        },
+        "docs": n_docs,
+        "wand_rank_mismatches": int(mismatch),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 def run_scaling():
     import subprocess
 
@@ -296,5 +397,7 @@ def run_scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--zipf" in sys.argv:
+        run_zipf()
     else:
         print(json.dumps(run_bench()))

@@ -66,6 +66,17 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized): 1 + one byte per further
+    7-bit group.  Lets callers slice a concatenated varint stream without
+    re-encoding."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for i in range(1, _MAX_VARINT_BYTES):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
+    return nb
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing doc_id array -> gap array (first value absolute)."""
     d = np.ascontiguousarray(doc_ids, dtype=np.uint64)

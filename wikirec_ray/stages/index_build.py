@@ -100,8 +100,6 @@ def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     term's in-batch postings (and their doc lengths) varint-encoded; plus
     one row per doc-range under tpart=-1 carrying (doc_id, doc_len).  Each
     doc lives wholly inside one batch, so per-batch tf and dl are exact."""
-    from wikirec_ray.functions.compress import delta_encode
-
     tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
     doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
     tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
@@ -125,43 +123,84 @@ def _postings_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     tc, rg, di, tf, dl = (
         term_codes[order], range_ids[order], doc_ids[order], tfs[order], dls[order]
     )
-    boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
-    starts = np.concatenate([[0], boundary, [len(tc)]])
+    if len(tc):
+        boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
+        starts = np.concatenate([[0], boundary, [len(tc)]])
+    else:
+        starts = np.array([0], np.int64)
 
-    cols: dict[str, list] = {k: [] for k in RUN_SCHEMA.names}
-
-    def emit(tpart, range_id, term, d, t, dlv):
-        if len(d) == 0:
-            return
-        cols["tpart"].append(tpart)
-        cols["range_id"].append(range_id)
-        cols["term"].append(term)
-        cols["n"].append(len(d))
-        cols["first_doc"].append(int(d[0]))
-        cols["doc_blob"].append(varint_encode(delta_encode(d)))
-        cols["tf_blob"].append(varint_encode(t))
-        cols["dl_blob"].append(varint_encode(dlv) if dlv is not None else b"")
-
-    for si in range(len(starts) - 1):
-        s, e = int(starts[si]), int(starts[si + 1])
-        code = int(tc[s])
-        emit(int(tpart_per_uniq[code]), int(rg[s]), uniq_terms[code],
-             di[s:e], tf[s:e], dl[s:e])
-
-    # norms runs: (doc_id, doc_len) per doc-range in this batch
-    # (dl_per_doc is indexed by position in sorted_bids, so it is already
-    # aligned; docs with zero tokens correctly carry dl = 0)
+    # norms runs appended after the posting runs: one run per doc-range
+    # (dl_per_doc is positional over sorted_bids; zero-token docs carry dl=0)
     doc_ranges = (sorted_bids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
-    sorted_dls = dl_per_doc
-    r_bounds = np.concatenate(
-        [[0], np.flatnonzero(np.diff(doc_ranges)) + 1, [len(sorted_bids)]]
-    )
-    for ri in range(len(r_bounds) - 1):
-        s, e = int(r_bounds[ri]), int(r_bounds[ri + 1])
-        emit(NORMS_TPART, int(doc_ranges[s]), "", sorted_bids[s:e],
-             sorted_dls[s:e], None)
+    if len(sorted_bids):
+        r_bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(doc_ranges)) + 1, [len(sorted_bids)]]
+        )
+    else:
+        r_bounds = np.array([0], np.int64)
 
-    return pa.table(cols, schema=RUN_SCHEMA)
+    # one value stream for all runs (postings then norms): vectorized varint
+    # encode + per-value byte lengths -> blob slices per run
+    from wikirec_ray.functions.compress import varint_lengths
+
+    run_starts = starts[:-1]
+    run_ends = starts[1:]
+    norm_starts = r_bounds[:-1]
+    norm_ends = r_bounds[1:]
+
+    all_docs = np.concatenate([di, sorted_bids])
+    all_vals = np.concatenate([tf, dl_per_doc])  # tf for postings, dl for norms
+    all_dls = dl  # per-posting dl stream (postings only)
+    abs_starts = np.concatenate([run_starts, norm_starts + len(di)])
+    abs_ends = np.concatenate([run_ends, norm_ends + len(di)])
+
+    gaps = np.empty(len(all_docs), np.uint64)
+    if len(all_docs):
+        gaps[1:] = all_docs[1:] - all_docs[:-1]
+        gaps[0] = all_docs[0]
+        gaps[abs_starts] = all_docs[abs_starts]
+    doc_stream = varint_encode(gaps)
+    val_stream = varint_encode(all_vals)
+    dl_stream = varint_encode(all_dls)
+    doc_cum = np.zeros(len(all_docs) + 1, np.int64)
+    np.cumsum(varint_lengths(gaps), out=doc_cum[1:])
+    val_cum = np.zeros(len(all_vals) + 1, np.int64)
+    np.cumsum(varint_lengths(all_vals), out=val_cum[1:])
+    dl_cum = np.zeros(len(all_dls) + 1, np.int64)
+    np.cumsum(varint_lengths(all_dls), out=dl_cum[1:])
+
+    n_runs = len(run_starts)
+    tparts_out = np.concatenate(
+        [tpart_per_uniq[tc[run_starts]] if n_runs else np.empty(0, np.int64),
+         np.full(len(norm_starts), NORMS_TPART, np.int64)]
+    ).astype(np.int64)
+    ranges_out = np.concatenate(
+        [rg[run_starts] if n_runs else np.empty(0, np.int64),
+         doc_ranges[norm_starts] if len(norm_starts) else np.empty(0, np.int64)]
+    ).astype(np.int64)
+    terms_out = [uniq_terms[int(c)] for c in tc[run_starts]] + [""] * len(norm_starts)
+    doc_blobs = [doc_stream[doc_cum[s] : doc_cum[e]] for s, e in zip(abs_starts, abs_ends)]
+    val_blobs = [val_stream[val_cum[s] : val_cum[e]] for s, e in zip(abs_starts, abs_ends)]
+    dl_blobs = [dl_stream[dl_cum[s] : dl_cum[e]] for s, e in zip(run_starts, run_ends)]
+    dl_blobs += [b""] * len(norm_starts)
+
+    return pa.table(
+        {
+            "tpart": pa.array(tparts_out),
+            "range_id": pa.array(ranges_out),
+            "term": pa.array(terms_out, pa.string()),
+            "n": pa.array((abs_ends - abs_starts).astype(np.int64)),
+            "first_doc": pa.array(
+                all_docs[abs_starts].astype(np.int64)
+                if len(abs_starts)
+                else np.empty(0, np.int64)
+            ),
+            "doc_blob": pa.array(doc_blobs, pa.binary()),
+            "tf_blob": pa.array(val_blobs, pa.binary()),
+            "dl_blob": pa.array(dl_blobs, pa.binary()),
+        },
+        schema=RUN_SCHEMA,
+    )
 
 
 def _bm25_factor(tf: np.ndarray | float, dl: np.ndarray | float, avgdl: float):
@@ -177,42 +216,77 @@ def _encode_terms_table(
 ) -> pa.Table:
     """Encode (term-sorted, doc-sorted-within-term) posting arrays into one
     SEGMENT_SCHEMA table. ``starts`` has len(terms)+1 boundaries. Holds no
-    corpus-global state (block bounds are raw maxtf/mindl)."""
+    corpus-global state (block bounds are raw maxtf/mindl).
+
+    Fully vectorized: ONE varint pass over all gaps and one over all tfs for
+    the whole group (per-value byte lengths let each term/block slice its
+    bytes out of the shared stream); per-block stats via ufunc.reduceat.
+    With zipfian vocabularies most terms have 1-3 postings — per-term/
+    per-block Python encode calls dominated the old encoder."""
+    from wikirec_ray.functions.compress import varint_lengths
+
+    n_total = len(doc_ids)
+    if n_total == 0:
+        return pa.table({k: [] for k in SEGMENT_SCHEMA.names}, schema=SEGMENT_SCHEMA)
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.diff(starts)
+    # global block starts: every term start + every 128th posting within term
+    blk_starts_list = []
+    for ti in range(len(terms)):
+        s, e = int(starts[ti]), int(starts[ti + 1])
+        blk_starts_list.append(np.arange(s, e, BLOCK_SIZE, dtype=np.int64))
+    blk_starts = np.concatenate(blk_starts_list)
+    nblk_per_term = np.array([len(x) for x in blk_starts_list], dtype=np.int64)
+    blk_ends = np.concatenate([blk_starts[1:], [n_total]])
+    # term boundaries also cut blocks: fix ends at term boundaries
+    term_of_block = np.repeat(np.arange(len(terms)), nblk_per_term)
+    blk_ends = np.minimum(blk_ends, starts[term_of_block + 1])
+    blk_counts = blk_ends - blk_starts
+
+    # gaps with restart at every block start
+    gaps = np.empty(n_total, np.uint64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[0] = doc_ids[0]
+    gaps[blk_starts] = doc_ids[blk_starts]
+
+    doc_stream = varint_encode(gaps)
+    tf_stream = varint_encode(tfs)
+    doc_len_b = varint_lengths(gaps)
+    tf_len_b = varint_lengths(tfs)
+    doc_cum = np.zeros(n_total + 1, np.int64)
+    np.cumsum(doc_len_b, out=doc_cum[1:])
+    tf_cum = np.zeros(n_total + 1, np.int64)
+    np.cumsum(tf_len_b, out=tf_cum[1:])
+
+    blk_last = doc_ids[blk_ends - 1].astype(np.int64)
+    blk_maxtf = np.maximum.reduceat(tfs, blk_starts).astype(np.int64)
+    blk_mindl = np.minimum.reduceat(dls, blk_starts).astype(np.int64)
+
     cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
+    bpos = 0
     for ti, term in enumerate(terms):
         s, e = int(starts[ti]), int(starts[ti + 1])
-        n = e - s
-        blk_last, blk_counts, doc_off, tf_off = [], [], [0], [0]
-        maxtf, mindl = [], []
-        doc_parts, tf_parts = [], []
-        for bs in range(s, e, BLOCK_SIZE):
-            be = min(bs + BLOCK_SIZE, e)
-            d = doc_ids[bs:be]
-            gaps = np.empty(be - bs, np.uint64)
-            gaps[0] = d[0]
-            np.subtract(d[1:], d[:-1], out=gaps[1:])
-            db = varint_encode(gaps)
-            tb = varint_encode(tfs[bs:be])
-            doc_parts.append(db)
-            tf_parts.append(tb)
-            doc_off.append(doc_off[-1] + len(db))
-            tf_off.append(tf_off[-1] + len(tb))
-            blk_last.append(int(d[-1]))
-            blk_counts.append(be - bs)
-            maxtf.append(int(tfs[bs:be].max()))
-            mindl.append(int(dls[bs:be].min()))
+        nb = int(nblk_per_term[ti])
+        bs = blk_starts[bpos : bpos + nb]
+        be = blk_ends[bpos : bpos + nb]
+        d0, t0 = int(doc_cum[s]), int(tf_cum[s])
         cols["term"].append(term)
-        cols["n"].append(n)
-        cols["blk_last"].append(pack_i64(blk_last))
-        cols["blk_counts"].append(pack_i64(blk_counts))
-        cols["blk_doc_off"].append(pack_i64(doc_off))
-        cols["blk_tf_off"].append(pack_i64(tf_off))
-        cols["doc_blob"].append(b"".join(doc_parts))
-        cols["tf_blob"].append(b"".join(tf_parts))
-        cols["blk_maxtf"].append(pack_i64(maxtf))
-        cols["blk_mindl"].append(pack_i64(mindl))
-        cols["term_maxtf"].append(max(maxtf))
-        cols["term_mindl"].append(min(mindl))
+        cols["n"].append(int(counts[ti]))
+        cols["blk_last"].append(pack_i64(blk_last[bpos : bpos + nb]))
+        cols["blk_counts"].append(pack_i64(blk_counts[bpos : bpos + nb]))
+        cols["blk_doc_off"].append(
+            pack_i64(np.concatenate([doc_cum[bs], [doc_cum[e]]]) - d0)
+        )
+        cols["blk_tf_off"].append(
+            pack_i64(np.concatenate([tf_cum[bs], [tf_cum[e]]]) - t0)
+        )
+        cols["doc_blob"].append(doc_stream[d0 : int(doc_cum[e])])
+        cols["tf_blob"].append(tf_stream[t0 : int(tf_cum[e])])
+        cols["blk_maxtf"].append(pack_i64(blk_maxtf[bpos : bpos + nb]))
+        cols["blk_mindl"].append(pack_i64(blk_mindl[bpos : bpos + nb]))
+        cols["term_maxtf"].append(int(blk_maxtf[bpos : bpos + nb].max()))
+        cols["term_mindl"].append(int(blk_mindl[bpos : bpos + nb].min()))
+        bpos += nb
     return pa.table(cols, schema=SEGMENT_SCHEMA)
 
 
@@ -266,33 +340,51 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             e.update(key=key, skipped=True)
             return _entry_table([e])
         t0 = time.monotonic()
-        rows = group.to_pylist()
-        by_term: dict[str, list[dict]] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
-        terms = sorted(by_term)
-        all_docs, all_tfs, all_dls, starts = [], [], [], [0]
-        for term in terms:
-            runs = by_term[term]
-            parts = [
-                (*decode_postings(r["doc_blob"], r["tf_blob"], r["n"]),
-                 varint_decode(r["dl_blob"], r["n"]))
-                for r in runs
-            ]
-            d = np.concatenate([p[0] for p in parts])
-            f = np.concatenate([p[1] for p in parts])
-            l = np.concatenate([p[2] for p in parts])
-            if len(runs) > 1:
-                o = np.argsort(d, kind="stable")
-                d, f, l = d[o], f[o], l[o]
-            all_docs.append(d)
-            all_tfs.append(f)
-            all_dls.append(l)
-            starts.append(starts[-1] + len(d))
-        doc_ids = np.concatenate(all_docs) if all_docs else np.empty(0, np.uint64)
-        tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, np.uint64)
-        dls = np.concatenate(all_dls) if all_dls else np.empty(0, np.uint64)
-        table = _encode_terms_table(terms, np.asarray(starts), doc_ids, tfs, dls)
+        # Vectorized run merge: all runs' varint streams are decoded in ONE
+        # pass each (concatenate → decode → split by run counts with the
+        # cumsum-restart correction), then postings are ordered by
+        # (term, doc_id) with a single lexsort.  Per-run Python decode calls
+        # dominated with zipfian vocabularies (most runs hold 1-3 postings).
+        n_runs = group.num_rows
+        run_n = group["n"].to_numpy()
+        first_doc = group["first_doc"].to_numpy()
+        dict_terms = group["term"].combine_chunks().dictionary_encode()
+        uniq_terms = dict_terms.dictionary.to_pylist()
+        # lexicographic term order (deterministic output independent of
+        # arrival order)
+        lex_rank = np.empty(len(uniq_terms), np.int64)
+        lex_rank[np.argsort(np.array(uniq_terms, dtype=object))] = np.arange(len(uniq_terms))
+        codes = lex_rank[dict_terms.indices.to_numpy(zero_copy_only=False)]
+        run_order = np.lexsort((first_doc, codes))
+
+        doc_blobs = group["doc_blob"].to_pylist()
+        tf_blobs = group["tf_blob"].to_pylist()
+        dl_blobs = group["dl_blob"].to_pylist()
+        doc_concat = b"".join(doc_blobs[i] for i in run_order)
+        tf_concat = b"".join(tf_blobs[i] for i in run_order)
+        dl_concat = b"".join(dl_blobs[i] for i in run_order)
+        n_sorted = run_n[run_order]
+        total = int(n_sorted.sum())
+        gaps = varint_decode(doc_concat, total)
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        rstarts = np.zeros(n_runs, np.int64)
+        np.cumsum(n_sorted[:-1], out=rstarts[1:])
+        adj = csum[rstarts] - gaps[rstarts]
+        doc_ids = csum - np.repeat(adj, n_sorted)
+        tfs = varint_decode(tf_concat, total)
+        dls = varint_decode(dl_concat, total)
+        term_idx = np.repeat(codes[run_order], n_sorted)
+        # final (term, doc) order — runs of one term may interleave doc ids
+        order2 = np.lexsort((doc_ids, term_idx))
+        doc_ids, tfs, dls, term_idx = (
+            doc_ids[order2], tfs[order2], dls[order2], term_idx[order2]
+        )
+        boundaries = np.flatnonzero(np.diff(term_idx)) + 1
+        starts = np.concatenate([[0], boundaries, [total]])
+        present = term_idx[starts[:-1]]
+        terms_sorted_all = sorted(uniq_terms)
+        terms = [terms_sorted_all[int(c)] for c in present]
+        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls)
         entry = atomic_write_table(table, path)
         entry.update(
             key=key, kind="postings", tpart=tpart, range_id=range_id,
