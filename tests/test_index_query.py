@@ -181,6 +181,36 @@ def test_resume_skips_and_is_identical(built_index, ray_session, tmp_path):
     assert all(manifest3["partitions"][k]["skipped"] for k in others)
 
 
+def test_empty_and_tiny_docs(ray_session, tmp_path):
+    """Zero-token docs must be counted (N, norms with dl=0) but never appear
+    in postings or results — the selected-idxs semantics analog
+    (data_utils.py:996-1008: filtered docs drop out but identity survives)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.stages.index_build import build_index
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["alpha beta", "", "   ", "alpha"], pa.string()),
+            }
+        )
+    )
+    d = str(tmp_path / "tiny_idx")
+    m = build_index(ds, d, resume=False)
+    assert m["stats"]["n_docs"] == 4
+    assert m["stats"]["total_tokens"] == 3
+    reader = IndexReader(d)
+    assert reader.norms[1] == 0 and reader.norms[2] == 0
+    hits = reader.topk(["alpha"], 10)
+    assert [h[0] for h in hits] == [3, 0]  # doc 3 shorter → higher score
+    assert reader.topk_wand(["alpha"], 10) == hits
+    assert reader.topk(["beta"], 10)[0][0] == 0
+
+
 def test_merge_ignores_stale_partition_files(built_index, ray_session, tmp_path):
     """A leftover range file from a previous (larger) run must not leak into
     the merged segments: merge consumes exactly this run's input list."""
