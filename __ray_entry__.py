@@ -472,6 +472,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qvecs = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
         return lsh_topk(ds, qids, qvecs, k=ANN_K)
 
+    def ivf_ann_q(sf_dir):
+        import numpy as np
+        import ray.data
+
+        from wikirec_ray.pipelines.ann import ivf_topk, train_ivf_centroids
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        centroids = train_ivf_centroids(ds, n_centroids=16)
+        qrows = sorted(
+            (r for r in ds.take_all() if r["vec_id"] < ANN_N_QUERIES),
+            key=lambda r: r["vec_id"],
+        )
+        qids = [int(r["vec_id"]) for r in qrows]
+        qvecs = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+        return ivf_topk(ds, qids, qvecs, centroids, k=ANN_K, nprobe=6)
+
     def wikirec_clean_q(sf_dir):
         from wikirec_ray.stages.analyze import WikirecCleaner
 
@@ -524,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": simhash_q,
         "langid": langid_q,
         "lsh_ann": lsh_ann_q,
+        "ivf_ann": ivf_ann_q,
         "wikirec_clean": wikirec_clean_q,
     }
 

@@ -173,6 +173,42 @@ def test_embedding_dups_and_ann(ray_session, sf_dir):
     assert np.mean(recalls) >= 0.4, recalls
 
 
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from wikirec_ray.pipelines.ann import brute_force_topk, ivf_topk, train_ivf_centroids
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    centroids = train_ivf_centroids(ds, n_centroids=16)
+    assert centroids.shape[1] == mat.shape[1]
+    qv = mat[:4]
+    brute = brute_force_topk(ds, ids[:4].tolist(), qv, k=5).take_all()
+    approx = ivf_topk(ds, ids[:4].tolist(), qv, centroids, k=5, nprobe=6).take_all()
+    by_q_b: dict = {}
+    for r in brute:
+        by_q_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_a: dict = {}
+    for r in approx:
+        by_q_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(by_q_b[q] & by_q_a.get(q, set())) / len(by_q_b[q]) for q in by_q_b
+    ]
+    # probing 6/16 partitions of near-uniform vectors
+    assert np.mean(recalls) >= 0.5, recalls
+    # full probe == exact
+    exact_probe = ivf_topk(ds, ids[:4].tolist(), qv, centroids, k=5, nprobe=16).take_all()
+    by_q_e: dict = {}
+    for r in exact_probe:
+        by_q_e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q_e == by_q_b
+
+
 def test_textstats(ray_session):
     from wikirec_ray.pipelines.textstats import LangId, quality_scores
 

@@ -116,7 +116,104 @@ def ann_topk_queries(
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed variant (scale path)
+# IVF variant (scale path #1: coarse quantizer + probed partitions)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 64,
+    sample_ids: int = 2048,
+    iters: int = 10,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic sample (ids < sample_ids — the sample is the broadcast
+    small side; at 10^12 vectors the sample is a capped random_sample and
+    training stays a driver-side numpy loop over a few MB)."""
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], sample_ids)), batch_format="pyarrow"
+    ).take_all()
+    mat = _norm_rows(
+        np.stack([np.asarray(r[vec_col], np.float64) for r in rows])
+    )
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _norm_rows(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k: each corpus vector belongs to its nearest centroid
+    (the inverted-file partition); a query scores only vectors in its
+    ``nprobe`` closest partitions.  Centroids + query matrix broadcast once;
+    per batch one assignment matmul + masked scoring.  Same output schema as
+    ``brute_force_topk``; recall tested against it."""
+    qm = _norm_rows(np.asarray(query_vecs, np.float64))
+    q_probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((np.asarray(query_ids, np.int64), qm, centroids, q_probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cents, probes = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _norm_rows(_batch_matrix(batch, vec_col))
+        assign = (m @ cents.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(assign, probes[qi]) & (ids != qids[qi])
+            rows = np.flatnonzero(mask)
+            if len(rows) == 0:
+                continue
+            sims = qmat[qi] @ m[rows].T
+            if len(rows) > k:
+                kth = -np.partition(-sims, k - 1)[k - 1]
+                keep = sims >= kth - 1e-6
+                rows, sims = rows[keep], sims[keep]
+            for j, s in zip(rows, np.atleast_1d(sims)):
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(round(float(s), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group["cos_sim"].to_numpy()
+        nids = group["neighbor_id"].to_numpy()
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], nids[i]))[:k]
+        return group.take(order)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path #2)
 # ---------------------------------------------------------------------------
 
 
