@@ -75,10 +75,40 @@ def test_clean_punct_and_headers():
 
 def test_wikirec_tokenize():
     toks = wikirec_tokenize_single(
-        "The Quick http://url 42 ref brown-fox ab jumped", min_token_len=3
+        "The the Quick http://url 42 ref brown-fox ab jumped", min_token_len=3
     )
-    # "the" stopword, url dropped, 42 numeric, ref dropped, ab too short
-    assert toks == ["quick", "brown", "fox", "jumped"]
+    # Reference semantics (data_utils.py:589-597): membership is tested on
+    # the ORIGINAL-case token, lowering happens on output — so "The" survives
+    # a lowercase stop list and is emitted as "the", while "the" is dropped.
+    # url dropped, 42 numeric, ref dropped, ab too short.
+    assert toks == ["the", "quick", "brown", "fox", "jumped"]
+
+
+def test_wikirec_tokenize_case_sensitive_filters():
+    # "Ref" survives the case-sensitive "ref" check and lowers to "ref";
+    # "IgnoreMe" must be given in original case to words_to_ignore.
+    toks = wikirec_tokenize_single(
+        "Ref ref IgnoreMe ignoreme keep",
+        words_to_ignore=frozenset({"IgnoreMe"}),
+        min_token_len=3,
+    )
+    assert toks == ["ref", "ignoreme", "keep"]
+
+
+def test_wikirec_tokenize_remove_names():
+    # names removed case-sensitively BEFORE lowering (data_utils.py:577-587):
+    # "John" is in the names set, "john" is not.
+    toks = wikirec_tokenize_single(
+        "John john Visited Paris", remove_names=True,
+        names=frozenset({"John", "Paris"}), min_token_len=3,
+    )
+    assert toks == ["john", "visited"]
+    # names path off: both survive
+    toks2 = wikirec_tokenize_single(
+        "John john", remove_names=False, names=frozenset({"John"}),
+        min_token_len=3,
+    )
+    assert toks2 == ["john", "john"]
 
 
 def test_wikirec_cleaner_batch_matches_single():

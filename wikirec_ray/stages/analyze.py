@@ -162,22 +162,49 @@ def clean_text_single(text: str) -> str:
     return t
 
 
+# Default capitalized-given-names set for the ``remove_names`` path.  The
+# reference loads the NLTK ``names`` corpus (data_utils.py:30-36 ``all_names``
+# = names.words()); this container has no NLTK corpora, so the set is a config
+# parameter with a small common-names default.  Entries are CAPITALIZED —
+# the reference's membership test is case-sensitive and runs before lowering.
+DEFAULT_NAMES = frozenset(
+    """Aaron Adam Alice Amy Andrew Anna Arthur Barbara Benjamin Betty Brian
+    Carol Charles Chris Christopher Daniel David Deborah Donald Donna Dorothy
+    Edward Elizabeth Emily Emma Eric Frank George Hannah Harry Helen Henry
+    Jack James Jason Jennifer Jessica John Joseph Joshua Karen Katherine
+    Kevin Laura Linda Lisa Margaret Maria Mark Mary Matthew Michael Michelle
+    Nancy Oliver Patricia Paul Peter Richard Robert Ronald Ruth Samuel Sandra
+    Sarah Scott Sophia Stephen Steven Susan Thomas Timothy William""".split()
+)
+
+
 def wikirec_tokenize_single(
     text: str,
     stopwords: frozenset[str] = DEFAULT_STOPWORDS,
     words_to_ignore: frozenset[str] = frozenset(),
     min_token_len: int = 3,
+    remove_names: bool = False,
+    names: frozenset[str] = DEFAULT_NAMES,
 ) -> list[str]:
-    """clean -> whitespace tokenize (:812) -> lowercase + drop numerics,
-    "ref", stopwords, ignored words (:549-597) -> min length filter (:962-966,
-    DF part applied corpus-globally in stats)."""
+    """clean -> whitespace tokenize (:812) -> drop names (optional), numerics,
+    "ref", ignored words, stopwords, then lowercase (:549-597) -> min length
+    filter (:962-966, DF part applied corpus-globally in stats).
+
+    Fidelity: every membership/isnumeric test runs against the
+    ORIGINAL-CASE token and lowering happens only on output, exactly as
+    ``_lower_remove_unwanted`` (data_utils.py:575-597) — so "The" survives a
+    lowercase stop list (and is emitted as "the"), "John" is removed by the
+    names path while "john" is kept, and "Ref" survives the "ref" check.
+    """
     out = []
     for tok in clean_text_single(text).split():
+        if remove_names and tok in names:
+            continue
+        if tok.isnumeric():
+            continue
+        if tok in words_to_ignore or tok == "ref" or tok in stopwords:
+            continue
         low = tok.lower()
-        if low.isnumeric() or low == "ref":
-            continue
-        if low in stopwords or low in words_to_ignore:
-            continue
         if len(low) < min_token_len:
             continue
         out.append(low)
@@ -197,12 +224,16 @@ class WikirecCleaner:
         stopwords: frozenset[str] = DEFAULT_STOPWORDS,
         words_to_ignore: frozenset[str] = frozenset(),
         min_token_len: int = 3,
+        remove_names: bool = False,
+        names: frozenset[str] = DEFAULT_NAMES,
         text_col: str = "text",
         id_col: str = "doc_id",
     ):
         self.stopwords = stopwords
         self.words_to_ignore = words_to_ignore
         self.min_token_len = min_token_len
+        self.remove_names = remove_names
+        self.names = names
         self.text_col = text_col
         self.id_col = id_col
 
@@ -210,7 +241,8 @@ class WikirecCleaner:
         texts = batch[self.text_col].to_pylist()
         toks = [
             wikirec_tokenize_single(
-                t or "", self.stopwords, self.words_to_ignore, self.min_token_len
+                t or "", self.stopwords, self.words_to_ignore, self.min_token_len,
+                self.remove_names, self.names,
             )
             for t in texts
         ]
