@@ -52,6 +52,11 @@ FREQ_TERM_MIN_TOTAL = 900  # splits the sf0.01 term-count distribution
 SAMPLE_MOD, SAMPLE_RESIDUE = 7, 3
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
+# The synthetic corpus has few repeated trigrams (max pair count in the
+# bigrammed stream at sf0.01 is 3), so the trigram pass runs with its own,
+# lower min_count to keep the oracle-checked result non-empty.
+TRIGRAM_MIN_COUNT = 2
+TRIGRAM_THRESHOLD = 0.0002
 
 _CACHE_ROOT = "/tmp/wikirec_ray_cache"
 
@@ -80,6 +85,66 @@ def _bm25_score_expr() -> str:
         f"ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * ({k1} + 1) / "
         f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))"
     )
+
+
+def _phrase_stream_sql() -> str:
+    """Shared CTE chain: tokens -> bigram phrase table -> GREEDY bigrammed
+    stream (gensim consumption: within each run of consecutive matching
+    positions, every even offset joins — the islands trick) -> second-pass
+    unigram/pair counts over that stream.  Mirrors
+    ``wikirec_ray.stages.phrases.apply_stream`` +
+    ``train_trigram_phrases`` with no connector words."""
+    mc, thr = PHRASE_MIN_COUNT, PHRASE_THRESHOLD
+    return f"""
+tok AS ({_TOK}),
+uni AS (SELECT term AS w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY term),
+v AS (SELECT COUNT(*)::DOUBLE AS c FROM uni),
+t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+pairs AS (
+    SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
+    FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+),
+big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs GROUP BY w1, w2),
+ph AS (
+    SELECT w1, w2 FROM big CROSS JOIN v
+    JOIN uni ua ON ua.w = big.w1 JOIN uni ub ON ub.w = big.w2
+    WHERE nab >= {mc} AND (nab - {mc}) * v.c / (ua.n * ub.n) > {thr}
+),
+hit AS (SELECT p.doc_id, p.i FROM pairs p JOIN ph USING (w1, w2)),
+isl AS (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM hit
+),
+joined AS (
+    SELECT doc_id, i FROM (
+        SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, grp) AS s FROM isl
+    ) WHERE (i - s) % 2 = 0
+),
+allpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i FROM t),
+stream AS (
+    SELECT a.doc_id, a.i,
+           CASE WHEN j.i IS NOT NULL
+                THEN t.toks[a.i] || '_' || t.toks[a.i + 1]
+                ELSE t.toks[a.i] END AS tok2
+    FROM allpos a JOIN t ON t.doc_id = a.doc_id
+    LEFT JOIN joined j ON j.doc_id = a.doc_id AND j.i = a.i
+    LEFT JOIN joined jc ON jc.doc_id = a.doc_id AND jc.i = a.i - 1
+    WHERE jc.i IS NULL
+),
+uni2 AS (SELECT tok2, COUNT(*)::DOUBLE AS n FROM stream GROUP BY tok2),
+v2 AS (SELECT COUNT(*)::DOUBLE AS c FROM uni2),
+s2 AS (
+    SELECT doc_id, tok2,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+    FROM stream
+),
+pairs2 AS (
+    SELECT a.doc_id, a.r, a.tok2 AS w1, b.tok2 AS w2
+    FROM s2 a JOIN s2 b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+),
+big2 AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs2 GROUP BY w1, w2)
+"""
 
 
 def _sql_stopword_list() -> str:
@@ -342,15 +407,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def trigram_scores_q(sf_dir):
+        import pandas as pd
+
+        from wikirec_ray.stages.phrases import train_phrases, train_trigram_phrases
+
+        bi = train_phrases(
+            _documents(sf_dir), min_count=PHRASE_MIN_COUNT, threshold=PHRASE_THRESHOLD
+        )
+        tri = train_trigram_phrases(
+            _documents(sf_dir), bi,
+            min_count=TRIGRAM_MIN_COUNT, threshold=TRIGRAM_THRESHOLD,
+        )
+        items = sorted(tri.items())
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k, _ in items],
+                "w2": [k[1] for k, _ in items],
+                "score": [round(v, 6) for _, v in items],
+            }
+        )
+
     def phrase_apply_q(sf_dir):
         import pyarrow as pa2
 
-        from wikirec_ray.stages.phrases import apply_phrases, train_phrases
+        from wikirec_ray.stages.phrases import (
+            apply_phrases, train_phrases, train_trigram_phrases,
+        )
 
-        table = train_phrases(
+        bi = train_phrases(
             _documents(sf_dir), min_count=PHRASE_MIN_COUNT, threshold=PHRASE_THRESHOLD
         )
-        out = apply_phrases(_documents(sf_dir), table)
+        tri = train_trigram_phrases(
+            _documents(sf_dir), bi,
+            min_count=TRIGRAM_MIN_COUNT, threshold=TRIGRAM_THRESHOLD,
+        )
+        out = apply_phrases(_documents(sf_dir), bi, tri)
         return out.map_batches(
             lambda b: pa2.table(
                 {
@@ -526,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": frequent_terms_q,
         "sample_mod": sample_mod_q,
         "phrase_scores": phrase_scores_q,
+        "trigram_scores": trigram_scores_q,
         "phrase_apply": phrase_apply_q,
         "extract_text": extract_text_q,
         "pages_meta": pages_meta_q,
@@ -741,29 +834,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE nab >= {PHRASE_MIN_COUNT}
               AND (nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n) > {PHRASE_THRESHOLD}
         """,
+        "trigram_scores": f"""
+            WITH {_phrase_stream_sql()}
+            SELECT big2.w1, big2.w2,
+                   ROUND((nab - {TRIGRAM_MIN_COUNT}) * v2.c / (ua.n * ub.n), 6) AS score
+            FROM big2 CROSS JOIN v2
+            JOIN uni2 ua ON ua.tok2 = big2.w1 JOIN uni2 ub ON ub.tok2 = big2.w2
+            WHERE nab >= {TRIGRAM_MIN_COUNT}
+              AND (nab - {TRIGRAM_MIN_COUNT}) * v2.c / (ua.n * ub.n) > {TRIGRAM_THRESHOLD}
+        """,
         "phrase_apply": f"""
-            WITH tok AS ({_TOK}),
-            uni AS (SELECT term AS w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY term),
-            v AS (SELECT COUNT(*)::DOUBLE AS c FROM uni),
-            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
-            pairs AS (
-                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-                FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+            WITH {_phrase_stream_sql()},
+            ph2 AS (
+                SELECT big2.w1, big2.w2 FROM big2 CROSS JOIN v2
+                JOIN uni2 ua ON ua.tok2 = big2.w1 JOIN uni2 ub ON ub.tok2 = big2.w2
+                WHERE nab >= {TRIGRAM_MIN_COUNT}
+                  AND (nab - {TRIGRAM_MIN_COUNT}) * v2.c / (ua.n * ub.n) > {TRIGRAM_THRESHOLD}
             ),
-            big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs GROUP BY w1, w2),
-            ph AS (
-                SELECT w1, w2 FROM big CROSS JOIN v
-                JOIN uni ua ON ua.w = big.w1 JOIN uni ub ON ub.w = big.w2
-                WHERE nab >= {PHRASE_MIN_COUNT}
-                  AND (nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n) > {PHRASE_THRESHOLD}
+            hit2 AS (
+                SELECT p.doc_id, p.r, p.w1, p.w2 FROM pairs2 p JOIN ph2 USING (w1, w2)
             ),
-            found AS (
-                SELECT pairs.doc_id, COUNT(*)::BIGINT AS c
-                FROM pairs JOIN ph USING (w1, w2) GROUP BY pairs.doc_id
+            isl2 AS (
+                SELECT doc_id, r, w1, w2,
+                       r - row_number() OVER (PARTITION BY doc_id ORDER BY r) AS grp
+                FROM hit2
+            ),
+            joined2 AS (
+                SELECT doc_id, r, w1, w2 FROM (
+                    SELECT doc_id, r, w1, w2,
+                           MIN(r) OVER (PARTITION BY doc_id, grp) AS s
+                    FROM isl2
+                ) WHERE (r - s) % 2 = 0
+            ),
+            found1 AS (SELECT doc_id, COUNT(*)::BIGINT AS c1 FROM joined GROUP BY doc_id),
+            found2 AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS c2 FROM joined2
+                WHERE (length(w1) - length(replace(w1, '_', ''))
+                       + length(w2) - length(replace(w2, '_', ''))) = 1
+                GROUP BY doc_id
             )
             SELECT t.doc_id,
-                   (len(t.toks) + COALESCE(found.c, 0))::BIGINT AS n_tokens_aug
-            FROM t LEFT JOIN found ON found.doc_id = t.doc_id
+                   (len(t.toks) + COALESCE(found1.c1, 0)
+                    + COALESCE(found2.c2, 0))::BIGINT AS n_tokens_aug
+            FROM t LEFT JOIN found1 ON found1.doc_id = t.doc_id
+            LEFT JOIN found2 ON found2.doc_id = t.doc_id
         """,
         "extract_text": """
             SELECT 'https://example.org/' || source || '/' || lang || '/'

@@ -46,6 +46,80 @@ def test_apply_phrases_insert_at_zero(ray_session):
     assert out[1] == ["no", "phrases", "here"]
 
 
+def test_apply_stream_greedy_consumption():
+    from wikirec_ray.stages.phrases import apply_stream
+
+    table = {("a", "b"): 1.0, ("b", "c"): 1.0}
+    # greedy: (a b) joins and consumes b, so (b c) cannot fire
+    assert apply_stream(["a", "b", "c"], table) == ["a_b", "c"]
+    assert apply_stream(["x", "b", "c"], table) == ["x", "b_c"]
+    # runs of hits join at even offsets only
+    assert apply_stream(["a", "b", "a", "b"], {("a", "b"): 1.0, ("b", "a"): 1.0}) == [
+        "a_b", "a_b"
+    ]
+
+
+def test_apply_stream_connector_words():
+    from wikirec_ray.stages.phrases import apply_stream
+
+    conn = frozenset({"of"})
+    table = {("bank", "of", "america"): 1.0}
+    assert apply_stream(["bank", "of", "america"], table, conn) == ["bank_of_america"]
+    # connector with no start, and trailing connectors, pass through
+    assert apply_stream(["of", "bank", "of"], table, conn) == ["of", "bank", "of"]
+    # unmatched connector gap flushes start + connectors in order
+    assert apply_stream(["bank", "of", "england"], table, conn) == [
+        "bank", "of", "england"
+    ]
+
+
+def test_apply_phrases_trigram_insert_order(ray_session):
+    """Reference insertion loop (data_utils.py:855-862): bigrams inserted at
+    position 0 first (reversing found order), then trigrams on top."""
+    from wikirec_ray.stages.phrases import apply_phrases
+
+    ds = _ds(ray_session, [(0, "aa bb cc dd ee")])
+    bi = {("aa", "bb"): 9.0, ("dd", "ee"): 9.0}
+    tri = {("aa_bb", "cc"): 9.0}
+    out = {r["doc_id"]: r["tokens"] for r in apply_phrases(ds, bi, tri).take_all()}
+    # bi_stream = [aa_bb, cc, dd_ee]; tri_stream = [aa_bb_cc, dd_ee]
+    # found_bi = [aa_bb, dd_ee] -> inserted -> [dd_ee, aa_bb, ...]
+    # found_tri = [aa_bb_cc]    -> inserted on top
+    assert out[0] == ["aa_bb_cc", "dd_ee", "aa_bb", "aa", "bb", "cc", "dd", "ee"]
+
+
+def test_connector_bigram_inserted_by_trigram_loop(ray_session):
+    """A connector bigram ('bank_of_america') has two underscores, so the
+    reference's trigram loop inserts it, not the bigram loop."""
+    from wikirec_ray.stages.phrases import apply_phrases
+
+    ds = _ds(ray_session, [(0, "the bank of america branch")])
+    bi = {("bank", "of", "america"): 9.0}
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_phrases(
+            ds, bi, {}, connector_words=frozenset({"of", "the"})
+        ).take_all()
+    }
+    assert out[0] == [
+        "bank_of_america", "the", "bank", "of", "america", "branch"
+    ]
+
+
+def test_train_trigram_phrases(ray_session):
+    from wikirec_ray.stages.phrases import train_phrase_models
+
+    # "new york city" 6x: bigram (new, york) forms; over the bigrammed
+    # stream, ("new_york", "city") forms as a trigram.
+    rows = [(i, f"new york city f{i} g{i}") for i in range(6)]
+    ds = _ds(ray_session, rows)
+    bi, tri = train_phrase_models(ds, min_count=5, threshold=0.01)
+    assert ("new", "york") in bi
+    assert ("new_york", "city") in tri
+    # bigram-consumed pair (york, city) must NOT be a trigram candidate
+    assert all(k[0] != "york" for k in tri)
+
+
 def test_truncate_and_join(ray_session):
     from wikirec_ray.stages.analyze import truncate_and_join
 
