@@ -487,6 +487,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD)
 
+    def embedding_dups_bucketed_q(sf_dir):
+        # approximate (LSH-bucketed) variant — rows-only check; recall vs the
+        # oracle-checked brute-force baseline is asserted in pytest
+        import ray.data
+
+        from wikirec_ray.pipelines.dedup import embedding_dup_pairs_bucketed
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_dup_pairs_bucketed(ds, threshold=EMB_DUP_THRESHOLD, n_bits=3)
+
     def events_window_q(sf_dir):
         import ray.data
 
@@ -625,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_q,
         "ann_topk": ann_topk_q,
         "embedding_dups": embedding_dups_q,
+        "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
         "stemmed_tokens": stemmed_q,

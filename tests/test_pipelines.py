@@ -67,6 +67,58 @@ def test_minhash_finds_planted_near_dups(planted, ray_session):
     assert all(group[i] != group[0] for i in range(1, 10))
 
 
+def test_label_propagation_matches_union_find(planted, ray_session):
+    """The distributed min-label components must equal driver union-find
+    over the same candidate pairs (VERDICT r01 item 1)."""
+    import pyarrow.compute as pc
+
+    from wikirec_ray.pipelines.dedup import connected_components, minhash_candidates
+
+    cands = minhash_candidates(_docs_ds(ray_session, planted))
+    pairs = cands.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"], 0.5)),
+        batch_format="pyarrow",
+    ).materialize()
+    # oracle: classic union-find over the (small, test-sized) pair list
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs.take_all():
+        a, b = find(int(r["id_a"])), find(int(r["id_b"]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {n: find(n) for n in list(parent)}
+    got = {r["key"]: r["label"] for r in connected_components(pairs).take_all()}
+    assert set(got) == set(want) | {v for v in want.values()}
+    assert all(got[n] == want.get(n, n) for n in got)
+
+
+def test_label_propagation_chain(ray_session):
+    """A path graph (diameter > 1) needs several propagation rounds."""
+    import ray.data
+
+    from wikirec_ray.pipelines.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(9, 0, -1)] + [(20, 21), (23, 22)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["key"]: r["label"] for r in connected_components(ds).take_all()}
+    assert all(got[i] == 1 for i in range(1, 11))
+    assert got[20] == got[21] == 20
+    assert got[22] == got[23] == 22
+
+
 def test_minhash_estimate_close_to_true_jaccard(planted):
     from wikirec_ray.functions.hashing import (
         minhash_params,
@@ -113,6 +165,33 @@ def test_jaccard_pairs_exact(planted, ray_session):
     t5 = set(planted[5][1].split())
     want = round(len(t0 & t5) / len(t0 | t5), 6)
     assert abs(got[(0, 5)] - want) < 1e-9
+
+
+def test_bucketed_embedding_dups_recall(ray_session, sf_dir):
+    """The LSH-bucketed pairs path must recover most brute-force pairs at
+    the oracle threshold while never broadcasting the full matrix."""
+    import os
+
+    import ray.data
+
+    from wikirec_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_bucketed,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(ds, threshold=0.4).take_all()
+    }
+    got_rows = embedding_dup_pairs_bucketed(ds, threshold=0.4, n_bits=3).take_all()
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in got_rows}
+    assert truth, "oracle produced no pairs — threshold mis-tuned"
+    recall = len(truth & set(got)) / len(truth)
+    assert recall >= 0.8, f"bucketed recall {recall:.2f} < 0.8"
+    # no false positives: every reported pair really clears the threshold
+    assert all(v >= 0.4 for v in got.values())
+    assert set(got) <= truth
 
 
 def test_embedding_dups_and_ann(ray_session, sf_dir):

@@ -105,3 +105,12 @@ def simhash64(tok_hashes: np.ndarray, weights: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 lacks ``bitwise_count``): view as
+    bytes, unpack to bits, sum per 64-bit lane."""
+    v = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(v) == 0:
+        return np.empty(0, np.int64)
+    return np.unpackbits(v.view(np.uint8)).reshape(len(v), 64).sum(axis=1).astype(np.int64)

@@ -123,12 +123,11 @@ def jaccard_pairs(
     doc_terms = ds.map_batches(
         lambda b: _distinct_doc_terms(b, id_col, text_col), batch_format="pyarrow"
     )
-    # broadcast per-doc distinct-term counts (small side: one int per doc)
+    # per-doc distinct-term counts stay a DATASET (O(N) rows) and are joined
+    # onto the pair stream by hash partition — no O(N) driver dict
     from ray.data.aggregate import Count
 
-    sizes_rows = doc_terms.groupby(id_col).aggregate(Count(alias_name="n_terms")).take_all()
-    sizes = {int(r[id_col]): int(r["n_terms"]) for r in sizes_rows}
-    sizes_ref = ray.put(sizes)
+    sizes = doc_terms.groupby(id_col).aggregate(Count(alias_name="n_terms")).materialize()
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(group[id_col].to_numpy())
@@ -149,13 +148,65 @@ def jaccard_pairs(
         "sum",
     )
 
+    # Attach |A| then |B| with two hash-partitioned passes: each pass unions
+    # the pair rows (keyed on one endpoint) with the size rows and resolves
+    # the lookup vectorized inside the partition (sort + searchsorted).
+    def _attach(pairs_ds, pair_cols, key_field, out_field, n_parts=64):
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            cols = {
+                "key": b[key_field],
+                "is_size": pa.array(np.zeros(b.num_rows, np.int8)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+            cols.update({c: b[c] for c in pair_cols})
+            return pa.table(cols)
+
+        def tag_sizes(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cols = {
+                "key": pc.cast(b[id_col], pa.int64()),
+                "is_size": pa.array(np.ones(b.num_rows, np.int8)),
+                "n": pc.cast(b["n_terms"], pa.int64()),
+            }
+            cols.update(
+                {c: pa.array(np.zeros(b.num_rows, np.int64)) for c in pair_cols}
+            )
+            return pa.table(cols)
+
+        def add_ppart(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
+            )
+
+        def resolve(g: pa.Table) -> pa.Table:
+            is_size = g["is_size"].to_numpy().astype(bool)
+            keys = g["key"].to_numpy()
+            ns = g["n"].to_numpy()
+            sk, sn = keys[is_size], ns[is_size]
+            order = np.argsort(sk)
+            sk, sn = sk[order], sn[order]
+            rows = g.filter(pa.array(~is_size)).select(pair_cols)
+            looked = sn[np.searchsorted(sk, rows[key_field].to_numpy())]
+            return rows.append_column(out_field, pa.array(looked.astype(np.int64)))
+
+        return (
+            pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+            .union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+            .map_batches(add_ppart, batch_format="pyarrow")
+            .groupby("ppart")
+            .map_groups(resolve, batch_format="pyarrow")
+        )
+
+    with_na = _attach(pair_counts, ["id_a", "id_b", "pair_count"], "id_a", "n_a")
+    with_nb = _attach(
+        with_na, ["id_a", "id_b", "pair_count", "n_a"], "id_b", "n_b"
+    )
+
     def add_jaccard(batch: pa.Table) -> pa.Table:
-        s = ray.get(sizes_ref)
-        a = batch["id_a"].to_numpy()
-        b = batch["id_b"].to_numpy()
         inter = batch["pair_count"].to_numpy().astype(np.float64)
-        na = np.fromiter((s[int(x)] for x in a), np.float64, count=len(a))
-        nb = np.fromiter((s[int(x)] for x in b), np.float64, count=len(b))
+        na = batch["n_a"].to_numpy().astype(np.float64)
+        nb = batch["n_b"].to_numpy().astype(np.float64)
         jac = np.round(inter / (na + nb - inter), 6)
         out = pa.table(
             {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(jac)}
@@ -166,7 +217,7 @@ def jaccard_pairs(
             out = out.filter(pc.greater_equal(out["jaccard"], min_jaccard))
         return out
 
-    return pair_counts.map_batches(add_jaccard, batch_format="pyarrow")
+    return with_nb.map_batches(add_jaccard, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -303,42 +354,168 @@ def minhash_candidates(
     return _aggregate_pairs(raw, "est_jaccard", "max")
 
 
+def _key_label_min(rows: ray.data.Dataset, n_parts: int = 64) -> ray.data.Dataset:
+    """(key, label) rows -> one (key, min(label)) row per key.
+
+    Hash-partitioned like ``_aggregate_pairs``: one cheap single-int-key
+    shuffle, exact min computed vectorized (Arrow group_by) inside each
+    partition — avoids per-key ``map_groups`` dispatch over millions of
+    tiny groups."""
+
+    def add_ppart(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
+        )
+
+    def min_part(g: pa.Table) -> pa.Table:
+        t = g.select(["key", "label"]).group_by("key").aggregate([("label", "min")])
+        return t.rename_columns(["key", "label"])
+
+    return (
+        rows.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(min_part, batch_format="pyarrow")
+    )
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    max_iters: int = 15,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """(node, label) connected components over an (id_a, id_b) edge Dataset;
+    label = min node id of the component.  Fully distributed iterative
+    min-label propagation — the driver holds only a per-iteration checksum,
+    never the edges:
+
+      labels ← min(self, neighbors)                  (init)
+      repeat: labels ← min over neighbors' labels    (2 hash shuffles/iter)
+      until Σ labels stops decreasing (labels only ever decrease, so the
+      sum is a monotone convergence witness) or ``max_iters``.
+
+    Iterations needed = component diameter; LSH near-dup components are
+    band-bucket cliques glued at shared docs, so diameters are small.
+    Each iteration shuffles O(edges) rows of three ints partitioned by
+    ``node % n_parts`` — no skew amplification beyond node degree."""
+    from ray.data.aggregate import Sum
+
+    def symmetric(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy()
+        c = b["id_b"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, c]).astype(np.int64)),
+                "val": pa.array(np.concatenate([c, a]).astype(np.int64)),
+                "is_edge": pa.array(np.ones(2 * len(a), np.int8)),
+            }
+        )
+
+    edges = pairs.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        # (src, dst) + (src, src): the min-agg over these IS iteration 0
+        k = b["key"].to_numpy()
+        v = b["val"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([k, k])),
+                "label": pa.array(np.concatenate([np.minimum(k, v), k])),
+            }
+        )
+
+    labels = _key_label_min(
+        edges.map_batches(init_labels, batch_format="pyarrow"), n_parts
+    ).materialize()
+    prev_sum = labels.sum("label") or 0
+
+    def attach(g: pa.Table) -> pa.Table:
+        """One hash partition holding its nodes' label rows + out-edges:
+        emit (dst, label[src]) per edge and (node, label) per label row."""
+        is_edge = g["is_edge"].to_numpy().astype(bool)
+        keys = g["key"].to_numpy()
+        vals = g["val"].to_numpy()
+        lab_nodes = keys[~is_edge]
+        lab_vals = vals[~is_edge]
+        order = np.argsort(lab_nodes)
+        lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
+        src = keys[is_edge]
+        dst = vals[is_edge]
+        src_lab = lab_vals[np.searchsorted(lab_nodes, src)]
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([dst, lab_nodes]).astype(np.int64)),
+                "label": pa.array(
+                    np.concatenate([src_lab, lab_vals]).astype(np.int64)
+                ),
+            }
+        )
+
+    for _ in range(max_iters):
+        if prev_sum == 0 and labels.count() == 0:
+            break
+
+        def tag_labels(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b["key"],
+                    "val": b["label"],
+                    "is_edge": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            )
+
+        def add_ppart(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
+            )
+
+        propagated = (
+            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .map_batches(add_ppart, batch_format="pyarrow")
+            .groupby("ppart")
+            .map_groups(attach, batch_format="pyarrow")
+        )
+        labels = _key_label_min(propagated, n_parts).materialize()
+        cur_sum = labels.sum("label") or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def minhash_dedup_groups(
-    ds: ray.data.Dataset, threshold=0.8, id_col="doc_id", text_col="text", **kw
+    ds: ray.data.Dataset, threshold=0.8, id_col="doc_id", text_col="text",
+    max_iters: int = 15, **kw,
 ) -> ray.data.Dataset:
     """(doc_id, group_id) near-dup group labels; group_id = min doc_id of the
     connected component over candidate pairs with est_jaccard >= threshold.
 
-    Union-find runs on the driver over candidate PAIRS only (post-LSH the
-    pair set is tiny relative to the corpus); a label-propagation groupby
-    loop replaces it when pairs no longer fit the driver."""
+    Components come from distributed min-label propagation
+    (``connected_components``) — candidate pairs are never materialized on
+    the driver (post-LSH pair sets on a near-dup-dense crawl are billions of
+    rows at the 100 TB design point).  The final labeling is one more
+    hash-partitioned min: docs without any near-dup partner keep their own
+    id as ``group_id``."""
     import pyarrow.compute as pc
 
     cands = minhash_candidates(ds, id_col=id_col, text_col=text_col, **kw)
     pairs = cands.map_batches(
         lambda b: b.filter(pc.greater_equal(b["est_jaccard"], threshold)),
         batch_format="pyarrow",
-    ).take_all()
-    parent: dict[int, int] = {}
+    )
+    labels = connected_components(pairs, max_iters=max_iters)
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def self_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(ids), "label": pa.array(ids)})
 
-    for r in pairs:
-        a, b = find(int(r["id_a"])), find(int(r["id_b"]))
-        if a != b:
-            lo, hi = min(a, b), max(a, b)
-            parent[hi] = lo
-
-    def label(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        grp = np.fromiter((find(int(d)) for d in ids), np.int64, count=len(ids))
-        return pa.table({id_col: batch[id_col], "group_id": pa.array(grp)})
-
-    return ds.select_columns([id_col]).map_batches(label, batch_format="pyarrow")
+    combined = _key_label_min(
+        ds.select_columns([id_col]).map_batches(self_rows, batch_format="pyarrow")
+        .union(labels)
+    )
+    return combined.map_batches(
+        lambda b: pa.table({id_col: b["key"], "group_id": b["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -385,16 +562,20 @@ def simhash_fingerprints(ds: ray.data.Dataset, id_col="doc_id", text_col="text",
 
 
 def simhash_candidates(
-    ds: ray.data.Dataset, max_hamming=3, id_col="doc_id", text_col="text"
+    ds: ray.data.Dataset, max_hamming=3, id_col="doc_id", text_col="text",
+    max_bucket: int = 4096,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: docs sharing any 16-bit band bucket are
     candidates (any pair within Hamming distance 3 must agree on ≥1 of 4
     bands — pigeonhole); verified by exact Hamming distance.
 
-    One shuffle: every doc emits 4 (band, bucket) rows into a single
-    ``groupby(["band","bucket"])`` (same shape as the MinHash-LSH path —
-    a union of 4 per-band shuffles would run 5 all-to-all ops in one DAG)."""
+    Shuffle shape mirrors the MinHash-LSH path: groups are (band,
+    bucket % B) PARTITIONS, not single buckets (per-bucket dispatch over
+    2^16 tiny groups would dominate), and pair emission is vectorized —
+    ``np.triu_indices`` + one XOR/popcount pass per bucket; pathological
+    buckets are capped at ``max_bucket`` with a warning."""
     fps = simhash_fingerprints(ds, id_col=id_col, text_col=text_col)
+    n_bucket_parts = 64
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
@@ -410,35 +591,58 @@ def simhash_candidates(
                 "simhash": pa.array(rep_sh),
                 "band": pa.array(bands),
                 "bucket": pa.array(buckets.astype(np.uint32)),
+                "bpart": pa.array((buckets % np.uint64(n_bucket_parts)).astype(np.int32)),
             }
         )
 
     def emit(group: pa.Table) -> pa.Table:
+        from wikirec_ray.functions.hashing import popcount64
+
         ids = group[id_col].to_numpy()
         sh = group["simhash"].to_numpy()
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
+        buckets = group["bucket"].to_numpy()
+        order = np.lexsort((ids, buckets))
+        ids, sh, buckets = ids[order], sh[order], buckets[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]]
+        )
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                h = bin(int(sh[i]) ^ int(sh[j])).count("1")
-                if h <= max_hamming:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(h)
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            g = e - s
+            if g < 2:
+                continue
+            if g > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SimHash bucket of %d docs capped to %d (pairs dropped)",
+                    g, max_bucket,
+                )
+                e = s + max_bucket
+                g = max_bucket
+            iu, ju = np.triu_indices(g, k=1)
+            h = popcount64(sh[s + iu] ^ sh[s + ju])
+            keep = (h <= max_hamming) & (ids[s + iu] != ids[s + ju])
+            out_a.append(ids[s + iu][keep])
+            out_b.append(ids[s + ju][keep])
+            out_h.append(h[keep])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
             }
         )
 
     pairs = (
         fps.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
+        .groupby(["band", "bpart"])
         .map_groups(emit, batch_format="pyarrow")
     )
     out = _aggregate_pairs(pairs, "hamming", "min")
@@ -496,3 +700,106 @@ def embedding_dup_pairs(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_bucketed(
+    ds: ray.data.Dataset,
+    threshold=0.95,
+    n_bits: int = 4,
+    id_col="vec_id",
+    vec_col="embedding",
+    max_bucket: int = 8192,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Bucketed (LSH-partitioned) near-dup pairs — the scale path that
+    replaces ``embedding_dup_pairs``'s full-matrix broadcast with a shuffle
+    by hyperplane bucket: each vector is assigned to its sign bucket plus
+    all 1-bit multiprobe flips, same-bucket groups are scored with one
+    g×g matmul, and duplicate pairs across probes collapse via the
+    hash-partitioned max-aggregate.  Shuffle volume is (1+n_bits)·N vector
+    rows; no driver-side materialization, no O(N·d) broadcast.
+
+    Recall/cost knob: collision probability for angle θ is (1−θ/π)^n_bits
+    per bit — raise ``n_bits`` for tight near-dup thresholds (smaller
+    buckets, lower recall per probe), lower it for loose thresholds.
+    Recall vs the brute-force baseline is asserted in pytest."""
+    from wikirec_ray.pipelines.ann import HyperplaneLSH, _batch_matrix, _norm_rows
+
+    n_bucket_parts = 64
+    lsh_seed = seed
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(batch, vec_col))
+        lsh = HyperplaneLSH(m.shape[1], n_bits=n_bits, seed=lsh_seed)
+        buckets = lsh.buckets(m, multiprobe=True)  # (B, 1+n_bits)
+        n, probes = buckets.shape
+        ids = batch[id_col].to_numpy()
+        flat_b = buckets.reshape(-1).astype(np.uint64)
+        rep_ids = np.repeat(ids, probes)
+        rep_vecs = np.repeat(m, probes, axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids.astype(np.int64)),
+                "bucket": pa.array(flat_b),
+                "bpart": pa.array((flat_b % np.uint64(n_bucket_parts)).astype(np.int32)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_vecs.reshape(-1).astype(np.float32)), m.shape[1]
+                ),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        buckets = group["bucket"].to_numpy()
+        vecs = (
+            group["vec"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(len(ids), -1)
+        )
+        order = np.lexsort((ids, buckets))
+        ids, buckets, vecs = ids[order], buckets[order], vecs[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]]
+        )
+        out_a, out_b, out_s = [], [], []
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            g = e - s
+            if g < 2:
+                continue
+            if g > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "embedding bucket of %d vecs capped to %d (pairs dropped)",
+                    g, max_bucket,
+                )
+                e = s + max_bucket
+                g = max_bucket
+            sims = vecs[s:e] @ vecs[s:e].T
+            iu, ju = np.triu_indices(g, k=1)
+            sv = sims[iu, ju]
+            keep = (sv >= threshold) & (ids[s + iu] != ids[s + ju])
+            a, b2 = ids[s + iu][keep], ids[s + ju][keep]
+            lo, hi = np.minimum(a, b2), np.maximum(a, b2)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(np.round(sv[keep], 6))
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    raw = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+    return _aggregate_pairs(raw, "cos_sim", "max")
