@@ -291,12 +291,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from wikirec_ray.pipelines.query import IndexReader, recommend
 
+        import pyarrow.compute as pc2
+
         index_dir = _ensure_index(sf_dir)
         reader = IndexReader(index_dir)
+        # filter-then-take: only the two input docs reach the driver
         docs = {
             r["doc_id"]: r["text"]
-            for r in _documents(sf_dir).take_all()
-            if r["doc_id"] in RECO_INPUT_DOCS
+            for r in _documents(sf_dir)
+            .map_batches(
+                lambda b: b.filter(
+                    pc2.is_in(b["doc_id"], value_set=pa.array(RECO_INPUT_DOCS))
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
         }
         import re
 
@@ -563,31 +572,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import ray.data
 
-        from wikirec_ray.pipelines.ann import lsh_topk
+        from wikirec_ray.pipelines.ann import head_query_vectors, lsh_topk
 
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        qrows = sorted(
-            (r for r in ds.take_all() if r["vec_id"] < ANN_N_QUERIES),
-            key=lambda r: r["vec_id"],
-        )
-        qids = [int(r["vec_id"]) for r in qrows]
-        qvecs = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+        qids, qvecs = head_query_vectors(ds, ANN_N_QUERIES)
         return lsh_topk(ds, qids, qvecs, k=ANN_K)
 
     def ivf_ann_q(sf_dir):
         import numpy as np
         import ray.data
 
-        from wikirec_ray.pipelines.ann import ivf_topk, train_ivf_centroids
+        from wikirec_ray.pipelines.ann import (
+            head_query_vectors, ivf_topk, train_ivf_centroids,
+        )
 
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         centroids = train_ivf_centroids(ds, n_centroids=16)
-        qrows = sorted(
-            (r for r in ds.take_all() if r["vec_id"] < ANN_N_QUERIES),
-            key=lambda r: r["vec_id"],
-        )
-        qids = [int(r["vec_id"]) for r in qrows]
-        qvecs = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+        qids, qvecs = head_query_vectors(ds, ANN_N_QUERIES)
         return ivf_topk(ds, qids, qvecs, centroids, k=ANN_K, nprobe=6)
 
     def wikirec_clean_q(sf_dir):

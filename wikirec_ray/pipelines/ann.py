@@ -92,6 +92,26 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def head_query_vectors(
+    ds: ray.data.Dataset,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], np.ndarray]:
+    """(ids, matrix) of the first ``n_queries`` vectors by id — the filter
+    runs DISTRIBUTED (pc.less inside map_batches) so only the selected rows
+    ever reach the driver."""
+    import pyarrow.compute as pc
+
+    qrows = ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], n_queries)), batch_format="pyarrow"
+    ).take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qids = [int(r[id_col]) for r in qrows]
+    qvecs = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
+    return qids, qvecs
+
+
 def ann_topk_queries(
     ds: ray.data.Dataset,
     n_queries: int = 8,
@@ -101,17 +121,7 @@ def ann_topk_queries(
 ) -> ray.data.Dataset:
     """Self-query convenience: the first ``n_queries`` vectors (by id) query
     the whole corpus; exact brute-force cosine."""
-    import pyarrow.compute as pc
-
-    qrows = (
-        ds.map_batches(
-            lambda b: b.filter(pc.less(b[id_col], n_queries)), batch_format="pyarrow"
-        )
-        .take_all()
-    )
-    qrows.sort(key=lambda r: r[id_col])
-    qids = [int(r[id_col]) for r in qrows]
-    qvecs = np.stack([np.asarray(r[vec_col], np.float64) for r in qrows])
+    qids, qvecs = head_query_vectors(ds, n_queries, id_col, vec_col)
     return brute_force_topk(ds, qids, qvecs, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -4,15 +4,16 @@ The reference has no streaming constructs (SURVEY §2.9), but a production
 data engine needs the batch expression of them: Ray Data has no event-time
 windows, so tumbling windows become a derived window-start key + groupby
 (with per-batch partial aggregation — the combiner pattern), and session
-windows become ``groupby(key).map_groups`` over ts-sorted groups.  The
-ordering assumption: all events of one key fit one group and are sorted
-there; no late-data/watermark semantics.
+windows become one hash-partitioned shuffle (``key % n_parts``) with a
+vectorized sort-and-diff pass per partition.  The partitioning assumption:
+all events of one KEY land in one partition (guaranteed by the hash), while
+a partition holds many keys so no hot key unbounds a group; no
+late-data/watermark semantics.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -71,17 +72,45 @@ def sessionize(
     gap_minutes: float = 30.0,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    n_parts: int = 64,
 ) -> ray.data.Dataset:
     """(key, n_sessions): a new session starts when the gap since the key's
-    previous event exceeds ``gap_minutes``.  One shuffle keyed on the
-    session key; windowing runs inside ts-sorted groups (the guide's
-    streaming-shaped pattern)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    previous event exceeds ``gap_minutes``.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g.sort_values([ts_col, "event_id"])[ts_col]
-        new_sessions = (ts.diff() > gap).sum() + 1
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
-                             "n_sessions": np.array([new_sessions], np.int64)})
+    Arrow-native and skew-bounded: one shuffle on ``key % n_parts`` (a
+    partition holds MANY keys, so no single hot user unbounds a group), then
+    one vectorized pass per partition — lexsort by (key, ts, tiebreak),
+    boolean diff for user/gap breaks, ``add.reduceat`` for per-key counts.
+    No pandas conversion, no per-key ``map_groups`` dispatch."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def add_ppart(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ppart", pa.array((b[key_col].to_numpy() % n_parts).astype(np.int32))
+        )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        users = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tie = g[tiebreak_col].to_numpy()
+        order = np.lexsort((tie, ts, users))
+        users, ts = users[order], ts[order]
+        new_user = np.ones(len(users), bool)
+        new_user[1:] = users[1:] != users[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        ub = np.flatnonzero(new_user)
+        counts = np.add.reduceat(brk.astype(np.int64), ub)
+        return pa.table(
+            {
+                key_col: pa.array(users[ub]),
+                "n_sessions": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
