@@ -267,3 +267,117 @@ def test_parallelism_invariance(ray_session, oracle, tmp_path):
     assert a.df == b.df
     for q in QUERIES:
         assert a.topk(q, 10) == b.topk(q, 10)
+
+
+def test_term_partition_count_invariance(ray_session, tmp_path):
+    """Identical df + query results when the index is laid out with 8 vs 32
+    term partitions (the layout knob is recorded in the manifest; readers
+    pick it up from stats.json)."""
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    readers = []
+    for ntp in (8, 32):
+        d = str(tmp_path / f"tp{ntp}")
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        m = build_index(ds, d, resume=False, n_term_partitions=ntp)
+        assert m["stats"]["n_term_partitions"] == ntp
+        readers.append(IndexReader(d))
+    a, b = readers
+    assert a.n_tparts == 8 and b.n_tparts == 32
+    assert a.df == b.df
+    for q in QUERIES:
+        assert a.topk(q, 10) == b.topk(q, 10)
+        assert a.topk_wand(q, 10) == b.topk(q, 10)
+
+
+def test_resume_refuses_partition_count_change(ray_session, tmp_path):
+    """Resuming with a different n_term_partitions must rebuild everything
+    (no partition may be reused across layouts)."""
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(ds, d, resume=False, n_term_partitions=8)
+    m2 = build_index(ds, d, resume=True, n_term_partitions=16)
+    assert all(not v.get("skipped") for v in m2["partitions"].values())
+    m3 = build_index(ds, d, resume=True, n_term_partitions=16)
+    assert any(v.get("skipped") for v in m3["partitions"].values())
+
+
+def test_vectorized_merge_equals_row_merge():
+    """_merge_range_tables must byte-match the straightforward per-row
+    accumulation merge (the round-1 implementation, kept here as oracle)."""
+    import pyarrow as pa
+
+    from wikirec_ray.stages.index_build import _encode_terms_table, _merge_range_tables
+    from wikirec_ray.state.segments import SEGMENT_SCHEMA, pack_i64, unpack_i64
+
+    rng = np.random.default_rng(5)
+
+    def chunk(term_docs: dict[str, list[int]]) -> pa.Table:
+        terms = sorted(term_docs)
+        doc_ids, tfs, dls, starts = [], [], [], [0]
+        for t in terms:
+            ds = sorted(term_docs[t])
+            doc_ids += ds
+            tfs += list(rng.integers(1, 9, len(ds)))
+            dls += list(rng.integers(10, 99, len(ds)))
+            starts.append(len(doc_ids))
+        return _encode_terms_table(
+            terms,
+            np.array(starts, np.int64),
+            np.array(doc_ids, np.uint64),
+            np.array(tfs, np.uint64),
+            np.array(dls, np.uint64),
+        )
+
+    # range 0: docs < 300 (incl. a 300-posting term that spans >2 blocks),
+    # range 1: docs >= 1000; some terms in both, some in only one
+    c0 = chunk({"alpha": list(range(0, 300)), "beta": [5, 9], "only0": [7]})
+    c1 = chunk({"alpha": list(range(1000, 1170)), "beta": [1001], "only1": [1005]})
+
+    def row_merge(tables):  # round-1 algorithm
+        acc = {}
+        for t in tables:
+            for row in t.to_pylist():
+                a = acc.get(row["term"])
+                if a is None:
+                    acc[row["term"]] = {k: row[k] for k in SEGMENT_SCHEMA.names}
+                else:
+                    a["n"] += row["n"]
+                    a["blk_last"] += row["blk_last"]
+                    a["blk_counts"] += row["blk_counts"]
+                    a["blk_doc_off"] += pack_i64(
+                        unpack_i64(row["blk_doc_off"])[1:] + len(a["doc_blob"])
+                    )
+                    a["blk_tf_off"] += pack_i64(
+                        unpack_i64(row["blk_tf_off"])[1:] + len(a["tf_blob"])
+                    )
+                    a["doc_blob"] += row["doc_blob"]
+                    a["tf_blob"] += row["tf_blob"]
+                    a["blk_maxtf"] += row["blk_maxtf"]
+                    a["blk_mindl"] += row["blk_mindl"]
+                    a["term_maxtf"] = max(a["term_maxtf"], row["term_maxtf"])
+                    a["term_mindl"] = min(a["term_mindl"], row["term_mindl"])
+        terms = sorted(acc)
+        return pa.table(
+            {name: [acc[t][name] for t in terms] for name in SEGMENT_SCHEMA.names},
+            schema=SEGMENT_SCHEMA,
+        )
+
+    want = row_merge([c0, c1])
+    got = _merge_range_tables([c0, c1])
+    assert got.schema.equals(want.schema)
+    assert got.num_rows == want.num_rows
+    for name in SEGMENT_SCHEMA.names:
+        assert got[name].to_pylist() == want[name].to_pylist(), name

@@ -51,6 +51,7 @@ class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
+        self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.df = load_df(index_dir)
         self.norms = load_norms(index_dir)
         self._segments: dict[int, SegmentReader] = {}
@@ -72,7 +73,7 @@ class IndexReader:
         return seg
 
     def term_segment(self, term: str) -> SegmentReader:
-        return self.segment(zlib.crc32(term.encode("utf-8")) % N_TERM_PARTITIONS)
+        return self.segment(zlib.crc32(term.encode("utf-8")) % self.n_tparts)
 
     def postings(self, term: str):
         return self.term_segment(term).postings(term)

@@ -84,13 +84,14 @@ class DistributedQueryEngine:
         from wikirec_ray.state.segments import load_df, load_stats
 
         self.stats = load_stats(index_dir)
+        self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.df = load_df(index_dir)
         self.n_docs = self.stats["n_docs"]
-        pool_size = max(1, min(pool_size, N_TERM_PARTITIONS))
+        pool_size = max(1, min(pool_size, self.n_tparts))
         assign: list[list[int]] = [[] for _ in range(pool_size)]
-        for t in range(N_TERM_PARTITIONS):
+        for t in range(self.n_tparts):
             assign[t % pool_size].append(t)
-        self.owner_of = {t: t % pool_size for t in range(N_TERM_PARTITIONS)}
+        self.owner_of = {t: t % pool_size for t in range(self.n_tparts)}
         self.servers = [
             SegmentServer.remote(index_dir, tparts) for tparts in assign
         ]
@@ -107,7 +108,7 @@ class DistributedQueryEngine:
             idf = self._idf(term)
             if idf == 0.0:
                 continue
-            tpart = zlib.crc32(term.encode("utf-8")) % N_TERM_PARTITIONS
+            tpart = zlib.crc32(term.encode("utf-8")) % self.n_tparts
             by_server.setdefault(self.owner_of[tpart], []).append((term, tpart, idf))
         if not by_server:
             return []
