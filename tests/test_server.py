@@ -42,3 +42,44 @@ def test_terms_route_to_owners_only(engine):
     tpart = zlib.crc32(b"spark") % N_TERM_PARTITIONS
     assert engine.owner_of[tpart] in range(len(engine.servers))
     assert engine.topk(["spark"], 5)  # and it actually answers
+
+
+@pytest.fixture(scope="module")
+def spread_index(ray_session, tmp_path_factory):
+    """Index whose doc ids span several 8192-wide doc ranges (doc_id*37), so
+    range sharding actually splits the corpus."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("spread_idx"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.multiply(b["doc_id"], 37), "text": b["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    build_index(ds, d, resume=False)
+    return d
+
+
+def test_range_sharded_equals_local(spread_index, ray_session):
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(spread_index, pool_size=3)
+    try:
+        assert eng.n_ranges >= 2, "corpus must span >= 2 doc ranges"
+        assert len(eng.servers) == 3
+        reader = IndexReader(spread_index)
+        for q in QUERIES:
+            for k in (1, 10, 50):
+                assert eng.topk(q, k) == reader.topk(q, k), (q, k)
+    finally:
+        eng.shutdown()

@@ -129,3 +129,144 @@ class DistributedQueryEngine:
         for s in self.servers:
             ray.kill(s)
         self.servers = []
+
+
+# ---------------------------------------------------------------------------
+# doc-range-sharded serving (the 10^12-doc design point)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class RangeServer:
+    """Owns a set of DOC RANGES: scores queries against the per-(tpart,
+    range) posting chunks the build shuffle wrote, holding only its ranges'
+    norms — nothing in this actor is O(n_docs).  The dense accumulator it
+    allocates per query is O(DOC_RANGE_SIZE) (8192 by default), regardless
+    of corpus size."""
+
+    def __init__(self, index_dir: str, range_ids: list[int]):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from wikirec_ray.state.segments import load_stats
+
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
+        self.range_size = int(self.stats.get("doc_range_size", 8192))
+        self.range_ids = list(range_ids)
+        # per-range norms: (sorted doc_ids, doc_lens) — O(range docs) each
+        self.norms: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for r in self.range_ids:
+            p = os.path.join(index_dir, "norms", f"range-{r:06d}.parquet")
+            if os.path.exists(p):
+                t = pq.read_table(p)
+                self.norms[r] = (t["doc_id"].to_numpy(), t["doc_len"].to_numpy())
+        self._chunks: dict[tuple[int, int], object] = {}
+
+    def _chunk(self, tpart: int, range_id: int):
+        """Lazy per-(tpart, range) posting chunk reader; missing file = no
+        postings for that pair."""
+        import os
+
+        from wikirec_ray.state.segments import SegmentReader
+
+        key = (tpart, range_id)
+        if key not in self._chunks:
+            p = os.path.join(
+                self.index_dir, "postings", f"tpart-{tpart:03d}",
+                f"range-{range_id:06d}.parquet",
+            )
+            self._chunks[key] = SegmentReader(p) if os.path.exists(p) else None
+        return self._chunks[key]
+
+    def topk(self, terms_with_idf: list[tuple[str, int, float]], k: int):
+        """This shard's top-k [(doc_id, rounded_score)] over its ranges —
+        each doc lives in exactly one shard, so the global top-k is the
+        top-k of the per-shard unions."""
+        from wikirec_ray.pipelines.query import topk_from_dense
+
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            local = np.zeros(self.range_size, dtype=np.float64)
+            hit = False
+            for term, tpart, idf in terms_with_idf:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                doc_ids, tfs = chunk.postings(term)
+                if not len(doc_ids):
+                    continue
+                hit = True
+                d = doc_ids.astype(np.int64)
+                tf = tfs.astype(np.float64)
+                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
+                local[d - base] += idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                )
+            if hit:
+                out.extend((d + base, s) for d, s in topk_from_dense(local, k))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
+class RangeShardedQueryEngine:
+    """Coordinator over a RangeServer pool: queries fan out to every range
+    shard, each returns its partial top-k, and the merge keeps the global
+    best k under the engine-wide (round(score, 9) desc, doc_id asc) order.
+    The coordinator holds only df/stats (vocabulary-level state); per-doc
+    state lives sharded in the pool.  This is the serving layout sketched in
+    the term-sharded engine's docstring for the 10^12-doc design point."""
+
+    def __init__(self, index_dir: str, pool_size: int = 4):
+        import os
+
+        from wikirec_ray.state.segments import load_df, load_stats
+
+        self.stats = load_stats(index_dir)
+        self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
+        self.df = load_df(index_dir)
+        self.n_docs = self.stats["n_docs"]
+        norms_dir = os.path.join(index_dir, "norms")
+        range_ids = sorted(
+            int(p.split("-")[1].split(".")[0])
+            for p in os.listdir(norms_dir)
+            if p.endswith(".parquet")
+        )
+        self.n_ranges = len(range_ids)
+        pool_size = max(1, min(pool_size, len(range_ids) or 1))
+        assign: list[list[int]] = [[] for _ in range(pool_size)]
+        for i, r in enumerate(range_ids):
+            assign[i % pool_size].append(r)
+        self.servers = [RangeServer.remote(index_dir, rs) for rs in assign]
+
+    def _idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        if df == 0:
+            return 0.0
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        twi = []
+        for term in sorted(set(terms)):
+            idf = self._idf(term)
+            if idf == 0.0:
+                continue
+            twi.append((term, zlib.crc32(term.encode("utf-8")) % self.n_tparts, idf))
+        if not twi:
+            return []
+        partials = ray.get([s.topk.remote(twi, k) for s in self.servers])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def shutdown(self):
+        for s in self.servers:
+            ray.kill(s)
+        self.servers = []
