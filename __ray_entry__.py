@@ -488,6 +488,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return ann_topk_queries(ds, n_queries=ANN_N_QUERIES, k=ANN_K)
 
+    def ann_topk_euclidean_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.ann import ann_topk_queries
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann_topk_queries(
+            ds, n_queries=ANN_N_QUERIES, k=ANN_K, metric="euclidean"
+        )
+
     def embedding_dups_q(sf_dir):
         import ray.data
 
@@ -535,6 +545,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         out = _documents(sf_dir).map_batches(
             Stemmer, batch_format="pyarrow", concurrency=2
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": pc.cast(pc.list_value_length(b["tokens"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def lemmas_q(sf_dir):
+        from wikirec_ray.stages.stem import RuleLemmatizer
+
+        out = _documents(sf_dir).map_batches(
+            RuleLemmatizer, batch_format="pyarrow", concurrency=2
         )
         return out.map_batches(
             lambda b: pa.table(
@@ -635,11 +661,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_meta": pages_meta_q,
         "media_features": media_features_q,
         "ann_topk": ann_topk_q,
+        "ann_topk_euclidean": ann_topk_euclidean_q,
         "embedding_dups": embedding_dups_q,
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
         "stemmed_tokens": stemmed_q,
+        "lemmas": lemmas_q,
         "random_sample": random_sample_q,
         "minhash_dedup": minhash_dedup_q,
         "simhash": simhash_q,
@@ -940,6 +968,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT query_id, neighbor_id, sim,
                        row_number() OVER (
                            PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id
+                       ) AS rn
+                FROM s
+            ) WHERE rn <= {ANN_K}
+        """,
+        "ann_topk_euclidean": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_N_QUERIES}
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_distance(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS d
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, ROUND(d, 6) AS distance
+            FROM (
+                SELECT query_id, neighbor_id, d,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY round(d, 6) ASC, neighbor_id
                        ) AS rn
                 FROM s
             ) WHERE rn <= {ANN_K}

@@ -117,3 +117,57 @@ def test_sessionize(ray_session):
     )
     out = {r["user_id"]: r["n_sessions"] for r in sessionize(ds).take_all()}
     assert out == {1: 2, 2: 1}  # user 1: gap 50min > 30min splits sessions
+
+
+def test_lemmatize_word_goldens():
+    from wikirec_ray.stages.stem import lemmatize_word as L
+
+    cases = {
+        "cities": "city", "running": "run", "making": "make",
+        "stopped": "stop", "boxes": "box", "children": "child", "was": "be",
+        "glass": "glass", "bus": "bus", "agreed": "agree", "played": "play",
+        "houses": "house", "rolling": "roll", "singing": "sing",
+        "writing": "write", "carried": "carry", "dogs": "dog",
+        "watches": "watch", "dated": "date", "misses": "miss",
+        "glasses": "glass", "analysis": "analysis",
+    }
+    bad = {w: (L(w), want) for w, want in cases.items() if L(w) != want}
+    assert not bad, bad
+
+
+def test_rule_lemmatizer_batch(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.stem import RuleLemmatizer
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["running cities were stopped", "making boxes"], pa.string()
+                ),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in ds.map_batches(
+            RuleLemmatizer, batch_format="pyarrow", concurrency=2
+        ).take_all()
+    }
+    assert out[0] == ["run", "city", "be", "stop"]
+    assert out[1] == ["make", "box"]
+
+
+def test_lemmatizer_gate_raises_without_spacy():
+    from wikirec_ray.stages.stem import Lemmatizer
+
+    try:
+        import spacy  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            Lemmatizer()

@@ -32,6 +32,33 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return flat.reshape(len(col), dim)
 
 
+# Metric registry — the engine analog of the reference's metric switch
+# (model.py:246-290 builds cosine or euclidean matrices; model.py:372-379
+# sorts DESCENDING for cosine and ASCENDING for euclidean).  Each entry:
+# (score fn (Q,d)x(B,d)->(Q,B), normalize rows?, higher-is-better?, out col).
+def _euclidean_scores(qmat: np.ndarray, m: np.ndarray) -> np.ndarray:
+    qq = (qmat * qmat).sum(axis=1)[:, None]
+    mm = (m * m).sum(axis=1)[None, :]
+    return np.sqrt(np.maximum(qq + mm - 2.0 * (qmat @ m.T), 0.0))
+
+
+VALID_METRICS = {
+    "cosine": (lambda q, m: q @ m.T, True, True, "cos_sim"),
+    "euclidean": (_euclidean_scores, False, False, "distance"),
+}
+
+
+def _metric_spec(metric: str):
+    metric = metric.lower()
+    if metric not in VALID_METRICS:
+        # mirrors the reference's invalid-method guard (model.py:249-254)
+        raise ValueError(
+            "The value for the 'metric' argument is invalid. Please choose one of "
+            + ", ".join(sorted(VALID_METRICS))
+        )
+    return VALID_METRICS[metric]
+
+
 def brute_force_topk(
     corpus: ray.data.Dataset,
     query_ids: list[int],
@@ -40,19 +67,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> ray.data.Dataset:
-    """(query_id, neighbor_id, cos_sim): exact top-k by cosine per query.
+    """(query_id, neighbor_id, <score>): exact top-k per query under the
+    chosen metric — cosine descending (score col ``cos_sim``) or euclidean
+    ascending (score col ``distance``), the reference's two orderings.
 
     Per-batch partial top-k (vectorized argpartition) keeps the shuffle input
     at O(n_batches · Q · k) rows, not O(N · Q)."""
-    qm = _norm_rows(np.asarray(query_vecs, np.float64))
+    score_fn, normalize, higher_better, score_col = _metric_spec(metric)
+    q = np.asarray(query_vecs, np.float64)
+    qm = _norm_rows(q) if normalize else q
     qref = ray.put((np.asarray(query_ids, np.int64), qm))
+    sign = 1.0 if higher_better else -1.0
 
     def partial(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(qref)
         ids = batch[id_col].to_numpy()
-        m = _norm_rows(_batch_matrix(batch, vec_col))
-        sims = qmat @ m.T  # (Q, B)
+        m = _batch_matrix(batch, vec_col)
+        if normalize:
+            m = _norm_rows(m)
+        sims = sign * score_fn(qmat, m)  # (Q, B), always higher-is-better
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qids)):
             row = sims[qi]
@@ -60,32 +95,32 @@ def brute_force_topk(
             cand = np.flatnonzero(mask)
             if len(cand) > k:
                 kth = -np.partition(-row[cand], k - 1)[k - 1]
-                # margin: final ranking is on 6-dp-rounded sims, so keep
+                # margin: final ranking is on 6-dp-rounded scores, so keep
                 # anything that could still tie at the boundary after rounding
                 cand = cand[row[cand] >= kth - 1e-6]
             for j in cand:
                 out_q.append(int(qids[qi]))
                 out_n.append(int(ids[j]))
-                out_s.append(round(float(row[j]), 6))
+                out_s.append(round(float(sign * row[j]), 6))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos_sim": pa.array(out_s, pa.float64()),
+                score_col: pa.array(out_s, pa.float64()),
             }
         )
 
     partials = corpus.map_batches(partial, batch_format="pyarrow")
 
     def final_topk(group: pa.Table) -> pa.Table:
-        sims = group["cos_sim"].to_numpy()
+        sims = sign * group[score_col].to_numpy()
         nids = group["neighbor_id"].to_numpy()
         order = sorted(range(len(sims)), key=lambda i: (-sims[i], nids[i]))[:k]
         return pa.table(
             {
                 "query_id": group["query_id"].take(order),
                 "neighbor_id": group["neighbor_id"].take(order),
-                "cos_sim": group["cos_sim"].take(order),
+                score_col: group[score_col].take(order),
             }
         )
 
@@ -118,11 +153,14 @@ def ann_topk_queries(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> ray.data.Dataset:
     """Self-query convenience: the first ``n_queries`` vectors (by id) query
-    the whole corpus; exact brute-force cosine."""
+    the whole corpus; exact brute-force under the chosen metric."""
     qids, qvecs = head_query_vectors(ds, n_queries, id_col, vec_col)
-    return brute_force_topk(ds, qids, qvecs, k=k, id_col=id_col, vec_col=vec_col)
+    return brute_force_topk(
+        ds, qids, qvecs, k=k, id_col=id_col, vec_col=vec_col, metric=metric
+    )
 
 
 # ---------------------------------------------------------------------------
