@@ -170,3 +170,13 @@ def test_frequent_terms_and_sample(ray_session):
 
     sampled = deterministic_sample(ds, modulus=3, residue=1).take_all()
     assert sorted(r["doc_id"] for r in sampled) == [1, 4, 7]
+
+
+def test_topic_aliases():
+    from wikirec_ray.functions.utils import convert_topic, topic_alias_dict
+
+    assert convert_topic("books") == "Infobox book"
+    assert convert_topic("films") == convert_topic("movies") == "Infobox film"
+    assert convert_topic("unknown_topic") == "unknown_topic"
+    assert convert_topic("books", language="xx") == "books"
+    assert set(topic_alias_dict()) == {"en"}
