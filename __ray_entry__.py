@@ -617,6 +617,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids, qvecs = head_query_vectors(ds, ANN_N_QUERIES)
         return ivf_topk(ds, qids, qvecs, centroids, k=ANN_K, nprobe=6)
 
+    def ivf_ann_materialized_q(sf_dir):
+        # materialized IVF layout: assign once, write parquet partitioned by
+        # ivf_part, query by reading ONLY probed partition dirs (rows-only;
+        # equality with the query-time path is pinned in pytest)
+        import shutil
+
+        from wikirec_ray.pipelines.ann import (
+            head_query_vectors, ivf_build, ivf_topk_partitioned,
+        )
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out_dir = os.path.join(_CACHE_ROOT, f"ivf-{tag}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ivf_build(ds, out_dir, n_centroids=16)
+        qids, qvecs = head_query_vectors(ds, ANN_N_QUERIES)
+        return ivf_topk_partitioned(out_dir, qids, qvecs, k=ANN_K, nprobe=6)
+
     def wikirec_clean_q(sf_dir):
         from wikirec_ray.stages.analyze import WikirecCleaner
 
@@ -674,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid_q,
         "lsh_ann": lsh_ann_q,
         "ivf_ann": ivf_ann_q,
+        "ivf_ann_materialized": ivf_ann_materialized_q,
         "wikirec_clean": wikirec_clean_q,
     }
 

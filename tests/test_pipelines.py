@@ -347,3 +347,39 @@ def test_entry_contract(ray_session):
     assert set(rows[0].keys()) == {"query_id", "rank", "doc_id", "score"}
     names = set(em.queries())
     assert set(em.oracle_sql()) <= names
+
+
+def test_ivf_partitioned_equals_query_time(ray_session, sf_dir, tmp_path):
+    """The materialized-IVF query (reads only probed partition dirs) must
+    return exactly what the per-batch-reassignment path returns with the
+    same centroids and probes."""
+    import os
+
+    import ray.data
+
+    from wikirec_ray.pipelines.ann import (
+        head_query_vectors,
+        ivf_build,
+        ivf_topk,
+        ivf_topk_partitioned,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out_dir = str(tmp_path / "ivf")
+    centroids = ivf_build(ds, out_dir, n_centroids=8)
+    assert os.path.exists(os.path.join(out_dir, "centroids.npy"))
+    parts = [p for p in os.listdir(out_dir) if p.startswith("ivf_part=")]
+    assert len(parts) >= 2, "expected a real partition layout"
+
+    qids, qvecs = head_query_vectors(ds, 4)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(ds, qids, qvecs, centroids, k=5, nprobe=3).take_all()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk_partitioned(
+            out_dir, qids, qvecs, k=5, nprobe=3
+        ).take_all()
+    )
+    assert got == want

@@ -260,6 +260,138 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def ivf_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_part",
+) -> ray.data.Dataset:
+    """Append each vector's inverted-file partition id (nearest centroid) —
+    the INGEST-time assignment ``ivf_topk`` recomputes per batch at query
+    time.  Centroids are broadcast once via ``ray.put``."""
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        m = _norm_rows(_batch_matrix(batch, vec_col))
+        part = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(part))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kw,
+) -> np.ndarray:
+    """Materialize the IVF layout: train the coarse quantizer, assign every
+    vector ONCE, and write Parquet partitioned by ``ivf_part`` so a query
+    READS only its probed partitions (directory-level pruning — the scale
+    behavior ``ivf_topk``'s per-batch reassignment only approximates).
+    Returns the centroids (also persisted to ``centroids.npy``)."""
+    import os
+
+    centroids = train_ivf_centroids(
+        ds, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, **train_kw
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ivf_assign(ds, centroids, id_col, vec_col).write_parquet(
+        out_dir, partition_cols=["ivf_part"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_topk_partitioned(
+    out_dir: str,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    centroids: np.ndarray | None = None,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Query the materialized IVF layout: only the probed partition
+    DIRECTORIES are opened (column/row pruning at the read, per the
+    prune-at-the-read rule), then the same masked scoring as ``ivf_topk``.
+    Output identical to ``ivf_topk`` with the same centroids/nprobe."""
+    import os
+
+    if centroids is None:
+        centroids = np.load(os.path.join(out_dir, "centroids.npy"))
+    qm = _norm_rows(np.asarray(query_vecs, np.float64))
+    q_probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted(set(int(p) for row in q_probe for p in row))
+    paths = []
+    part_of_path: dict[str, int] = {}
+    for p in probed:
+        d = os.path.join(out_dir, f"ivf_part={p}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    paths.append(fp)
+                    part_of_path[fp] = p
+    ref = ray.put((np.asarray(query_ids, np.int64), qm, q_probe, centroids))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    if not paths:
+        return ray.data.from_arrow(empty)
+    corpus = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, probes, cents = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _norm_rows(_batch_matrix(batch, vec_col))
+        # re-derive the partition id (same argmax that wrote the layout —
+        # deterministic); the hive column lives in the dir name, and the
+        # expensive part (reading unprobed partitions) is already pruned
+        part = (m @ cents.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(part, probes[qi]) & (ids != qids[qi])
+            rows = np.flatnonzero(mask)
+            if len(rows) == 0:
+                continue
+            sims = qmat[qi] @ m[rows].T
+            if len(rows) > k:
+                kth = -np.partition(-sims, k - 1)[k - 1]
+                keep = sims >= kth - 1e-6
+                rows, sims = rows[keep], sims[keep]
+            for j, s in zip(rows, np.atleast_1d(sims)):
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(round(float(s), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = corpus.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group["cos_sim"].to_numpy()
+        nids = group["neighbor_id"].to_numpy()
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], nids[i]))[:k]
+        return group.take(order)
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path #2)
 # ---------------------------------------------------------------------------
