@@ -333,9 +333,14 @@ def run_zipf() -> None:
     for q in queries:
         t = time.monotonic(); reader.topk(q, 10); lat_e.append(time.monotonic() - t)
     for q in queries:
-        t = time.monotonic(); reader.topk_wand(q, 10); lat_w.append(time.monotonic() - t)
+        # force_wand: this bench measures the WAND algorithm itself, not the
+        # dense-regime planner (which would route hot queries to TAAT)
+        t = time.monotonic(); reader.topk_wand(q, 10, force_wand=True); lat_w.append(time.monotonic() - t)
     # spot-check rank identity on this corpus shape too
-    mismatch = sum(reader.topk(q, 10) != reader.topk_wand(q, 10) for q in queries[:20])
+    mismatch = sum(
+        reader.topk(q, 10) != reader.topk_wand(q, 10, force_wand=True)
+        for q in queries[:20]
+    )
     le, lw = np.array(lat_e) * 1000, np.array(lat_w) * 1000
     print(json.dumps({
         "metric": "zipf_wand_p50_ms",

@@ -105,6 +105,10 @@ def test_wand_equals_exact(built_index, k):
     index_dir, _ = built_index
     reader = IndexReader(index_dir)
     for q in QUERIES:
+        # force_wand pins rank-safety of the WAND algorithm itself (the
+        # sf vocab is dense, so the default route would fall back to TAAT)
+        assert reader.topk_wand(q, k, force_wand=True) == reader.topk(q, k), q
+        # and the planner route must agree too
         assert reader.topk_wand(q, k) == reader.topk(q, k), q
 
 
