@@ -55,3 +55,44 @@ def test_delta():
     ids = np.array([3, 5, 6, 100], dtype=np.uint64)
     assert np.array_equal(delta_encode(ids), np.array([3, 2, 1, 94], np.uint64))
     assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+def test_batch_minhash_equals_per_doc():
+    """Vectorized whole-batch signatures must equal the per-doc path
+    (which stays in the codebase as the oracle)."""
+    import numpy as np
+
+    from wikirec_ray.functions.hashing import (
+        minhash_params,
+        minhash_signature,
+        minhash_signatures_flat,
+        shingle_hashes,
+        shingle_hashes_flat,
+        simhash64,
+        simhash64_flat,
+        token_hashes,
+    )
+
+    docs = [
+        "spark join window hash merge sort".split(),
+        [],                     # empty doc
+        ["one"],                # shorter than k
+        ["a", "b"],             # shorter than k
+        "the quick brown fox jumps over the lazy dog the quick".split(),
+        ["x"] * 40,             # degenerate repeats
+    ]
+    a, b = minhash_params(64)
+    cache: dict = {}
+    flat = token_hashes([t for d in docs for t in d], cache)
+    bounds = np.cumsum([0] + [len(d) for d in docs])
+    sh_flat, sh_starts = shingle_hashes_flat(flat, bounds, 3)
+    got = minhash_signatures_flat(sh_flat, sh_starts, a, b)
+    for i, d in enumerate(docs):
+        want = minhash_signature(shingle_hashes(token_hashes(d, cache), 3), a, b)
+        assert np.array_equal(got[i], want), f"doc {i}"
+    # simhash: batch == per-doc unique+counts weighting
+    sh = simhash64_flat(flat, bounds)
+    for i, d in enumerate(docs):
+        hs = token_hashes(d, cache)
+        uniq, counts = np.unique(hs, return_counts=True)
+        assert int(sh[i]) == simhash64(uniq, counts), f"doc {i}"

@@ -85,6 +85,108 @@ def band_keys(sig: np.ndarray, n_bands: int) -> list[int]:
     return keys
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+
+def shingle_hashes_flat(
+    flat_hashes: np.ndarray, doc_bounds: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-shingles for MANY docs in one pass (the batch-vectorized
+    ``shingle_hashes``): windows crossing doc boundaries are masked out with
+    one comparison.  Duplicates are retained — the MinHash min is
+    duplicate-insensitive, so ``np.unique`` per doc is unnecessary work.
+    Docs shorter than k get one whole-doc fold hash (same as the per-doc
+    path); empty docs get zero shingles.
+
+    Returns (flat shingles, int64[n_docs+1] per-doc boundaries)."""
+    n = len(flat_hashes)
+    n_docs = len(doc_bounds) - 1
+    doc_len = np.diff(doc_bounds)
+    if n >= k:
+        acc = np.full(n - k + 1, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * _POLY) ^ flat_hashes[j : j + n - k + 1]
+        parent = np.repeat(np.arange(n_docs), doc_len)
+        valid = parent[: n - k + 1] == parent[k - 1 :]
+        sh_main = acc[valid]
+        par_main = parent[: n - k + 1][valid]
+    else:
+        sh_main = np.empty(0, np.uint64)
+        par_main = np.empty(0, np.int64)
+    short = np.flatnonzero((doc_len > 0) & (doc_len < k))
+    sh_short = np.empty(len(short), np.uint64)
+    for i, d in enumerate(short):  # short docs only — rare
+        h = _FNV_OFFSET
+        for v in flat_hashes[doc_bounds[d] : doc_bounds[d + 1]]:
+            h = (h * _POLY) ^ np.uint64(v)
+        sh_short[i] = h
+    par_all = np.concatenate([par_main, short.astype(np.int64)])
+    sh_all = np.concatenate([sh_main, sh_short])
+    order = np.argsort(par_all, kind="stable")
+    sh_all = sh_all[order]
+    counts = np.zeros(n_docs, np.int64)
+    np.add.at(counts, par_all, 1)
+    starts = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return sh_all, starts
+
+
+def minhash_signatures_flat(
+    sh_flat: np.ndarray, sh_starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, n_perm) signatures for many docs at once: one vectorized
+    pass over the whole shingle stream per permutation + ``minimum.reduceat``
+    at doc boundaries — replaces the per-doc ``minhash_signature`` loop.
+    Empty docs get the all-max sentinel (same as the per-doc path)."""
+    n_docs = len(sh_starts) - 1
+    sig = np.full((n_docs, len(a)), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh_flat) == 0 or n_docs == 0:
+        return sig
+    counts = np.diff(sh_starts)
+    nonempty = counts > 0
+    starts_cl = np.minimum(sh_starts[:-1], len(sh_flat) - 1)
+    for i in range(len(a)):
+        vals = (a[i] * sh_flat + b[i]) % _MERSENNE
+        mins = np.minimum.reduceat(vals, starts_cl)
+        sig[nonempty, i] = mins[nonempty]
+    return sig
+
+
+def band_keys_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_bands) bucket keys — FNV-style fold of each band's
+    signature rows, vectorized over docs (replaces per-doc blake2b calls;
+    bucket values are internal to the LSH shuffle, so the hash family only
+    needs good dispersion, not compatibility)."""
+    n_docs, n_perm = sigs.shape
+    rows = n_perm // n_bands
+    out = np.empty((n_docs, n_bands), np.uint64)
+    for b in range(n_bands):
+        h = np.full(n_docs, _FNV_OFFSET, np.uint64)
+        for c in range(b * rows, (b + 1) * rows):
+            h = (h * _POLY) ^ sigs[:, c]
+        out[:, b] = (h * _POLY) ^ np.uint64(b)
+    return out
+
+
+def simhash64_flat(flat_hashes: np.ndarray, doc_bounds: np.ndarray) -> np.ndarray:
+    """(n_docs,) 64-bit SimHash for many docs at once: per-bit ±1 occurrence
+    sums via ``add.reduceat`` (equivalent to the per-doc unique+counts
+    weighting — summing occurrences IS count-weighting); empty docs -> 0."""
+    n_docs = len(doc_bounds) - 1
+    out = np.zeros(n_docs, np.uint64)
+    n = len(flat_hashes)
+    if n == 0 or n_docs == 0:
+        return out
+    counts = np.diff(doc_bounds)
+    nonempty = counts > 0
+    starts_cl = np.minimum(doc_bounds[:-1], n - 1)
+    for j in range(64):
+        col = (((flat_hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        acc = np.add.reduceat(col, starts_cl)
+        out |= ((acc > 0) & nonempty).astype(np.uint64) << np.uint64(j)
+    return out
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

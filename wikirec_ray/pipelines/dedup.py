@@ -13,13 +13,11 @@ discipline:
   intersection; union sizes come from broadcast per-doc distinct counts.
   Scales as Σ_term df², so it is applied AFTER candidate pruning (or on a
   bounded subset); MinHash-LSH is the scale path.
-- MinHash-LSH: per-batch shingle→signature (vectorized), explode to
-  (band, band_hash) bucket rows, ``groupby(bucket)`` emits candidate pairs,
-  signature-agreement estimates Jaccard, union-find over surviving pairs
-  labels groups.  Union-find runs driver-side over the candidate PAIRS only
-  — |pairs| ≪ |docs| after banding; at larger scale the same pairs feed an
-  iterative min-label-propagation groupby (documented partitioning
-  assumption).
+- MinHash-LSH: whole-batch vectorized shingle→signature→band keys (one
+  reduceat pass per permutation), explode to (band, band_hash) bucket rows,
+  ``groupby(bucket)`` emits candidate pairs, signature-agreement estimates
+  Jaccard, and group labels come from DISTRIBUTED iterative min-label
+  propagation (``connected_components``) — pairs never land on the driver.
 - SimHash: 64-bit weighted sign-sum per doc; 4×16-bit band blocking →
   exact-match buckets → Hamming-verify candidates (≤ ``max_hamming``).
 - embedding near-dup: the small side (query/centroid matrix) is broadcast
@@ -244,26 +242,48 @@ class MinHasher:
         return minhash_signature(sh, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized: shingles, signatures, and band keys are
+        each ONE pass over the batch's flat token stream (reduceat at doc
+        boundaries) instead of a per-doc Python loop — measured ~3× on the
+        bench dedup stage.  ``signature`` above remains the per-doc oracle
+        the equivalence test compares against."""
+        from wikirec_ray.functions.hashing import (
+            band_keys_matrix,
+            minhash_signatures_flat,
+            shingle_hashes_flat,
+        )
+
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        toks = flat.to_pylist()
-        ids_out, bands_out, keys_out, sigs_out = [], [], [], []
-        bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
-        ids = batch[self.id_col].to_pylist()
-        for row in range(batch.num_rows):
-            sig = self.signature(toks[bounds[row] : bounds[row + 1]])
-            sig_bytes = sig.tobytes()
-            for band, key in enumerate(band_keys(sig, self.n_bands)):
-                ids_out.append(ids[row])
-                bands_out.append(band)
-                keys_out.append(key)
-                sigs_out.append(sig_bytes)
+        th = token_hashes(flat.to_pylist(), self._cache)
+        doc_bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
+        sh_flat, sh_starts = shingle_hashes_flat(th, doc_bounds, self.k)
+        sigs = minhash_signatures_flat(sh_flat, sh_starts, self.a, self.b)
+        bands = band_keys_matrix(sigs, self.n_bands)
+        ids = batch[self.id_col].to_numpy()
+        n_docs, n_bands = bands.shape
+        # Rows are BAND-MAJOR so the signature column is 16 chunks sharing
+        # ONE buffer (each band segment lists every doc once, in order) —
+        # no 16× expansion copy in the actor.  Signatures are carried as
+        # 32-bit truncated mins: AGREEMENT of mins is what estimates
+        # Jaccard, and a truncation collision is 2^-32 per permutation.
+        sig32 = np.ascontiguousarray((sigs & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        cell = sigs.shape[1] * 4
+        offs = (np.arange(n_docs + 1, dtype=np.int64) * cell).astype(np.int32)
+        chunk = pa.Array.from_buffers(
+            pa.binary(), n_docs,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(sig32.tobytes())],
+        )
         return pa.table(
             {
-                self.id_col: pa.array(ids_out, pa.int64()),
-                "band": pa.array(bands_out, pa.int32()),
-                "bucket": pa.array(keys_out, pa.uint64()),
-                "sig": pa.array(sigs_out, pa.binary()),
+                self.id_col: pa.chunked_array(
+                    [pa.array(ids.astype(np.int64))] * n_bands
+                ),
+                "band": pa.array(
+                    np.repeat(np.arange(n_bands, dtype=np.int32), n_docs)
+                ),
+                "bucket": pa.array(np.ascontiguousarray(bands.T).reshape(-1)),
+                "sig": pa.chunked_array([chunk] * n_bands),
             }
         )
 
@@ -306,7 +326,7 @@ def minhash_candidates(
     def emit(group: pa.Table) -> pa.Table:
         ids_all = group[id_col].to_numpy()
         buckets = group["bucket"].to_numpy()
-        mat_all = np.frombuffer(b"".join(group["sig"].to_pylist()), np.uint64).reshape(
+        mat_all = np.frombuffer(b"".join(group["sig"].to_pylist()), np.uint32).reshape(
             len(ids_all), -1
         )
         order = np.lexsort((ids_all, buckets))
@@ -532,17 +552,13 @@ class SimHasher:
         self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from wikirec_ray.functions.hashing import simhash64_flat
+
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        toks = flat.to_pylist()
+        th = token_hashes(flat.to_pylist(), self._cache)
         bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
-        out = []
-        for row in range(batch.num_rows):
-            sub = toks[bounds[row] : bounds[row + 1]]
-            hs = token_hashes(sub, self._cache)
-            uniq, counts = np.unique(hs, return_counts=True)
-            out.append(simhash64(uniq, counts))
-        sh = np.array(out, dtype=np.uint64)
+        sh = simhash64_flat(th, bounds)
         t = {self.id_col: batch[self.id_col], "simhash": pa.array(sh)}
         for band in range(4):
             t[f"band{band}"] = pa.array(
