@@ -115,3 +115,35 @@ def test_wikirec_cleaner_batch_matches_single():
     texts = ["The Quick brown-fox", "see ==References== gone", "don’t 42 stop"]
     out = WikirecCleaner()(_tbl(texts))
     assert out["tokens"].to_pylist() == [wikirec_tokenize_single(t) for t in texts]
+
+
+def test_wikirec_cleaner_property_equivalence():
+    """Hypothesis: the vectorized Arrow chain is token-for-token equal to
+    the per-row reference-faithful path on adversarial inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frags = st.sampled_from(
+        ["the", "The", "http://x", "httpx", "xhttp", "42", "ref", "Ref",
+         "==References==", "Category:", "==H==", "< !--", "-- >", "a/b-c:d",
+         "don’t", "–", "  ", " ", "\n", "\t", "word", "Wort", "4²", "John",
+         "...", "a", "ab", "abc", "ABC", "Ähm"]
+    )
+    texts = st.lists(frags, min_size=0, max_size=25).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=5))
+    def check(docs):
+        names = frozenset({"John"})
+        batch = _tbl(docs)
+        for rn in (False, True):
+            out = WikirecCleaner(remove_names=rn, names=names)(batch)
+            want = [
+                wikirec_tokenize_single(
+                    t or "", remove_names=rn, names=names
+                )
+                for t in docs
+            ]
+            assert out["tokens"].to_pylist() == want, (docs, rn)
+
+    check()

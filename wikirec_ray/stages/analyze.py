@@ -211,10 +211,46 @@ def wikirec_tokenize_single(
     return out
 
 
-class WikirecCleaner:
-    """Actor-pool stage: vectorized reference cleaning chain per batch.
+_PUNCT_CLASS = "[" + re.escape(string.punctuation) + "–’]"
 
-    Stateful only in that the regexes/stopword set are built once per actor
+
+def clean_text_column(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized ``clean_text_single`` over a string column (Arrow RE2
+    kernels).  Token-equivalent, not byte-identical: removing an "http…"
+    word or branching the References strip can leave an extra space that
+    ``" ".join`` would collapse — the whitespace tokenizer that always
+    follows erases the difference (asserted against the per-row oracle in
+    tests).  ``clean_text_single`` stays the byte-exact per-string API."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = texts.fill_null("")
+    s = pc.replace_substring_regex(s, pattern=" {2,}", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern="(?:^| )http[^ ]*", replacement="")
+    has_cat = pc.match_substring(s, "Category:")
+    with_cat = pc.replace_substring_regex(
+        s, pattern="(?s)==References==.*? Category", replacement=" Category"
+    )
+    without = pc.replace_substring_regex(
+        s, pattern="(?s)==References==.*$", replacement=""
+    )
+    s = pc.if_else(has_cat, with_cat, without)
+    s = pc.replace_substring(s, "/", " ")
+    s = pc.replace_substring(s, "-", " ")
+    s = pc.replace_substring(s, ":", " ")
+    s = pc.replace_substring_regex(s, pattern="==[^=]+==", replacement="")
+    s = pc.replace_substring_regex(s, pattern="(?s)< !--.*?-- >", replacement="")
+    return pc.replace_substring_regex(s, pattern=_PUNCT_CLASS, replacement="")
+
+
+class WikirecCleaner:
+    """Actor-pool stage: the reference cleaning chain, fully vectorized —
+    Arrow RE2 kernels for the text chain, ``is_in``/``utf8_is_numeric``
+    masks over the flat token stream for the filter step (original-case
+    membership, lower on output, reference order).  Token-for-token equal
+    to the per-row ``wikirec_tokenize_single`` (pytest-asserted, incl. a
+    hypothesis property test).
+
+    Stateful only in that the value-set arrays are built once per actor
     (__init__), mirroring how the reference builds its stopword set once and
     shares it via fork (data_utils.py:715-728).
     """
@@ -236,19 +272,35 @@ class WikirecCleaner:
         self.names = names
         self.text_col = text_col
         self.id_col = id_col
+        # drop set: words_to_ignore ∪ {"ref"} ∪ stopwords — all tested
+        # against the ORIGINAL-case token (data_utils.py:589-597)
+        self._drop = pa.array(
+            sorted(set(words_to_ignore) | {"ref"} | set(stopwords)), pa.string()
+        )
+        self._names = pa.array(sorted(names), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        toks = [
-            wikirec_tokenize_single(
-                t or "", self.stopwords, self.words_to_ignore, self.min_token_len,
-                self.remove_names, self.names,
+        cleaned = clean_text_column(batch[self.text_col])
+        toks = pc.split_pattern_regex(cleaned, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        if self.remove_names:
+            keep = pc.and_(
+                keep, pc.invert(pc.is_in(flat, value_set=self._names))
             )
-            for t in texts
-        ]
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "tokens": pa.array(toks, type=pa.large_list(pa.string())),
-            }
+        keep = pc.and_(keep, pc.invert(pc.utf8_is_numeric(flat)))
+        keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self._drop)))
+        lowered = pc.utf8_lower(flat)
+        keep = pc.and_(
+            keep, pc.greater_equal(pc.utf8_length(lowered), self.min_token_len)
         )
+        mask = keep.to_numpy(zero_copy_only=False)
+        kept_parents = parents.to_numpy(zero_copy_only=False)[mask]
+        kept = lowered.filter(keep)
+        counts = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(counts, kept_parents, 1)
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        out = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept)
+        return pa.table({self.id_col: batch[self.id_col], "tokens": out})
