@@ -50,6 +50,7 @@ BIGRAM_TOP_N = 30
 TRUNCATE_AT = 50
 FREQ_TERM_MIN_TOTAL = 900  # splits the sf0.01 term-count distribution
 SAMPLE_MOD, SAMPLE_RESIDUE = 7, 3
+EXPORT_MIN_TOKENS = 15  # drops the short tail (p5 of sf0.01 is 16 tokens)
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
 # The synthetic corpus has few repeated trigrams (max pair count in the
@@ -342,6 +343,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         dups = ds.map_batches(replicate, batch_format="pyarrow")
         return exact_dedup(ds.union(dups))
+
+    def export_corpus_q(sf_dir):
+        # the full sink composite: dup-amplified input -> exact-dedup keep ->
+        # quality filter -> resumable partitioned parquet -> read back
+        import numpy as np
+
+        from wikirec_ray.pipelines.export import export_clean_corpus, read_exported
+
+        ds = _documents(sf_dir)
+
+        def replicate(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            mask = ids % 10 == 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[mask] + 1000000),
+                    "text": b["text"].filter(pa.array(mask)),
+                }
+            )
+
+        inp = ds.union(ds.map_batches(replicate, batch_format="pyarrow"))
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out_dir = os.path.join(_CACHE_ROOT, f"export-{tag}")
+        os.makedirs(out_dir, exist_ok=True)
+        export_clean_corpus(
+            inp, out_dir, min_tokens=EXPORT_MIN_TOKENS, resume=True,
+            lineage={"input": os.path.join(sf_dir, "documents.parquet")},
+        )
+        return read_exported(out_dir).select_columns(["doc_id", "n_tokens"])
 
     def jaccard_pairs_q(sf_dir):
         from wikirec_ray.pipelines.dedup import jaccard_pairs
@@ -664,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": bm25_topk_wand,
         "recommend": recommend_q,
         "exact_dedup": exact_dedup_q,
+        "export_corpus": export_corpus_q,
         "jaccard_pairs": jaccard_pairs_q,
         "quality_scores": quality_q,
         "lang_histogram": lang_histogram_q,
@@ -810,6 +841,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*)::BIGINT AS n_dups
             FROM inp GROUP BY md5(text)
+        """,
+        "export_corpus": f"""
+            WITH inp AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            fp AS (SELECT doc_id, text, md5(text) AS f FROM inp),
+            keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f),
+            surv AS (
+                SELECT fp.doc_id, fp.text FROM fp
+                JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid
+            )
+            SELECT doc_id, len({_TOKS_LIST})::BIGINT AS n_tokens FROM surv
+            WHERE len({_TOKS_LIST}) >= {EXPORT_MIN_TOKENS}
         """,
         "jaccard_pairs": f"""
             WITH tok AS (

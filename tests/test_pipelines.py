@@ -383,3 +383,36 @@ def test_ivf_partitioned_equals_query_time(ray_session, sf_dir, tmp_path):
         ).take_all()
     )
     assert got == want
+
+
+def test_export_clean_corpus_resume(planted, ray_session, tmp_path):
+    """Export composite: exact-dup drop (min-id survivor), quality filter,
+    partitioned atomic writes, manifest resume, corruption heal."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from wikirec_ray.pipelines.export import export_clean_corpus, read_exported
+
+    rows = planted + [(200, ""), (201, "tiny")]  # empty + 1-token docs
+    ds = _docs_ds(ray_session, rows)
+    out = str(tmp_path / "corpus")
+    m = export_clean_corpus(ds, out, min_tokens=2, range_size=64, resume=False)
+    got = {r["doc_id"]: r["n_tokens"] for r in read_exported(out).take_all()}
+    # doc 103 is an exact dup of 0 -> dropped; 200 empty and 201 single-token
+    # fail min_tokens=2; everything else survives
+    assert 103 not in got and 200 not in got and 201 not in got
+    assert set(got) == {r[0] for r in planted if r[0] != 103}
+    assert got[0] == len(planted[0][1].split())
+    assert m["n_docs"] == len(got)
+    # resume: everything skips
+    m2 = export_clean_corpus(ds, out, min_tokens=2, range_size=64, resume=True)
+    assert all(v["skipped"] for v in m2["partitions"].values())
+    # corrupt one partition -> only it rebuilds, content identical
+    victim = os.path.join(out, sorted(m2["partitions"])[0])
+    open(victim, "wb").write(b"garbage")
+    m3 = export_clean_corpus(ds, out, min_tokens=2, range_size=64, resume=True)
+    rebuilt = [k for k, v in m3["partitions"].items() if not v["skipped"]]
+    assert rebuilt == [os.path.basename(victim)]
+    got2 = {r["doc_id"]: r["n_tokens"] for r in read_exported(out).take_all()}
+    assert got2 == got
