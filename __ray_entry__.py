@@ -51,6 +51,8 @@ TRUNCATE_AT = 50
 FREQ_TERM_MIN_TOTAL = 900  # splits the sf0.01 term-count distribution
 SAMPLE_MOD, SAMPLE_RESIDUE = 7, 3
 EXPORT_MIN_TOKENS = 15  # drops the short tail (p5 of sf0.01 is 16 tokens)
+HOP_WINDOW_S, HOP_S = 3600, 1800
+ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE = "purchase", "click"
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
 # The synthetic corpus has few repeated trigrams (max pair count in the
@@ -557,6 +559,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tumbling_window_agg(ds)
 
+    def hopping_window_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.windows import hopping_window_agg
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        return hopping_window_agg(ds, window_s=HOP_WINDOW_S, hop_s=HOP_S)
+
+    def asof_join_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.windows import asof_join
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+
+        def of_type(t):
+            return ds.map_batches(
+                lambda b, t=t: b.filter(pc.equal(b["event_type"], t)),
+                batch_format="pyarrow",
+            )
+
+        return asof_join(of_type(ASOF_LEFT_TYPE), of_type(ASOF_RIGHT_TYPE))
+
+    def bpe_counts_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import bpe_token_counts
+
+        return bpe_token_counts(_documents(sf_dir))
+
     def sessions_q(sf_dir):
         import ray.data
 
@@ -716,6 +752,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
+        "hopping_window": hopping_window_q,
+        "asof_join": asof_join_q,
+        "bpe_token_counts": bpe_counts_q,
         "stemmed_tokens": stemmed_q,
         "lemmas": lemmas_q,
         "random_sample": random_sample_q,
@@ -1018,6 +1057,36 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
+        """,
+        "hopping_window": f"""
+            WITH e AS (
+                SELECT event_type, value,
+                       (floor(epoch(ts) / {HOP_S}) * {HOP_S})::BIGINT AS base,
+                       unnest(range(0, {HOP_WINDOW_S // HOP_S})) AS i
+                FROM events
+            )
+            SELECT event_type, (base - i * {HOP_S})::BIGINT AS window_start,
+                   ROUND(SUM(value), 6) AS sum_value, COUNT(*)::BIGINT AS n_events
+            FROM e GROUP BY event_type, base - i * {HOP_S}
+        """,
+        "asof_join": f"""
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = '{ASOF_LEFT_TYPE}'
+            ),
+            r AS (
+                SELECT user_id, ts, MAX(event_id) AS rid FROM events
+                WHERE event_type = '{ASOF_RIGHT_TYPE}' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, r.rid AS matched_event_id,
+                   ROUND(epoch(l.ts - r.ts), 6) AS lag_s
+            FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -171,3 +171,81 @@ def test_lemmatizer_gate_raises_without_spacy():
 
         with pytest.raises(NotImplementedError):
             Lemmatizer()
+
+
+def _events_ds(ray_session, rows):
+    """rows: (event_id, user_id, ts_s, event_type)"""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[2] * 1_000_000 for r in rows], "datetime64[us]")
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+    )
+
+
+def test_asof_join_semantics(ray_session):
+    from wikirec_ray.pipelines.windows import asof_join
+
+    rows = [
+        (1, 7, 100, "b"), (2, 7, 200, "b"), (3, 7, 200, "b"),  # tie at 200
+        (10, 7, 150, "a"),   # matches rid 1 (only b <= 150)
+        (11, 7, 200, "a"),   # matches rid 3 (tie at 200 -> max event_id)
+        (12, 7, 50, "a"),    # no b before -> no row
+        (13, 8, 300, "a"),   # other user, no b at all -> no row
+        (4, 9, 100, "b"), (14, 9, 100, "a"),  # equal ts matches
+    ]
+    ds = _events_ds(ray_session, rows)
+    import pyarrow.compute as pc2
+
+    def of_type(t):
+        return ds.map_batches(
+            lambda b, t=t: b.filter(pc2.equal(b["event_type"], t)),
+            batch_format="pyarrow",
+        )
+
+    out = {r["event_id"]: (r["matched_event_id"], r["lag_s"])
+           for r in asof_join(of_type("a"), of_type("b")).take_all()}
+    assert out == {10: (1, 50.0), 11: (3, 0.0), 14: (4, 0.0)}
+
+
+def test_hopping_window_overlap(ray_session):
+    from wikirec_ray.pipelines.windows import hopping_window_agg
+
+    # one event at t=5400s (1.5h): hop grid 1800 -> base 5400; windows
+    # starting at 5400 and 3600 (size 3600, hop 1800) both contain it
+    ds = _events_ds(ray_session, [(1, 1, 5400, "x")])
+    out = {
+        (r["event_type"], r["window_start"]): (r["sum_value"], r["n_events"])
+        for r in hopping_window_agg(ds, window_s=3600, hop_s=1800).take_all()
+    }
+    assert out == {("x", 5400): (1.0, 1), ("x", 3600): (1.0, 1)}
+
+
+def test_bpe_token_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.textstats import bpe_token_counts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["hello world", "a+b=42", ""], pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(ds).take_all()}
+    # "hello"," world" -> 2 ; "a","+","b","=","42" -> 5 ; "" -> 0
+    assert got == {0: 2, 1: 5, 2: 0}

@@ -174,3 +174,27 @@ def fingerprints(ds: ray.data.Dataset, id_col="doc_id", text_col="text") -> ray.
     return ds.map_batches(
         lambda b: _fingerprint_batch(b, id_col, text_col), batch_format="pyarrow"
     )
+
+
+# BPE-style pre-tokenization count: letter runs, digit runs, and symbol runs
+# with their leading space (the GPT-2 pre-tokenizer family, minus lookaheads
+# so the SAME RE2 pattern runs in Arrow and DuckDB).
+BPE_SPLIT_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_counts(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(id, n_bpe_tokens): vectorized match count of the BPE-ish pre-token
+    pattern — the cheap LLM-token budget estimator (whitespace counting
+    undercounts code/punctuation-heavy text)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch[text_col].combine_chunks().fill_null(""), pattern=BPE_SPLIT_REGEX
+        )
+        return pa.table(
+            {id_col: batch[id_col], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
