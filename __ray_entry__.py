@@ -559,6 +559,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tumbling_window_agg(ds)
 
+    def nation_revenue_q(sf_dir):
+        # two distributed hash joins over the relational tables, then the
+        # combiner-pattern aggregate: revenue + order count per nation name
+        import ray.data
+
+        from wikirec_ray.pipelines.joins import hash_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        customer = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        nation = ray.data.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        )
+        j = hash_join(orders, customer, left_on="o_custkey", right_on="c_custkey")
+        j = hash_join(j, nation, left_on="c_nationkey", right_on="n_nationkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = (
+                b.select(["n_name", "o_totalprice"])
+                .group_by("n_name")
+                .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            )
+            return pa.table(
+                {
+                    "n_name": g["n_name"],
+                    "rev": g["o_totalprice_sum"],
+                    "cnt": pc.cast(g["o_totalprice_count"], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        out = (
+            j.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev", alias_name="rev"), Sum("cnt", alias_name="n_orders"))
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "n_name": b["n_name"],
+                    "total_revenue": pc.round(b["rev"], ndigits=2),
+                    "n_orders": b["n_orders"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def priority_lineitem_q(sf_dir):
+        # lineitem ⋈ orders with derived revenue, grouped by order priority
+        import ray.data
+
+        from wikirec_ray.pipelines.joins import hash_join
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        j = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
+            )
+            g = (
+                pa.table(
+                    {
+                        "o_orderpriority": b["o_orderpriority"],
+                        "qty": b["l_quantity"],
+                        "rev": rev,
+                    }
+                )
+                .group_by("o_orderpriority")
+                .aggregate([("qty", "sum"), ("rev", "sum"), ("qty", "count")])
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": g["o_orderpriority"],
+                    "qty": g["qty_sum"],
+                    "rev": g["rev_sum"],
+                    "cnt": pc.cast(g["qty_count"], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        out = (
+            j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(
+                Sum("qty", alias_name="qty"),
+                Sum("rev", alias_name="rev"),
+                Sum("cnt", alias_name="n_lines"),
+            )
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "sum_qty": pc.round(b["qty"], ndigits=2),
+                    "revenue0": pc.round(b["rev"], ndigits=0),
+                    "n_lines": b["n_lines"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def hopping_window_q(sf_dir):
         import ray.data
 
@@ -752,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
+        "nation_revenue": nation_revenue_q,
+        "priority_lineitem": priority_lineitem_q,
         "hopping_window": hopping_window_q,
         "asof_join": asof_join_q,
         "bpe_token_counts": bpe_counts_q,
@@ -1057,6 +1176,20 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
+        """,
+        "nation_revenue": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_revenue,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "priority_lineitem": """
+            SELECT o_orderpriority, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue0,
+                   COUNT(*)::BIGINT AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "hopping_window": f"""
             WITH e AS (

@@ -416,3 +416,37 @@ def test_export_clean_corpus_resume(planted, ray_session, tmp_path):
     assert rebuilt == [os.path.basename(victim)]
     got2 = {r["doc_id"]: r["n_tokens"] for r in read_exported(out).take_all()}
     assert got2 == got
+
+
+def test_hash_join_semantics(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3], pa.int64()),
+                  "a": pa.array(["p", "q", "r", "s"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                  "b": pa.array([20.0, 30.0, 40.0])})
+    )
+    inner = sorted(
+        (r["k"], r["a"], r["b"]) for r in hash_join(left, right, "k").take_all()
+    )
+    assert inner == [(2, "q", 20.0), (3, "r", 30.0), (3, "s", 30.0)]
+    lo = sorted(
+        (r["k"], r["a"], r["b"])
+        for r in hash_join(left, right, "k", join_type="left outer").take_all()
+    )
+    assert lo == [(1, "p", None), (2, "q", 20.0), (3, "r", 30.0), (3, "s", 30.0)]
+    # different key names + suffix on collision
+    right2 = ray.data.from_arrow(
+        pa.table({"rk": pa.array([3], pa.int64()), "a": pa.array(["z"])})
+    )
+    out = hash_join(left, right2, left_on="k", right_on="rk").take_all()
+    assert {(r["k"], r["a"], r["a_r"]) for r in out} == {(3, "r", "z"), (3, "s", "z")}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hash_join(left, right, "k", join_type="cross")
