@@ -710,6 +710,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_token_counts(_documents(sf_dir))
 
+    def props_k_hist_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.pipelines.textstats import props_k_histogram
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["props"]
+        )
+        return props_k_histogram(ds)
+
+    def approx_distinct_users_q(sf_dir):
+        # HyperLogLog sketch — approximate, so rows-only; error bound vs the
+        # exact count is asserted in pytest
+        import pandas as pd
+        import ray.data
+
+        from wikirec_ray.pipelines.textstats import approx_distinct
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        est = approx_distinct(ds, "user_id")
+        return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
     def sessions_q(sf_dir):
         import ray.data
 
@@ -869,6 +893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
+        "props_k_hist": props_k_hist_q,
+        "approx_distinct_users": approx_distinct_users_q,
         "nation_revenue": nation_revenue_q,
         "priority_lineitem": priority_lineitem_q,
         "hopping_window": hopping_window_q,
@@ -1176,6 +1202,13 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
+        """,
+        "props_k_hist": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events
+            WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+            GROUP BY 1
         """,
         "nation_revenue": """
             SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_revenue,

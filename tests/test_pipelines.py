@@ -450,3 +450,20 @@ def test_hash_join_semantics(ray_session):
 
     with _pt.raises(ValueError):
         hash_join(left, right, "k", join_type="cross")
+
+
+def test_approx_distinct_error_bound(ray_session, sf_dir):
+    import os
+
+    import duckdb
+    import ray.data
+
+    from wikirec_ray.pipelines.textstats import approx_distinct
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)

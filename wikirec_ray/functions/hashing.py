@@ -216,3 +216,45 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     if len(v) == 0:
         return np.empty(0, np.int64)
     return np.unpackbits(v.view(np.uint8)).reshape(len(v), 64).sum(axis=1).astype(np.int64)
+
+
+# --- HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) ------------------
+
+HLL_P = 12  # 4096 registers; typical error 1.04/sqrt(m) ≈ 1.6%
+
+
+def hll_partial(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint8[m] register array for one batch of 64-bit hashes (vectorized):
+    register = leading p bits; rank = leftmost-1 position of the rest + 1.
+    Mergeable by elementwise max — the sketch property the reduce uses."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    h = np.ascontiguousarray(hashes, np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    # bit_length via frexp exponent (exact: rem < 2^52)
+    bitlen = np.frexp(rem.astype(np.float64))[1]
+    rank = np.where(rem > 0, (64 - p) - bitlen + 1, (64 - p) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for r in parts[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with the standard small-range (linear counting)
+    correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

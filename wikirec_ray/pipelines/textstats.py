@@ -198,3 +198,67 @@ def bpe_token_counts(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", col: str, p: int | None = None
+) -> float:
+    """Approximate distinct count of ``col`` via HyperLogLog: each batch
+    emits ONE register-blob row (4 KB), the driver merges by elementwise
+    max — sketch rows on the driver, never data rows.  Typical error
+    1.04/√4096 ≈ 1.6% (asserted < 5% in tests)."""
+    from wikirec_ray.functions.hashing import (
+        HLL_P,
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    p = HLL_P if p is None else p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].cast(pa.string()).to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b((v or "").encode(), digest_size=8).digest(),
+                    "little",
+                )
+                for v in vals
+            ),
+            np.uint64,
+            count=len(vals),
+        )
+        return pa.table({"regs": pa.array([hll_partial(hs, p).tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    regs = hll_merge([np.frombuffer(r["regs"], np.uint8) for r in rows])
+    return hll_estimate(regs)
+
+
+PROPS_K_REGEX = r'"k": (\d+)'
+
+
+def props_k_histogram(ds: "ray.data.Dataset", props_col: str = "props") -> "ray.data.Dataset":
+    """(k, n_events) histogram of the JSON props key — vectorized regex
+    extraction (same RE2 pattern as the SQL oracle), combiner-pattern
+    aggregation."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            batch[props_col].combine_chunks().fill_null(""),
+            pattern=r'"k": (?P<k>\d+)',
+        )
+        ks = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = pa.table({"k": ks}).drop_null().group_by("k").aggregate([("k", "count")])
+        return pa.table(
+            {"k": g["k"], "n": pc.cast(g["k_count"], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    return out
