@@ -512,6 +512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "n_bytes", "first_byte"]
         )
 
+    def frame_samples_q(sf_dir):
+        from wikirec_ray.pipelines.multimodal import frame_sample_counts
+
+        return frame_sample_counts(_documents(sf_dir), frame_size=64, every=4)
+
     def ann_topk_q(sf_dir):
         import ray.data
 
@@ -887,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": extract_text_q,
         "pages_meta": pages_meta_q,
         "media_features": media_features_q,
+        "frame_samples": frame_samples_q,
         "ann_topk": ann_topk_q,
         "ann_topk_euclidean": ann_topk_euclidean_q,
         "embedding_dups": embedding_dups_q,
@@ -1253,6 +1259,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "frame_samples": """
+            -- fake media body == utf-8 bytes of text; 64-byte frames,
+            -- every 4th sampled; docs with empty bodies emit no frames
+            SELECT doc_id AS media_id,
+                   CAST(ceil(ceil(strlen(text) / 64.0) / 4.0) AS BIGINT) AS n_frames
+            FROM documents WHERE strlen(text) > 0
         """,
         "ann_topk": f"""
             WITH q AS (

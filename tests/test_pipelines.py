@@ -467,3 +467,39 @@ def test_approx_distinct_error_bound(ray_session, sf_dir):
         f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{path}')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    import pytest as _pt
+
+    from wikirec_ray.pipelines.multimodal import (
+        DecodeStage,
+        FrameSampleStage,
+        ResizeStage,
+        synth_media_batch,
+    )
+
+    docs = _docs_ds(ray_session, [(0, "x" * 300), (1, "y" * 10), (2, "")])
+    media = docs.map_batches(synth_media_batch, batch_format="pyarrow")
+    # resize: payload shrinks to header + 64 bytes, meta columns present
+    resized = media.map_batches(
+        ResizeStage, fn_constructor_kwargs={"target_w": 8, "target_h": 8},
+        batch_format="pyarrow", concurrency=2,
+    ).take_all()
+    by_id = {r["media_id"]: r for r in resized}
+    assert len(by_id[0]["payload"]) == DecodeStage.HEADER + 64
+    assert len(by_id[1]["payload"]) == DecodeStage.HEADER + 10  # already small
+    assert by_id[0]["meta_width"] == 8
+    # frame sample: 300 bytes @ frame 64 -> 5 frames, every 4 -> idx 0, 4
+    frames = media.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"frame_size": 64, "every": 4},
+        batch_format="pyarrow", concurrency=2,
+    ).take_all()
+    f0 = sorted(r["frame_idx"] for r in frames if r["media_id"] == 0)
+    assert f0 == [0, 4]
+    assert not [r for r in frames if r["media_id"] == 2]  # empty body -> none
+    # real kernels stay honestly gated
+    with _pt.raises(NotImplementedError):
+        ResizeStage(kernel="real")
+    with _pt.raises(NotImplementedError):
+        FrameSampleStage(kernel="real")

@@ -97,3 +97,106 @@ def media_features(
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+class ResizeStage:
+    """Actor-pool image-resize stage (gated like DecodeStage): the real
+    kernel would be PIL's ``Image.resize``; the fake kernel deterministically
+    subsamples the body to ``target_w × target_h`` bytes so the binary-out
+    plumbing (payload in → smaller payload out, meta columns updated) is
+    real and testable."""
+
+    HEADER = DecodeStage.HEADER
+
+    def __init__(self, target_w: int = 8, target_h: int = 8, kernel: str = "fake"):
+        if kernel == "real":
+            raise NotImplementedError(
+                "real image resize needs PIL — not shipped in this container; "
+                "use kernel='fake' for plumbing tests"
+            )
+        if kernel != "fake":
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.target = target_w * target_h
+        self.target_w, self.target_h = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p in batch["payload"].to_pylist():
+            header, body = p[: self.HEADER], p[self.HEADER :]
+            if len(body) > self.target:
+                step = len(body) // self.target
+                body = bytes(np.frombuffer(body, np.uint8)[:: step][: self.target])
+            payloads.append(header + body)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(payloads, pa.binary()),
+                "meta_width": pa.array(
+                    np.full(batch.num_rows, self.target_w, np.int32)
+                ),
+                "meta_height": pa.array(
+                    np.full(batch.num_rows, self.target_h, np.int32)
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler (gated): the real kernel would be
+    PyAV; the fake kernel treats the payload body as a sequence of
+    ``frame_size``-byte frames and emits every ``every``-th frame as its OWN
+    row — the one-row-to-many-rows expansion shape a real frame sampler
+    needs (flat output, frame index column, per-frame payload)."""
+
+    HEADER = DecodeStage.HEADER
+
+    def __init__(self, frame_size: int = 64, every: int = 4, kernel: str = "fake"):
+        if kernel == "real":
+            raise NotImplementedError(
+                "real frame sampling needs PyAV — not shipped in this "
+                "container; use kernel='fake' for plumbing tests"
+            )
+        if kernel != "fake":
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.frame_size = frame_size
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            body = p[self.HEADER :]
+            n_frames = (len(body) + self.frame_size - 1) // self.frame_size
+            for i in range(0, n_frames, self.every):
+                ids.append(mid)
+                fidx.append(i)
+                frames.append(body[i * self.frame_size : (i + 1) * self.frame_size])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def frame_sample_counts(
+    ds: ray.data.Dataset, frame_size: int = 64, every: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+    concurrency: int | tuple = 2,
+) -> ray.data.Dataset:
+    """documents -> fake media -> frame sampler -> sampled-frame count per
+    media id (the oracle-checkable reduction of the frame stream)."""
+    from ray.data.aggregate import Count
+
+    media = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+    frames = media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_size": frame_size, "every": every},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    return frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
