@@ -503,3 +503,25 @@ def test_multimodal_resize_and_frames(ray_session):
         ResizeStage(kernel="real")
     with _pt.raises(NotImplementedError):
         FrameSampleStage(kernel="real")
+
+
+def test_minhash_dedup_no_pairs(ray_session):
+    """All-distinct corpus: every doc is its own group; the empty pair
+    stream must not break the propagation loop or the final union."""
+    import ray.data
+
+    from wikirec_ray.pipelines.dedup import connected_components, minhash_dedup_groups
+
+    ds = _docs_ds(
+        ray_session,
+        [(1, "totally unique alpha beta"), (2, "different gamma delta words")],
+    )
+    out = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in minhash_dedup_groups(ds, threshold=0.99).take_all()
+    )
+    assert out == [(1, 1), (2, 2)]
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    assert connected_components(empty).take_all() == []
