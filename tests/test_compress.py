@@ -96,3 +96,42 @@ def test_batch_minhash_equals_per_doc():
         hs = token_hashes(d, cache)
         uniq, counts = np.unique(hs, return_counts=True)
         assert int(sh[i]) == simhash64(uniq, counts), f"doc {i}"
+
+
+def test_batch_minhash_trailing_empty_doc():
+    """Review finding: a trailing empty doc must not truncate the preceding
+    doc's reduceat segment (its last shingle was being dropped)."""
+    import numpy as np
+
+    from wikirec_ray.functions.hashing import (
+        minhash_params,
+        minhash_signature,
+        minhash_signatures_flat,
+        shingle_hashes,
+        shingle_hashes_flat,
+        simhash64,
+        simhash64_flat,
+        token_hashes,
+    )
+
+    docs = ["alpha beta gamma delta".split(), [], "x y z w q".split(), [], []]
+    a, b = minhash_params(32)
+    cache: dict = {}
+    flat = token_hashes([t for d in docs for t in d], cache)
+    bounds = np.cumsum([0] + [len(d) for d in docs])
+    sh_flat, sh_starts = shingle_hashes_flat(flat, bounds, 3)
+    got = minhash_signatures_flat(sh_flat, sh_starts, a, b)
+    for i, d in enumerate(docs):
+        want = minhash_signature(shingle_hashes(token_hashes(d, cache), 3), a, b)
+        assert np.array_equal(got[i], want), f"doc {i}"
+    sh = simhash64_flat(flat, bounds)
+    for i, d in enumerate(docs):
+        hs = token_hashes(d, cache)
+        uniq, counts = np.unique(hs, return_counts=True)
+        assert int(sh[i]) == simhash64(uniq, counts), f"doc {i}"
+    # the review's minimal repro shapes
+    assert minhash_signatures_flat(
+        np.array([100, 50, 7], np.uint64), np.array([0, 3, 3]),
+        np.array([1], np.uint64), np.array([0], np.uint64),
+    )[0][0] == 7
+    assert int(simhash64_flat(np.array([0b01, 0b10], np.uint64), np.array([0, 2, 2]))[0]) == 0

@@ -525,3 +525,31 @@ def test_minhash_dedup_no_pairs(ray_session):
         pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     )
     assert connected_components(empty).take_all() == []
+
+
+def test_export_stale_partition_not_read(planted, ray_session, tmp_path):
+    """Re-exporting a shrunk corpus leaves old part files on disk; reads
+    must serve only manifest-listed partitions."""
+    import os
+
+    from wikirec_ray.pipelines.export import export_clean_corpus, read_exported
+
+    out = str(tmp_path / "corpus")
+    export_clean_corpus(
+        _docs_ds(ray_session, planted), out, min_tokens=1, range_size=8,
+        resume=False,
+    )
+    n_parts_full = len(
+        [p for p in os.listdir(out) if p.startswith("part-")]
+    )
+    # shrink to the first 5 docs (one range) without cleaning the dir
+    export_clean_corpus(
+        _docs_ds(ray_session, planted[:5]), out, min_tokens=1, range_size=8,
+        resume=False,
+    )
+    assert (
+        len([p for p in os.listdir(out) if p.startswith("part-")])
+        == n_parts_full
+    ), "stale files should still be on disk for this test to mean anything"
+    got = sorted(r["doc_id"] for r in read_exported(out).take_all())
+    assert got == [r[0] for r in planted[:5]]

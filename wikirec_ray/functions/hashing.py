@@ -144,11 +144,16 @@ def minhash_signatures_flat(
         return sig
     counts = np.diff(sh_starts)
     nonempty = counts > 0
-    starts_cl = np.minimum(sh_starts[:-1], len(sh_flat) - 1)
+    # reduceat over NON-EMPTY segment starts only: clamping an empty trailing
+    # doc's start to len-1 would insert a bogus boundary that truncates the
+    # PRECEDING doc's segment (dropped its last shingle — caught in review,
+    # pinned by test_batch_minhash_trailing_empty_doc)
+    ne_starts = sh_starts[:-1][nonempty]
+    if len(ne_starts) == 0:
+        return sig
     for i in range(len(a)):
         vals = (a[i] * sh_flat + b[i]) % _MERSENNE
-        mins = np.minimum.reduceat(vals, starts_cl)
-        sig[nonempty, i] = mins[nonempty]
+        sig[nonempty, i] = np.minimum.reduceat(vals, ne_starts)
     return sig
 
 
@@ -179,11 +184,16 @@ def simhash64_flat(flat_hashes: np.ndarray, doc_bounds: np.ndarray) -> np.ndarra
         return out
     counts = np.diff(doc_bounds)
     nonempty = counts > 0
-    starts_cl = np.minimum(doc_bounds[:-1], n - 1)
+    # non-empty starts only — same trailing-empty-doc truncation hazard as
+    # minhash_signatures_flat
+    ne_starts = doc_bounds[:-1][nonempty]
+    if len(ne_starts) == 0:
+        return out
+    ne_idx = np.flatnonzero(nonempty)
     for j in range(64):
         col = (((flat_hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * 2 - 1)
-        acc = np.add.reduceat(col, starts_cl)
-        out |= ((acc > 0) & nonempty).astype(np.uint64) << np.uint64(j)
+        acc = np.add.reduceat(col, ne_starts)
+        out[ne_idx] |= (acc > 0).astype(np.uint64) << np.uint64(j)
     return out
 
 
@@ -227,6 +237,9 @@ def hll_partial(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
     """uint8[m] register array for one batch of 64-bit hashes (vectorized):
     register = leading p bits; rank = leftmost-1 position of the rest + 1.
     Mergeable by elementwise max — the sketch property the reduce uses."""
+    if not 11 <= p <= 18:
+        # frexp-based bit_length is exact only while rem < 2^53, i.e. p >= 11
+        raise ValueError(f"hll p must be in [11, 18], got {p}")
     m = 1 << p
     regs = np.zeros(m, np.uint8)
     if len(hashes) == 0:
@@ -234,7 +247,7 @@ def hll_partial(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
     h = np.ascontiguousarray(hashes, np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rem = h & np.uint64((1 << (64 - p)) - 1)
-    # bit_length via frexp exponent (exact: rem < 2^52)
+    # bit_length via frexp exponent (exact: rem < 2^(64-p) <= 2^53)
     bitlen = np.frexp(rem.astype(np.float64))[1]
     rank = np.where(rem > 0, (64 - p) - bitlen + 1, (64 - p) + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)

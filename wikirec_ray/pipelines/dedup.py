@@ -41,7 +41,16 @@ from wikirec_ray.functions.hashing import (
     simhash64,
     token_hashes,
 )
+from wikirec_ray.functions.partitions import partitioned_map_groups
 from wikirec_ray.stages.analyze import _flat_tokens
+
+
+def _pair_key(b: pa.Table) -> np.ndarray:
+    return (
+        (b["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ b["id_b"].to_numpy().astype(np.uint64)
+    )
+
 
 def _aggregate_pairs(
     pairs: ray.data.Dataset, val_col: str, agg: str, n_parts: int = 64,
@@ -56,22 +65,12 @@ def _aggregate_pairs(
     the exact aggregate vectorized (Arrow group_by) inside each partition —
     same result, one cheap single-key shuffle (~1-2 s on the same input)."""
 
-    def add_ppart(b: pa.Table) -> pa.Table:
-        pp = (
-            (b["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            ^ b["id_b"].to_numpy().astype(np.uint64)
-        ) % np.uint64(n_parts)
-        return b.append_column("ppart", pa.array(pp.astype(np.int32)))
-
     def dedup_part(g: pa.Table) -> pa.Table:
         t = g.group_by(["id_a", "id_b"]).aggregate([(val_col, agg)])
         return t.rename_columns(["id_a", "id_b", val_col])
 
-    return (
-        pairs.repartition(coalesce)
-        .map_batches(add_ppart, batch_format="pyarrow")
-        .groupby("ppart")
-        .map_groups(dedup_part, batch_format="pyarrow")
+    return partitioned_map_groups(
+        pairs.repartition(coalesce), _pair_key, dedup_part, n_parts
     )
 
 
@@ -172,11 +171,6 @@ def jaccard_pairs(
             )
             return pa.table(cols)
 
-        def add_ppart(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
-            )
-
         def resolve(g: pa.Table) -> pa.Table:
             is_size = g["is_size"].to_numpy().astype(bool)
             keys = g["key"].to_numpy()
@@ -188,12 +182,12 @@ def jaccard_pairs(
             looked = sn[np.searchsorted(sk, rows[key_field].to_numpy())]
             return rows.append_column(out_field, pa.array(looked.astype(np.int64)))
 
-        return (
+        return partitioned_map_groups(
             pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
-            .union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
-            .map_batches(add_ppart, batch_format="pyarrow")
-            .groupby("ppart")
-            .map_groups(resolve, batch_format="pyarrow")
+            .union(sizes.map_batches(tag_sizes, batch_format="pyarrow")),
+            lambda b: b["key"].to_numpy(),
+            resolve,
+            n_parts,
         )
 
     with_na = _attach(pair_counts, ["id_a", "id_b", "pair_count"], "id_a", "n_a")
@@ -382,19 +376,12 @@ def _key_label_min(rows: ray.data.Dataset, n_parts: int = 64) -> ray.data.Datase
     partition — avoids per-key ``map_groups`` dispatch over millions of
     tiny groups."""
 
-    def add_ppart(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
-        )
-
     def min_part(g: pa.Table) -> pa.Table:
         t = g.select(["key", "label"]).group_by("key").aggregate([("label", "min")])
         return t.rename_columns(["key", "label"])
 
-    return (
-        rows.map_batches(add_ppart, batch_format="pyarrow")
-        .groupby("ppart")
-        .map_groups(min_part, batch_format="pyarrow")
+    return partitioned_map_groups(
+        rows, lambda b: b["key"].to_numpy(), min_part, n_parts
     )
 
 
@@ -470,8 +457,10 @@ def connected_components(
             }
         )
 
+    converged = False
     for _ in range(max_iters):
         if prev_sum == 0 and labels.count() == 0:
+            converged = True
             break
 
         def tag_labels(b: pa.Table) -> pa.Table:
@@ -483,22 +472,29 @@ def connected_components(
                 }
             )
 
-        def add_ppart(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "ppart", pa.array((b["key"].to_numpy() % n_parts).astype(np.int32))
-            )
-
-        propagated = (
-            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
-            .map_batches(add_ppart, batch_format="pyarrow")
-            .groupby("ppart")
-            .map_groups(attach, batch_format="pyarrow")
+        propagated = partitioned_map_groups(
+            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow")),
+            lambda b: b["key"].to_numpy(),
+            attach,
+            n_parts,
         )
         labels = _key_label_min(propagated, n_parts).materialize()
         cur_sum = labels.sum("label") or 0
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component with diameter > max_iters still carries non-minimal
+        # labels; the replaced union-find was exact for any shape, so never
+        # degrade silently (review finding)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components did not converge within %d iterations — "
+            "labels of long-chain components may be non-minimal; raise "
+            "max_iters", max_iters,
+        )
     return labels
 
 

@@ -55,7 +55,15 @@ def export_clean_corpus(
     lineage: dict | None = None,
 ) -> dict:
     """Run the export composite; returns the manifest.  Output rows:
-    (doc_id, text, n_tokens), one ``part-<range>.parquet`` per doc range."""
+    (doc_id, text, n_tokens), one ``part-<range>.parquet`` per doc range.
+
+    Resume contract: like the reference's file-existence skip
+    (data_utils.py:302,457-459), resume assumes the INPUT is unchanged —
+    validity is output bytes+md5 vs the manifest (plus min_tokens /
+    range_size / format-version match).  Re-exporting different input into
+    the same ``out_dir`` requires ``resume=False``; ``read_exported`` only
+    serves manifest-listed partitions, so stale files from older layouts
+    are never read."""
     from wikirec_ray.pipelines.textstats import _fingerprint_batch
 
     prior = load_manifest(out_dir) if resume else None
@@ -93,20 +101,15 @@ def export_clean_corpus(
 
     # one fingerprint-partition shuffle (fingerprints are uniform by
     # construction, so groups are balanced); emits one row per SURVIVOR
-    n_fp_parts = 64
+    from wikirec_ray.functions.partitions import partitioned_map_groups
 
-    def add_fpart(b: pa.Table) -> pa.Table:
-        h = np.frombuffer(
+    def fp_key(b: pa.Table) -> np.ndarray:
+        return np.frombuffer(
             b"".join(x[:8].encode("ascii") for x in b["fingerprint"].to_pylist()),
             np.uint64,
         )
-        return b.append_column("fpart", pa.array((h % n_fp_parts).astype(np.int32)))
 
-    flags = (
-        fps.map_batches(add_fpart, batch_format="pyarrow")
-        .groupby("fpart")
-        .map_groups(keep_rows, batch_format="pyarrow")
-    )
+    flags = partitioned_map_groups(fps, fp_key, keep_rows, n_parts=64)
 
     def doc_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
@@ -175,11 +178,13 @@ def export_clean_corpus(
 
 
 def read_exported(out_dir: str) -> ray.data.Dataset:
-    """Read an exported corpus back (validates nothing; the manifest is the
-    authority on partition integrity)."""
-    paths = sorted(
-        os.path.join(out_dir, p)
-        for p in os.listdir(out_dir)
-        if p.startswith("part-") and p.endswith(".parquet")
-    )
+    """Read an exported corpus back — partitions come from the MANIFEST,
+    never a directory glob: a re-export of a shrunk input leaves stale
+    ``part-*`` files on disk that belong to no current partition and must
+    not be served (review finding, pinned in
+    ``test_export_stale_partition_not_read``)."""
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest.json under {out_dir}")
+    paths = sorted(os.path.join(out_dir, key) for key in manifest["partitions"])
     return ray.data.read_parquet(paths)

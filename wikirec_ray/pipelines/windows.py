@@ -234,12 +234,9 @@ def sessionize(
     one vectorized pass per partition — lexsort by (key, ts, tiebreak),
     boolean diff for user/gap breaks, ``add.reduceat`` for per-key counts.
     No pandas conversion, no per-key ``map_groups`` dispatch."""
-    gap_us = int(gap_minutes * 60 * 1_000_000)
+    from wikirec_ray.functions.partitions import partitioned_map_groups
 
-    def add_ppart(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "ppart", pa.array((b[key_col].to_numpy() % n_parts).astype(np.int32))
-        )
+    gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def per_part(g: pa.Table) -> pa.Table:
         users = g[key_col].to_numpy()
@@ -260,8 +257,6 @@ def sessionize(
             }
         )
 
-    return (
-        ds.map_batches(add_ppart, batch_format="pyarrow")
-        .groupby("ppart")
-        .map_groups(per_part, batch_format="pyarrow")
+    return partitioned_map_groups(
+        ds, lambda b: b[key_col].to_numpy(), per_part, n_parts
     )

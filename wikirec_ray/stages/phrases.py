@@ -15,8 +15,9 @@ Representations of Words and Phrases..."):
 
 - counting: every pair of consecutive NON-CONNECTOR tokens within a doc is
   a candidate; connector words (stopwords) between them become part of the
-  phrase key ("bank_of_america") but the score uses the unigram counts of
-  the two content words:
+  phrase key ("bank_of_america") but are EXCLUDED from the unigram vocab
+  (gensim's ``_learn_vocab`` increments vocab only on the non-connector
+  branch); the score uses the unigram counts of the two content words:
       score(a, …, b) = (count(a…b) − min_count) · |vocab| / (count(a)·count(b))
   a candidate is a phrase when score > threshold.
 - application (``apply_stream``): greedy left-to-right scan; a matched span
@@ -98,7 +99,17 @@ def _pair_unigram_partials(
     ``pc.binary_join`` — no per-row Python loop."""
     parents, flat = _flat_tokens(batch[text_col].combine_chunks())
     par = parents.to_numpy(zero_copy_only=False)
-    uni = pa.table({"w1": flat}).group_by("w1").aggregate([("w1", "count")])
+    if connector_words:
+        # gensim's _learn_vocab increments vocab only for NON-connector
+        # tokens (connectors can never be phrase endpoints, and counting
+        # them would inflate |vocab| and thus every score)
+        conn_for_uni = pc.is_in(
+            flat, value_set=pa.array(sorted(connector_words), pa.string())
+        )
+        uni_src = flat.filter(pc.invert(conn_for_uni))
+    else:
+        uni_src = flat
+    uni = pa.table({"w1": uni_src}).group_by("w1").aggregate([("w1", "count")])
 
     if len(par) < 2:
         return _partials_table(uni, [], [], [], [])
@@ -247,7 +258,7 @@ def _stream_partial_rows(
     uni: Counter = Counter()
     pairs: Counter = Counter()
     for toks in token_lists:
-        uni.update(toks)
+        uni.update(t for t in toks if t not in connector_words)
         start: str | None = None
         pending: list[str] = []
         for tok in toks:
