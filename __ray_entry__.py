@@ -53,6 +53,9 @@ SAMPLE_MOD, SAMPLE_RESIDUE = 7, 3
 EXPORT_MIN_TOKENS = 15  # drops the short tail (p5 of sf0.01 is 16 tokens)
 HOP_WINDOW_S, HOP_S = 3600, 1800
 ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE = "purchase", "click"
+QUANTILE_QS = [0.5, 0.95, 0.99]
+TOPK_PER_TYPE = 3
+STRATA_RATES = {"en": 2, "de": 3}  # keep 1/2 of en, 1/3 of de, all others
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
 # The synthetic corpus has few repeated trigrams (max pair count in the
@@ -715,6 +718,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_token_counts(_documents(sf_dir))
 
+    def value_quantiles_q(sf_dir):
+        import pandas as pd
+        import ray.data
+
+        from wikirec_ray.stages.stats import exact_quantiles
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        rows = exact_quantiles(ds, "value", QUANTILE_QS)
+        return pd.DataFrame(
+            {"q": [q for q, _ in rows], "value": [round(v, 6) for _, v in rows]}
+        )
+
+    def top_events_per_type_q(sf_dir):
+        import ray.data
+
+        from wikirec_ray.stages.stats import grouped_topk
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "event_id", "value"],
+        )
+        return grouped_topk(
+            ds, "event_type", "value", k=TOPK_PER_TYPE, tiebreak_col="event_id"
+        )
+
+    def lang_stratified_q(sf_dir):
+        from wikirec_ray.stages.stats import stratified_sample
+
+        return stratified_sample(
+            _documents(sf_dir, columns=("doc_id", "lang")), "lang", STRATA_RATES
+        )
+
     def props_k_hist_q(sf_dir):
         import ray.data
 
@@ -900,6 +937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": events_window_q,
         "sessions": sessions_q,
         "props_k_hist": props_k_hist_q,
+        "value_quantiles": value_quantiles_q,
+        "top_events_per_type": top_events_per_type_q,
+        "lang_stratified": lang_stratified_q,
         "approx_distinct_users": approx_distinct_users_q,
         "nation_revenue": nation_revenue_q,
         "priority_lineitem": priority_lineitem_q,
@@ -1208,6 +1248,23 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
+        """,
+        "value_quantiles": """
+            SELECT 0.5 AS q, ROUND(quantile_disc(value, 0.5), 6) AS value FROM events UNION ALL SELECT 0.95 AS q, ROUND(quantile_disc(value, 0.95), 6) AS value FROM events UNION ALL SELECT 0.99 AS q, ROUND(quantile_disc(value, 0.99), 6) AS value FROM events
+        """,
+        "top_events_per_type": f"""
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= {TOPK_PER_TYPE}
+        """,
+        "lang_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 ELSE 1 END) = 0
         """,
         "props_k_hist": """
             SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,

@@ -249,3 +249,68 @@ def test_bpe_token_counts(ray_session):
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(ds).take_all()}
     # "hello"," world" -> 2 ; "a","+","b","=","42" -> 5 ; "" -> 0
     assert got == {0: 2, 1: 5, 2: 0}
+
+
+def test_grouped_topk(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.stats import grouped_topk
+
+    rows = [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 9.0), ("a", 4, 1.0),
+            ("b", 5, 2.0), ("b", 6, 3.0)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([r[0] for r in rows]),
+                "i": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(3)  # force cross-batch merge
+    got = sorted(
+        (r["g"], r["i"])
+        for r in grouped_topk(ds, "g", "v", k=2, tiebreak_col="i").take_all()
+    )
+    # a: 9.0@2 then 9.0@3 (tie -> lower id first); b: both rows
+    assert got == [("a", 2), ("a", 3), ("b", 5), ("b", 6)]
+
+
+def test_exact_quantiles_match_duckdb(ray_session, sf_dir):
+    import os
+
+    import duckdb
+    import ray.data
+
+    from wikirec_ray.stages.stats import exact_quantiles
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["value"])
+    got = exact_quantiles(ds, "value", [0.25, 0.5, 0.9])
+    want = duckdb.sql(
+        f"SELECT quantile_disc(value, 0.25), quantile_disc(value, 0.5), "
+        f"quantile_disc(value, 0.9) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert [v for _, v in got] == list(want)
+
+
+def test_stratified_sample(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.stats import stratified_sample
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "lang": pa.array(["en", "de"] * 5),
+            }
+        )
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(ds, "lang", {"en": 2, "de": 3}).take_all()
+    )
+    # en ids 0,2,4,6,8 keep those %2==0 (all); de ids 1,3,5,7,9 keep %3==0 -> 3, 9
+    assert got == [0, 2, 3, 4, 6, 8, 9]

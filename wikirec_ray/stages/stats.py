@@ -17,6 +17,7 @@ reference's analog is the implicit doc length inside TfidfVectorizer
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -155,3 +156,156 @@ def corpus_stats(
     n = int(row["n_docs"])
     tot = int(row["total_tokens"] or 0)
     return {"n_docs": n, "total_tokens": tot, "avgdl": (tot / n) if n else 0.0}
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    k: int = 5,
+    tiebreak_col: str | None = None,
+    descending: bool = True,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by ``order_col`` — the generic form of the
+    per-query merges the ANN/BM25 paths do ad hoc.
+
+    Combiner pattern: each batch reduces to its per-group top-k (vectorized
+    lexsort + boundary rank mask), so the shuffle moves O(groups × k) rows
+    per batch, then one ``groupby(group).map_groups`` re-applies the same
+    reduction for the exact global answer.  Deterministic: ties on
+    ``order_col`` break by ``tiebreak_col`` ascending (defaults to the
+    order column itself)."""
+    tie = tiebreak_col or order_col
+
+    def topk_within(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        val = b[order_col].to_numpy(zero_copy_only=False)  # numeric order col
+        tb = b[tie].to_numpy(zero_copy_only=False)
+        sv = -val if descending else val
+        # numeric group keys sort directly; strings via codes
+        if grp.dtype.kind in "OUS":
+            _, gcodes = np.unique(grp, return_inverse=True)
+        else:
+            gcodes = grp
+        order = np.lexsort((tb, sv, gcodes))
+        g_sorted = gcodes[order] if grp.dtype.kind in "OUS" else grp[order]
+        new_grp = np.ones(len(order), bool)
+        new_grp[1:] = g_sorted[1:] != g_sorted[:-1]
+        # rank within group = position - position of group start
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(len(order)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(order)]])))
+        keep_idx = order[rank < k]
+        return b.take(pa.array(np.sort(keep_idx)))
+
+    partials = ds.map_batches(topk_within, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(topk_within, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    strata_col: str,
+    rates: dict[str, int],
+    default_modulus: int = 1,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum subsample: keep a row iff
+    ``id % rates[stratum] == 0`` (modulus 1 = keep all; the cross-engine-
+    checkable stratified analog of ``deterministic_sample``)."""
+    import numpy as np
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        strata = batch[strata_col].to_pylist()
+        mods = np.fromiter(
+            (rates.get(s, default_modulus) for s in strata), np.int64, len(strata)
+        )
+        return batch.filter(pa.array(ids % mods == 0))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    bins: int = 4096,
+    max_pull: int = 1_000_000,
+) -> list[tuple[float, float]]:
+    """EXACT disc quantiles (smallest x with ≥ ⌈q·n⌉ values ≤ x) of a
+    numeric column in two streaming passes + one bounded filtered pull:
+
+      pass 1  per-batch (min, max, count) partials → driver combine
+      pass 2  per-batch fixed-grid histogram partials (one bins-long int row
+              per batch) → driver sum → locate each target rank's bin
+      pull    filter only the located bins' rows (≤ ``max_pull`` asserted),
+              exact selection driver-side.
+
+    This is the classic distributed-quantile shape: the full column never
+    reaches the driver — only histograms and the target bins."""
+    import math
+
+    import numpy as np
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy()
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())],
+                         "n": [int(len(v))]})
+
+    rows = ds.map_batches(mm_partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return [(q, float("nan")) for q in qs]
+    mn = min(r["mn"] for r in rows)
+    mx = max(r["mx"] for r in rows)
+    n = sum(r["n"] for r in rows)
+    width = (mx - mn) / bins or 1.0
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy()
+        idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
+        h = np.zeros(bins, np.int64)
+        np.add.at(h, idx, 1)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})
+
+    hrows = ds.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    hist = np.zeros(bins, np.int64)
+    for r in hrows:
+        hist += np.frombuffer(r["hist"], np.int64)
+    cum = np.cumsum(hist)
+
+    targets = {q: max(1, math.ceil(q * n)) for q in qs}
+    need_bins = sorted({int(np.searchsorted(cum, k)) for k in targets.values()})
+    lo_of = {bi: mn + bi * width for bi in need_bins}
+    pulled: dict[int, np.ndarray] = {}
+    for bi in need_bins:
+        lo, hi = lo_of[bi], mn + (bi + 1) * width
+        if int(hist[bi]) > max_pull:  # pragma: no cover - pathological skew
+            raise ValueError(
+                f"quantile bin holds {int(hist[bi])} rows > max_pull; raise bins"
+            )
+
+        def pull(b: pa.Table, lo=lo, hi=hi, bi=bi) -> pa.Table:
+            v = b[col].to_numpy()
+            idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
+            return pa.table({col: pa.array(v[idx == bi])})
+
+        vals = np.concatenate(
+            [r[0].to_numpy(zero_copy_only=False)
+             for r in ds.map_batches(pull, batch_format="pyarrow").iter_batches(
+                 batch_format="pyarrow")]
+            or [np.empty(0, np.float64)]
+        )
+        pulled[bi] = np.sort(vals)
+
+    out = []
+    for q in qs:
+        k = targets[q]
+        bi = int(np.searchsorted(cum, k))
+        before = int(cum[bi - 1]) if bi > 0 else 0
+        out.append((q, float(pulled[bi][k - before - 1])))
+    return out
