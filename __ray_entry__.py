@@ -718,6 +718,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_token_counts(_documents(sf_dir))
 
+    def lm_scores_q(sf_dir):
+        from wikirec_ray.pipelines.textstats import lm_quality_scores
+
+        return lm_quality_scores(_documents(sf_dir))
+
     def value_quantiles_q(sf_dir):
         import pandas as pd
         import ray.data
@@ -937,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": events_window_q,
         "sessions": sessions_q,
         "props_k_hist": props_k_hist_q,
+        "lm_scores": lm_scores_q,
         "value_quantiles": value_quantiles_q,
         "top_events_per_type": top_events_per_type_q,
         "lang_stratified": lang_stratified_q,
@@ -1248,6 +1254,18 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
+        """,
+        "lm_scores": f"""
+            WITH tok AS ({_TOK}),
+            freq AS (SELECT term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY term),
+            st AS (SELECT SUM(tf) AS total, COUNT(*) AS v FROM freq),
+            lp AS (
+                SELECT term, ln(tf + 1) - ln(st.total + st.v) AS logp
+                FROM freq CROSS JOIN st
+            )
+            SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(AVG(lp.logp), 6) AS avg_logprob
+            FROM tok JOIN lp USING (term) GROUP BY tok.doc_id
         """,
         "value_quantiles": """
             SELECT 0.5 AS q, ROUND(quantile_disc(value, 0.5), 6) AS value FROM events UNION ALL SELECT 0.95 AS q, ROUND(quantile_disc(value, 0.95), 6) AS value FROM events UNION ALL SELECT 0.99 AS q, ROUND(quantile_disc(value, 0.99), 6) AS value FROM events

@@ -262,3 +262,57 @@ def props_k_histogram(ds: "ray.data.Dataset", props_col: str = "props") -> "ray.
         .aggregate(Sum("n", alias_name="n_events"))
     )
     return out
+
+
+def lm_quality_scores(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(id, n_tokens, avg_logprob): mean unigram log-probability of each doc
+    under the corpus's own add-one-smoothed unigram LM — the classic
+    perplexity-family quality signal (docs full of corpus-atypical tokens
+    score low).
+
+    Two-pass broadcast shape: term totals aggregate once (vocab-sized),
+    the log-prob table broadcasts via ``ray.put``, then one vectorized map
+    scores every doc.  logp(t) = ln((tf_t + 1) / (T + |V|))."""
+    import math
+
+    import ray
+
+    from wikirec_ray.stages.analyze import doc_term_freqs
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: doc_term_freqs(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    totals = partials.groupby("term").aggregate(Sum("tf", alias_name="tf")).take_all()
+    total_tokens = sum(r["tf"] for r in totals)
+    vocab = len(totals)
+    denom = math.log(total_tokens + vocab)
+    logp = {r["term"]: math.log(r["tf"] + 1) - denom for r in totals}
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        lp = np.fromiter(
+            (table[t] for t in flat.to_pylist()), np.float64, count=len(flat)
+        )
+        sums = np.zeros(batch.num_rows, np.float64)
+        counts = np.zeros(batch.num_rows, np.int64)
+        np.add.at(sums, par, lp)
+        np.add.at(counts, par, 1)
+        avg = np.round(np.divide(sums, np.maximum(counts, 1)), 6)
+        nz = np.flatnonzero(counts > 0)  # zero-token docs have no LM score
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(nz)),
+                "n_tokens": pa.array(counts[nz]),
+                "avg_logprob": pa.array(avg[nz]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

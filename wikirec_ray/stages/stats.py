@@ -280,27 +280,30 @@ def exact_quantiles(
 
     targets = {q: max(1, math.ceil(q * n)) for q in qs}
     need_bins = sorted({int(np.searchsorted(cum, k)) for k in targets.values()})
-    lo_of = {bi: mn + bi * width for bi in need_bins}
-    pulled: dict[int, np.ndarray] = {}
-    for bi in need_bins:
-        lo, hi = lo_of[bi], mn + (bi + 1) * width
-        if int(hist[bi]) > max_pull:  # pragma: no cover - pathological skew
-            raise ValueError(
-                f"quantile bin holds {int(hist[bi])} rows > max_pull; raise bins"
-            )
-
-        def pull(b: pa.Table, lo=lo, hi=hi, bi=bi) -> pa.Table:
-            v = b[col].to_numpy()
-            idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
-            return pa.table({col: pa.array(v[idx == bi])})
-
-        vals = np.concatenate(
-            [r[0].to_numpy(zero_copy_only=False)
-             for r in ds.map_batches(pull, batch_format="pyarrow").iter_batches(
-                 batch_format="pyarrow")]
-            or [np.empty(0, np.float64)]
+    total_pull = int(hist[need_bins].sum())
+    if total_pull > max_pull:  # pragma: no cover - pathological skew
+        raise ValueError(
+            f"quantile bins hold {total_pull} rows > max_pull; raise bins"
         )
-        pulled[bi] = np.sort(vals)
+    need_set = np.array(need_bins, np.int64)
+
+    def pull(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy()
+        idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
+        m = np.isin(idx, need_set)
+        return pa.table({"bin": pa.array(idx[m]), col: pa.array(v[m])})
+
+    pulled: dict[int, np.ndarray] = {bi: np.empty(0, np.float64) for bi in need_bins}
+    chunks: dict[int, list] = {bi: [] for bi in need_bins}
+    for r in ds.map_batches(pull, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bv = r["bin"].to_numpy()
+        vv = r[col].to_numpy(zero_copy_only=False)
+        for bi in need_bins:
+            chunks[bi].append(vv[bv == bi])
+    for bi in need_bins:
+        pulled[bi] = np.sort(np.concatenate(chunks[bi] or [np.empty(0, np.float64)]))
 
     out = []
     for q in qs:
