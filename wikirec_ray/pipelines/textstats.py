@@ -298,8 +298,10 @@ def lm_quality_scores(
         table = ray.get(ref)
         parents, flat = _flat_tokens(batch[text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
+        oov = -denom  # add-one smoothing: unseen token => ln(1) - ln(T+V)
         lp = np.fromiter(
-            (table[t] for t in flat.to_pylist()), np.float64, count=len(flat)
+            (table.get(t, oov) for t in flat.to_pylist()),
+            np.float64, count=len(flat),
         )
         sums = np.zeros(batch.num_rows, np.float64)
         counts = np.zeros(batch.num_rows, np.int64)

@@ -171,19 +171,32 @@ def grouped_topk(
 
     Combiner pattern: each batch reduces to its per-group top-k (vectorized
     lexsort + boundary rank mask), so the shuffle moves O(groups × k) rows
-    per batch, then one ``groupby(group).map_groups`` re-applies the same
-    reduction for the exact global answer.  Deterministic: ties on
-    ``order_col`` break by ``tiebreak_col`` ascending (defaults to the
-    order column itself)."""
+    per batch; the merge re-applies the same reduction inside HASH
+    partitions of the group key (``partitioned_map_groups``) — no per-group
+    dispatch over millions of tiny natural-key groups.
+
+    Determinism: ties on ``order_col`` break by ``tiebreak_col`` ascending;
+    pass a tiebreak that uniquely identifies rows (an id) for a fully
+    deterministic result — without one, rows tied on ``order_col`` at the
+    k-boundary are chosen by block layout."""
+    import zlib
+
+    from wikirec_ray.functions.partitions import partitioned_map_groups
+
     tie = tiebreak_col or order_col
 
     def topk_within(b: pa.Table) -> pa.Table:
+        if "ppart" in b.column_names:
+            b = b.drop_columns(["ppart"])
         if b.num_rows == 0:
             return b
         grp = b[group_col].to_numpy(zero_copy_only=False)
         val = b[order_col].to_numpy(zero_copy_only=False)  # numeric order col
         tb = b[tie].to_numpy(zero_copy_only=False)
-        sv = -val if descending else val
+        # dense order codes make the descending key exact for ANY dtype —
+        # negating unsigned/extreme ints wraps (uint 0 would rank first)
+        _, vcodes = np.unique(val, return_inverse=True)
+        sv = (vcodes.max() - vcodes) if descending else vcodes
         # numeric group keys sort directly; strings via codes
         if grp.dtype.kind in "OUS":
             _, gcodes = np.unique(grp, return_inverse=True)
@@ -199,8 +212,19 @@ def grouped_topk(
         keep_idx = order[rank < k]
         return b.take(pa.array(np.sort(keep_idx)))
 
+    def group_key(b: pa.Table) -> np.ndarray:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        if g.dtype.kind in "OUS":
+            uniq, inv = np.unique(g, return_inverse=True)
+            hk = np.fromiter(
+                (zlib.crc32(str(u).encode("utf-8")) for u in uniq),
+                np.int64, len(uniq),
+            )
+            return hk[inv]
+        return g.astype(np.int64)
+
     partials = ds.map_batches(topk_within, batch_format="pyarrow")
-    return partials.groupby(group_col).map_groups(topk_within, batch_format="pyarrow")
+    return partitioned_map_groups(partials, group_key, topk_within)
 
 
 def stratified_sample(
@@ -213,7 +237,8 @@ def stratified_sample(
     """Deterministic per-stratum subsample: keep a row iff
     ``id % rates[stratum] == 0`` (modulus 1 = keep all; the cross-engine-
     checkable stratified analog of ``deterministic_sample``)."""
-    import numpy as np
+    if default_modulus <= 0 or any(m <= 0 for m in rates.values()):
+        raise ValueError("strata moduli must be positive (numpy %% 0 keeps all)")
 
     def fil(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
@@ -246,10 +271,15 @@ def exact_quantiles(
     reaches the driver — only histograms and the target bins."""
     import math
 
-    import numpy as np
+    def _valid(b: pa.Table) -> np.ndarray:
+        # NULLs and NaNs are ignored, matching DuckDB quantile_disc
+        v = b[col].drop_null().to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        return v
 
     def mm_partial(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy()
+        v = _valid(b)
         if len(v) == 0:
             return pa.table({"mn": pa.array([], pa.float64()),
                              "mx": pa.array([], pa.float64()),
@@ -266,7 +296,7 @@ def exact_quantiles(
     width = (mx - mn) / bins or 1.0
 
     def hist_partial(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy()
+        v = _valid(b)
         idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
         h = np.zeros(bins, np.int64)
         np.add.at(h, idx, 1)
@@ -288,7 +318,7 @@ def exact_quantiles(
     need_set = np.array(need_bins, np.int64)
 
     def pull(b: pa.Table) -> pa.Table:
-        v = b[col].to_numpy()
+        v = _valid(b)
         idx = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
         m = np.isin(idx, need_set)
         return pa.table({"bin": pa.array(idx[m]), col: pa.array(v[m])})
