@@ -230,6 +230,24 @@ def run_bench() -> dict:
     minhash_sec = time.monotonic() - t4
     log(f"minhash-lsh: {n_cand} candidate pairs over {minhash_docs} docs in {minhash_sec:.2f}s")
 
+    # -- timed: distributed near-dup GROUPING (label propagation) --------
+    from wikirec_ray.pipelines.dedup import minhash_dedup_groups
+
+    t5 = time.monotonic()
+    n_labeled = minhash_dedup_groups(mh_input, threshold=0.8).count()
+    dedup_groups_sec = time.monotonic() - t5
+    log(f"minhash groups: {n_labeled} labeled docs in {dedup_groups_sec:.2f}s")
+
+    # -- timed: resumable partitioned export sink ------------------------
+    from wikirec_ray.pipelines.export import export_clean_corpus
+
+    export_dir = os.path.join(CACHE_ROOT, f"bench-export-{NUM_CPUS}")
+    shutil.rmtree(export_dir, ignore_errors=True)
+    t6 = time.monotonic()
+    em = export_clean_corpus(docs_text, export_dir, min_tokens=5, resume=False)
+    export_sec = time.monotonic() - t6
+    log(f"export sink: {em['n_docs']} docs in {export_sec:.2f}s")
+
     result = {
         "metric": "e2e_sec",
         "value": round(build_sec + exact_sec, 3),
@@ -240,6 +258,8 @@ def run_bench() -> dict:
             "bm25_wand": round(wand_sec, 3),
             "dedup_exact": round(dedup_exact_sec, 3),
             "dedup_minhash": round(minhash_sec, 3),
+            "dedup_groups": round(dedup_groups_sec, 3),
+            "export_sink": round(export_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
