@@ -501,43 +501,53 @@ def connected_components(
         ray.get(pending)  # backpressure: count 1 row only once delivered
         return pa.table({"n": pa.array([b.num_rows], pa.int64())})
 
-    pairs.map_batches(symmetric_route, batch_format="pyarrow").count()
-    n_nodes = sum(ray.get([s.finalize.remote() for s in shards]))
-    if n_nodes == 0:
-        return ray.data.from_arrow(
-            pa.table({"key": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        )
-
-    converged = False
-    for _ in range(max_iters):
-        if P > 1:
-            outboxes = [s.emit.options(num_returns=P).remote() for s in shards]
-            deltas = ray.get(
-                [
-                    shards[j].apply.remote(*[outboxes[i][j] for i in range(P)])
-                    for j in range(P)
-                ]
+    try:
+        # NOTE on retries: if Ray re-executes a routing task after a failure,
+        # a shard may receive duplicate edges — harmless, because min-label
+        # propagation is idempotent over duplicate edges/messages and
+        # ``finalize`` dedups nodes.  Shard STATE itself is not
+        # lineage-reconstructable (raw actors); a lost shard fails the call
+        # and the caller re-runs it.
+        pairs.map_batches(symmetric_route, batch_format="pyarrow").count()
+        n_nodes = sum(ray.get([s.finalize.remote() for s in shards]))
+        if n_nodes == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"key": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+                )
             )
-        else:
-            outbox = shards[0].emit.remote()
-            deltas = ray.get([shards[0].apply.remote(outbox)])
-        if sum(deltas) == 0:
-            converged = True
-            break
-    if not converged:
-        # propagation moves the min one hop per round; a component with
-        # diameter > max_iters would still carry non-minimal labels — never
-        # degrade silently
-        import logging
 
-        logging.getLogger(__name__).warning(
-            "connected_components did not converge within %d iterations — "
-            "labels of long-chain components may be non-minimal; raise "
-            "max_iters", max_iters,
-        )
-    tables = ray.get([s.table.remote() for s in shards])
-    for s in shards:
-        ray.kill(s)
+        converged = False
+        for _ in range(max_iters):
+            if P > 1:
+                outboxes = [s.emit.options(num_returns=P).remote() for s in shards]
+                deltas = ray.get(
+                    [
+                        shards[j].apply.remote(*[outboxes[i][j] for i in range(P)])
+                        for j in range(P)
+                    ]
+                )
+            else:
+                outbox = shards[0].emit.remote()
+                deltas = ray.get([shards[0].apply.remote(outbox)])
+            if sum(deltas) == 0:
+                converged = True
+                break
+        if not converged:
+            # propagation moves the min one hop per round; a component with
+            # diameter > max_iters would still carry non-minimal labels —
+            # never degrade silently
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "connected_components did not converge within %d iterations — "
+                "labels of long-chain components may be non-minimal; raise "
+                "max_iters", max_iters,
+            )
+        tables = ray.get([s.table.remote() for s in shards])
+    finally:
+        for s in shards:
+            ray.kill(s)
     return ray.data.from_arrow([t for t in tables if t.num_rows] or [tables[0]])
 
 
