@@ -226,17 +226,23 @@ def run_bench() -> dict:
     minhash_docs = int(os.environ.get("BENCH_MINHASH_DOCS", "20000"))
     mh_input = docs_text.limit(minhash_docs)
     t4 = time.monotonic()
-    n_cand = minhash_candidates(mh_input, concurrency=(2, 8)).count()
+    cands = minhash_candidates(mh_input, concurrency=(2, 8)).materialize()
+    n_cand = cands.count()
     minhash_sec = time.monotonic() - t4
     log(f"minhash-lsh: {n_cand} candidate pairs over {minhash_docs} docs in {minhash_sec:.2f}s")
 
-    # -- timed: distributed near-dup GROUPING (label propagation) --------
-    from wikirec_ray.pipelines.dedup import minhash_dedup_groups
+    # -- timed: distributed components (label propagation ONLY — candidate
+    # generation is the stage above) -------------------------------------
+    from wikirec_ray.pipelines.dedup import connected_components
 
     t5 = time.monotonic()
-    n_labeled = minhash_dedup_groups(mh_input, threshold=0.8).count()
+    pairs = cands.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"], 0.8)),
+        batch_format="pyarrow",
+    )
+    n_labeled = connected_components(pairs).count()
     dedup_groups_sec = time.monotonic() - t5
-    log(f"minhash groups: {n_labeled} labeled docs in {dedup_groups_sec:.2f}s")
+    log(f"components: {n_labeled} near-dup docs labeled in {dedup_groups_sec:.2f}s")
 
     # -- timed: resumable partitioned export sink ------------------------
     from wikirec_ray.pipelines.export import export_clean_corpus

@@ -115,6 +115,19 @@ def test_label_propagation_chain(ray_session):
     )
     got = {r["key"]: r["label"] for r in connected_components(ds).take_all()}
     assert all(got[i] == 1 for i in range(1, 11))
+    # a LONG chain (diameter 41 > the old 15-iteration cap) must converge
+    # fully under the defaults (review finding)
+    long_edges = [(i, i + 1) for i in range(41)]
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in long_edges], pa.int64()),
+                "id_b": pa.array([b for _, b in long_edges], pa.int64()),
+            }
+        )
+    )
+    got2 = {r["key"]: r["label"] for r in connected_components(ds2).take_all()}
+    assert all(got2[i] == 0 for i in range(42)), got2
     assert got[20] == got[21] == 20
     assert got[22] == got[23] == 22
 

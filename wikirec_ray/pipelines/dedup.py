@@ -407,7 +407,8 @@ class _ComponentShard:
     def finalize(self) -> int:
         src = np.concatenate(self._src_chunks) if self._src_chunks else np.empty(0, np.int64)
         dst = np.concatenate(self._dst_chunks) if self._dst_chunks else np.empty(0, np.int64)
-        self._src_chunks = self._dst_chunks = []
+        self._src_chunks = []
+        self._dst_chunks = []
         order = np.argsort(src, kind="stable")
         self.src, self.dst = src[order], dst[order]
         self.nodes = np.unique(self.src)
@@ -417,6 +418,17 @@ class _ComponentShard:
             self.labels = np.minimum(
                 self.nodes, np.minimum.reduceat(self.dst, run_starts)
             )
+        # bucket layout computed ONCE: per-round emit is then a gather +
+        # P slices, O(E + P), not P full-length masks (O(P·E))
+        pid = self.dst % self.P
+        self._emit_order = np.argsort(pid, kind="stable")
+        self._dst_by_pid = self.dst[self._emit_order]
+        self._src_idx_by_pid = np.searchsorted(
+            self.nodes, self.src[self._emit_order]
+        )
+        self._bucket_bounds = np.searchsorted(
+            pid[self._emit_order], np.arange(self.P + 1)
+        )
         return len(self.nodes)
 
     def emit(self):
@@ -426,12 +438,12 @@ class _ComponentShard:
         if len(self.src) == 0:
             empty = (np.empty(0, np.int64), np.empty(0, np.int64))
             return tuple(empty for _ in range(self.P)) if self.P > 1 else empty
-        lab_src = self.labels[np.searchsorted(self.nodes, self.src)]
-        pid = self.dst % self.P
-        out = []
-        for p in range(self.P):
-            m = pid == p
-            out.append((self.dst[m], lab_src[m]))
+        lab_arranged = self.labels[self._src_idx_by_pid]
+        bb = self._bucket_bounds
+        out = [
+            (self._dst_by_pid[bb[p] : bb[p + 1]], lab_arranged[bb[p] : bb[p + 1]])
+            for p in range(self.P)
+        ]
         return tuple(out) if self.P > 1 else out[0]
 
     def apply(self, *buckets) -> int:
@@ -439,12 +451,19 @@ class _ComponentShard:
         decrease (0 = this shard converged this round)."""
         if len(self.nodes) == 0:
             return 0
+        nodes_all = np.concatenate([b[0] for b in buckets])
+        if len(nodes_all) == 0:
+            return 0
+        labs_all = np.concatenate([b[1] for b in buckets])
         before = int(self.labels.sum())
-        for nodes_arr, labs in buckets:
-            if len(nodes_arr) == 0:
-                continue
-            idx = np.searchsorted(self.nodes, nodes_arr)
-            np.minimum.at(self.labels, idx, labs)
+        # sort + reduceat instead of the slow unbuffered minimum.at ufunc
+        idx = np.searchsorted(self.nodes, nodes_all)
+        order = np.argsort(idx, kind="stable")
+        idx_s, labs_s = idx[order], labs_all[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+        mins = np.minimum.reduceat(labs_s, starts)
+        pos = idx_s[starts]
+        self.labels[pos] = np.minimum(self.labels[pos], mins)
         return before - int(self.labels.sum())
 
     def table(self) -> pa.Table:
@@ -553,7 +572,7 @@ def connected_components(
 
 def minhash_dedup_groups(
     ds: ray.data.Dataset, threshold=0.8, id_col="doc_id", text_col="text",
-    max_iters: int = 15, **kw,
+    max_iters: int = 200, **kw,
 ) -> ray.data.Dataset:
     """(doc_id, group_id) near-dup group labels; group_id = min doc_id of the
     connected component over candidate pairs with est_jaccard >= threshold.
