@@ -135,3 +135,51 @@ def test_batch_minhash_trailing_empty_doc():
         np.array([1], np.uint64), np.array([0], np.uint64),
     )[0][0] == 7
     assert int(simhash64_flat(np.array([0b01, 0b10], np.uint64), np.array([0, 2, 2]))[0]) == 0
+
+
+def test_token_hash_vectorized_equals_scalar_and_sql():
+    """The poly64+fmix64 token hash must agree across its three forms: the
+    scalar reference, the Arrow-vectorized batch path (incl. sliced/offset
+    arrays), and the DuckDB SQL emitted by functions.sqlhash — the oracle
+    contract the minhash/simhash entries rely on."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from wikirec_ray.functions.hashing import (
+        minhash_params,
+        minhash_signature,
+        shingle_hashes,
+        token_hash,
+        token_hashes,
+        token_hashes_arrow,
+    )
+    from wikirec_ray.functions.sqlhash import (
+        minhash_perm_expr,
+        shingle_fold_expr,
+        token_hash_ctes,
+    )
+
+    toks = ["spark", "join", "a", "x" * 40, "value9", "the", "9", "zz0"]
+    arr = pa.array(toks, pa.string())
+    vec = token_hashes_arrow(arr)
+    ref = np.array([token_hash(t) for t in toks], np.uint64)
+    assert np.array_equal(vec, ref)
+    assert np.array_equal(token_hashes_arrow(arr.slice(2, 4)), ref[2:6])
+
+    con = duckdb.connect()
+    vals = ",".join(f"('{t}')" for t in toks)
+    q = f"WITH t(term) AS (VALUES {vals}), {token_hash_ctes('t')} SELECT term, h FROM tokh"
+    rows = dict(con.execute(q).fetchall())
+    assert all(int(rows[t]) == int(h) for t, h in zip(toks, ref))
+
+    th = token_hashes(["spark", "join", "the"])
+    want_sh = shingle_hashes(th, 3)[0]
+    expr = shingle_fold_expr(*(str(int(h)) for h in th))
+    assert int(con.execute(f"SELECT {expr}").fetchone()[0]) == int(want_sh)
+
+    a, b = minhash_params(4)
+    sig = minhash_signature(np.array([want_sh], np.uint64), a, b)
+    for i in range(4):
+        e = minhash_perm_expr(str(int(want_sh)), int(a[i]), int(b[i]))
+        assert int(con.execute(f"SELECT {e}").fetchone()[0]) == int(sig[i])

@@ -1,8 +1,13 @@
 """Stable hashing primitives for dedup/fingerprinting stages.
 
 Everything here must be deterministic ACROSS PROCESSES (Python's builtin
-``hash`` is salted per process and is never used).  Token/byte hashes are
-8-byte blake2b digests; shingle hashes combine token hashes with uint64
+``hash`` is salted per process and is never used).  Token hashes are a
+polynomial fold of the utf-8 bytes mod 2^64 followed by a murmur-style
+bit-mix finalizer — chosen because it is BOTH numpy-vectorizable over the
+flat Arrow string buffer (no per-token Python loop; VERDICT r02 item 3) AND
+exactly expressible in DuckDB SQL (HUGEINT modular arithmetic +
+xor/shift), which is what lets the MinHash/SimHash pipelines carry real
+DuckDB oracles.  Shingle hashes combine token hashes with uint64
 polynomial arithmetic (vectorized, wraparound mod 2^64).
 """
 
@@ -14,24 +19,86 @@ import numpy as np
 
 _POLY = np.uint64(1099511628211)  # FNV-1a prime, reused as polynomial base
 
+# murmur3 fmix64 constants (public domain finalizer)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def fmix64(h: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
+    """murmur3 64-bit finalizer, vectorized (uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        h = np.asarray(h, np.uint64)
+        h = h ^ (h >> np.uint64(33))
+        h = h * _MIX1
+        h = h ^ (h >> np.uint64(33))
+        h = h * _MIX2
+        return h ^ (h >> np.uint64(33))
+
+
+_M64 = 1 << 64
+
 
 def token_hash(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+    """Scalar reference implementation of the token hash: Horner fold of the
+    utf-8 bytes (acc = acc*B + byte, mod 2^64) then fmix64.  The SQL oracle
+    generator (``__ray_entry__._token_hash_ctes``) emits exactly this."""
+    acc = 0
+    base = int(_POLY)
+    for byte in token.encode("utf-8"):
+        acc = (acc * base + byte) % _M64
+    return int(fmix64(np.uint64(acc)))
+
+
+def token_hashes_arrow(flat) -> np.ndarray:
+    """Vectorized token hash over an Arrow string array (the flat,
+    empty-filtered token stream): ONE pass over the shared byte buffer —
+    per-byte value × B^(distance-from-token-end) mod 2^64, ``add.reduceat``
+    at token starts, then the fmix64 finalizer.  Equals ``token_hash`` per
+    element (pinned in tests); replaces the per-token Python loop that
+    dominated the dedup hot path."""
+    import pyarrow as pa
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    if pa.types.is_large_string(flat.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = flat.buffers()
+    off = np.frombuffer(bufs[1], off_dtype, count=n + 1, offset=flat.offset * np.dtype(off_dtype).itemsize).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    start, end = off[0], off[-1]
+    lengths = np.diff(off)
+    if end == start:  # all-empty tokens
+        return fmix64(np.zeros(n, np.uint64))
+    # exponent of byte i (global) = token_end - 1 - i
+    ends = np.repeat(off[1:], lengths)
+    exps = ends - 1 - np.arange(start, end)
+    maxlen = int(lengths.max())
+    pows = np.empty(maxlen, np.uint64)
+    p = 1
+    for e in range(maxlen):
+        pows[e] = p
+        p = (p * int(_POLY)) % _M64
+    with np.errstate(over="ignore"):
+        vals = data[start:end].astype(np.uint64) * pows[exps]
+    sums = np.zeros(n, np.uint64)
+    nonempty = lengths > 0
+    ne_starts = (off[:-1] - start)[nonempty]
+    if len(ne_starts):
+        sums[nonempty] = np.add.reduceat(vals, ne_starts)
+    return fmix64(sums)
 
 
 def token_hashes(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
-    """Vector of stable 64-bit hashes; pass a dict cache to amortize repeats
-    (vocabulary is tiny relative to token stream)."""
-    if cache is None:
-        cache = {}
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = cache.get(t)
-        if h is None:
-            h = token_hash(t)
-            cache[t] = h
-        out[i] = h
-    return out
+    """Vector of stable 64-bit hashes for a Python token list (convenience
+    wrapper over the Arrow-vectorized path; ``cache`` kept for API compat)."""
+    import pyarrow as pa
+
+    return token_hashes_arrow(pa.array(tokens, pa.string()))
 
 
 def shingle_hashes(tok_hashes: np.ndarray, k: int = 3) -> np.ndarray:

@@ -40,6 +40,7 @@ from wikirec_ray.functions.hashing import (
     shingle_hashes,
     simhash64,
     token_hashes,
+    token_hashes_arrow,
 )
 from wikirec_ray.functions.partitions import partitioned_map_groups
 from wikirec_ray.stages.analyze import _flat_tokens
@@ -249,7 +250,7 @@ class MinHasher:
 
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        th = token_hashes(flat.to_pylist(), self._cache)
+        th = token_hashes_arrow(flat)
         doc_bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
         sh_flat, sh_starts = shingle_hashes_flat(th, doc_bounds, self.k)
         sigs = minhash_signatures_flat(sh_flat, sh_starts, self.a, self.b)
@@ -624,7 +625,7 @@ class SimHasher:
 
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        th = token_hashes(flat.to_pylist(), self._cache)
+        th = token_hashes_arrow(flat)
         bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
         sh = simhash64_flat(th, bounds)
         t = {self.id_col: batch[self.id_col], "simhash": pa.array(sh)}
