@@ -152,13 +152,25 @@ def test_language_registry():
 
     assert spec_for("en").capability == "lemmatize"
     assert spec_for("fi").capability == "stem"
-    assert spec_for("zh").capability == "tokenize"
+    # full reference tiers (languages.py:31-47,63-68,84-126): zh is in the
+    # spaCy-lemmatizable table; ru is stopword-only; full names resolve too
+    assert spec_for("zh").capability == "lemmatize"
+    assert spec_for("ru").capability == "stopwords"
+    assert spec_for("swedish").capability == "stem"
+    assert spec_for("persian").code == "fa"
+    assert len(supported()) >= 59
     # unknown codes degrade instead of raising (vs data_utils.py:750-754)
     assert spec_for("xx").capability == "tokenize"
     register("tlh", "klingon", "stopwords")
     assert supported()["tlh"].capability == "stopwords"
     with pytest.raises(ValueError):
         register("bad", "bad", "quantum")
+
+    from wikirec_ray.functions.languages import stopwords_for
+
+    assert "der" in stopwords_for("de") and "der" in stopwords_for("german")
+    assert "the" in stopwords_for("en")
+    assert stopwords_for("xx") == frozenset()
 
 
 def test_frequent_terms_and_sample(ray_session):

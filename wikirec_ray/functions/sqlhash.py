@@ -22,11 +22,13 @@ M64 = 1 << 64
 M32 = 1 << 32
 
 
-def mulmod64(x: str, c: int) -> str:
+def mulmod64(x: str, c: int | str) -> str:
     """SQL expr: (x * c) mod 2^64 with HUGEINT-safe split multiplication.
-    ``x`` must be a HUGEINT-typed expression in [0, 2^64)."""
+    ``x`` must be a HUGEINT-typed expression in [0, 2^64); ``c`` an integer
+    constant or a column expression < 2^61 (so every partial product fits
+    INT128)."""
     return (
-        f"((((({x}) >> 32) * {c}) % {M32}) * {M32} + (({x}) % {M32}) * {c}) % {M64}"
+        f"((((({x}) >> 32) * ({c})) % {M32}) * {M32} + (({x}) % {M32}) * ({c})) % {M64}"
     )
 
 
@@ -72,10 +74,11 @@ def shingle_fold_expr(h1: str, h2: str, h3: str) -> str:
     return acc
 
 
-def minhash_perm_expr(sh: str, a: int, bb: int) -> str:
+def minhash_perm_expr(sh: str, a: int | str, bb: int | str) -> str:
     """SQL expr for one MinHash permutation value of shingle-hash ``sh``
     (UBIGINT): ((a*x + b) mod 2^64) mod (2^61-1) — numpy's uint64 wraparound
-    then the Mersenne modulus, as in hashing.minhash_signature."""
+    then the Mersenne modulus, as in hashing.minhash_signature.  ``a``/``bb``
+    may be constants or column expressions (< 2^61)."""
     mers = (1 << 61) - 1
     prod = mulmod64(f"CAST({sh} AS HUGEINT)", a)
-    return f"CAST(((({prod}) + {bb}) % {M64}) % {mers} AS UBIGINT)"
+    return f"CAST(((({prod}) + ({bb})) % {M64}) % {mers} AS UBIGINT)"

@@ -281,24 +281,49 @@ def ivf_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def head_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic non-trained quantizer: the first ``n_centroids``
+    vectors by id, row-normalized.  Weaker partition balance than k-means
+    but exactly reproducible by the SQL oracle (the ``ivf_ann`` entry uses
+    it so the materialized-IVF path gets a real DuckDB check; k-means
+    training stays the quality path and is pinned in pytest)."""
+    ids, vecs = head_query_vectors(ds, n_centroids, id_col, vec_col)
+    return _norm_rows(vecs)
+
+
 def ivf_build(
     ds: ray.data.Dataset,
     out_dir: str,
     n_centroids: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
     **train_kw,
 ) -> np.ndarray:
-    """Materialize the IVF layout: train the coarse quantizer, assign every
-    vector ONCE, and write Parquet partitioned by ``ivf_part`` so a query
-    READS only its probed partitions (directory-level pruning — the scale
-    behavior ``ivf_topk``'s per-batch reassignment only approximates).
-    Returns the centroids (also persisted to ``centroids.npy``)."""
-    import os
+    """Materialize the IVF layout: train the coarse quantizer (or take
+    ``centroids`` as given), assign every vector ONCE, and write Parquet
+    partitioned by ``ivf_part`` so a query READS only its probed partitions
+    (directory-level pruning — the scale behavior ``ivf_topk``'s per-batch
+    reassignment only approximates).  Returns the centroids (also persisted
+    to ``centroids.npy``).
 
-    centroids = train_ivf_centroids(
-        ds, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, **train_kw
-    )
+    The output directory is cleared first: rebuilding into a previously
+    used dir would otherwise leave stale uniquely-named parquet files
+    inside ``ivf_part=*`` dirs that the query glob would serve as
+    duplicate/stale vectors (ADVICE r02)."""
+    import os
+    import shutil
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, **train_kw
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     ivf_assign(ds, centroids, id_col, vec_col).write_parquet(
         out_dir, partition_cols=["ivf_part"]

@@ -217,18 +217,13 @@ def approx_distinct(
     p = HLL_P if p is None else p
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch[col].cast(pa.string()).to_pylist()
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b((v or "").encode(), digest_size=8).digest(),
-                    "little",
-                )
-                for v in vals
-            ),
-            np.uint64,
-            count=len(vals),
-        )
+        # poly+fmix token hash of the value's string form — vectorized over
+        # the Arrow buffer AND SQL-reproducible, which is what gives the
+        # approx_distinct_users entry a real DuckDB oracle (HLL-in-SQL)
+        from wikirec_ray.functions.hashing import token_hashes_arrow
+
+        vals = batch[col].combine_chunks().cast(pa.string()).fill_null("")
+        hs = token_hashes_arrow(vals)
         return pa.table({"regs": pa.array([hll_partial(hs, p).tobytes()], pa.binary())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()

@@ -102,6 +102,32 @@ def deterministic_sample(
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
+_GOLD = 0x9E3779B97F4A7C15  # 2^64/phi — the classic multiplicative-hash salt
+
+
+def hash_sample(
+    ds: ray.data.Dataset, rate_bp: int = 2000, seed: int = 42, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Deterministic pseudo-random subsample: keep a row iff
+    ``fmix64(id * GOLD + seed) % 10000 < rate_bp`` (rate in basis points,
+    2000 = 20%).  Statistically uniform like ``ds.random_sample`` but
+    engine-independent and exactly reproducible in SQL — this is the
+    ``random_sample`` entry's cross-engine-checkable mechanism (the
+    reference's analog is np.random.choice, data_utils.py:996-1005)."""
+    from wikirec_ray.functions.hashing import fmix64
+
+    if not 0 <= rate_bp <= 10000:
+        raise ValueError("rate_bp must be in [0, 10000]")
+
+    def fil(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            ids = batch[id_col].to_numpy().astype(np.uint64)
+            key = fmix64(ids * np.uint64(_GOLD) + np.uint64(seed))
+        return batch.filter(pa.array((key % np.uint64(10000)) < rate_bp))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
 def vocabulary_prune(
     ds: ray.data.Dataset,
     min_df: int = 2,
