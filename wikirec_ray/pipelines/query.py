@@ -127,6 +127,32 @@ class IndexReader:
         return wand_topk(self, terms, k)
 
 
+def topk_from_sparse(
+    doc_ids: np.ndarray, contribs: np.ndarray, k: int
+) -> list[tuple[int, float]]:
+    """Top-k from UNAGGREGATED sparse (doc_id, contribution) pairs — sum per
+    doc (sort + reduceat), then the same (round(score, 9) desc, doc asc)
+    selection as ``topk_from_dense``.  O(pairs), never O(n_docs): this is
+    what lets a serving coordinator aggregate per-term partials without the
+    dense corpus-sized accumulator (VERDICT r02 item 4)."""
+    if len(doc_ids) == 0:
+        return []
+    order = np.argsort(doc_ids, kind="stable")
+    ids_s = doc_ids[order].astype(np.int64)
+    c_s = contribs[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(ids_s)) + 1])
+    sums = np.round(np.add.reduceat(c_s, starts), ROUND_DP)
+    uids = ids_s[starts]
+    pos = np.flatnonzero(sums > 0)
+    if len(pos) == 0:
+        return []
+    if len(pos) > k:
+        kth = -np.partition(-sums[pos], k - 1)[k - 1]
+        pos = pos[sums[pos] >= kth]
+    chosen = sorted(pos.tolist(), key=lambda i: (-sums[i], uids[i]))[:k]
+    return [(int(uids[i]), float(sums[i])) for i in chosen]
+
+
 def topk_from_dense(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     r = np.round(scores, ROUND_DP)
     nz = np.flatnonzero(r > 0)

@@ -407,12 +407,28 @@ def _binary_offsets_and_data(col: pa.Array) -> tuple[np.ndarray, pa.Buffer]:
     return off.astype(np.int64), bufs[2]
 
 
+def _check_i32(last_offset: int, what: str) -> None:
+    """SEGMENT_SCHEMA blob columns are 32-bit-offset ``binary``; a merged
+    per-tpart blob past 2 GiB would silently wrap when offsets are cast to
+    int32 (ADVICE r02 — silent corruption, worse than the loud Arrow
+    builder overflow the vectorized merge replaced).  Fail loudly with the
+    fix (raise ``n_term_partitions`` or move blobs to ``large_binary``)."""
+    if last_offset >= (1 << 31):
+        raise ValueError(
+            f"{what}: merged blob column is {last_offset} bytes — exceeds the "
+            "2 GiB int32 offset limit of SEGMENT_SCHEMA's binary columns. "
+            "Raise n_term_partitions (smaller segments) or migrate the "
+            "schema to large_binary."
+        )
+
+
 def _regroup_binary(col: pa.Array, group_starts: np.ndarray) -> pa.Array:
     """Concatenate runs of adjacent binary cells: new cell g spans input
     cells [group_starts[g], group_starts[g+1]).  Zero-copy — the data buffer
     is reused, only the offsets are resampled at group boundaries."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     off, data = _binary_offsets_and_data(col)
+    _check_i32(int(off[-1]), "_regroup_binary")
     new_off = off[np.concatenate([group_starts, [len(col)]])].astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(group_starts),
@@ -452,6 +468,7 @@ def _rebase_block_offsets(col: pa.Array, group_starts: np.ndarray) -> pa.Array:
     out_entries = nblk_per_term + 1
     new_off = np.zeros(len(group_starts) + 1, np.int64)
     np.cumsum(out_entries * 8, out=new_off[1:])
+    _check_i32(int(new_off[-1]), "_rebase_block_offsets")
     return pa.Array.from_buffers(
         pa.binary(), len(group_starts),
         [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
@@ -556,9 +573,20 @@ def _merge_tpart(
     terms = merged["term"].to_pylist()
     n_per_term = merged["n"].to_numpy()
     entry = atomic_write_table(merged, seg_path)
+    # Heavy-hitter observability (VERDICT r02 item 9): the largest posting
+    # lists per tpart are exactly the skew signal needed to tune
+    # DOC_RANGE_SIZE / n_term_partitions on a real cluster without reading
+    # segments back.
+    if len(n_per_term):
+        top_idx = np.argsort(-n_per_term)[:10]
+        top_df = [[terms[i], int(n_per_term[i])] for i in top_idx]
+        max_df = int(n_per_term.max())
+    else:
+        top_df, max_df = [], 0
     entry.update(
         key=key, kind="segment", tpart=tpart, n_terms=len(terms),
         n_postings=int(n_per_term.sum()),
+        max_df=max_df, top_df=top_df,
         merge_ms=round((time.monotonic() - t0) * 1000, 3),
         inputs=expected_inputs or {}, skipped=False,
     )
