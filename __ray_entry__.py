@@ -905,10 +905,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _token_head_join(out, STEM_SUB_N)
 
     def lemmas_q(sf_dir):
-        from wikirec_ray.stages.stem import RuleLemmatizer
+        # env-gated: a real spaCy stage when WIKIREC_SPACY_MODEL names an
+        # installed model, else the rule lemmatizer (whose closed-vocabulary
+        # truth table is the oracle below)
+        from wikirec_ray.stages.stem import select_lemmatizer
 
+        cls, kw = select_lemmatizer()
         out = _documents(sf_dir).map_batches(
-            RuleLemmatizer, batch_format="pyarrow", concurrency=2
+            cls, fn_constructor_kwargs=kw, batch_format="pyarrow", concurrency=2
         )
         return _token_head_join(out, STEM_SUB_N)
 

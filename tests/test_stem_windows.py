@@ -314,3 +314,110 @@ def test_stratified_sample(ray_session):
     )
     # en ids 0,2,4,6,8 keep those %2==0 (all); de ids 1,3,5,7,9 keep %3==0 -> 3, 9
     assert got == [0, 2, 3, 4, 6, 8, 9]
+
+
+def test_lemmatizer_env_gate(monkeypatch):
+    """select_lemmatizer: rule fallback when no model env / spaCy absent;
+    the real class raises with guidance when spaCy is missing."""
+    import pytest
+
+    from wikirec_ray.stages.stem import Lemmatizer, RuleLemmatizer, select_lemmatizer
+
+    monkeypatch.delenv("WIKIREC_SPACY_MODEL", raising=False)
+    cls, kw = select_lemmatizer()
+    assert cls is RuleLemmatizer and kw == {}
+
+    try:
+        import spacy  # noqa: F401
+
+        have_spacy = True
+    except ImportError:
+        have_spacy = False
+    if not have_spacy:
+        # unloadable model names degrade to the rule path with a warning
+        monkeypatch.setenv("WIKIREC_SPACY_MODEL", "nope_model")
+        cls, kw = select_lemmatizer()
+        assert cls is RuleLemmatizer
+        with pytest.raises(NotImplementedError):
+            Lemmatizer()
+
+
+def test_lemmatizer_spacy_parity(ray_session):
+    """Parity when a real model exists (skips in codec-free containers):
+    the actor stage must equal spaCy applied per doc."""
+    import pytest
+
+    spacy = pytest.importorskip("spacy")
+    import os
+
+    model = os.environ.get("WIKIREC_SPACY_MODEL", "en_core_web_sm")
+    try:
+        nlp = spacy.load(model, disable=("parser", "ner"))
+    except OSError:
+        pytest.skip(f"spaCy model {model} not installed")
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.stem import Lemmatizer
+
+    texts = ["the cats were running quickly", "better mice had gone home"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = {r["doc_id"]: r["tokens"] for r in ds.map_batches(
+        Lemmatizer, fn_constructor_kwargs={"model": model},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()}
+    for i, t in enumerate(texts):
+        want = [
+            tok.lemma_ for tok in nlp(t)
+            if tok.pos_ in ("NOUN", "PROPN", "ADJ", "ADV", "VERB")
+        ]
+        assert got[i] == want
+
+
+def test_multimodal_kernel_autoselect():
+    """DecodeStage/ResizeStage kernel='auto' resolves by PIL availability;
+    'real' without PIL raises with guidance."""
+    import pytest
+
+    from wikirec_ray.pipelines.multimodal import DecodeStage, ResizeStage, _try_pil
+
+    have_pil = _try_pil() is not None
+    d = DecodeStage(kernel="auto")
+    assert d.kernel == ("real" if have_pil else "fake")
+    r = ResizeStage(kernel="auto")
+    assert r.kernel == ("real" if have_pil else "fake")
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            DecodeStage(kernel="real")
+        with pytest.raises(NotImplementedError):
+            ResizeStage(kernel="real")
+
+
+def test_multimodal_real_pil_kernel():
+    """Real-kernel behavior when Pillow exists (skips here): a PNG payload
+    decodes and resizes through the same stage API."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    from wikirec_ray.pipelines.multimodal import DecodeStage, ResizeStage
+
+    img = PIL_Image.fromarray(np.full((16, 16), 128, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    batch = pa.table(
+        {"media_id": [1], "kind": ["image"], "payload": pa.array([payload], pa.binary())}
+    )
+    feat = DecodeStage(kernel="real")(batch)
+    assert feat["n_bytes"][0].as_py() == len(payload)
+    assert abs(feat["mean_byte"][0].as_py() - 128.0) < 1.0
+    out = ResizeStage(target_w=4, target_h=4, kernel="real")(batch)
+    resized = PIL_Image.open(io.BytesIO(out["payload"][0].as_py()))
+    assert resized.size == (4, 4)

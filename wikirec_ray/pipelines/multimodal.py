@@ -43,34 +43,67 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _try_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeStage:
     """Actor-pool decode/feature stage.
 
-    kernel="real": would use PIL/libav — unavailable here, raises
-    NotImplementedError at construction (fail fast, per-actor __init__).
+    kernel="auto" (try-import, VERDICT r02 item 8): the real PIL kernel
+    when Pillow is importable, else the fake kernel.
+    kernel="real": decodes the payload with PIL (n_bytes of the payload,
+    first payload byte, mean grayscale pixel) — raises NotImplementedError
+    when Pillow is absent (fail fast, per-actor __init__).
     kernel="fake": deterministic byte-level features (n_bytes of the body,
-    first body byte, mean body byte) — enough to exercise schema, actor
-    lifecycle and output layout."""
+    first body byte, mean body byte) — exercises schema, actor lifecycle
+    and output layout without codecs; the oracle-checked entries pin this
+    kernel explicitly so their results never depend on the environment."""
 
     HEADER = 16  # b"FAKE" + id u64 + body_len u32
 
     def __init__(self, kernel: str = "fake"):
+        if kernel == "auto":
+            kernel = "real" if _try_pil() else "fake"
         if kernel == "real":
-            raise NotImplementedError(
-                "real media decode needs PIL/torchaudio/PyAV; not shipped in "
-                "this container — use kernel='fake' for plumbing tests"
-            )
-        if kernel != "fake":
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real media decode needs PIL (pip install pillow) — "
+                    "use kernel='fake' (or 'auto') for plumbing tests"
+                )
+        elif kernel != "fake":
             raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = kernel
+
+    def _real_features(self, payloads):
+        import io
+
+        n_bytes, first, mean = [], [], []
+        for p in payloads:
+            n_bytes.append(len(p))
+            first.append(p[0] if p else 0)
+            img = self._pil.open(io.BytesIO(p)).convert("L")
+            mean.append(round(float(np.asarray(img).mean()), 6))
+        return n_bytes, first, mean
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_bytes, first, mean = [], [], []
-        for p in batch["payload"].to_pylist():
-            body = p[self.HEADER :]
-            n_bytes.append(len(body))
-            first.append(body[0] if body else 0)
-            arr = np.frombuffer(body, np.uint8)
-            mean.append(round(float(arr.mean()), 6) if len(arr) else 0.0)
+        payloads = batch["payload"].to_pylist()
+        if self.kernel == "real":
+            n_bytes, first, mean = self._real_features(payloads)
+        else:
+            n_bytes, first, mean = [], [], []
+            for p in payloads:
+                body = p[self.HEADER :]
+                n_bytes.append(len(body))
+                first.append(body[0] if body else 0)
+                arr = np.frombuffer(body, np.uint8)
+                mean.append(round(float(arr.mean()), 6) if len(arr) else 0.0)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -100,28 +133,44 @@ def media_features(
 
 
 class ResizeStage:
-    """Actor-pool image-resize stage (gated like DecodeStage): the real
-    kernel would be PIL's ``Image.resize``; the fake kernel deterministically
-    subsamples the body to ``target_w × target_h`` bytes so the binary-out
-    plumbing (payload in → smaller payload out, meta columns updated) is
-    real and testable."""
+    """Actor-pool image-resize stage (auto/real/fake like DecodeStage): the
+    real kernel is PIL ``Image.resize`` (PNG bytes out); the fake kernel
+    deterministically subsamples the body to ``target_w × target_h`` bytes
+    so the binary-out plumbing (payload in → smaller payload out, meta
+    columns updated) is real and testable without codecs."""
 
     HEADER = DecodeStage.HEADER
 
     def __init__(self, target_w: int = 8, target_h: int = 8, kernel: str = "fake"):
+        if kernel == "auto":
+            kernel = "real" if _try_pil() else "fake"
         if kernel == "real":
-            raise NotImplementedError(
-                "real image resize needs PIL — not shipped in this container; "
-                "use kernel='fake' for plumbing tests"
-            )
-        if kernel != "fake":
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image resize needs PIL (pip install pillow) — use "
+                    "kernel='fake' (or 'auto') for plumbing tests"
+                )
+        elif kernel != "fake":
             raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = kernel
         self.target = target_w * target_h
         self.target_w, self.target_h = target_w, target_h
+
+    def _real_resize(self, p: bytes) -> bytes:
+        import io
+
+        img = self._pil.open(io.BytesIO(p)).resize((self.target_w, self.target_h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = []
         for p in batch["payload"].to_pylist():
+            if self.kernel == "real":
+                payloads.append(self._real_resize(p))
+                continue
             header, body = p[: self.HEADER], p[self.HEADER :]
             if len(body) > self.target:
                 step = len(body) // self.target

@@ -305,20 +305,82 @@ class RuleLemmatizer:
 
 class Lemmatizer:
     """T1 slot: spaCy lemmatization actor (model load once per actor,
-    data_utils.py:892-904). spaCy is not shipped in this container — the
-    constructor import-tries and raises with guidance; ``RuleLemmatizer``
-    (pure-Python rules) and ``Stemmer`` are the working fallbacks, mirroring
-    the reference's own fallback chain (data_utils.py:906-940)."""
+    data_utils.py:892-904).  When spaCy + the model are installed the stage
+    is real: per doc it joins the tokens, runs ``nlp``, and keeps
+    ``token.lemma_`` for the reference's allowed POS tags
+    (``_lemmatize``, data_utils.py:600-640).  Without spaCy (this
+    container) the constructor raises with guidance; ``select_lemmatizer``
+    below picks the working fallback automatically, mirroring the
+    reference's lemmatize→stem→identity chain (data_utils.py:893-940)."""
 
-    def __init__(self, model: str = "en_core_web_sm", **_):
+    ALLOWED_POS = ("NOUN", "PROPN", "ADJ", "ADV", "VERB")
+
+    def __init__(self, model: str | None = None, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        model = model or spacy_model_name() or "en_core_web_sm"
         try:
-            import spacy  # noqa: F401
+            import spacy
         except ImportError as e:
             raise NotImplementedError(
-                "spaCy is not available in this environment; use stem.Stemmer "
-                "(the reference's own fallback when no spaCy model exists, "
-                "data_utils.py:906-940)"
+                "spaCy is not available in this environment; use "
+                "stem.RuleLemmatizer / stem.Stemmer (the reference's own "
+                "fallbacks when no spaCy model exists, data_utils.py:906-940)"
             ) from e
+        try:
+            self.nlp = spacy.load(model, disable=("parser", "ner"))
+        except OSError as e:  # model not downloaded (no network here)
+            raise NotImplementedError(
+                f"spaCy model {model!r} is not installed (the reference "
+                "auto-downloads at data_utils.py:899 — no network in this "
+                "environment); set WIKIREC_SPACY_MODEL to an installed model"
+            ) from e
+        self.id_col = id_col
+        self.text_col = text_col
 
-    def __call__(self, batch):  # pragma: no cover - unreachable without spacy
-        raise NotImplementedError
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        toks = flat.to_pylist()
+        bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
+        texts = [" ".join(toks[bounds[i]: bounds[i + 1]]) for i in range(batch.num_rows)]
+        out = [
+            [t.lemma_ for t in doc if t.pos_ in self.ALLOWED_POS]
+            for doc in self.nlp.pipe(texts)
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "tokens": pa.array(out, type=pa.large_list(pa.string())),
+            }
+        )
+
+
+def spacy_model_name() -> str | None:
+    """The env-gated model selection (VERDICT r02 item 7): set
+    ``WIKIREC_SPACY_MODEL`` to route lemmatization through a real installed
+    spaCy model; unset (or unloadable) falls back to the rule lemmatizer."""
+    import os
+
+    return os.environ.get("WIKIREC_SPACY_MODEL") or None
+
+
+def select_lemmatizer() -> tuple[type, dict]:
+    """(stage class, constructor kwargs) for ``map_batches``: the real
+    spaCy stage when WIKIREC_SPACY_MODEL names a loadable model, else
+    ``RuleLemmatizer`` — the engine's version of the reference's
+    lemmatize-else-fallback chain (data_utils.py:893-906)."""
+    model = spacy_model_name()
+    if model:
+        try:
+            import spacy
+
+            spacy.load(model, disable=("parser", "ner"))
+            return Lemmatizer, {"model": model}
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "WIKIREC_SPACY_MODEL=%s not loadable — falling back to "
+                "RuleLemmatizer", model,
+            )
+    return RuleLemmatizer, {}
