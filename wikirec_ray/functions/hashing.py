@@ -51,11 +51,34 @@ def token_hash(token: str) -> int:
 
 def token_hashes_arrow(flat) -> np.ndarray:
     """Vectorized token hash over an Arrow string array (the flat,
-    empty-filtered token stream): ONE pass over the shared byte buffer —
-    per-byte value × B^(distance-from-token-end) mod 2^64, ``add.reduceat``
-    at token starts, then the fmix64 finalizer.  Equals ``token_hash`` per
-    element (pinned in tests); replaces the per-token Python loop that
-    dominated the dedup hot path."""
+    empty-filtered token stream).  Two stages, both vectorized:
+
+    1. ``dictionary_encode`` (Arrow C++) collapses the stream to its
+       unique vocabulary — the per-byte arithmetic then touches only vocab
+       bytes, not stream bytes (the token stream is zipfian, so this is
+       the vectorized analog of the old per-token memo cache, and it keeps
+       the fresh-allocation footprint tiny — large fresh numpy buffers
+       fault in slowly on this box, see CLAUDE.md);
+    2. the unique tokens hash in one numpy pass over the shared byte
+       buffer (byte × B^(distance-from-end) mod 2^64, ``add.reduceat`` at
+       token starts, fmix64 finalizer).
+
+    Equals ``token_hash`` per element (pinned in tests); replaces the
+    per-token Python loop that dominated the dedup hot path."""
+    import pyarrow as pa
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.empty(0, np.uint64)
+    enc = flat.dictionary_encode()
+    uniq = _hash_string_array(enc.dictionary)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return uniq[idx]
+
+
+def _hash_string_array(flat) -> np.ndarray:
+    """The per-byte vectorized hash core (see ``token_hashes_arrow``)."""
     import pyarrow as pa
 
     if isinstance(flat, pa.ChunkedArray):
