@@ -905,14 +905,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _token_head_join(out, STEM_SUB_N)
 
     def lemmas_q(sf_dir):
-        # env-gated: a real spaCy stage when WIKIREC_SPACY_MODEL names an
-        # installed model, else the rule lemmatizer (whose closed-vocabulary
-        # truth table is the oracle below)
-        from wikirec_ray.stages.stem import select_lemmatizer
+        # ALWAYS the rule lemmatizer: the oracle below is its closed-vocab
+        # truth table, and a driver entry must be environment-independent
+        # (review r03: routing through select_lemmatizer would break the
+        # queries()/oracle agreement on a machine with a spaCy model
+        # installed).  The env-gated spaCy path is a library feature
+        # (stem.select_lemmatizer) with its own skip-marked parity test.
+        from wikirec_ray.stages.stem import RuleLemmatizer
 
-        cls, kw = select_lemmatizer()
         out = _documents(sf_dir).map_batches(
-            cls, fn_constructor_kwargs=kw, batch_format="pyarrow", concurrency=2
+            RuleLemmatizer, batch_format="pyarrow", concurrency=2
         )
         return _token_head_join(out, STEM_SUB_N)
 
@@ -1261,11 +1263,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
             ),
             ph AS (SELECT pos.doc_id, pos.i, tokh.h FROM pos JOIN tokh USING (term)),
+            dl AS (SELECT doc_id, len(toks) AS n FROM t),
             sh AS (
+                -- k=3 windows, plus the whole-doc fold shingle_hashes gives
+                -- docs with 1-2 tokens (shingle_hashes_flat short-doc path)
                 SELECT a.doc_id, {shingle_fold_expr('a.h', 'b.h', 'c.h')} AS s
                 FROM ph a
                 JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
                 JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                UNION ALL
+                SELECT p1.doc_id, {shingle_fold_expr('p1.h')} AS s
+                FROM ph p1 JOIN dl ON dl.doc_id = p1.doc_id
+                WHERE dl.n = 1 AND p1.i = 1
+                UNION ALL
+                SELECT p1.doc_id, {shingle_fold_expr('p1.h', 'p2.h')} AS s
+                FROM ph p1
+                JOIN ph p2 ON p2.doc_id = p1.doc_id AND p2.i = 2
+                JOIN dl ON dl.doc_id = p1.doc_id
+                WHERE dl.n = 2 AND p1.i = 1
             ),
             perm(p, pa, pb) AS (VALUES {perm_rows}),
             pv AS (
@@ -1292,10 +1307,21 @@ def oracle_sql() -> dict[str, str]:
                 JOIN pv y ON y.doc_id = c.id_b AND y.p = x.p
                 GROUP BY c.id_a, c.id_b
             ),
+            -- empty docs all carry the identical all-max sentinel signature
+            -- in the pipeline (minhash_signatures_flat) and therefore pair
+            -- with each other (est = 1.0); never with non-empty docs
+            eed AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM dl a JOIN dl b ON a.n = 0 AND b.n = 0 AND a.doc_id < b.doc_id
+            ),
             sym AS (
                 SELECT id_a AS a, id_b AS b FROM est WHERE round(e, 6) >= {MINHASH_THRESHOLD}
                 UNION ALL
                 SELECT id_b, id_a FROM est WHERE round(e, 6) >= {MINHASH_THRESHOLD}
+                UNION ALL
+                SELECT id_a, id_b FROM eed
+                UNION ALL
+                SELECT id_b, id_a FROM eed
             ),
             reach(node, r) AS (
                 SELECT doc_id, doc_id FROM documents

@@ -118,7 +118,10 @@ def _hash_string_array(flat) -> np.ndarray:
 
 def token_hashes(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
     """Vector of stable 64-bit hashes for a Python token list (convenience
-    wrapper over the Arrow-vectorized path; ``cache`` kept for API compat)."""
+    wrapper over the Arrow-vectorized path).  ``cache`` is accepted for
+    source compatibility with the pre-vectorization signature but IGNORED —
+    the dictionary-encode stage inside ``token_hashes_arrow`` is the
+    vectorized equivalent of that memo cache."""
     import pyarrow as pa
 
     return token_hashes_arrow(pa.array(tokens, pa.string()))

@@ -48,27 +48,36 @@ def token_hash_ctes(terms_src: str, out: str = "tokh") -> str:
     """CTE chain: ``terms_src`` must provide DISTINCT non-empty ``term``
     strings; ``{out}`` yields (term, h UBIGINT) = hashing.token_hash(term).
     Hashing only the distinct vocabulary keeps the oracle cheap — the token
-    stream joins on term afterwards."""
+    stream joins on term afterwards.
+
+    The fold runs over the UTF-8 BYTES (via ``to_hex(encode(term))``, two
+    hex chars per byte), matching the Python side exactly for non-ASCII
+    terms too — a code-point fold diverges on anything outside ASCII
+    (review r03 finding, pinned in tests)."""
     b = int(_POLY)
     fold = (
         "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
-        "[CAST(unicode(c) AS HUGEINT) for c in string_split(term, '')]), "
+        "list_transform(range(octet_length(encode(term))), "
+        "i -> CAST(CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS INTEGER) AS HUGEINT))), "
         f"(acc, c) -> (acc * {b} + c) % {M64}) AS UBIGINT)"
     )
     return (
-        f"{out}_0 AS (SELECT term, {fold} AS h FROM {terms_src}),"
+        f"{out}_0 AS (SELECT term, {fold} AS h FROM "
+        f"(SELECT term, to_hex(encode(term)) AS hx FROM {terms_src})),"
         + fmix64_steps(f"{out}_0", out)
     )
 
 
-def shingle_fold_expr(h1: str, h2: str, h3: str) -> str:
-    """SQL expr for hashing.shingle_hashes' k=3 rolling fold:
-    acc = FNV_OFFSET; acc = (acc*B) ^ h_j for j in 1..3 (uint64 domain).
+def shingle_fold_expr(*hs: str) -> str:
+    """SQL expr for hashing.shingle_hashes' rolling fold over any number of
+    token hashes: acc = FNV_OFFSET; acc = (acc*B) ^ h_j (uint64 domain).
+    Three args = the k=3 window; one/two args = the whole-doc fold that
+    ``shingle_hashes``/``shingle_hashes_flat`` give docs shorter than k.
     Inputs/outputs are UBIGINT expressions."""
     b = int(_POLY)
     off = 14695981039346656037
     acc = str(off)
-    for h in (h1, h2, h3):
+    for h in hs:
         prod = mulmod64(f"CAST({acc} AS HUGEINT)", b)
         acc = f"xor(CAST(({prod}) AS UBIGINT), {h})"
     return acc

@@ -230,10 +230,9 @@ class MinHasher:
         self.k = shingle_k
         self.id_col = id_col
         self.text_col = text_col
-        self._cache: dict[str, int] = {}
 
     def signature(self, tokens: list[str]) -> np.ndarray:
-        sh = shingle_hashes(token_hashes(tokens, self._cache), self.k)
+        sh = shingle_hashes(token_hashes(tokens), self.k)
         return minhash_signature(sh, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -618,7 +617,6 @@ class SimHasher:
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col = id_col
         self.text_col = text_col
-        self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from wikirec_ray.functions.hashing import simhash64_flat

@@ -370,17 +370,35 @@ def select_lemmatizer() -> tuple[type, dict]:
     ``RuleLemmatizer`` — the engine's version of the reference's
     lemmatize-else-fallback chain (data_utils.py:893-906)."""
     model = spacy_model_name()
+    if model and _spacy_model_loadable(model):
+        return Lemmatizer, {"model": model}
     if model:
-        try:
-            import spacy
+        import logging
 
-            spacy.load(model, disable=("parser", "ner"))
-            return Lemmatizer, {"model": model}
-        except Exception:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "WIKIREC_SPACY_MODEL=%s not loadable — falling back to "
-                "RuleLemmatizer", model,
-            )
+        logging.getLogger(__name__).warning(
+            "WIKIREC_SPACY_MODEL=%s not loadable — falling back to "
+            "RuleLemmatizer", model,
+        )
     return RuleLemmatizer, {}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _spacy_model_loadable(model: str) -> bool:
+    """Cheap, cached loadability probe (review r03: the old probe did a
+    full ``spacy.load`` per call — seconds + hundreds of MB — then threw
+    the model away; the actors load it themselves)."""
+    try:
+        import importlib.util
+
+        import spacy  # noqa: F401
+
+        if importlib.util.find_spec(model) is not None:
+            return True
+        # non-package model paths: fall back to a real load, once (cached)
+        spacy.load(model, disable=("parser", "ner"))
+        return True
+    except Exception:
+        return False
