@@ -1,0 +1,93 @@
+"""Distributed LDA trainer (SURVEY T5): digamma accuracy, planted-topic
+recovery, determinism, likelihood improvement, per-doc inference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_digamma_accuracy():
+    from wikirec_ray.pipelines.lda import digamma
+
+    # exact identities: psi(1) = -gamma; psi(1/2) = -gamma - 2 ln 2;
+    # psi(n) = -gamma + H_{n-1}; recurrence psi(x+1) = psi(x) + 1/x
+    g = 0.5772156649015329
+    known = {1.0: -g, 0.5: -g - 2.0 * np.log(2.0)}
+    for n in (2, 6, 25):
+        known[float(n)] = -g + sum(1.0 / k for k in range(1, n))
+    for x, want in known.items():
+        assert abs(float(digamma(np.array([x]))[0]) - want) < 1e-9, x
+    xs = np.array([0.07, 0.3, 1.7, 4.2, 9.9, 123.4])
+    resid = digamma(xs + 1.0) - digamma(xs) - 1.0 / xs
+    assert np.abs(resid).max() < 1e-9
+
+
+@pytest.fixture(scope="module")
+def two_topic_corpus(ray_session):
+    """Planted structure: topic A words vs topic B words, docs pure-A or
+    pure-B with tiny cross-noise."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    wa = "spark join window hash merge sort".split()
+    wb = "customer order line part value vector".split()
+    rows = []
+    for i in range(120):
+        src, other = (wa, wb) if i % 2 == 0 else (wb, wa)
+        words = [src[int(x)] for x in rng.integers(0, len(src), 40)]
+        words += [other[int(x)] for x in rng.integers(0, len(other), 2)]  # noise
+        rows.append((i, " ".join(words)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ), set(wa), set(wb)
+
+
+def test_lda_recovers_planted_topics(two_topic_corpus):
+    from wikirec_ray.pipelines.lda import doc_topics, top_topic_words, train_lda
+
+    ds, wa, wb = two_topic_corpus
+    model = train_lda(ds, n_topics=2, iters=30, seed=23)
+    # likelihood proxy must improve from first to last iteration
+    lls = model["log_likelihoods"]
+    assert lls[-1] > lls[0]
+
+    tops = top_topic_words(model, n=6)
+    sets = [set(t) for t in tops]
+    # each learned topic's top words collapse onto ONE planted group
+    assert (sets[0] == wa and sets[1] == wb) or (sets[0] == wb and sets[1] == wa)
+
+    # per-doc inference: even docs → one topic, odd docs → the other
+    dt = {r["doc_id"]: r["top_topic"] for r in doc_topics(ds, model).take_all()}
+    even = {dt[i] for i in range(0, 120, 2)}
+    odd = {dt[i] for i in range(1, 120, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_lda_deterministic(two_topic_corpus):
+    from wikirec_ray.pipelines.lda import train_lda
+
+    ds, _, _ = two_topic_corpus
+    m1 = train_lda(ds, n_topics=2, iters=3, seed=7)
+    m2 = train_lda(ds, n_topics=2, iters=3, seed=7)
+    assert np.array_equal(m1["beta"], m2["beta"])
+    assert m1["vocab"] == m2["vocab"]
+
+
+def test_lda_feeds_coherence(two_topic_corpus):
+    """The T5→A7 composition the reference runs driver-side: trained topic
+    word lists scored by the distributed coherence metric."""
+    from wikirec_ray.pipelines.lda import top_topic_words, train_lda
+    from wikirec_ray.pipelines.training import topic_coherence
+
+    ds, _, _ = two_topic_corpus
+    model = train_lda(ds, n_topics=2, iters=10, seed=23)
+    coh = topic_coherence(ds, top_topic_words(model, n=4))
+    assert len(coh) == 2
+    # planted topics co-occur heavily -> coherence well above the
+    # cross-topic floor (log((0+1)/D) ~ -4.1 for D=60)
+    assert (coh["coherence"] > -1.0).all()
