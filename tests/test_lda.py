@@ -91,3 +91,13 @@ def test_lda_feeds_coherence(two_topic_corpus):
     # planted topics co-occur heavily -> coherence well above the
     # cross-topic floor (log((0+1)/D) ~ -4.1 for D=60)
     assert (coh["coherence"] > -1.0).all()
+
+
+def test_lda_validation(two_topic_corpus):
+    from wikirec_ray.pipelines.lda import train_lda
+
+    ds, _, _ = two_topic_corpus
+    with pytest.raises(ValueError):
+        train_lda(ds, n_topics=0)
+    with pytest.raises(ValueError):
+        train_lda(ds, n_topics=2, inner_iters=0)

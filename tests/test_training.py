@@ -123,3 +123,21 @@ def test_topic_coherence_umass(ray_session):
 
     with pytest.raises(ValueError):
         topic_coherence(ds, [[]])
+
+
+def test_training_validation_and_case(ray_session):
+    from wikirec_ray.pipelines.training import negative_samples, topic_coherence
+    import ray.data
+
+    ds = _pairs_ds(ray_session, [(0, 1)])
+    with pytest.raises(ValueError):
+        negative_samples(ds, n_articles=0, n_links=5)
+    with pytest.raises(ValueError):
+        negative_samples(ds, n_articles=5, n_links=5, ratio=0)
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["spark join", "spark sort"]})
+    )
+    lo = topic_coherence(docs, [["spark", "join"]])
+    hi = topic_coherence(docs, [["Spark", "JOIN"]])  # normalized identically
+    assert lo.equals(hi)

@@ -3,13 +3,21 @@ trainer the reference fits with gensim (``/root/reference/src/wikirec/
 model.py`` LDA branch; evaluated in ``utils.py:185-191``), re-expressed as
 the classic iterative dataflow:
 
-  broadcast the K×V topic-word matrix → one ``map_batches`` E-step pass
-  emits per-batch K×V sufficient-statistic partials (all per-doc state
-  stays inside the batch) → driver M-step re-estimates the matrix →
-  repeat.  Per iteration the driver holds only O(K·V) floats; the corpus
-  streams.  This is batch variational EM for LDA (Blei, Ng, Jordan 2003,
-  §5) — the same update family gensim's LdaModel uses, minus its online
-  decay schedule.
+  tokenize + vocab-index the corpus ONCE into a compact materialized
+  bag-of-words Dataset → each EM iteration broadcasts the K×V topic-word
+  matrix, one ``map_batches`` E-step pass emits per-batch K×V
+  sufficient-statistic partials (per-doc variational state never leaves
+  its batch), the driver STREAMS the partial sum and applies the
+  closed-form M-step → repeat.  This is batch variational EM for LDA
+  (Blei, Ng, Jordan 2003, §5) — the same update family gensim's LdaModel
+  uses, minus its online decay schedule.
+
+Iterative-loop note (CLAUDE.md footgun): per-round Dataset scheduling
+costs seconds, which killed the many-tiny-rounds label-propagation loop
+(that one lives in partition-pinned actors).  EM is the opposite shape —
+few, heavy rounds over an already-materialized compact input — so the
+per-round cost is amortized; the bow materialization removes the
+re-tokenization the naive loop would pay every round.
 
 Vocabulary is the corpus's top-``max_vocab`` terms by document frequency
 (distributed sort+limit — same bounded-broadcast rule as
@@ -18,7 +26,7 @@ practical LDA does.
 
 ``digamma`` is implemented from the standard recurrence + asymptotic
 series (Abramowitz & Stegun 6.3.18) because scipy is not shipped here;
-accuracy ~1e-10 for x > 0, pinned in tests.
+accuracy pinned against exact identities in tests.
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ from wikirec_ray.stages.analyze import _flat_tokens
 
 
 def digamma(x: np.ndarray) -> np.ndarray:
-    """Vectorized digamma for x > 0: shift x up past 6 with
+    """Vectorized digamma for x > 0: shift x up past 10 with
     psi(x) = psi(x+1) - 1/x, then the asymptotic expansion."""
     x = np.asarray(x, np.float64)
     out = np.zeros_like(x)
@@ -53,40 +61,74 @@ def digamma(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def _estep_batch(
-    batch: pa.Table,
-    beta_ref,
-    vocab_ref,
-    alpha: float,
-    inner_iters: int,
-    text_col: str,
-) -> tuple[np.ndarray, float, pa.Table]:
-    """One E-step over a batch: returns (K×V phi-count partial, ELBO-ish
-    log-likelihood partial, per-doc gamma table)."""
+def _bow_dataset(
+    ds: ray.data.Dataset, vocab_arr: pa.Array, text_col: str
+) -> ray.data.Dataset:
+    """(…, text) -> materialized (doc_id?, w: large_list<int64>,
+    c: large_list<float64>) — unique in-vocab word ids + counts per doc.
+    Tokenization and vocabulary lookup run ONCE; EM iterations re-read
+    this compact table."""
     import pyarrow.compute as pc
 
+    vocab_ref = ray.put(vocab_arr)
+    V = len(vocab_arr)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+        par = parents.to_numpy(zero_copy_only=False)
+        widx = pc.index_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        widxf = widx.astype(np.float64)
+        keep = ~np.isnan(widxf)
+        par = par[keep]
+        w = widxf[keep].astype(np.int64)
+        key = par.astype(np.int64) * V + w
+        uniq, counts = np.unique(key, return_counts=True)
+        pd_ = uniq // V
+        pw = uniq % V
+        n_docs = batch.num_rows
+        n_per_doc = np.zeros(n_docs, np.int64)
+        np.add.at(n_per_doc, pd_, 1)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(n_per_doc, out=offsets[1:])
+        cols = {}
+        if "doc_id" in batch.column_names:
+            cols["doc_id"] = batch["doc_id"]
+        cols["w"] = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(pw, pa.int64())
+        )
+        cols["c"] = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(counts.astype(np.float64), pa.float64()),
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow").materialize()
+
+
+def _estep_bow(
+    batch: pa.Table,
+    beta_ref,
+    alpha: float,
+    inner_iters: int,
+    want_gamma: bool,
+) -> tuple[np.ndarray, float, pa.Table | None]:
+    """One E-step over a bow batch: (K×V phi-count partial, log-likelihood
+    proxy partial, per-doc gamma table when requested)."""
     log_beta = ray.get(beta_ref)  # (K, V) log word probabilities
-    vocab = ray.get(vocab_ref)  # pa.Array of V terms
     K = log_beta.shape[0]
-    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
-    par = parents.to_numpy(zero_copy_only=False)
-    widx = pc.index_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
-    widxf = widx.astype(np.float64)
-    keep = ~np.isnan(widxf)
-    par = par[keep]
-    w = widxf[keep].astype(np.int64)
-    # unique (doc, word) pairs with counts
-    key = par.astype(np.int64) * len(vocab) + w
-    uniq, counts = np.unique(key, return_counts=True)
-    pd_ = uniq // len(vocab)
-    pw = uniq % len(vocab)
-    c = counts.astype(np.float64)
+    wcol = batch["w"].combine_chunks()
+    pw = wcol.flatten().to_numpy(zero_copy_only=False)
+    c = batch["c"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    off = wcol.offsets.to_numpy(zero_copy_only=False)
     n_docs = batch.num_rows
+    pd_ = np.repeat(np.arange(n_docs), np.diff(off))
     doc_len = np.zeros(n_docs, np.float64)
     np.add.at(doc_len, pd_, c)
 
     gamma = np.full((n_docs, K), alpha, np.float64) + doc_len[:, None] / K
     lb_w = log_beta[:, pw].T  # (pairs, K)
+    phi = np.full((len(pw), K), 1.0 / K, np.float64)
     for _ in range(inner_iters):
         elog = digamma(gamma) - digamma(gamma.sum(axis=1))[:, None]
         logphi = lb_w + elog[pd_]
@@ -97,11 +139,10 @@ def _estep_batch(
         np.add.at(gamma, pd_, phi * c[:, None])
     stats = np.zeros((K, log_beta.shape[1]), np.float64)
     np.add.at(stats.T, pw, phi * c[:, None])
-    # held-in log likelihood proxy: sum_dw c * log(sum_k phibar_k beta_kw)
     theta = gamma / gamma.sum(axis=1, keepdims=True)
     ll = float((c * np.log((theta[pd_] * np.exp(lb_w)).sum(axis=1) + 1e-300)).sum())
     gtab = None
-    if "doc_id" in batch.column_names:  # train path needs no per-doc output
+    if want_gamma:
         gtab = pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -129,11 +170,16 @@ def train_lda(
     {"beta": (K, V) topic-word probabilities, "vocab": [terms],
      "log_likelihoods": [per-iter], "n_iters": int}.
 
-    Each iteration = one streaming E-step pass (per-batch K×V partials,
-    driver sum) + closed-form M-step; stops early when the likelihood
-    proxy improves by < ``tol`` relative."""
-    from ray.data.aggregate import Sum
+    Per iteration the driver holds O(K·V) floats: partials are SUMMED
+    streaming from ``iter_batches`` (never ``take_all``), with
+    ``preserve_order`` pinned for the run so the float accumulation order
+    — and therefore beta — is bitwise deterministic for a given seed and
+    block layout.  Stops early when the likelihood proxy improves by
+    < ``tol`` relative."""
     from wikirec_ray.stages.stats import document_frequencies
+
+    if n_topics < 1 or iters < 1 or inner_iters < 1:
+        raise ValueError("n_topics, iters and inner_iters must be >= 1")
 
     dfs = document_frequencies(ds, text_col=text_col)
     head = (
@@ -143,39 +189,46 @@ def train_lda(
     if not vocab:
         raise ValueError("empty vocabulary")
     V, K = len(vocab), n_topics
-    vocab_arr = pa.array(vocab, pa.string())
-    vocab_ref = ray.put(vocab_arr)
+    bow = _bow_dataset(ds, pa.array(vocab, pa.string()), text_col)
 
     rng = np.random.default_rng(seed)
     beta = rng.gamma(100.0, 0.01, size=(K, V))
     beta /= beta.sum(axis=1, keepdims=True)
 
-    lls: list[float] = []
-    for _ in range(iters):
-        log_beta_ref = ray.put(np.log(beta + 1e-300))
+    ctx = ray.data.DataContext.get_current()
+    prev_preserve = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        lls: list[float] = []
+        for _ in range(iters):
+            log_beta_ref = ray.put(np.log(beta + 1e-300))
 
-        def partial(batch: pa.Table, _ref=log_beta_ref) -> pa.Table:
-            stats, ll, _ = _estep_batch(
-                batch, _ref, vocab_ref, alpha, inner_iters, text_col
-            )
-            return pa.table(
-                {
-                    "stats": pa.array([stats.reshape(-1).tobytes()], pa.binary()),
-                    "ll": pa.array([ll], pa.float64()),
-                }
-            )
+            def partial(batch: pa.Table, _ref=log_beta_ref) -> pa.Table:
+                stats, ll, _ = _estep_bow(batch, _ref, alpha, inner_iters, False)
+                return pa.table(
+                    {
+                        "stats": pa.array([stats.reshape(-1).tobytes()], pa.binary()),
+                        "ll": pa.array([ll], pa.float64()),
+                    }
+                )
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        stats = np.zeros((K, V), np.float64)
-        ll = 0.0
-        for r in rows:
-            stats += np.frombuffer(r["stats"], np.float64).reshape(K, V)
-            ll += r["ll"]
-        beta = stats + eta
-        beta /= beta.sum(axis=1, keepdims=True)
-        lls.append(ll)
-        if len(lls) >= 2 and abs(lls[-1] - lls[-2]) < tol * abs(lls[-2]):
-            break
+            stats = np.zeros((K, V), np.float64)
+            ll = 0.0
+            for out in bow.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
+                for i in range(out.num_rows):
+                    stats += np.frombuffer(
+                        out["stats"][i].as_py(), np.float64
+                    ).reshape(K, V)
+                    ll += out["ll"][i].as_py()
+            beta = stats + eta
+            beta /= beta.sum(axis=1, keepdims=True)
+            lls.append(ll)
+            if len(lls) >= 2 and abs(lls[-1] - lls[-2]) < tol * abs(lls[-2]):
+                break
+    finally:
+        ctx.execution_options.preserve_order = prev_preserve
     return {
         "beta": beta,
         "vocab": vocab,
@@ -193,15 +246,13 @@ def doc_topics(
 ) -> ray.data.Dataset:
     """Per-doc topic mixtures under a trained model: one E-step pass,
     returns (doc_id, gamma fixed_size_list<K>, top_topic)."""
-    import pyarrow.compute as pc
-
+    if inner_iters < 1:
+        raise ValueError("inner_iters must be >= 1")
     log_beta_ref = ray.put(np.log(model["beta"] + 1e-300))
-    vocab_ref = ray.put(pa.array(model["vocab"], pa.string()))
+    bow = _bow_dataset(ds, pa.array(model["vocab"], pa.string()), text_col)
 
     def fn(batch: pa.Table) -> pa.Table:
-        _, _, gtab = _estep_batch(
-            batch, log_beta_ref, vocab_ref, alpha, inner_iters, text_col
-        )
+        _, _, gtab = _estep_bow(batch, log_beta_ref, alpha, inner_iters, True)
         g = gtab["gamma"].combine_chunks()
         K = g.type.list_size
         mat = g.flatten().to_numpy(zero_copy_only=False).reshape(len(g), K)
@@ -209,7 +260,7 @@ def doc_topics(
             "top_topic", pa.array(mat.argmax(axis=1).astype(np.int64))
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return bow.map_batches(fn, batch_format="pyarrow")
 
 
 def top_topic_words(model: dict, n: int = 10) -> list[list[str]]:

@@ -72,6 +72,9 @@ def negative_samples(
     """
     if ratio < 1 or max_attempts < 1:
         raise ValueError("ratio and max_attempts must be >= 1")
+    if n_articles < 1 or n_links < 1:
+        # numpy uint64 % 0 silently yields 0 under a warning — fail loudly
+        raise ValueError("n_articles and n_links must be >= 1")
 
     def gen(batch: pa.Table) -> pa.Table:
         a = batch[article_col].to_numpy().astype(np.uint64)
@@ -118,20 +121,23 @@ def negative_samples(
 
     def anti(group: pa.Table) -> pa.Table:
         # within one hash partition of (neg_article, neg_link): drop
-        # candidates whose pair appears among the positives
-        is_pos = group["is_pos"].to_numpy().astype(bool)
-        with np.errstate(over="ignore"):
-            key = (
-                group["neg_article"].to_numpy().astype(np.uint64) * _GOLD
-                ^ group["neg_link"].to_numpy().astype(np.uint64)
-            )
-        pos_keys = np.unique(key[is_pos])
-        cand = ~is_pos
-        hit = np.isin(key, pos_keys)
-        out = group.filter(pa.array(cand & ~hit)).drop_columns(["is_pos"])
-        if "ppart" in out.column_names:
-            out = out.drop_columns(["ppart"])
-        return out
+        # candidates whose EXACT pair appears among the positives (Arrow
+        # left-anti join on the two key columns — a 64-bit combined-key
+        # shortcut could collide two distinct pairs and silently drop a
+        # valid negative; review r03)
+        import pyarrow.compute as pc
+
+        is_pos = pc.equal(group["is_pos"], 1)
+        pos = (
+            group.filter(is_pos)
+            .select(["neg_article", "neg_link"])
+            .group_by(["neg_article", "neg_link"])
+            .aggregate([])
+        )
+        cand = group.filter(pc.invert(is_pos)).drop_columns(["is_pos"])
+        if "ppart" in cand.column_names:
+            cand = cand.drop_columns(["ppart"])
+        return cand.join(pos, keys=["neg_article", "neg_link"], join_type="left anti")
 
     def pair_key(b: pa.Table) -> np.ndarray:
         with np.errstate(over="ignore"):
@@ -190,6 +196,9 @@ def topic_coherence(
 
     from wikirec_ray.stages.analyze import _flat_tokens
 
+    # the default tokenizer lowercases the corpus — normalize topic words
+    # the same way so capitalized inputs don't silently score D = 0
+    topics = [[w.lower() for w in t] for t in topics]
     words = sorted({w for t in topics for w in t})
     if not words:
         raise ValueError("topics must contain at least one word")
