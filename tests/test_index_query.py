@@ -385,3 +385,48 @@ def test_vectorized_merge_equals_row_merge():
     assert got.num_rows == want.num_rows
     for name in SEGMENT_SCHEMA.names:
         assert got[name].to_pylist() == want[name].to_pylist(), name
+
+
+def test_similar_docs_topk_replaces_sim_matrix(ray_session, tmp_path):
+    """similar_docs_topk == per-doc IndexReader.topk(distinct tokens) minus
+    self — the O(N·k) streaming replacement for the reference's dense
+    N×N similarity matrix (model.py:258-290, 340-383)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.query import IndexReader, similar_docs_topk
+    from wikirec_ray.stages.index_build import build_index
+
+    docs = [
+        (0, "spark join window hash merge sort spark join"),
+        (1, "spark join window hash merge sort filter scan"),
+        (2, "customer order line part value vector"),
+        (3, "customer order line part value spark"),
+        (4, "the a big small fast slow"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    idx = str(tmp_path / "simidx")
+    build_index(ds, idx, resume=False)
+    k = 3
+    out = similar_docs_topk(ds, idx, k=k).take_all()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    reader = IndexReader(idx)
+    for doc_id, text in docs:
+        terms = sorted(set(w for w in re.split(r"[^a-z0-9]+", text.lower()) if w))
+        want = [
+            (d, round(s, 6)) for d, s in reader.topk(terms, k + 1) if d != doc_id
+        ][:k]
+        rows = sorted(got.get(doc_id, []))
+        assert [(d, s) for _, d, s in rows] == want, doc_id
+        assert [r for r, _, _ in rows] == list(range(1, len(want) + 1))

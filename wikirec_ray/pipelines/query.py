@@ -413,6 +413,81 @@ def score_queries_dataset(
     )
 
 
+def similar_docs_topk(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_wand: bool = False,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Content-similar top-k for EVERY document: each doc queries the index
+    with its own distinct token set and keeps the k best OTHER docs.
+
+    This is the scalable replacement for the reference's flagship artifact
+    — the dense N×N similarity matrix plus per-title row scan
+    (``model.py:258-290`` builds it, ``:340-383`` scans one row): output is
+    an O(N·k) row stream, never O(N²) memory, and the scoring fans out
+    through the same ``BM25Scorer`` actor pool as ad-hoc queries.
+
+    Self-hits are stripped and ranks recomputed vectorized.  The strip
+    stage consumes WHOLE blocks (``batch_size=None``) so each query's
+    rows — emitted together by the scorer — are never split mid-query."""
+    from wikirec_ray.stages.analyze import _flat_tokens
+
+    def make_queries(batch: pa.Table) -> pa.Table:
+        parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+        pairs = (
+            pa.table({"_row": parents, "term": flat})
+            .group_by(["_row", "term"])
+            .aggregate([])
+            .sort_by([("_row", "ascending"), ("term", "ascending")])
+        )
+        rows = pairs["_row"].to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        counts = np.zeros(n_docs, np.int64)
+        np.add.at(counts, rows, 1)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        terms = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pairs["term"].combine_chunks()
+        )
+        return pa.table(
+            {
+                "query_id": batch[id_col],
+                "terms": terms,
+                "k": pa.array(np.full(n_docs, k + 1, np.int64)),
+            }
+        )
+
+    qds = ds.map_batches(make_queries, batch_format="pyarrow")
+    scored = score_queries_dataset(
+        qds, index_dir, k=k + 1, use_wand=use_wand, concurrency=concurrency
+    )
+
+    def strip_self(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch["doc_id"], batch["query_id"])
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return t
+        q = t["query_id"].to_numpy()
+        # rows arrive rank-ordered per query; new rank = position in run
+        new_run = np.ones(len(q), bool)
+        new_run[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(new_run)
+        runs = np.diff(np.concatenate([starts, [len(q)]]))
+        rank = np.arange(len(q)) - np.repeat(starts, runs) + 1
+        t = t.set_column(
+            t.column_names.index("rank"), "rank", pa.array(rank.astype(np.int64))
+        )
+        return t.filter(pa.array(rank <= k))
+
+    return scored.map_batches(strip_self, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # wikirec recommend() combine
 # ---------------------------------------------------------------------------
