@@ -614,3 +614,43 @@ def test_minhash_oracle_short_and_empty_docs(ray_session):
     # the semantic expectations themselves
     assert got[1] == got[0] and got[3] == got[2] and got[7] == got[6]
     assert got[4] != got[5]
+
+
+def test_hash_join_supplier_part_region(ray_session, sf_dir):
+    """Three-table distributed join over the remaining relational tables
+    (supplier ⋈ nation ⋈ region), checked against DuckDB on the same
+    parquet — covers the tables no driver entry reads."""
+    import os
+
+    import duckdb
+    import ray.data
+
+    from wikirec_ray.pipelines.joins import hash_join
+
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    )
+    region = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    j = hash_join(supplier, nation, left_on="s_nationkey", right_on="n_nationkey")
+    j = hash_join(j, region, left_on="n_regionkey", right_on="r_regionkey")
+    got = sorted(
+        (r["s_suppkey"], r["n_name"], r["r_name"]) for r in j.take_all()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(tuple, con.execute(f"""
+            SELECT s_suppkey, n_name, r_name
+            FROM read_parquet('{os.path.join(sf_dir, "supplier.parquet")}') s
+            JOIN read_parquet('{os.path.join(sf_dir, "nation.parquet")}') n
+              ON s_nationkey = n_nationkey
+            JOIN read_parquet('{os.path.join(sf_dir, "region.parquet")}') r
+              ON n_regionkey = r_regionkey
+        """).fetchall())
+    )
+    assert got == want and len(got) > 0
