@@ -39,7 +39,7 @@ def _vecs(model):
 def test_doc2vec_groups_and_loss(grouped_corpus):
     from wikirec_ray.pipelines.doc2vec import train_doc2vec
 
-    m = train_doc2vec(grouped_corpus, dim=16, epochs=12, lr=1.0, seed=29)
+    m = train_doc2vec(grouped_corpus, dim=16, epochs=25, lr=1.0, negatives=2, seed=29)
     assert m["losses"][-1] < m["losses"][0]  # training reduces the loss
     vecs = _vecs(m)
     # same-group docs end up closer than cross-group docs on average

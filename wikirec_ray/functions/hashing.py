@@ -19,6 +19,10 @@ import numpy as np
 
 _POLY = np.uint64(1099511628211)  # FNV-1a prime, reused as polynomial base
 
+# 2^64/phi — the classic multiplicative-hash salt, shared by every
+# module that keys fmix64 (one definition so hash streams cannot drift)
+GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
 # murmur3 fmix64 constants (public domain finalizer)
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)

@@ -32,9 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from wikirec_ray.functions.hashing import fmix64
-
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
+from wikirec_ray.functions.hashing import GOLD64 as _GOLD, fmix64
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -88,16 +86,12 @@ def train_doc2vec(
     V = len(vocab)
     cum = _neg_table(counts)
 
-    bow = _bow_dataset(ds, pa.array(vocab, pa.string()), text_col)
-    rng = np.random.default_rng(seed)
-    U = (rng.standard_normal((V, dim)) / np.sqrt(dim)).astype(np.float64)
-
     # init doc vectors deterministically from doc_id (docs may arrive in
     # any order, so the init must be content-addressed, not positional)
     def init_vecs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
-            keys = fmix64(ids * _GOLD)
+            keys = fmix64(ids * _GOLD + np.uint64(seed))
         vecs = np.empty((len(ids), dim), np.float64)
         for r, k in enumerate(keys):  # per-doc init; tiny (one rng per doc)
             vecs[r] = np.random.default_rng(int(k)).standard_normal(dim)
@@ -109,12 +103,18 @@ def train_doc2vec(
             ),
         )
 
-    state = bow.map_batches(init_vecs, batch_format="pyarrow").materialize()
+    rng = np.random.default_rng(seed)
+    U = (rng.standard_normal((V, dim)) / np.sqrt(dim)).astype(np.float64)
 
+    # preserve_order spans the WHOLE build: the bow/init block order feeds
+    # the driver's float accumulation order (review r03); the try/finally
+    # starts HERE so a failure inside any stage still restores the flag
     ctx = ray.data.DataContext.get_current()
     prev_preserve = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
+        bow = _bow_dataset(ds, pa.array(vocab, pa.string()), text_col)
+        state = bow.map_batches(init_vecs, batch_format="pyarrow").materialize()
         losses: list[float] = []
         for epoch in range(epochs):
             cur_lr = lr * (1.0 - epoch / epochs)
@@ -123,6 +123,9 @@ def train_doc2vec(
 
             def sgd(batch: pa.Table, _u=u_ref, _cum=cum_ref, _lr=cur_lr,
                     _ep=epoch) -> pa.Table:
+                # previous epoch's grad/loss carrier columns are dropped
+                # here instead of a dedicated materialize pass (review r03)
+                batch = batch.select([id_col, "w", "c", "vec"])
                 Umat = ray.get(_u)
                 cumw = ray.get(_cum)
                 wcol = batch["w"].combine_chunks()
@@ -161,11 +164,15 @@ def train_doc2vec(
                     np.add.at(grad_U, words, gpos[:, None] * dv)
                     np.add.at(cnt_U, words, cc)
                     if negatives > 0:
-                        # deterministic negatives for every (pair, k) slot
+                        # negatives PROPORTIONAL to the pair counts, so the
+                        # positive pull (count-weighted) and negative push
+                        # stay at the documented `negatives` ratio for
+                        # repeated words too (review r03)
+                        n_neg = int(cc.sum()) * negatives
                         with np.errstate(over="ignore"):
                             keys = fmix64(
                                 (ids[r] * _GOLD ^ np.arange(
-                                    n_pairs * negatives, dtype=np.uint64
+                                    n_neg, dtype=np.uint64
                                 )) + np.uint64(_ep * 1_000_003 + seed)
                             )
                         u = (keys.astype(np.float64) + 0.5) / 2.0**64
@@ -220,7 +227,7 @@ def train_doc2vec(
             # sum diverges (observed on the synthetic corpus)
             U = U - cur_lr * grad / np.maximum(cnt, 1.0)[:, None]
             losses.append(total_loss)
-            state = nxt.drop_columns(["grad", "loss"]).materialize()
+            state = nxt  # already materialized; carriers dropped next epoch
     finally:
         ctx.execution_options.preserve_order = prev_preserve
 

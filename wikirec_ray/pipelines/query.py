@@ -433,8 +433,14 @@ def similar_docs_topk(
 
     Self-hits are stripped and ranks recomputed vectorized.  The strip
     stage consumes WHOLE blocks (``batch_size=None``) so each query's
-    rows — emitted together by the scorer — are never split mid-query."""
+    rows — emitted together by the scorer — are never split mid-query;
+    ``k`` is capped so one scorer output block (256 queries × (k+1) rows)
+    stays far below Ray's dynamic block-split threshold, which would
+    otherwise slice a block mid-query (review r03)."""
     from wikirec_ray.stages.analyze import _flat_tokens
+
+    if not 1 <= k <= 4096:
+        raise ValueError("k must be in [1, 4096] (block-split safety bound)")
 
     def make_queries(batch: pa.Table) -> pa.Table:
         parents, flat = _flat_tokens(batch[text_col].combine_chunks())
@@ -453,13 +459,8 @@ def similar_docs_topk(
         terms = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), pairs["term"].combine_chunks()
         )
-        return pa.table(
-            {
-                "query_id": batch[id_col],
-                "terms": terms,
-                "k": pa.array(np.full(n_docs, k + 1, np.int64)),
-            }
-        )
+        # k travels via the scorer constructor; no redundant per-row column
+        return pa.table({"query_id": batch[id_col], "terms": terms})
 
     qds = ds.map_batches(make_queries, batch_format="pyarrow")
     scored = score_queries_dataset(

@@ -26,10 +26,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from wikirec_ray.functions.hashing import fmix64
+from wikirec_ray.functions.hashing import GOLD64 as _GOLD, fmix64
 from wikirec_ray.functions.partitions import partitioned_map_groups
-
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
 _LINK_SALT = np.uint64(0xA076_1D64_78BD_642F)  # xxh64 prime, any odd const
 
 

@@ -110,16 +110,6 @@ def train_wikilink_nn(
             }
         )
 
-    ctx = ray.data.DataContext.get_current()
-    prev_preserve = ctx.execution_options.preserve_order
-    # preserve_order covers the WHOLE build: the grouping shuffle's block
-    # order must be reproducible too, or the driver's float gradient
-    # accumulation order (and thus the model) differs run-to-run
-    ctx.execution_options.preserve_order = True
-    grouped = partitioned_map_groups(
-        labeled, lambda b: b["a"].to_numpy(), group_article, n_parts
-    )
-
     def init_vecs(batch: pa.Table) -> pa.Table:
         ids = batch["article_id"].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
@@ -135,17 +125,32 @@ def train_wikilink_nn(
             ),
         )
 
-    state = grouped.map_batches(init_vecs, batch_format="pyarrow").materialize()
+
+    ctx = ray.data.DataContext.get_current()
+    prev_preserve = ctx.execution_options.preserve_order
+    # preserve_order covers the WHOLE build: the grouping shuffle's block
+    # order must be reproducible too, or the driver's float gradient
+    # accumulation order (and thus the model) differs run-to-run.  The
+    # try/finally opens immediately so a failure anywhere restores the
+    # session-global flag (review r03).
+    ctx.execution_options.preserve_order = True
     rng = np.random.default_rng(seed)
     U = (rng.standard_normal((n_links, dim)) / np.sqrt(dim)).astype(np.float64)
-
     try:
+        grouped = partitioned_map_groups(
+            labeled, lambda b: b["a"].to_numpy(), group_article, n_parts
+        )
+        state = grouped.map_batches(init_vecs, batch_format="pyarrow").materialize()
+
         losses: list[float] = []
         for epoch in range(epochs):
             cur_lr = lr * (1.0 - epoch / epochs)
             u_ref = ray.put(U)
 
             def sgd(batch: pa.Table, _u=u_ref, _lr=cur_lr) -> pa.Table:
+                # previous epoch's carrier columns dropped here instead of
+                # a dedicated materialize pass
+                batch = batch.select(["article_id", "links", "labels", "vec"])
                 Umat = ray.get(_u)
                 lcol = batch["links"].combine_chunks()
                 flat_l = lcol.flatten().to_numpy(zero_copy_only=False)
@@ -211,7 +216,7 @@ def train_wikilink_nn(
                         total_loss += out["loss"][i].as_py()
             U = U - cur_lr * grad / np.maximum(cnt, 1.0)[:, None]
             losses.append(total_loss)
-            state = nxt.drop_columns(["grad", "loss"]).materialize()
+            state = nxt  # already materialized; carriers dropped next epoch
     finally:
         ctx.execution_options.preserve_order = prev_preserve
 

@@ -102,7 +102,9 @@ def deterministic_sample(
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
-_GOLD = 0x9E3779B97F4A7C15  # 2^64/phi — the classic multiplicative-hash salt
+from wikirec_ray.functions.hashing import GOLD64 as _GOLD64
+
+_GOLD = int(_GOLD64)  # SQL oracle generation needs the int form
 
 
 def hash_sample(
@@ -122,7 +124,7 @@ def hash_sample(
     def fil(batch: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
             ids = batch[id_col].to_numpy().astype(np.uint64)
-            key = fmix64(ids * np.uint64(_GOLD) + np.uint64(seed))
+            key = fmix64(ids * _GOLD64 + np.uint64(seed))
         return batch.filter(pa.array((key % np.uint64(10000)) < rate_bp))
 
     return ds.map_batches(fil, batch_format="pyarrow")
