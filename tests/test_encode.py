@@ -1,0 +1,75 @@
+"""Text-encoder stage (SURVEY T3 slot): deterministic fake kernel drives
+the embed → ANN flow end-to-end; real kernel gated on sentence-transformers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(ray_session, rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_encode_deterministic_and_similarity(ray_session):
+    from wikirec_ray.pipelines.encode import encode_corpus
+
+    rows = [
+        (0, "spark join window hash merge sort"),
+        (1, "spark join window hash merge sort"),       # identical text
+        (2, "spark join window hash merge filter"),     # near-identical
+        (3, "customer order line part value vector"),   # disjoint
+    ]
+    ds = _docs(ray_session, rows)
+    e1 = {r["doc_id"]: np.asarray(r["vec" if False else "embedding"], np.float64)
+          for r in encode_corpus(ds, dim=64).take_all()}
+    e2 = {r["doc_id"]: np.asarray(r["embedding"], np.float64)
+          for r in encode_corpus(ds, dim=64).take_all()}
+    # deterministic across runs; identical text -> identical vector
+    assert all(np.array_equal(e1[k], e2[k]) for k in e1)
+    assert np.array_equal(e1[0], e1[1])
+    # unit norm; near-dup closer than disjoint
+    assert abs(np.linalg.norm(e1[0]) - 1.0) < 1e-9
+    assert e1[0] @ e1[2] > e1[0] @ e1[3] + 0.3
+
+
+def test_encode_feeds_ann(ray_session):
+    """The reference's embed → similar-items flow: encode the corpus, run
+    brute-force cosine top-k over the produced embedding column."""
+    from wikirec_ray.pipelines.ann import brute_force_topk
+    from wikirec_ray.pipelines.encode import encode_corpus
+
+    rows = [(i, ("spark join window " if i < 5 else "customer order line ") * 4
+             + f"tok{i}") for i in range(10)]
+    emb = encode_corpus(_docs(ray_session, rows), dim=64).materialize()
+    q = {r["doc_id"]: np.asarray(r["embedding"]) for r in emb.take_all()}
+    out = brute_force_topk(
+        emb, [0], np.asarray([q[0]]), k=4, id_col="doc_id", vec_col="embedding"
+    ).take_all()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert neighbors == {1, 2, 3, 4}  # same-group docs win
+
+
+def test_encode_kernel_gate():
+    from wikirec_ray.pipelines.encode import (
+        TextEncoderStage, _try_sentence_transformers,
+    )
+
+    have = _try_sentence_transformers() is not None
+    st = TextEncoderStage(kernel="auto")
+    assert st.kernel == ("real" if have else "fake")
+    if not have:
+        with pytest.raises(NotImplementedError):
+            TextEncoderStage(kernel="real")
+    with pytest.raises(ValueError):
+        TextEncoderStage(kernel="fake", dim=0)
+    with pytest.raises(ValueError):
+        TextEncoderStage(kernel="quantum")

@@ -27,8 +27,11 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    offsets = col.offsets.to_numpy(zero_copy_only=False)
-    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    if pa.types.is_fixed_size_list(col.type):  # e.g. encode_corpus output
+        dim = col.type.list_size
+    else:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
     return flat.reshape(len(col), dim)
 
 
