@@ -29,7 +29,7 @@ def test_encode_deterministic_and_similarity(ray_session):
         (3, "customer order line part value vector"),   # disjoint
     ]
     ds = _docs(ray_session, rows)
-    e1 = {r["doc_id"]: np.asarray(r["vec" if False else "embedding"], np.float64)
+    e1 = {r["doc_id"]: np.asarray(r["embedding"], np.float64)
           for r in encode_corpus(ds, dim=64).take_all()}
     e2 = {r["doc_id"]: np.asarray(r["embedding"], np.float64)
           for r in encode_corpus(ds, dim=64).take_all()}
