@@ -1,0 +1,101 @@
+"""Web-corpus curation filters: domain caps, line-repetition ratio,
+Gopher quality heuristics — each vs a brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_extract_domain():
+    from wikirec_ray.pipelines.webfilters import extract_domain
+
+    urls = pa.array(
+        [
+            "https://Example.org/a/b?q=1",
+            "http://sub.site.com:8080/page#frag",
+            "https://plain.net",
+            "ftp://files.host.io/x",
+        ]
+    )
+    got = extract_domain(urls).to_pylist()
+    assert got == ["example.org", "sub.site.com", "plain.net", "files.host.io"]
+
+
+def test_domain_caps(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import domain_caps, extract_domain
+
+    rows = []
+    for i in range(30):
+        dom = ["a.com", "b.org", "c.net"][i % 3]
+        rows.append((i, f"https://{dom}/p/{i}"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = domain_caps(ds, max_per_domain=3).take_all()
+    got = sorted(r["doc_id"] for r in out)
+    # brute-force oracle: 3 lowest ids per domain
+    by_dom: dict = {}
+    for i, u in rows:
+        by_dom.setdefault(u.split("/")[2], []).append(i)
+    want = sorted(i for ids in by_dom.values() for i in sorted(ids)[:3])
+    assert got == want and len(got) == 9
+    with pytest.raises(ValueError):
+        domain_caps(ds, max_per_domain=0)
+
+
+def test_line_dup_ratio(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import line_dup_ratio
+
+    docs = [
+        (0, "nav\ncontent one\nnav\nfooter\nnav"),   # 5 lines, 3 distinct
+        (1, "a\nb\nc"),                               # all distinct
+        (2, ""),                                      # empty
+        (3, "x\n\n  \nx"),                            # blanks ignored; 1 dup
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in line_dup_ratio(ds).take_all()}
+    assert got[0]["n_lines"] == 5 and abs(got[0]["dup_line_ratio"] - 2 / 5) < 1e-9
+    assert got[1]["dup_line_ratio"] == 0.0
+    assert got[2]["n_lines"] == 0 and got[2]["dup_line_ratio"] == 0.0
+    assert got[3]["n_lines"] == 2 and got[3]["dup_line_ratio"] == 0.5
+
+
+def test_gopher_quality_mask(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import gopher_quality_mask
+
+    good = "the quick brown fox jumps over the lazy dog again " * 10  # 100 words
+    short = "too short"
+    symbols = ("word " * 60) + "#" * 30
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array([good, short, symbols, bullets], pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_mask(ds).take_all()}
+    assert got[0]["keep"] is True or got[0]["keep"] == True  # noqa: E712
+    assert got[0]["n_words"] == 100
+    assert not got[1]["ok_words"]
+    assert not got[2]["ok_symbols"]
+    assert not got[3]["ok_bullets"] and not got[3]["keep"]

@@ -1,0 +1,209 @@
+"""Web-corpus curation filters — the Common-Crawl-side operators a 100 TB
+training-data pipeline applies before anything else ingests (C4, Raffel et
+al. 2020 §2.2; Gopher rules, Rae et al. 2021 Appendix A).  The reference
+has no analog (it starts from curated wiki dumps); these extend the
+quality family of ``pipelines/textstats``.
+
+- ``domain_caps`` — bound any single registrable domain's share of the
+  corpus: extract the domain from ``url``, ONE hash-partitioned shuffle on
+  it, keep the ``max_per_domain`` lowest doc ids per domain
+  (deterministic, so re-runs and the test oracle agree).  This is the
+  standard anti-spam/anti-SEO-farm cap.
+- ``line_dup_ratio`` — per-doc fraction of repeated lines (the line-level
+  member of C4's repetition rules): docs dominated by boilerplate
+  navigation/footer lines score high and get dropped.
+- ``gopher_quality_mask`` — the classic per-doc heuristics: word count in
+  [min, max], mean word length in [3, 10], symbol-to-word ratio, and
+  fraction of lines starting with a bullet — each vectorized per batch,
+  emitted as individual boolean columns plus the combined ``keep``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from wikirec_ray.functions.partitions import partitioned_map_groups
+
+
+def extract_domain(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized registrable-host extraction: scheme://HOST/... -> host
+    (lowercased; port stripped).  Suffix-list-aware eTLD+1 parsing needs a
+    data file this container doesn't ship — the full host is the
+    conservative superset (finer granularity can only lower per-domain
+    counts)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    host = pc.replace_substring_regex(urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r"[/?#].*$", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r":\d+$", replacement="")
+    return pc.utf8_lower(host)
+
+
+def domain_caps(
+    ds: ray.data.Dataset,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """Keep at most ``max_per_domain`` docs per domain (lowest ``id_col``
+    wins — deterministic).  One shuffle keyed by a hash of the domain;
+    the per-partition cap runs vectorized (lexsort + run ranks)."""
+    import zlib
+
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+
+    def add_domain(b: pa.Table) -> pa.Table:
+        return b.append_column("_domain", extract_domain(b[url_col]))
+
+    def cap(group: pa.Table) -> pa.Table:
+        if "ppart" in group.column_names:
+            group = group.drop_columns(["ppart"])
+        dom = group["_domain"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy()
+        _, codes = np.unique(dom, return_inverse=True)
+        order = np.lexsort((ids, codes))
+        codes_s = codes[order]
+        new = np.ones(len(order), bool)
+        new[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.concatenate([starts, [len(order)]]))
+        rank = np.arange(len(order)) - np.repeat(starts, runs)
+        keep = np.sort(order[rank < max_per_domain])
+        return group.take(pa.array(keep)).drop_columns(["_domain"])
+
+    def key(b: pa.Table) -> np.ndarray:
+        doms = b["_domain"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doms, return_inverse=True)
+        hk = np.fromiter(
+            (zlib.crc32(str(u).encode("utf-8")) for u in uniq), np.int64, len(uniq)
+        )
+        return hk[inv]
+
+    tagged = ds.map_batches(add_domain, batch_format="pyarrow")
+    return partitioned_map_groups(tagged, key, cap, n_parts)
+
+
+def line_dup_ratio(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """(id, n_lines, dup_line_ratio): fraction of a doc's non-empty lines
+    that are repeats of an earlier line — one vectorized pass (Arrow line
+    split + per-doc group-by over the flat line stream)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(
+            batch[text_col].combine_chunks().fill_null(""), pattern="\n"
+        )
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        flat = flat.filter(nonempty)
+        par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        total = np.zeros(n, np.int64)
+        np.add.at(total, par, 1)
+        distinct = np.zeros(n, np.int64)
+        if len(flat):
+            g = (
+                pa.table({"p": pa.array(par), "l": flat})
+                .group_by(["p", "l"])
+                .aggregate([])
+            )
+            np.add.at(distinct, g["p"].to_numpy(), 1)
+        dups = total - distinct
+        ratio = np.round(
+            np.divide(dups, np.maximum(total, 1), dtype=np.float64), 6
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(total),
+                "dup_line_ratio": pa.array(ratio),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Gopher rule constants (Rae et al. 2021, Appendix A — public thresholds)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' and '…' per word
+GOPHER_MAX_BULLET_RATIO = 0.9   # lines starting with a bullet
+
+
+def gopher_quality_mask(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> ray.data.Dataset:
+    """Per-doc Gopher heuristic columns + the combined ``keep`` flag.
+    Whitespace words (not the index tokenizer) per the published rules."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks().fill_null("")
+        words = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        par = parents.filter(ne).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_words = np.zeros(n, np.int64)
+        np.add.at(n_words, par, 1)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        len_sum = np.zeros(n, np.int64)
+        np.add.at(len_sum, par, wlen)
+        mean_len = np.divide(len_sum, np.maximum(n_words, 1), dtype=np.float64)
+
+        n_hash = pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+        n_ell = pc.count_substring(texts, "…").to_numpy(zero_copy_only=False)
+        sym_ratio = np.divide(
+            n_hash + n_ell, np.maximum(n_words, 1), dtype=np.float64
+        )
+
+        lines = pc.split_pattern(texts, pattern="\n")
+        lflat = pc.utf8_ltrim_whitespace(pc.list_flatten(lines))
+        lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = np.zeros(n, np.int64)
+        np.add.at(n_lines, lpar, 1)
+        is_bullet = pc.match_substring_regex(
+            lflat, pattern=r"^([-*•]|\d+[.)])"
+        ).to_numpy(zero_copy_only=False)
+        n_bullets = np.zeros(n, np.int64)
+        np.add.at(n_bullets, lpar[is_bullet], 1)
+        bullet_ratio = np.divide(
+            n_bullets, np.maximum(n_lines, 1), dtype=np.float64
+        )
+
+        ok_words = (n_words >= min_words) & (n_words <= max_words)
+        ok_len = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+            mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+        )
+        ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+        ok_bullet = bullet_ratio <= GOPHER_MAX_BULLET_RATIO
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(np.round(mean_len, 6)),
+                "symbol_ratio": pa.array(np.round(sym_ratio, 6)),
+                "bullet_ratio": pa.array(np.round(bullet_ratio, 6)),
+                "ok_words": pa.array(ok_words),
+                "ok_mean_len": pa.array(ok_len),
+                "ok_symbols": pa.array(ok_sym),
+                "ok_bullets": pa.array(ok_bullet),
+                "keep": pa.array(ok_words & ok_len & ok_sym & ok_bullet),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
