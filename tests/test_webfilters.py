@@ -19,6 +19,11 @@ def test_extract_domain():
     )
     got = extract_domain(urls).to_pylist()
     assert got == ["example.org", "sub.site.com", "plain.net", "files.host.io"]
+    # userinfo stripped (anti-quota-bypass) and nulls survive as ''
+    tricky = pa.array(
+        ["https://alice@spam.com/p", "https://x:y@spam.com:8080/p", None]
+    )
+    assert extract_domain(tricky).to_pylist() == ["spam.com", "spam.com", ""]
 
 
 def test_domain_caps(ray_session):

@@ -92,22 +92,34 @@ class TextEncoderStage:
         n = batch.num_rows
         out = np.zeros((n, self.dim), np.float64)
         if len(h):
+            # hash only the UNIQUE token values and aggregate per
+            # (doc, token) pair — stream-sized (tokens × dim) temporaries
+            # hit this sandbox's fresh-allocation fault-in cost (CLAUDE.md;
+            # review r03), and the zipfian stream makes U << tokens
+            uniq, codes = np.unique(h, return_inverse=True)
             with np.errstate(over="ignore"):
-                # (tokens, dim) ±1 signs from bit 0 of fmix64(h ^ salt_j)
-                signs = (
-                    (fmix64(h[:, None] ^ self._salts[None, :]) & np.uint64(1))
+                signs_u = (
+                    (fmix64(uniq[:, None] ^ self._salts[None, :]) & np.uint64(1))
                     .astype(np.float64) * 2.0 - 1.0
-                )
-            np.add.at(out, par, signs)
+                )  # (U, dim)
+            U = len(uniq)
+            pair_key = par.astype(np.int64) * U + codes
+            uk, cnts = np.unique(pair_key, return_counts=True)
+            np.add.at(
+                out, uk // U, cnts[:, None].astype(np.float64) * signs_u[uk % U]
+            )
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         return out / np.maximum(norms, 1e-12)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.kernel == "real":
             texts = [t or "" for t in batch[self.text_col].to_pylist()]
-            mat = np.asarray(
-                self.model.encode(texts, convert_to_numpy=True), np.float64
-            )
+            if not texts:  # empty block: encode([]) returns shape (0,)
+                mat = np.zeros((0, self.dim), np.float64)
+            else:
+                mat = np.asarray(
+                    self.model.encode(texts, convert_to_numpy=True), np.float64
+                )
         else:
             mat = self._fake_encode(batch)
         return pa.table(

@@ -36,8 +36,12 @@ def extract_domain(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     counts)."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
+    urls = urls.fill_null("")  # null urls -> '' domain (crash-free caps)
     host = pc.replace_substring_regex(urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
     host = pc.replace_substring_regex(host, pattern=r"[/?#].*$", replacement="")
+    # userinfo: 'alice@spam.com' must cap as spam.com, or varying the
+    # userinfo string buys a fresh per-domain quota (review r03)
+    host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
     host = pc.replace_substring_regex(host, pattern=r":\d+$", replacement="")
     return pc.utf8_lower(host)
 
@@ -166,9 +170,14 @@ def gopher_quality_mask(
         mean_len = np.divide(len_sum, np.maximum(n_words, 1), dtype=np.float64)
 
         n_hash = pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+        # ellipsis in either rendering: U+2026 or ASCII '...' (the published
+        # rule counts the glyph, not a specific encoding)
         n_ell = pc.count_substring(texts, "…").to_numpy(zero_copy_only=False)
+        n_dots = pc.count_substring_regex(
+            texts, pattern=r"\.{3}"
+        ).to_numpy(zero_copy_only=False)
         sym_ratio = np.divide(
-            n_hash + n_ell, np.maximum(n_words, 1), dtype=np.float64
+            n_hash + n_ell + n_dots, np.maximum(n_words, 1), dtype=np.float64
         )
 
         lines = pc.split_pattern(texts, pattern="\n")
