@@ -654,3 +654,29 @@ def test_hash_join_supplier_part_region(ray_session, sf_dir):
         """).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_pipelines_tolerate_empty_corpus(ray_session):
+    """Every headline pipeline must run on a 0-row documents table — the
+    classic production edge (an empty shard/partition)."""
+    import ray.data
+
+    from wikirec_ray.pipelines.dedup import exact_dedup, minhash_dedup_groups
+    from wikirec_ray.pipelines.encode import encode_corpus
+    from wikirec_ray.pipelines.textstats import lm_quality_scores, quality_scores
+    from wikirec_ray.pipelines.webfilters import gopher_quality_mask
+    from wikirec_ray.stages.phrases import train_phrases
+    from wikirec_ray.stages.stats import corpus_stats, vocabulary_prune
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert quality_scores(empty).count() == 0
+    assert lm_quality_scores(empty).count() == 0
+    assert exact_dedup(empty).count() == 0
+    assert minhash_dedup_groups(empty).count() == 0
+    assert vocabulary_prune(empty).count() == 0
+    assert gopher_quality_mask(empty).count() == 0
+    assert encode_corpus(empty).count() == 0
+    assert train_phrases(empty) == {}
+    assert corpus_stats(empty) == {"n_docs": 0, "total_tokens": 0, "avgdl": 0.0}
