@@ -632,8 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD)
 
     def embedding_dups_bucketed_q(sf_dir):
-        # approximate (LSH-bucketed) variant — rows-only check; recall vs the
-        # oracle-checked brute-force baseline is asserted in pytest
+        # LSH-bucketed scale path; oracle replays the multiprobe collision
+        # predicate in SQL and scores the same float64 vectors
         import ray.data
 
         from wikirec_ray.pipelines.dedup import embedding_dup_pairs_bucketed

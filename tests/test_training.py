@@ -124,6 +124,24 @@ def test_topic_coherence_umass(ray_session):
     with pytest.raises(ValueError):
         topic_coherence(ds, [[]])
 
+    # out-of-corpus words must not score as neutral: D(wj)=0 pairs are
+    # skipped and surfaced in n_oov; an all-OOV topic is NaN (ADVICE r03)
+    oov = topic_coherence(
+        ds, [["spark", "join", "zzzmissing"], ["qqq", "rrr"]]
+    ).set_index("topic_id")
+    # topic 0: pairs (join|spark) kept; (zzz|spark), (zzz|join) kept (their
+    # D(wj)>0, numerator 0+eps); no pair conditions on the OOV word since it
+    # is LAST in the sequence — coherence equals the same mean as the oracle
+    assert oov.loc[0, "n_oov"] == 1
+    t0 = [
+        math.log((D("join", "spark") + 1.0) / D("spark")),
+        math.log((0 + 1.0) / D("spark")),
+        math.log((0 + 1.0) / D("join")),
+    ]
+    assert abs(oov.loc[0, "coherence"] - round(sum(t0) / len(t0), 6)) < 1e-6
+    assert oov.loc[1, "n_oov"] == 2
+    assert math.isnan(oov.loc[1, "coherence"])
+
 
 def test_training_validation_and_case(ray_session):
     from wikirec_ray.pipelines.training import negative_samples, topic_coherence

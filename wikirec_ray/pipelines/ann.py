@@ -318,7 +318,10 @@ def ivf_build(
     The output directory is cleared first: rebuilding into a previously
     used dir would otherwise leave stale uniquely-named parquet files
     inside ``ivf_part=*`` dirs that the query glob would serve as
-    duplicate/stale vectors (ADVICE r02)."""
+    duplicate/stale vectors (ADVICE r02).  Clearing REFUSES unless the
+    target is absent/empty or carries a prior IVF layout marker
+    (``centroids.npy`` / ``ivf_part=*``) — a mistyped path must not
+    silently delete an unrelated directory (ADVICE r03)."""
     import os
     import shutil
 
@@ -326,7 +329,17 @@ def ivf_build(
         centroids = train_ivf_centroids(
             ds, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, **train_kw
         )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        entries = os.listdir(out_dir)
+        is_ivf = "centroids.npy" in entries or any(
+            e.startswith("ivf_part=") for e in entries
+        )
+        if entries and not is_ivf:
+            raise ValueError(
+                f"refusing to clear {out_dir!r}: existing non-empty directory "
+                "without an IVF layout marker (centroids.npy / ivf_part=*)"
+            )
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     ivf_assign(ds, centroids, id_col, vec_col).write_parquet(
         out_dir, partition_cols=["ivf_part"]

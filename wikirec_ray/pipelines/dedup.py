@@ -825,8 +825,12 @@ def embedding_dup_pairs_bucketed(
                 id_col: pa.array(rep_ids.astype(np.int64)),
                 "bucket": pa.array(flat_b),
                 "bpart": pa.array((flat_b % np.uint64(n_bucket_parts)).astype(np.int32)),
+                # float64 end-to-end: a float32 roundtrip here perturbs the
+                # g×g matmul at ~1e-7, flipping 6-dp-rounded cos_sim digits vs
+                # the float64 SQL oracle (round-3 driver hash mismatch).  The
+                # 2× shuffle bytes are trivial at (1+n_bits)·N rows.
                 "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(rep_vecs.reshape(-1).astype(np.float32)), m.shape[1]
+                    pa.array(rep_vecs.reshape(-1).astype(np.float64)), m.shape[1]
                 ),
             }
         )

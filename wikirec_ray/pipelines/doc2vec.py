@@ -6,8 +6,9 @@ branch), re-expressed as synchronous data-parallel SGD:
   pass where each doc runs its OWN vector's SGD locally (a doc's vector
   receives gradients only from its own (doc, word) pairs, so doc-parallel
   updates are exact) and emits (a) its updated doc vector as a column and
-  (b) a V×d word-gradient partial → driver sums the partials and applies
-  ONE synchronous word-vector step → repeat.
+  (b) a SPARSE word-gradient partial (touched word ids + their gradient
+  rows, not the dense V×d matrix) → driver scatter-adds the partials and
+  applies ONE synchronous word-vector step → repeat.
 
 This is PV-DBOW with negative sampling (Le & Mikolov 2014; Mikolov et al.
 2013 for the unigram^0.75 negative distribution).  Deviation from gensim,
@@ -89,12 +90,18 @@ def train_doc2vec(
     # init doc vectors deterministically from doc_id (docs may arrive in
     # any order, so the init must be content-addressed, not positional)
     def init_vecs(batch: pa.Table) -> pa.Table:
+        # counter-based normals: fmix64 over (doc key ⊕ dim counter) gives two
+        # uniforms per cell, Box-Muller gives the normal — fully vectorized,
+        # no per-doc rng construction (review r03)
         ids = batch[id_col].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             keys = fmix64(ids * _GOLD + np.uint64(seed))
-        vecs = np.empty((len(ids), dim), np.float64)
-        for r, k in enumerate(keys):  # per-doc init; tiny (one rng per doc)
-            vecs[r] = np.random.default_rng(int(k)).standard_normal(dim)
+            ctr = np.arange(dim, dtype=np.uint64) * _GOLD + np.uint64(1)
+            k1 = fmix64(keys[:, None] ^ ctr[None, :])
+            k2 = fmix64(k1 ^ _GOLD)
+        u1 = (k1.astype(np.float64) + 0.5) / 2.0**64
+        u2 = (k2.astype(np.float64) + 0.5) / 2.0**64
+        vecs = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
         vecs /= np.sqrt(dim)
         return batch.append_column(
             "vec",
@@ -195,10 +202,21 @@ def train_doc2vec(
                     ),
                 )
                 # ONE grad/loss carrier row per block (row 0); the driver
-                # skips empty carriers, so block coalescing stays safe
+                # skips empty carriers, so block coalescing stays safe.
+                # SPARSE layout [k:int64][idx:k×int64][grad:k×dim f64]
+                # [cnt:k f64] — only words this block touched; per-word
+                # driver accumulation order is unchanged vs the dense blob
+                # (same block order under preserve_order), so losses are
+                # bitwise identical while partial bytes drop ~|touched|/V
+                touched = np.flatnonzero(cnt_U != 0.0).astype(np.int64)
+                blob = (
+                    np.int64(len(touched)).tobytes()
+                    + touched.tobytes()
+                    + np.ascontiguousarray(grad_U[touched]).tobytes()
+                    + cnt_U[touched].tobytes()
+                )
                 gcol = pa.array(
-                    [grad_U.reshape(-1).tobytes() + cnt_U.tobytes()]
-                    + [b""] * (n_docs - 1),
+                    [blob] + [b""] * (n_docs - 1),
                     pa.binary(),
                 ) if n_docs else pa.array([], pa.binary())
                 lcol = pa.array(
@@ -215,12 +233,17 @@ def train_doc2vec(
                 for i in range(out.num_rows):
                     blob = garr[i].as_py()
                     if blob:
-                        grad += np.frombuffer(
-                            blob, np.float64, count=V * dim
-                        ).reshape(V, dim)
-                        cnt += np.frombuffer(
-                            blob, np.float64, count=V, offset=V * dim * 8
+                        k = int(np.frombuffer(blob, np.int64, count=1)[0])
+                        idx = np.frombuffer(blob, np.int64, count=k, offset=8)
+                        gblk = np.frombuffer(
+                            blob, np.float64, count=k * dim, offset=8 + k * 8
+                        ).reshape(k, dim)
+                        cblk = np.frombuffer(
+                            blob, np.float64, count=k,
+                            offset=8 + k * 8 + k * dim * 8,
                         )
+                        grad[idx] += gblk  # idx unique per block
+                        cnt[idx] += cblk
                         total_loss += out["loss"][i].as_py()
             # per-word MEAN gradient: with a capped vocabulary each word
             # accumulates thousands of contributions per epoch and the raw

@@ -370,21 +370,31 @@ class BM25Scorer:
     the T8 pattern from SURVEY.md §2.3 (the reference's analog keeps the
     whole sim-matrix in driver RAM, model.py:258-290)."""
 
-    def __init__(self, index_dir: str, k: int = 10, use_wand: bool = False):
+    def __init__(self, index_dir: str, k: int = 10, use_wand: bool = False,
+                 strip_self: bool = False):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.use_wand = use_wand
+        # strip_self: drop the hit whose doc_id == query_id and re-rank,
+        # INSIDE the per-query loop — self-removal then depends only on this
+        # query's own hits, never on where Ray splits output blocks
+        # (ADVICE r03: a downstream batch-local strip mis-ranks if a block
+        # split lands mid-query)
+        self.strip_self = strip_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         terms_col = batch["terms"].to_pylist()
         k_col = batch["k"].to_pylist() if "k" in batch.column_names else [self.k] * batch.num_rows
         for qid, terms, k in zip(batch["query_id"].to_pylist(), terms_col, k_col):
+            fetch_k = int(k) + 1 if self.strip_self else int(k)
             hits = (
-                self.reader.topk_wand(terms, int(k))
+                self.reader.topk_wand(terms, fetch_k)
                 if self.use_wand
-                else self.reader.topk(terms, int(k))
+                else self.reader.topk(terms, fetch_k)
             )
+            if self.strip_self:
+                hits = [(d, s) for d, s in hits if d != qid][: int(k)]
             for r, (d, s) in enumerate(hits, start=1):
                 qids.append(qid)
                 ranks.append(r)
@@ -402,11 +412,12 @@ class BM25Scorer:
 
 def score_queries_dataset(
     queries: ray.data.Dataset, index_dir: str, k: int = 10, use_wand: bool = False,
-    concurrency: int = 2,
+    concurrency: int = 2, strip_self: bool = False,
 ) -> ray.data.Dataset:
     return queries.map_batches(
         BM25Scorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "use_wand": use_wand},
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "use_wand": use_wand,
+                               "strip_self": strip_self},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=256,
@@ -431,16 +442,16 @@ def similar_docs_topk(
     an O(N·k) row stream, never O(N²) memory, and the scoring fans out
     through the same ``BM25Scorer`` actor pool as ad-hoc queries.
 
-    Self-hits are stripped and ranks recomputed vectorized.  The strip
-    stage consumes WHOLE blocks (``batch_size=None``) so each query's
-    rows — emitted together by the scorer — are never split mid-query;
-    ``k`` is capped so one scorer output block (256 queries × (k+1) rows)
-    stays far below Ray's dynamic block-split threshold, which would
-    otherwise slice a block mid-query (review r03)."""
+    Self-hits are stripped inside the scorer's per-query loop
+    (``BM25Scorer(strip_self=True)``): each query fetches k+1, drops its
+    own id, re-ranks 1..k — a purely query-local operation, so Ray block
+    boundaries (including dynamic byte-based splits) cannot mis-rank
+    (ADVICE r03 replaced the earlier downstream batch-local strip and its
+    k<=4096 block-size heuristic)."""
     from wikirec_ray.stages.analyze import _flat_tokens
 
-    if not 1 <= k <= 4096:
-        raise ValueError("k must be in [1, 4096] (block-split safety bound)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
 
     def make_queries(batch: pa.Table) -> pa.Table:
         parents, flat = _flat_tokens(batch[text_col].combine_chunks())
@@ -463,30 +474,10 @@ def similar_docs_topk(
         return pa.table({"query_id": batch[id_col], "terms": terms})
 
     qds = ds.map_batches(make_queries, batch_format="pyarrow")
-    scored = score_queries_dataset(
-        qds, index_dir, k=k + 1, use_wand=use_wand, concurrency=concurrency
+    return score_queries_dataset(
+        qds, index_dir, k=k, use_wand=use_wand, concurrency=concurrency,
+        strip_self=True,
     )
-
-    def strip_self(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.not_equal(batch["doc_id"], batch["query_id"])
-        t = batch.filter(keep)
-        if t.num_rows == 0:
-            return t
-        q = t["query_id"].to_numpy()
-        # rows arrive rank-ordered per query; new rank = position in run
-        new_run = np.ones(len(q), bool)
-        new_run[1:] = q[1:] != q[:-1]
-        starts = np.flatnonzero(new_run)
-        runs = np.diff(np.concatenate([starts, [len(q)]]))
-        rank = np.arange(len(q)) - np.repeat(starts, runs) + 1
-        t = t.set_column(
-            t.column_names.index("rank"), "rank", pa.array(rank.astype(np.int64))
-        )
-        return t.filter(pa.array(rank <= k))
-
-    return scored.map_batches(strip_self, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -44,20 +44,22 @@ def token_counts(ds: ray.data.Dataset, id_col="doc_id", text_col="text") -> ray.
     )
 
 
+_STOPWORDS_ARR = pa.array(sorted(DEFAULT_STOPWORDS), pa.string())
+
+
 def _quality_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     texts = batch[text_col].combine_chunks()
     parents, flat = _flat_tokens(texts)
     par = parents.to_numpy(zero_copy_only=False)
-    toks = flat.to_pylist()
     n = batch.num_rows
     n_tokens = np.zeros(n, np.int64)
     np.add.at(n_tokens, par, 1)
     stop_hits = np.zeros(n, np.int64)
-    is_stop = np.fromiter((t in DEFAULT_STOPWORDS for t in toks), bool, count=len(toks))
+    is_stop = pc.is_in(flat, value_set=_STOPWORDS_ARR).to_numpy(zero_copy_only=False)
     np.add.at(stop_hits, par[is_stop], 1)
     # distinct tokens per doc
     uniq = np.zeros(n, np.int64)
-    if len(toks):
+    if len(flat):
         pairs = pa.table({"p": pa.array(par), "t": flat})
         g = pairs.group_by(["p", "t"]).aggregate([])
         np.add.at(uniq, g["p"].to_numpy(), 1)
@@ -90,32 +92,38 @@ class LangId:
                  id_col: str = "doc_id", text_col: str = "text"):
         self.profiles = profiles or LANG_PROFILES
         self.langs = sorted(self.profiles)
+        # broadcast value-sets built once per actor; per-batch membership is
+        # pc.is_in over the UNIQUE vocab of the batch (dictionary_encode),
+        # never a Python loop over the token stream
+        self.prof_arrays = [
+            pa.array(sorted(self.profiles[lang]), pa.string()) for lang in self.langs
+        ]
+        self.langs_np = np.array(self.langs + ["und"])
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        toks = flat.to_pylist()
         n = batch.num_rows
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary
+        tok_idx = enc.indices.to_numpy(zero_copy_only=False)
         scores = np.zeros((n, len(self.langs)), np.int64)
-        for li, lang in enumerate(self.langs):
-            prof = self.profiles[lang]
-            hit = np.fromiter((t in prof for t in toks), bool, count=len(toks))
+        for li, prof_arr in enumerate(self.prof_arrays):
+            hit_uniq = pc.is_in(uniq, value_set=prof_arr).to_numpy(zero_copy_only=False)
+            hit = hit_uniq[tok_idx] if len(tok_idx) else np.zeros(0, bool)
             np.add.at(scores[:, li], par[hit], 1)
         best = scores.argmax(axis=1)
         has_evidence = scores.max(axis=1) > 0
         # tie → und (ambiguous)
         sorted_scores = np.sort(scores, axis=1)
         tie = (scores.max(axis=1) == sorted_scores[:, -2]) & (scores.max(axis=1) > 0)
-        pred = [
-            self.langs[b] if ok and not t else "und"
-            for b, ok, t in zip(best, has_evidence, tie)
-        ]
+        pred = np.where(has_evidence & ~tie, self.langs_np[best], "und")
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "pred_lang": pa.array(pred, pa.string()),
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
                 "evidence": pa.array(scores.max(axis=1)),
             }
         )
@@ -161,9 +169,18 @@ def bigram_counts(
 
 
 def _fingerprint_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    # md5 is not splittable, so one digest call per row is unavoidable — but
+    # hashing memoryview slices of the Arrow data buffer directly skips the
+    # per-row str materialization + utf-8 re-encode that to_pylist() pays.
+    arr = batch[text_col].combine_chunks().fill_null("")
+    if arr.type == pa.large_string():
+        arr = arr.cast(pa.string())
+    off = arr.buffers()[1]
+    starts = np.frombuffer(off, np.int32, count=len(arr) + 1, offset=arr.offset * 4)
+    data = memoryview(arr.buffers()[2]) if arr.buffers()[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
     fps = [
-        hashlib.md5((t or "").encode("utf-8")).hexdigest()
-        for t in batch[text_col].to_pylist()
+        md5(data[starts[i]:starts[i + 1]]).hexdigest() for i in range(len(arr))
     ]
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps, pa.string())})
 

@@ -189,7 +189,14 @@ def topic_coherence(
     One streaming pass: each batch reduces to a |W|×|W| co-document count
     matrix over the topic-word union W (vectorized presence matrix, one
     matmul); partials are ~KB and sum on the driver.  Returns a pandas
-    DataFrame (topic_id, coherence rounded to 6dp)."""
+    DataFrame (topic_id, coherence rounded to 6dp, n_oov).
+
+    Pairs whose conditioning word never occurs (D(w_j) = 0) are SKIPPED
+    rather than scored: with the standard eps = 1 they would contribute
+    ln(1/1) = 0 — a neutral value that silently inflates coherence for
+    topics containing out-of-corpus words (ADVICE r03).  ``n_oov`` (count
+    of topic words with D(w) = 0) surfaces the omission explicitly; a
+    topic whose every pair is skipped gets coherence NaN, not 0."""
     import pandas as pd
 
     from wikirec_ray.stages.analyze import _flat_tokens
@@ -225,12 +232,18 @@ def topic_coherence(
     out = []
     for ti, topic in enumerate(topics):
         ids = [widx[w] for w in topic]
+        n_oov = sum(1 for i in ids if co[i, i] == 0.0)
         terms = []
         for i in range(1, len(ids)):
             for j in range(i):
-                # UMass: later word i against earlier word j
+                # UMass: later word i against earlier word j; skip pairs
+                # with no conditioning evidence (see docstring)
                 d_wj = co[ids[j], ids[j]]
-                terms.append(np.log((co[ids[i], ids[j]] + eps) / max(d_wj, 1.0)))
-        out.append((ti, round(float(np.mean(terms)) if terms else 0.0, 6)))
-    return pd.DataFrame({"topic_id": [t for t, _ in out],
-                         "coherence": [c for _, c in out]})
+                if d_wj == 0.0:
+                    continue
+                terms.append(np.log((co[ids[i], ids[j]] + eps) / d_wj))
+        coh = round(float(np.mean(terms)), 6) if terms else float("nan")
+        out.append((ti, coh, n_oov))
+    return pd.DataFrame({"topic_id": [t for t, _, _ in out],
+                         "coherence": [c for _, c, _ in out],
+                         "n_oov": [o for _, _, o in out]})

@@ -111,12 +111,17 @@ def train_wikilink_nn(
         )
 
     def init_vecs(batch: pa.Table) -> pa.Table:
+        # counter-based Box-Muller normals (no per-row rng) — same idiom as
+        # doc2vec.init_vecs
         ids = batch["article_id"].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             keys = fmix64(ids * _GOLD + np.uint64(seed))
-        vecs = np.empty((len(ids), dim), np.float64)
-        for r, k in enumerate(keys):
-            vecs[r] = np.random.default_rng(int(k)).standard_normal(dim)
+            ctr = np.arange(dim, dtype=np.uint64) * _GOLD + np.uint64(1)
+            k1 = fmix64(keys[:, None] ^ ctr[None, :])
+            k2 = fmix64(k1 ^ _GOLD)
+        u1 = (k1.astype(np.float64) + 0.5) / 2.0**64
+        u2 = (k2.astype(np.float64) + 0.5) / 2.0**64
+        vecs = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
         vecs /= np.sqrt(dim)
         return batch.append_column(
             "vec",
@@ -187,9 +192,17 @@ def train_wikilink_nn(
                         pa.array(np.ascontiguousarray(A).reshape(-1)), dim
                     ),
                 )
+                # sparse partial [k][idx][grad k×dim][cnt k] — touched links
+                # only; per-link accumulation order matches the dense blob
+                touched = np.flatnonzero(cnt_U != 0.0).astype(np.int64)
+                blob = (
+                    np.int64(len(touched)).tobytes()
+                    + touched.tobytes()
+                    + np.ascontiguousarray(grad_U[touched]).tobytes()
+                    + cnt_U[touched].tobytes()
+                )
                 gcol = pa.array(
-                    [grad_U.reshape(-1).tobytes() + cnt_U.tobytes()]
-                    + [b""] * (n - 1),
+                    [blob] + [b""] * (n - 1),
                     pa.binary(),
                 ) if n else pa.array([], pa.binary())
                 lcol2 = pa.array(
@@ -206,13 +219,17 @@ def train_wikilink_nn(
                 for i in range(out.num_rows):
                     blob = garr[i].as_py()
                     if blob:
-                        grad += np.frombuffer(
-                            blob, np.float64, count=n_links * dim
-                        ).reshape(n_links, dim)
-                        cnt += np.frombuffer(
-                            blob, np.float64, count=n_links,
-                            offset=n_links * dim * 8,
+                        k = int(np.frombuffer(blob, np.int64, count=1)[0])
+                        idx = np.frombuffer(blob, np.int64, count=k, offset=8)
+                        gblk = np.frombuffer(
+                            blob, np.float64, count=k * dim, offset=8 + k * 8
+                        ).reshape(k, dim)
+                        cblk = np.frombuffer(
+                            blob, np.float64, count=k,
+                            offset=8 + k * 8 + k * dim * 8,
                         )
+                        grad[idx] += gblk  # idx unique per block
+                        cnt[idx] += cblk
                         total_loss += out["loss"][i].as_py()
             U = U - cur_lr * grad / np.maximum(cnt, 1.0)[:, None]
             losses.append(total_loss)

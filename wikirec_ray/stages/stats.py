@@ -283,11 +283,21 @@ def stratified_sample(
         raise ValueError("strata moduli must be positive (numpy %% 0 keeps all)")
 
     def fil(batch: pa.Table) -> pa.Table:
+        # dict-encode the strata column: the rates lookup runs over the few
+        # UNIQUE strata, then a vectorized gather maps it back to rows
         ids = batch[id_col].to_numpy()
-        strata = batch[strata_col].to_pylist()
-        mods = np.fromiter(
-            (rates.get(s, default_modulus) for s in strata), np.int64, len(strata)
+        enc = batch[strata_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        mods_uniq = np.array(
+            [rates.get(s, default_modulus) for s in uniq] + [default_modulus],
+            np.int64,
         )
+        idx = (
+            enc.indices.fill_null(len(uniq))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mods = mods_uniq[idx]
         return batch.filter(pa.array(ids % mods == 0))
 
     return ds.map_batches(fil, batch_format="pyarrow")
