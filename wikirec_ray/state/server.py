@@ -35,17 +35,35 @@ import ray
 from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS
 
 
+def _idf_from_df(df: int, n_docs: int) -> float:
+    if df == 0:
+        return 0.0
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 @ray.remote
 class SegmentServer:
-    """Owns a set of term partitions; scores query terms against them."""
+    """Owns a set of term partitions; scores query terms against them.
+
+    idf is resolved HERE, from the df rows of the tparts this shard owns
+    (``load_df_tparts`` — O(vocab/P) per actor): the coordinator sends raw
+    terms and holds no vocabulary-scale state (VERDICT r03 item 2 — a
+    whole-vocab coordinator dict is tens of GB at a 10^9-term crawl)."""
 
     def __init__(self, index_dir: str, tparts: list[int]):
-        from wikirec_ray.state.segments import SegmentReader, load_norms, load_stats
+        from wikirec_ray.state.segments import (
+            SegmentReader,
+            load_df_tparts,
+            load_norms,
+            load_stats,
+        )
 
         import os
 
         self.stats = load_stats(index_dir)
+        self.n_docs = self.stats["n_docs"]
         self.norms = load_norms(index_dir)
+        self.df = load_df_tparts(index_dir, tparts)
         # a tpart with no terms has no segment file (sparse vocabularies);
         # missing readers score as empty
         self.readers = {}
@@ -54,13 +72,14 @@ class SegmentServer:
             if os.path.exists(p):
                 self.readers[t] = SegmentReader(p)
 
-    def score_terms(self, terms_with_idf: list[tuple[str, int, float]]):
-        """[(term, tpart, idf)] -> list of (doc_ids uint64, contribs f64)."""
+    def score_terms(self, terms_with_tpart: list[tuple[str, int]]):
+        """[(term, tpart)] -> list of (doc_ids uint64, contribs f64)."""
         avgdl = self.stats["avgdl"]
         out = []
-        for term, tpart, idf in terms_with_idf:
+        for term, tpart in terms_with_tpart:
+            idf = _idf_from_df(self.df.get(term, 0), self.n_docs)
             reader = self.readers.get(tpart)
-            if reader is None:
+            if reader is None or idf == 0.0:
                 out.append((np.empty(0, np.uint64), np.empty(0, np.float64)))
                 continue
             doc_ids, tfs = reader.postings(term)
@@ -75,17 +94,22 @@ class SegmentServer:
             out.append((doc_ids, contrib))
         return out
 
+    def resolve_idf(self, terms: list[str]) -> list[float]:
+        """idf for terms in THIS shard's tparts (df lookup service for the
+        range-sharded engine's phase-1)."""
+        return [_idf_from_df(self.df.get(t, 0), self.n_docs) for t in terms]
+
 
 class DistributedQueryEngine:
     """Coordinator over a SegmentServer pool; the serving-path analog of
     ``IndexReader`` (results must match it exactly)."""
 
     def __init__(self, index_dir: str, pool_size: int = 4):
-        from wikirec_ray.state.segments import load_df, load_stats
+        from wikirec_ray.state.segments import load_stats
 
+        # coordinator state: stats only — df/idf lives in the owner shards
         self.stats = load_stats(index_dir)
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
-        self.df = load_df(index_dir)
         self.n_docs = self.stats["n_docs"]
         pool_size = max(1, min(pool_size, self.n_tparts))
         assign: list[list[int]] = [[] for _ in range(pool_size)]
@@ -96,20 +120,11 @@ class DistributedQueryEngine:
             SegmentServer.remote(index_dir, tparts) for tparts in assign
         ]
 
-    def _idf(self, term: str) -> float:
-        df = self.df.get(term, 0)
-        if df == 0:
-            return 0.0
-        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        by_server: dict[int, list[tuple[str, int, float]]] = {}
+        by_server: dict[int, list[tuple[str, int]]] = {}
         for term in terms:
-            idf = self._idf(term)
-            if idf == 0.0:
-                continue
             tpart = zlib.crc32(term.encode("utf-8")) % self.n_tparts
-            by_server.setdefault(self.owner_of[tpart], []).append((term, tpart, idf))
+            by_server.setdefault(self.owner_of[tpart], []).append((term, tpart))
         if not by_server:
             return []
         futures = {
@@ -143,6 +158,24 @@ class DistributedQueryEngine:
 # ---------------------------------------------------------------------------
 # doc-range-sharded serving (the 10^12-doc design point)
 # ---------------------------------------------------------------------------
+
+
+@ray.remote
+class DfResolver:
+    """Vocabulary-lookup shard: holds term->df for a subset of term
+    partitions (O(vocab/P) memory) and answers idf for raw terms.  The
+    range-sharded engine's phase-1 — doc-range shards hold per-RANGE state,
+    so vocabulary state needs its own (tpart-sharded) owners."""
+
+    def __init__(self, index_dir: str, tparts: list[int]):
+        from wikirec_ray.state.segments import load_df_tparts, load_stats
+
+        stats = load_stats(index_dir)
+        self.n_docs = stats["n_docs"]
+        self.df = load_df_tparts(index_dir, tparts)
+
+    def resolve_idf(self, terms: list[str]) -> list[float]:
+        return [_idf_from_df(self.df.get(t, 0), self.n_docs) for t in terms]
 
 
 @ray.remote
@@ -226,21 +259,25 @@ class RangeServer:
 
 
 class RangeShardedQueryEngine:
-    """Coordinator over a RangeServer pool: queries fan out to every range
+    """Coordinator over a RangeServer pool: idf resolves at a tpart-sharded
+    ``DfResolver`` pool (phase 1), then queries fan out to every range
     shard, each returns its partial top-k, and the merge keeps the global
     best k under the engine-wide (round(score, 9) desc, doc_id asc) order.
-    The coordinator holds only df/stats (vocabulary-level state); per-doc
-    state lives sharded in the pool.  This is the serving layout sketched in
-    the term-sharded engine's docstring for the 10^12-doc design point."""
+    The coordinator holds ONLY ``stats`` — vocabulary state is sharded in
+    the resolvers, per-doc state in the range shards; nothing on any single
+    process is O(vocab) or O(n_docs).  This is the serving layout sketched
+    in the term-sharded engine's docstring for the 10^12-doc design point."""
 
-    def __init__(self, index_dir: str, pool_size: int = 4):
+    def __init__(self, index_dir: str, pool_size: int = 4,
+                 resolver_pool_size: int = 2):
         import os
 
-        from wikirec_ray.state.segments import load_df, load_stats
+        from wikirec_ray.state.segments import load_stats
 
+        # coordinator state: stats only.  Vocabulary (df) state lives in a
+        # tpart-sharded DfResolver pool; per-doc state in the range shards.
         self.stats = load_stats(index_dir)
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
-        self.df = load_df(index_dir)
         self.n_docs = self.stats["n_docs"]
         norms_dir = os.path.join(index_dir, "norms")
         range_ids = sorted(
@@ -254,28 +291,47 @@ class RangeShardedQueryEngine:
         for i, r in enumerate(range_ids):
             assign[i % pool_size].append(r)
         self.servers = [RangeServer.remote(index_dir, rs) for rs in assign]
-
-    def _idf(self, term: str) -> float:
-        df = self.df.get(term, 0)
-        if df == 0:
-            return 0.0
-        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        resolver_pool_size = max(1, min(resolver_pool_size, self.n_tparts))
+        r_assign: list[list[int]] = [[] for _ in range(resolver_pool_size)]
+        for t in range(self.n_tparts):
+            r_assign[t % resolver_pool_size].append(t)
+        self.resolver_of = {
+            t: t % resolver_pool_size for t in range(self.n_tparts)
+        }
+        self.resolvers = [
+            DfResolver.remote(index_dir, ts) for ts in r_assign
+        ]
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        twi = []
-        for term in sorted(set(terms)):
-            idf = self._idf(term)
-            if idf == 0.0:
-                continue
-            twi.append((term, zlib.crc32(term.encode("utf-8")) % self.n_tparts, idf))
+        # phase 1: resolve idf at the df owners (one batched round trip)
+        uniq = sorted(set(terms))
+        tparts = [zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq]
+        by_resolver: dict[int, list[int]] = {}
+        for i, tp in enumerate(tparts):
+            by_resolver.setdefault(self.resolver_of[tp], []).append(i)
+        futures = {
+            rid: self.resolvers[rid].resolve_idf.remote([uniq[i] for i in idxs])
+            for rid, idxs in by_resolver.items()
+        }
+        idfs = [0.0] * len(uniq)
+        for rid, idxs in by_resolver.items():
+            for i, v in zip(idxs, ray.get(futures[rid])):
+                idfs[i] = v
+        twi = [
+            (t, tp, idf)
+            for t, tp, idf in zip(uniq, tparts, idfs)
+            if idf != 0.0
+        ]
         if not twi:
             return []
+        # phase 2: fan out to every range shard, merge partial top-k
         partials = ray.get([s.topk.remote(twi, k) for s in self.servers])
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
 
     def shutdown(self):
-        for s in self.servers:
+        for s in self.servers + self.resolvers:
             ray.kill(s)
         self.servers = []
+        self.resolvers = []
