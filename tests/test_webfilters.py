@@ -26,6 +26,58 @@ def test_extract_domain():
     assert extract_domain(tricky).to_pylist() == ["spam.com", "spam.com", ""]
 
 
+def test_registrable_domain():
+    from wikirec_ray.pipelines.webfilters import registrable_domain
+
+    hosts = pa.array(
+        [
+            "www.a.blogspot.com",   # ICANN view: com suffix -> blogspot.com
+            "b.blogspot.com",       # shares the quota with the one above
+            "news.bbc.co.uk",       # multi-label suffix -> bbc.co.uk
+            "bbc.co.uk",
+            "deep.sub.site.org",    # single-label suffix -> site.org
+            "site.org",
+            "host.internal",        # unlisted TLD -> full-host fallback
+            "localhost",            # no dots -> itself
+            "co.uk",                # bare suffix degenerate -> itself
+        ]
+    )
+    got = registrable_domain(hosts).to_pylist()
+    assert got == [
+        "blogspot.com", "blogspot.com", "bbc.co.uk", "bbc.co.uk",
+        "site.org", "site.org", "host.internal", "localhost", "co.uk",
+    ]
+
+
+def test_domain_caps_registrable(ray_session):
+    # the VERDICT r03 item-6 criterion: www.a.blogspot.com and
+    # b.blogspot.com share ONE quota under the default eTLD+1 capping
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import domain_caps
+
+    rows = [(i, f"https://{'www.' if i % 2 else ''}u{i}.blogspot.com/p") for i in range(10)]
+    rows += [(100 + i, f"https://only{i}.example.org/p") for i in range(3)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = domain_caps(ds, max_per_domain=4, keep_domain=True).take_all()
+    got = sorted((r["doc_id"], r["domain"]) for r in out)
+    # blogspot.com is ONE group (4 lowest ids kept); example.org another
+    assert got == [
+        (0, "blogspot.com"), (1, "blogspot.com"), (2, "blogspot.com"),
+        (3, "blogspot.com"),
+        (100, "example.org"), (101, "example.org"), (102, "example.org"),
+    ]
+    # full-host mode keeps every row (each host unique)
+    assert domain_caps(ds, max_per_domain=4, registrable=False).count() == 13
+
+
 def test_domain_caps(ray_session):
     import ray.data
 
