@@ -411,7 +411,23 @@ def run_zipf() -> None:
         reader.topk(q, 10) != reader.topk_wand(q, 10, force_wand=True)
         for q in queries[:20]
     )
+    # range-sharded serving on the realistic vocabulary (VERDICT r03
+    # item 10): the distributed engine's latency under a 50k-term zipf
+    # corpus, same selective query mix
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(index_dir, pool_size=4)
+    eng.topk(queries[0], 10)  # warm the actor pool
+    lat_s = []
+    for q in queries:
+        t = time.monotonic(); eng.topk(q, 10); lat_s.append(time.monotonic() - t)
+    eng.shutdown()
     le, lw = np.array(lat_e) * 1000, np.array(lat_w) * 1000
+    ls = np.array(lat_s) * 1000
+    log(
+        f"zipf serving (range-sharded): p50={np.percentile(ls,50):.1f}ms "
+        f"p99={np.percentile(ls,99):.1f}ms over {len(ls)} queries"
+    )
     print(json.dumps({
         "metric": "zipf_wand_p50_ms",
         "value": round(float(np.percentile(lw, 50)), 3),
@@ -422,6 +438,8 @@ def run_zipf() -> None:
             "exact_p99_ms": round(float(np.percentile(le, 99)), 3),
             "wand_p50_ms": round(float(np.percentile(lw, 50)), 3),
             "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
+            "serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
+            "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
         },
         "docs": n_docs,
         "wand_rank_mismatches": int(mismatch),
@@ -458,6 +476,15 @@ def run_scaling():
                 "queries": {
                     f"build_sec_cpus{lo}": t_lo,
                     f"build_sec_cpus{hi}": t_hi,
+                    # serving latency at both parallelism levels (VERDICT
+                    # r03 item 10): the engine's per-query latency should be
+                    # roughly flat across cluster sizes (per-shard work
+                    # shrinks as pool placement spreads, coordinator merge
+                    # is O(k log s))
+                    f"serve_p50_ms_cpus{lo}": r_lo["serve_p50_ms"],
+                    f"serve_p50_ms_cpus{hi}": r_hi["serve_p50_ms"],
+                    f"serve_p99_ms_cpus{lo}": r_lo["serve_p99_ms"],
+                    f"serve_p99_ms_cpus{hi}": r_hi["serve_p99_ms"],
                 },
                 "docs": r_hi["docs"],
                 "docs_per_sec_lo": r_lo["build_docs_per_sec"],

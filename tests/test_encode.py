@@ -76,3 +76,36 @@ def test_encode_kernel_gate():
         TextEncoderStage(kernel="fake", dim=0)
     with pytest.raises(ValueError):
         TextEncoderStage(kernel="quantum")
+
+
+def test_encode_real_st_parity():
+    """Output-contract parity when sentence-transformers exists (skips in
+    this container): the real kernel must emit the same schema/shape/
+    determinism contract as the fake one the rest of the suite pins."""
+    pytest.importorskip("sentence_transformers")
+    import os
+
+    import pyarrow as pa
+
+    from wikirec_ray.pipelines.encode import TextEncoderStage
+
+    try:
+        st = TextEncoderStage(kernel="real")
+    except Exception as e:  # model download blocked / not cached
+        pytest.skip(f"sentence-transformers model unavailable: {e}")
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": ["spark join query", "", None]}
+    )
+    out = st(batch)
+    # contract shared with the fake kernel (test_encode_deterministic...):
+    # (id passthrough, fixed_size_list<double> of stage dim, row-count
+    # preserved, null/empty text crash-free, bitwise-deterministic re-run)
+    assert out.column_names == ["doc_id", "embedding"]
+    assert out.num_rows == 3
+    emb = out["embedding"].combine_chunks()
+    assert pa.types.is_fixed_size_list(emb.type)
+    assert emb.type.list_size == st.dim
+    assert pa.types.is_float64(emb.type.value_type)
+    again = st(batch)
+    assert emb.equals(again["embedding"].combine_chunks())
