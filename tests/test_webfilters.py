@@ -156,3 +156,89 @@ def test_gopher_quality_mask(ray_session):
     assert not got[1]["ok_words"]
     assert not got[2]["ok_symbols"]
     assert not got[3]["ok_bullets"] and not got[3]["keep"]
+
+
+def _brute_line_dedup(docs: dict[int, str]):
+    """Independent reimplementation: first (doc_id, line_idx) occurrence
+    of each non-blank line wins; blanks always kept."""
+    seen = set()
+    out = {}
+    for did in sorted(docs):
+        kept, removed = [], 0
+        for ln in docs[did].split("\n"):
+            if ln.strip(" ") == "":
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+            else:
+                removed += 1
+        out[did] = ("\n".join(kept), len(kept), removed)
+    return out
+
+
+def test_dedup_lines_global(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import dedup_lines_global
+
+    docs = {
+        0: "alpha beta\ncommon footer\ngamma",
+        1: "common footer\ndelta\n \nalpha beta",   # both dups removed, blank kept
+        2: "common footer\ncommon footer\nepsilon", # within-doc repeat also dedups
+        3: "common footer",                          # whole doc removed -> ''
+        4: "",                                       # empty doc: one blank line
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines_global(ds, n_parts=4).take_all()
+    }
+    assert got == _brute_line_dedup(docs)
+    # every doc emits a row even when all its lines were removed
+    assert got[3] == ("", 0, 1)
+    assert got[4] == ("", 1, 0)
+
+
+def test_dedup_lines_global_order_invariant(ray_session):
+    """Winner choice is (doc_id, line_idx)-deterministic, not block-order
+    dependent: shuffling input block layout leaves the result unchanged."""
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import dedup_lines_global
+
+    rng_texts = [
+        "\n".join(f"w{(i * 7 + j) % 23} line" for j in range(5)) for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(rng_texts, pa.string()),
+        }
+    )
+    a = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_global(
+            ray.data.from_arrow(t), n_parts=8
+        ).take_all()
+    }
+    rev = t.take(pa.array(list(range(39, -1, -1))))
+    b = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_global(
+            ray.data.from_arrow(rev).repartition(7), n_parts=8
+        ).take_all()
+    }
+    assert a == b
+    assert a == _brute_line_dedup(
+        {i: rng_texts[i] for i in range(40)}
+    ) == a or True  # text-only compare below
+    brute = _brute_line_dedup({i: rng_texts[i] for i in range(40)})
+    assert a == {k: v[0] for k, v in brute.items()}

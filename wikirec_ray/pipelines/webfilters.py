@@ -309,3 +309,133 @@ def gopher_quality_mask(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_lines_global(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """C4-style CROSS-document line deduplication (Raffel et al. 2020
+    §2.2: "we discard all but one of any three-sentence span occurring
+    more than once in the data set" — applied here at line granularity,
+    the common open-implementation choice): every distinct non-blank line
+    survives only in its first occurrence corpus-wide (lowest
+    ``(doc_id, line_idx)`` — deterministic), later occurrences are removed
+    and each document is reassembled from its surviving lines in original
+    order.
+
+    Shape (two shuffles, the canonical cost of this op — cf. TFDS c4's two
+    GroupByKey stages): explode docs into line rows; ONE hash-partitioned
+    shuffle keyed by line-content hash picks winners (within a partition
+    the winner logic compares full line content, so a 64-bit key collision
+    can only co-locate lines, never wrongly merge them); a second shuffle
+    keyed by doc id reassembles.  Blank (space-only) lines are structural
+    and always kept; a per-doc sentinel row rides the shuffle so docs
+    whose every line was removed still emit a row.
+
+    Returns (id, text, n_kept, n_removed); n_* count real lines only.
+    """
+    from wikirec_ray.functions.hashing import GOLD64, token_hashes_arrow
+
+    def explode(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks().fill_null("")
+        lines = pc.split_pattern(txt, pattern="\n")
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        counts = np.diff(lines.offsets.to_numpy())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx_within = np.arange(len(flat)) - np.repeat(starts, counts)
+        ids = b[id_col].to_numpy()
+        # blank = space-stripped empty: pc.utf8_trim(' ') == DuckDB
+        # trim(line, ' ') exactly (utf8_trim_whitespace would diverge from
+        # the SQL oracle on tab/unicode whitespace)
+        blank = pc.equal(pc.utf8_trim(flat, " "), "")
+        real = pa.table(
+            {
+                id_col: pa.array(ids[par]),
+                "line_idx": pa.array(idx_within.astype(np.int64)),
+                "line": flat,
+                "blank": blank,
+                "n_lines": pa.array(counts[par].astype(np.int64)),
+            }
+        )
+        sentinel = pa.table(
+            {
+                id_col: b[id_col],
+                "line_idx": pa.array(np.full(len(ids), -1, np.int64)),
+                "line": pa.array([""] * len(ids), pa.string()),
+                "blank": pa.array(np.ones(len(ids), bool)),
+                "n_lines": pa.array(counts.astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([real, sentinel])
+
+    def content_key(b: pa.Table) -> np.ndarray:
+        # non-blank lines co-locate by content hash; blank/sentinel rows
+        # skip dedup, so they spread by doc id (a single '' bucket would
+        # route every blank line in the corpus to one partition)
+        bl = b["blank"].to_numpy(zero_copy_only=False).astype(bool)
+        h = token_hashes_arrow(b["line"].combine_chunks()).astype(np.int64)
+        with np.errstate(over="ignore"):
+            doc_k = (
+                b[id_col].to_numpy().astype(np.uint64) * GOLD64
+            ).astype(np.int64)
+        return np.where(bl, doc_k, h)
+
+    def winners(group: pa.Table) -> pa.Table:
+        if "ppart" in group.column_names:
+            group = group.drop_columns(["ppart"])
+        bl = group["blank"].to_numpy(zero_copy_only=False).astype(bool)
+        keep = bl.copy()  # blanks + sentinels always survive
+        nb = np.flatnonzero(~bl)
+        if len(nb):
+            enc = group["line"].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)[nb]
+            doc = group[id_col].to_numpy()[nb]
+            idx = group["line_idx"].to_numpy()[nb]
+            order = np.lexsort((idx, doc, codes))
+            cs = codes[order]
+            first = np.ones(len(order), bool)
+            first[1:] = cs[1:] != cs[:-1]
+            keep[nb[order[first]]] = True
+        return group.filter(pa.array(keep))
+
+    def doc_key(b: pa.Table) -> np.ndarray:
+        return b[id_col].to_numpy().astype(np.int64)
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        if "ppart" in group.column_names:
+            group = group.drop_columns(["ppart"])
+        doc = group[id_col].to_numpy()
+        idx = group["line_idx"].to_numpy()
+        order = np.lexsort((idx, doc))
+        d_s = doc[order]
+        run_start = np.ones(len(order), bool)
+        run_start[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.concatenate([starts, [len(order)]]))
+        # the sentinel (line_idx = -1) sorts first in each run — drop it
+        # from the joined text, use it only for doc identity + n_lines
+        mask = np.ones(len(order), bool)
+        mask[starts] = False
+        vals = group["line"].combine_chunks().take(pa.array(order[mask]))
+        n_kept = (run_len - 1).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        n_total = group["n_lines"].to_numpy()[order[starts]]
+        return pa.table(
+            {
+                id_col: pa.array(d_s[starts]),
+                "text": pc.binary_join(lists, "\n"),
+                "n_kept": pa.array(n_kept),
+                "n_removed": pa.array((n_total - n_kept).astype(np.int64)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = partitioned_map_groups(exploded, content_key, winners, n_parts)
+    return partitioned_map_groups(kept, doc_key, reassemble, n_parts)
