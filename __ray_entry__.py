@@ -69,6 +69,7 @@ SAMPLE_RATE_BP, SAMPLE_SEED = 2000, 42  # hash_sample: keep 20%, seed 42
 # gains a '##...' symbol token — so line/bullet/symbol statistics are
 # non-trivial AND replayable in SQL (all RE2, shared between both sides).
 LINEIFY_PAT = r"((?:\S+ ){4}\S+) "
+BULLETIFY_PAT = "(^|\n)line "  # webtext step 2; SQL gets \n as chr(10)
 DOMAIN_CAP_N = 20
 SIM_MAX_DOC = 30  # similar_docs_topk queries: docs 0..29 against the full index
 SIM_K = 5
@@ -1229,10 +1230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 53 registry entries (the dict's last three missing), so the registry
     # is held at 50 and the new/previously-unrecorded entries lead — a
     # time-budgeted sweep in dict order reaches them first.  Round 4
-    # retired six redundant entries (pages_meta, token_join, doc_lengths,
-    # frame_samples, ann_topk_euclidean, embedding_dups — each family keeps
-    # a sibling entry and its pytest oracle) to fund the six new families:
-    # web curation ×3, similar-docs, doc-topics, non-Latin cleaning.
+    # retired NINE redundant entries (pages_meta, token_join, doc_lengths,
+    # frame_samples, ann_topk_euclidean, embedding_dups, trigram_scores,
+    # hopping_window, lang_stratified — each family keeps a sibling entry
+    # and its pytest oracle) to fund nine new ones: web curation ×3,
+    # similar-docs, doc-topics, non-Latin cleaning, negative sampling,
+    # UMass coherence, C4 cross-doc line dedup.
     return {
         "neg_samples": neg_samples_q,
         "topic_coherence": topic_coherence_q,
@@ -1329,14 +1332,22 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- web-curation entries: the deterministic webtext reshape ---------
     # (mirrors _webtext: lineify -> bullet -> symbol suffix, all RE2)
+    # built from the SAME constants _webtext uses (CLAUDE.md: SQL is
+    # generated from the Python constants, never hand-copied); \n inside a
+    # pattern becomes a chr(10) concat so the SQL literal stays one line
+    bulletify_sql = BULLETIFY_PAT.replace("\n", "' || chr(10) || '")
     webtext_cte = (
-        r"t0 AS (SELECT doc_id, regexp_replace(text, '((?:\S+ ){4}\S+) ', "
+        f"t0 AS (SELECT doc_id, regexp_replace(text, '{LINEIFY_PAT}', "
         r"'\1' || chr(10), 'g') AS t FROM documents), "
-        r"tb AS (SELECT doc_id, regexp_replace(t, '(^|' || chr(10) || ')line ', "
+        f"tb AS (SELECT doc_id, regexp_replace(t, '{bulletify_sql}', "
         r"'\1- line ', 'g') AS t FROM t0), "
         r"tt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN t || ' ##...' "
         r"ELSE t END AS t FROM tb)"
     )
+    # ASCII_WS as a DuckDB trim charset (shared with the Ray kernels)
+    from wikirec_ray.pipelines.webfilters import ASCII_WS
+
+    ws_sql = "' '" + "".join(f" || chr({ord(c)})" for c in ASCII_WS if c != " ")
     from wikirec_ray.pipelines.webfilters import (
         GOPHER_MAX_BULLET_RATIO,
         GOPHER_MAX_MEAN_WORD_LEN,
@@ -1513,7 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             k AS (
                 SELECT doc_id, line, idx,
-                       CASE WHEN trim(line, ' ') = '' THEN TRUE
+                       CASE WHEN trim(line, {ws_sql}) = '' THEN TRUE
                             ELSE row_number() OVER (
                                 PARTITION BY line ORDER BY doc_id, idx
                             ) = 1 END AS keep
@@ -1614,7 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dup_ratio": f"""
             WITH {webtext_cte},
             l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM tt),
-            ln AS (SELECT doc_id, line FROM l WHERE trim(line) <> ''),
+            ln AS (SELECT doc_id, line FROM l WHERE trim(line, {ws_sql}) <> ''),
             agg AS (
                 SELECT doc_id, COUNT(*)::BIGINT AS total,
                        COUNT(DISTINCT line)::BIGINT AS dist

@@ -161,12 +161,14 @@ def test_gopher_quality_mask(ray_session):
 def _brute_line_dedup(docs: dict[int, str]):
     """Independent reimplementation: first (doc_id, line_idx) occurrence
     of each non-blank line wins; blanks always kept."""
+    from wikirec_ray.pipelines.webfilters import ASCII_WS
+
     seen = set()
     out = {}
     for did in sorted(docs):
         kept, removed = [], 0
         for ln in docs[did].split("\n"):
-            if ln.strip(" ") == "":
+            if ln.strip(ASCII_WS) == "":
                 kept.append(ln)
             elif ln not in seen:
                 seen.add(ln)
@@ -237,8 +239,5 @@ def test_dedup_lines_global_order_invariant(ray_session):
         ).take_all()
     }
     assert a == b
-    assert a == _brute_line_dedup(
-        {i: rng_texts[i] for i in range(40)}
-    ) == a or True  # text-only compare below
     brute = _brute_line_dedup({i: rng_texts[i] for i in range(40)})
     assert a == {k: v[0] for k, v in brute.items()}

@@ -27,6 +27,15 @@ import ray.data
 
 from wikirec_ray.functions.partitions import partitioned_map_groups
 
+# The ASCII whitespace class shared by every line-level rule in this module:
+# exactly RE2's \s = [\t\n\f\r ] minus \n (lines are \n-split so \n cannot
+# occur inside one) — the same class the gopher bullet SQL's '^\s*' uses.
+# Pinning an explicit charset keeps the Ray kernels and the DuckDB oracles
+# byte-for-byte equivalent: Arrow's utf8_*_whitespace strips UNICODE
+# whitespace (NBSP, vertical tab, ...) which DuckDB's trim/regex cannot
+# replay.
+ASCII_WS = " \t\r\f"
+
 
 def extract_domain(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized host extraction: scheme://HOST/... -> host (lowercased;
@@ -198,7 +207,7 @@ def line_dup_ratio(
         )
         flat = pc.list_flatten(lines)
         parents = pc.list_parent_indices(lines)
-        nonempty = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        nonempty = pc.not_equal(pc.utf8_trim(flat, ASCII_WS), "")
         flat = flat.filter(nonempty)
         par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
         n = batch.num_rows
@@ -274,7 +283,7 @@ def gopher_quality_mask(
         )
 
         lines = pc.split_pattern(texts, pattern="\n")
-        lflat = pc.utf8_ltrim_whitespace(pc.list_flatten(lines))
+        lflat = pc.utf8_ltrim(pc.list_flatten(lines), ASCII_WS)
         lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
         n_lines = np.zeros(n, np.int64)
         np.add.at(n_lines, lpar, 1)
@@ -350,10 +359,9 @@ def dedup_lines_global(
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         idx_within = np.arange(len(flat)) - np.repeat(starts, counts)
         ids = b[id_col].to_numpy()
-        # blank = space-stripped empty: pc.utf8_trim(' ') == DuckDB
-        # trim(line, ' ') exactly (utf8_trim_whitespace would diverge from
-        # the SQL oracle on tab/unicode whitespace)
-        blank = pc.equal(pc.utf8_trim(flat, " "), "")
+        # blank = ASCII-whitespace-only (ASCII_WS note above): exactly
+        # DuckDB trim(line, <same charset>), never Unicode trim
+        blank = pc.equal(pc.utf8_trim(flat, ASCII_WS), "")
         real = pa.table(
             {
                 id_col: pa.array(ids[par]),
