@@ -285,6 +285,28 @@ def run_bench() -> dict:
     dedup_groups_sec = time.monotonic() - t5
     log(f"components: {n_labeled} near-dup docs labeled in {dedup_groups_sec:.2f}s")
 
+    # -- timed: C4 cross-doc line dedup (two full shuffles — the heaviest
+    # curation op; input reshaped to ~5-word lines so line collisions are
+    # realistic) ---------------------------------------------------------
+    from wikirec_ray.pipelines.webfilters import dedup_lines_global
+
+    line_dedup_docs = int(os.environ.get("BENCH_LINE_DEDUP_DOCS", "50000"))
+
+    def lineify(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            b["text"].combine_chunks().fill_null(""),
+            pattern=r"((?:\S+ ){4}\S+) ", replacement="\\1\n",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    ld_input = docs_text.limit(line_dedup_docs).map_batches(
+        lineify, batch_format="pyarrow"
+    )
+    t7 = time.monotonic()
+    n_ld = dedup_lines_global(ld_input).count()
+    line_dedup_sec = time.monotonic() - t7
+    log(f"line dedup: {n_ld} docs reassembled in {line_dedup_sec:.2f}s")
+
     # -- timed: resumable partitioned export sink ------------------------
     from wikirec_ray.pipelines.export import export_clean_corpus
 
@@ -306,6 +328,7 @@ def run_bench() -> dict:
             "dedup_exact": round(dedup_exact_sec, 3),
             "dedup_minhash": round(minhash_sec, 3),
             "dedup_groups": round(dedup_groups_sec, 3),
+            "line_dedup": round(line_dedup_sec, 3),
             "export_sink": round(export_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),

@@ -241,3 +241,96 @@ def test_dedup_lines_global_order_invariant(ray_session):
     assert a == b
     brute = _brute_line_dedup({i: rng_texts[i] for i in range(40)})
     assert a == {k: v[0] for k, v in brute.items()}
+
+
+def test_scrub_pii(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+x@mail.example.org or call +1 (555) 123-4567 now"),
+        (1, "server at 10.0.42.7 and backup 192.168.1.255 ok"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(ds).take_all()}
+    assert got[0]["text"] == "contact <EMAIL> or call <PHONE> now"
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ipv4"]) == (1, 1, 0)
+    assert got[1]["text"] == "server at <IP> and backup <IP> ok"
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["text"] == "no pii here at all"
+    assert got[3]["text"] == ""  # null-safe
+
+
+def _brute_rep_ratios(text: str, top_ns=(2, 3, 4), dup_ns=(5, 10)):
+    words = [w for w in __import__("re").split(r"\s+", text) if w]
+    tot = sum(len(w) for w in words) or 1
+    out = {}
+    for k in top_ns:
+        grams = {}
+        for i in range(len(words) - k + 1):
+            g = tuple(words[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+        best = max(
+            (c * sum(len(w) for w in g) for g, c in grams.items()), default=0
+        )
+        out[f"top{k}_char_frac"] = round(best / tot, 6)
+    for k in dup_ns:
+        grams = {}
+        for i in range(len(words) - k + 1):
+            g = tuple(words[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+        dup = sum(
+            c * sum(len(w) for w in g) for g, c in grams.items() if c > 1
+        )
+        out[f"dup{k}_char_frac"] = round(dup / tot, 6)
+    return out
+
+
+def test_repetition_ratios(ray_session):
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import repetition_ratios
+
+    texts = [
+        "buy now buy now buy now limited offer",          # heavy 2-gram rep
+        # clean: 60 distinct words — the published thresholds assume docs
+        # long enough that one n-gram can't dominate by chance
+        " ".join(f"word{i:02d}" for i in range(60)),
+        " ".join(["a b c d e f g h i j"] * 3),            # long dup 10-gram
+        "one two",                                        # shorter than most n
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_ratios(ds).take_all()}
+    for i, t in enumerate(texts):
+        want = _brute_rep_ratios(t)
+        for key, v in want.items():
+            assert abs(got[i][key] - v) < 1e-9, (i, key, got[i][key], v)
+    # the planted-repetition docs fail the published thresholds; clean passes
+    assert not got[0]["keep"]
+    assert got[1]["keep"]
+    assert not got[2]["keep"]
+    # batch-split invariance: one doc per block gives identical stats
+    got2 = {
+        r["doc_id"]: r
+        for r in repetition_ratios(ds.repartition(5)).take_all()
+    }
+    for i in got:
+        assert {k: got[i][k] for k in got[i]} == {k: got2[i][k] for k in got2[i]}

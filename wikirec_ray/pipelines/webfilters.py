@@ -16,6 +16,13 @@ quality family of ``pipelines/textstats``.
   [min, max], mean word length in [3, 10], symbol-to-word ratio, and
   fraction of lines starting with a bullet — each vectorized per batch,
   emitted as individual boolean columns plus the combined ``keep``.
+- ``repetition_ratios`` — Gopher's n-gram repetition signals (top-n-gram
+  character fraction, duplicated-n-gram character fraction) with the
+  published Table A1 thresholds.
+- ``dedup_lines_global`` — C4's cross-document span dedup at line
+  granularity (two shuffles; see its docstring).
+- ``scrub_pii`` — RefinedWeb-style regex redaction of emails / phones /
+  IP addresses with placeholder tokens + per-kind counts.
 """
 
 from __future__ import annotations
@@ -447,3 +454,162 @@ def dedup_lines_global(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     kept = partitioned_map_groups(exploded, content_key, winners, n_parts)
     return partitioned_map_groups(kept, doc_key, reassemble, n_parts)
+
+
+# PII scrubbing patterns (RefinedWeb, Penedo et al. 2023 §G; the published
+# open-pipeline practice is regex redaction of emails / phone numbers /
+# IP addresses with stable placeholder tokens so downstream token stats
+# stay comparable).  All RE2-compatible — replayable in a DuckDB oracle.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (name, pattern, placeholder)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international-ish phone: optional +CC, 3 groups of 2-4 digits with
+    # space/dash/dot separators, or a plain 7+ digit run with separators
+    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{2,4}[-. )]{1,2}\d{2,4}[-. ]?\d{2,4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> ray.data.Dataset:
+    """Redact PII spans with placeholder tokens, stateless per batch —
+    emits the scrubbed text plus a per-kind match count so corpus-level
+    PII statistics are one ``sum`` away.  Patterns apply in declaration
+    order (email before phone, so digits inside an address never re-match).
+    Returns (id, text, n_email, n_phone, n_ipv4)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].combine_chunks().fill_null("")
+        cols: dict = {id_col: batch[id_col]}
+        counts = []
+        for name, pat, repl in patterns:
+            counts.append(
+                (name, pc.count_substring_regex(txt, pat))
+            )
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=repl)
+        cols["text"] = txt
+        for name, c in counts:
+            cols[f"n_{name}"] = pc.cast(c, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 — public data):
+# fraction of characters in the most common n-gram, and fraction of
+# characters inside duplicated n-grams.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_ratios(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> ray.data.Dataset:
+    """Gopher's repetition signals, per doc and fully batch-local:
+
+    - ``top{n}_char_frac`` — characters covered by the single most common
+      word n-gram (its occurrence count × its character length, over total
+      word characters); Rae et al. drop docs where this exceeds 0.20/0.18/
+      0.16 for n=2/3/4.  Overlapping occurrences each count (the standard
+      open-implementation accounting), so a degenerate doc like "tok "×60
+      can score above 1.0 — the threshold comparison is unaffected.
+    - ``dup{n}_char_frac`` — characters inside word n-grams that occur
+      more than once (each duplicated n-gram's chars counted once per
+      occurrence); thresholds 0.15..0.10 for n=5..10.
+    - ``keep`` — all configured thresholds pass.
+
+    Implementation: whitespace words per the published rules; n-grams as
+    rolling joins of the token-hash stream (content equality via 64-bit
+    rolling hash — the same corpus-scale tradeoff as MinHash shingles;
+    cross-doc false collisions are impossible because grouping is
+    per-doc).  Everything is numpy over the flat word stream — no Python
+    loop over rows or tokens."""
+    from wikirec_ray.functions.hashing import GOLD64, token_hashes_arrow
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks().fill_null("")
+        words = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        par = parents.filter(ne).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.zeros(n, np.int64)
+        np.add.at(n_words, par, 1)
+        tot_chars = np.zeros(n, np.int64)
+        np.add.at(tot_chars, par, wlen)
+        h = token_hashes_arrow(flat)
+
+        # prefix-sum of word lengths for O(1) n-gram char spans
+        csum = np.concatenate([[0], np.cumsum(wlen)])
+        cols: dict = {id_col: batch[id_col]}
+        keep = np.ones(n, bool)
+
+        def ngram_stats(k: int):
+            """(doc ids, gram hashes, gram char lengths) for all k-grams."""
+            if len(h) < k:
+                e = np.array([], np.int64)
+                return e, np.array([], np.uint64), e
+            # rolling poly fold over k consecutive word hashes
+            with np.errstate(over="ignore"):
+                acc = h[: len(h) - k + 1].copy()
+                for j in range(1, k):
+                    acc = acc * GOLD64 ^ h[j : len(h) - k + 1 + j]
+            gdoc = par[: len(h) - k + 1]
+            valid = par[k - 1 :] == gdoc  # gram fully inside one doc
+            # chars of the k words (no separators, matching the published
+            # "fraction of characters" accounting)
+            glen = csum[k:] - csum[: len(csum) - k]
+            return gdoc[valid], acc[valid], glen[valid]
+
+        for k in top_ns:
+            gdoc, gh, glen = ngram_stats(k)
+            frac = np.zeros(n, np.float64)
+            if len(gh):
+                # per (doc, gram): count and char length; top gram per doc
+                # by covered chars = count * len
+                order = np.lexsort((gh, gdoc))
+                d_s, h_s, l_s = gdoc[order], gh[order], glen[order]
+                new = np.ones(len(order), bool)
+                new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.concatenate([starts, [len(order)]]))
+                covered = cnt * l_s[starts]
+                np.maximum.at(frac, d_s[starts], covered)
+                frac = frac / np.maximum(tot_chars, 1)
+            cols[f"top{k}_char_frac"] = pa.array(np.round(frac, 6))
+            thr = GOPHER_TOP_NGRAM_MAX.get(k)
+            if thr is not None:
+                keep &= frac <= thr
+        for k in dup_ns:
+            gdoc, gh, glen = ngram_stats(k)
+            frac = np.zeros(n, np.float64)
+            if len(gh):
+                order = np.lexsort((gh, gdoc))
+                d_s, h_s, l_s = gdoc[order], gh[order], glen[order]
+                new = np.ones(len(order), bool)
+                new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.concatenate([starts, [len(order)]]))
+                dup_chars = np.where(cnt > 1, cnt * l_s[starts], 0)
+                acc_d = np.zeros(n, np.int64)
+                np.add.at(acc_d, d_s[starts], dup_chars)
+                frac = acc_d / np.maximum(tot_chars, 1)
+            cols[f"dup{k}_char_frac"] = pa.array(np.round(frac, 6))
+            thr = GOPHER_DUP_NGRAM_MAX.get(k)
+            if thr is not None:
+                keep &= frac <= thr
+        cols["keep"] = pa.array(keep)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
