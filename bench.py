@@ -145,9 +145,47 @@ def _quiet_empty_block_schema_warnings() -> None:
     ).addFilter(_F())
 
 
+def _burn(seconds: float) -> None:
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < seconds:
+        pass
+
+
+def _cpu_probe_loss(seconds: float = 2.0) -> int:
+    """Percent of total CPU time lost to steal+idle during an all-core
+    burn — this sandbox's co-tenant CPU steal is intermittent at the
+    minutes scale (BASELINE.md round-4 protocol), and a probe reading
+    >~10% predicts bench numbers up to 7× off."""
+    import multiprocessing as mp
+
+    ncpu = os.cpu_count() or NUM_CPUS
+    s0 = open("/proc/stat").readline().split()
+    with mp.Pool(ncpu) as p:
+        p.map(_burn, [seconds] * ncpu)
+    s1 = open("/proc/stat").readline().split()
+    d = [int(b) - int(a) for a, b in zip(s0[1:], s1[1:])]
+    tot = sum(d) or 1
+    return round(100 * (d[3] + d[7]) / tot)
+
+
+def wait_clean_window(threshold: int = 10, tries: int = 3) -> int:
+    """Bounded wait (<= tries probes, 20 s apart) for a low-steal window;
+    returns the final probe value either way — recorded in the JSON so a
+    reader can judge whether the numbers are trustworthy."""
+    loss = _cpu_probe_loss()
+    for _ in range(tries - 1):
+        if loss <= threshold:
+            break
+        log(f"cpu probe: {loss}% steal+idle under full burn — waiting for a clean window")
+        time.sleep(20)
+        loss = _cpu_probe_loss()
+    return loss
+
+
 def run_bench() -> dict:
     import ray
 
+    probe_loss = wait_clean_window()
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
         logging_level="ERROR",
@@ -341,6 +379,7 @@ def run_bench() -> dict:
         "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
         "serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
         "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
+        "cpu_probe_loss_pct": probe_loss,
     }
     ray.shutdown()
     return result
@@ -387,6 +426,7 @@ def run_zipf() -> None:
     block-max pruning something to skip; prints one JSON line."""
     import ray
 
+    probe_loss = wait_clean_window()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     _quiet_empty_block_schema_warnings()
@@ -467,6 +507,7 @@ def run_zipf() -> None:
         "docs": n_docs,
         "wand_rank_mismatches": int(mismatch),
         "num_cpus": NUM_CPUS,
+        "cpu_probe_loss_pct": probe_loss,
     }))
     ray.shutdown()
 

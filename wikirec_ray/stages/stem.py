@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from wikirec_ray.stages.analyze import _flat_tokens
 
@@ -178,15 +179,24 @@ class Stemmer:
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # stem the UNIQUE vocabulary only (dictionary_encode), then gather —
+        # the zipfian stream makes vocab << occurrences, so the per-token
+        # Python call count drops by the stream/vocab ratio and the list
+        # column rebuilds zero-copy from offsets (review r04)
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        toks = [self.stem(t) for t in flat.to_pylist()]
+        enc = flat.dictionary_encode()
+        mapped_u = pa.array(
+            [self.stem(t) for t in enc.dictionary.to_pylist()], pa.string()
+        )
+        mapped = pc.take(mapped_u, enc.indices)
         bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
-        out = [toks[bounds[i] : bounds[i + 1]] for i in range(batch.num_rows)]
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "tokens": pa.array(out, type=pa.large_list(pa.string())),
+                "tokens": pa.LargeListArray.from_arrays(
+                    bounds.astype(np.int64), mapped
+                ),
             }
         )
 
@@ -290,15 +300,21 @@ class RuleLemmatizer:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # unique-vocab lemmatization + gather (same shape as Stemmer)
         parents, flat = _flat_tokens(batch[self.text_col].combine_chunks())
         par = parents.to_numpy(zero_copy_only=False)
-        toks = [self.lemma(t) for t in flat.to_pylist()]
+        enc = flat.dictionary_encode()
+        mapped_u = pa.array(
+            [self.lemma(t) for t in enc.dictionary.to_pylist()], pa.string()
+        )
+        mapped = pc.take(mapped_u, enc.indices)
         bounds = np.searchsorted(par, np.arange(batch.num_rows + 1))
-        out = [toks[bounds[i] : bounds[i + 1]] for i in range(batch.num_rows)]
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "tokens": pa.array(out, type=pa.large_list(pa.string())),
+                "tokens": pa.LargeListArray.from_arrays(
+                    bounds.astype(np.int64), mapped
+                ),
             }
         )
 
