@@ -430,3 +430,60 @@ def test_similar_docs_topk_replaces_sim_matrix(ray_session, tmp_path):
         rows = sorted(got.get(doc_id, []))
         assert [(d, s) for _, d, s in rows] == want, doc_id
         assert [r for r, _, _ in rows] == list(range(1, len(want) + 1))
+
+
+def test_resume_is_input_aware_incremental(ray_session, tmp_path):
+    """Manifest v4 input fingerprints: resume must (a) skip everything when
+    the input is unchanged, (b) REBUILD partitions whose input changed (a
+    stale skip would silently drop appended docs — the pre-r4 behavior),
+    and (c) re-encode ONLY the touched doc ranges on a new-range append
+    (merges re-concatenate, old ranges skip)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.schema import DOC_RANGE_SIZE
+    from wikirec_ray.stages.index_build import build_index
+
+    def mk(ranges):
+        ids = [i for lo, hi in ranges for i in range(lo, hi)]
+        txt = [f"alpha beta w{i % 97} gamma{i % 13}" for i in ids]
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(txt, pa.string())})
+        )
+
+    idx = str(tmp_path / "incr")
+    build_index(mk([(0, 400)]), idx, resume=False)
+
+    # (a) unchanged input -> zero rebuilds
+    m_same = build_index(mk([(0, 400)]), idx, resume=True)
+    assert all(e.get("skipped") for e in m_same["partitions"].values())
+
+    # (b) in-range append (same doc range, new docs) -> affected partitions
+    # rebuild and queries match a fresh build
+    m_app = build_index(mk([(0, 600)]), idx, resume=True)
+    reb = [k for k, e in m_app["partitions"].items() if not e.get("skipped", True)]
+    assert any(k.startswith("postings/") for k in reb)
+    full = str(tmp_path / "full")
+    build_index(mk([(0, 600)]), full, resume=False)
+    rd, rd_full = IndexReader(idx), IndexReader(full)
+    for q in (["alpha"], ["w5"], ["gamma7", "w3"]):
+        assert rd.topk(q, 10) == rd_full.topk(q, 10)
+
+    # (c) new-range append -> every old-range partition skips; only the new
+    # range encodes (merge/df re-concatenation is expected and cheap)
+    base = DOC_RANGE_SIZE
+    m_new = build_index(mk([(0, 600), (base, base + 300)]), idx, resume=True)
+    parts = m_new["partitions"]
+    old_range = [k for k, e in parts.items()
+                 if e["kind"] in ("norms", "postings") and "range-000000" in k]
+    assert old_range and all(parts[k]["skipped"] for k in old_range)
+    new_range = [k for k, e in parts.items()
+                 if e["kind"] in ("norms", "postings") and "range-000001" in k]
+    assert new_range and all(not parts[k]["skipped"] for k in new_range)
+    full2 = str(tmp_path / "full2")
+    build_index(mk([(0, 600), (base, base + 300)]), full2, resume=False)
+    rd2, rd_full2 = IndexReader(idx), IndexReader(full2)
+    for q in (["alpha"], ["w5"], ["gamma12"]):
+        assert rd2.topk(q, 10) == rd_full2.topk(q, 10)

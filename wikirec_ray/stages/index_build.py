@@ -302,6 +302,59 @@ def _entry_table(entries: list[dict]) -> pa.Table:
     )
 
 
+def _blob_row_checksums(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (byte-sum, position-weighted byte-sum) of a binary column,
+    fully vectorized (two ``reduceat`` passes over the shared data buffer;
+    empty rows clamped per the reduceat-empty-segment quirk)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off, data = _binary_offsets_and_data(col)
+    n = len(off) - 1
+    sums = np.zeros(n, np.uint64)
+    wsums = np.zeros(n, np.uint64)
+    total = int(off[-1] - off[0])
+    if total == 0 or n == 0:
+        return sums, wsums
+    b = np.frombuffer(data, np.uint8)[off[0] : off[-1]].astype(np.uint64)
+    rel = (off - off[0]).astype(np.int64)
+    starts = rel[:-1]
+    counts = np.diff(rel)
+    cl = np.minimum(starts, total - 1)  # clamp: reduceat on empty segments
+    mask = counts > 0
+    s = np.add.reduceat(b, cl)
+    gw = np.arange(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ws = np.add.reduceat(b * gw, cl) - starts.astype(np.uint64) * s
+    sums[mask] = s[mask]
+    wsums[mask] = ws[mask]
+    return sums, wsums
+
+
+def _group_fingerprint(group: pa.Table) -> str:
+    """Order-independent content fingerprint of one shuffle group — the
+    partition's true INPUT.  Resume skips a partition only when its output
+    file is intact AND this fingerprint matches the manifest's, so a
+    changed corpus (appended docs, edited pages) rebuilds exactly the
+    partitions whose inputs changed instead of silently serving stale
+    postings.  XOR-combined per-row hashes make it independent of run
+    arrival order (the shuffle does not guarantee one)."""
+    from wikirec_ray.functions.hashing import GOLD64, fmix64, token_hashes_arrow
+
+    n_rows = group.num_rows
+    if n_rows == 0:
+        return "0"
+    with np.errstate(over="ignore"):
+        h = token_hashes_arrow(group["term"].combine_chunks())
+        h = fmix64(h * GOLD64 ^ group["first_doc"].to_numpy().astype(np.uint64))
+        h = fmix64(h * GOLD64 ^ group["n"].to_numpy().astype(np.uint64))
+        for blob_col in ("doc_blob", "tf_blob", "dl_blob"):
+            s, ws = _blob_row_checksums(group[blob_col])
+            h = fmix64(h * GOLD64 ^ s)
+            h = fmix64(h * GOLD64 ^ ws)
+        fp = np.bitwise_xor.reduce(h) ^ fmix64(np.uint64(n_rows))
+    return f"{int(fp):016x}"
+
+
 def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
     """One callable for every shuffle group: norms groups (tpart=-1) merge
     doc-length runs; postings groups merge+block-encode posting runs."""
@@ -322,7 +375,12 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             o = np.argsort(ids)
             ids, dls_all = ids[o], dls_all[o]
             n_docs, sum_dl = len(ids), int(dls_all.sum())
-            if resume and partition_is_valid(path, prior_partitions.get(key)):
+            fp = _group_fingerprint(group)
+            if (
+                resume
+                and partition_is_valid(path, prior_partitions.get(key))
+                and prior_partitions.get(key, {}).get("input_fp") == fp
+            ):
                 e = dict(prior_partitions[key])
                 e.update(key=key, skipped=True, n_docs=n_docs, sum_dl=sum_dl)
                 return _entry_table([e])
@@ -332,13 +390,19 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             )
             entry = atomic_write_table(tbl, path)
             entry.update(key=key, kind="norms", range_id=range_id,
-                         n_docs=n_docs, sum_dl=sum_dl, skipped=False)
+                         n_docs=n_docs, sum_dl=sum_dl, skipped=False,
+                         input_fp=fp)
             return _entry_table([entry])
 
         path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}",
                             f"range-{range_id:06d}.parquet")
         key = os.path.relpath(path, index_dir)
-        if resume and partition_is_valid(path, prior_partitions.get(key)):
+        fp = _group_fingerprint(group)
+        if (
+            resume
+            and partition_is_valid(path, prior_partitions.get(key))
+            and prior_partitions.get(key, {}).get("input_fp") == fp
+        ):
             e = dict(prior_partitions[key])
             e.update(key=key, skipped=True)
             return _entry_table([e])
@@ -393,6 +457,7 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             key=key, kind="postings", tpart=tpart, range_id=range_id,
             n_terms=len(terms), n_postings=int(len(doc_ids)),
             encode_ms=round((time.monotonic() - t0) * 1000, 3), skipped=False,
+            input_fp=fp,
         )
         return _entry_table([entry])
 
@@ -619,7 +684,7 @@ def build_index(
     with a different value triggers a full rebuild (partition assignment
     changes every file).
     """
-    MANIFEST_VERSION = 3
+    MANIFEST_VERSION = 4  # v4: per-partition input fingerprints (input-aware resume)
     n_tparts = int(n_term_partitions or N_TERM_PARTITIONS)
     prior = load_manifest(index_dir) if resume else None
     if prior is not None and prior.get("version") != MANIFEST_VERSION:
@@ -715,7 +780,7 @@ def _build_index_inner(
         json.dump(stats, f, indent=1)
 
     manifest = {
-        "version": 3,
+        "version": 4,
         "stats": stats,
         "lineage": lineage or {},
         "build_wall_s": round(time.monotonic() - t_start, 3),
