@@ -168,7 +168,7 @@ def _cpu_probe_loss(seconds: float = 2.0) -> int:
     return round(100 * (d[3] + d[7]) / tot)
 
 
-def wait_clean_window(threshold: int = 10, tries: int = 3) -> int:
+def wait_clean_window(threshold: int = 8, tries: int = 3) -> int:
     """Bounded wait (<= tries probes, 20 s apart) for a low-steal window;
     returns the final probe value either way — recorded in the JSON so a
     reader can judge whether the numbers are trustworthy."""

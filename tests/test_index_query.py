@@ -487,3 +487,50 @@ def test_resume_is_input_aware_incremental(ray_session, tmp_path):
     rd2, rd_full2 = IndexReader(idx), IndexReader(full2)
     for q in (["alpha"], ["w5"], ["gamma12"]):
         assert rd2.topk(q, 10) == rd_full2.topk(q, 10)
+
+
+def test_group_fingerprint_nonlinear():
+    """Review r04 regression: compensating tf/dl edits (equal byte-sums AND
+    equal position-weighted sums) must still change the input fingerprint —
+    a linear checksum collided and resume served stale postings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wikirec_ray.functions.compress import varint_encode
+    from wikirec_ray.stages.index_build import _group_fingerprint
+
+    def grp(tfs, dls):
+        return pa.table(
+            {
+                "tpart": pa.array([0], pa.int64()),
+                "range_id": pa.array([0], pa.int64()),
+                "term": pa.array(["foo"]),
+                "n": pa.array([3], pa.int64()),
+                "first_doc": pa.array([0], pa.int64()),
+                "doc_blob": pa.array(
+                    [bytes(varint_encode(np.array([0, 1, 1], np.uint64)))],
+                    pa.binary(),
+                ),
+                "tf_blob": pa.array(
+                    [bytes(varint_encode(np.array(tfs, np.uint64)))], pa.binary()
+                ),
+                "dl_blob": pa.array(
+                    [bytes(varint_encode(np.array(dls, np.uint64)))], pa.binary()
+                ),
+            }
+        )
+
+    assert _group_fingerprint(grp([1, 3, 1], [2, 4, 2])) != _group_fingerprint(
+        grp([2, 1, 2], [3, 2, 3])
+    )
+    # same content -> same fp regardless of row order
+    two = pa.concat_tables([grp([1, 3, 1], [2, 4, 2]), grp([9, 9, 9], [9, 9, 9])])
+    rev = two.take(pa.array([1, 0]))
+    assert _group_fingerprint(two) == _group_fingerprint(rev)
+    # a change in ONLY the last byte of the last row is visible
+    t = grp([1, 3, 1], [2, 4, 2])
+    mod = t.set_column(
+        t.column_names.index("dl_blob"), "dl_blob",
+        pa.array([bytes(varint_encode(np.array([2, 4, 3], np.uint64)))], pa.binary()),
+    )
+    assert _group_fingerprint(t) != _group_fingerprint(mod)

@@ -334,3 +334,24 @@ def test_repetition_ratios(ray_session):
     }
     for i in got:
         assert {k: got[i][k] for k in got[i]} == {k: got2[i][k] for k in got2[i]}
+
+
+def test_scrub_pii_ip_vs_phone_order(ray_session):
+    """Multi-digit-octet IPs must scrub as <IP>, not <PHONE> (review r04:
+    the phone pattern matches dot-separated digit groups), and the scrubbed
+    column must respect text_col."""
+    import ray.data
+
+    from wikirec_ray.pipelines.webfilters import scrub_pii
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "content": ["host 192.168.10.25 and 10.22.33.44 tel 555-123-4567"],
+            }
+        )
+    )
+    r = scrub_pii(ds, text_col="content").take_all()[0]
+    assert r["content"] == "host <IP> and <IP> tel <PHONE>"
+    assert (r["n_ipv4"], r["n_phone"]) == (2, 1)

@@ -105,11 +105,14 @@ def _hash_string_array(flat) -> np.ndarray:
     ends = np.repeat(off[1:], lengths)
     exps = ends - 1 - np.arange(start, end)
     maxlen = int(lengths.max())
-    pows = np.empty(maxlen, np.uint64)
-    p = 1
-    for e in range(maxlen):
-        pows[e] = p
-        p = (p * int(_POLY)) % _M64
+    # power table via wrapping cumprod (uint64 multiply is mod 2^64) — a
+    # Python loop here scales with the LONGEST row, which for binary blob
+    # rows (index-build fingerprints) can be tens of KB
+    with np.errstate(over="ignore"):
+        pows = np.concatenate(
+            [[np.uint64(1)],
+             np.cumprod(np.full(max(maxlen - 1, 0), _POLY, np.uint64))]
+        )
     with np.errstate(over="ignore"):
         vals = data[start:end].astype(np.uint64) * pows[exps]
     sums = np.zeros(n, np.uint64)
@@ -118,6 +121,19 @@ def _hash_string_array(flat) -> np.ndarray:
     if len(ne_starts):
         sums[nonempty] = np.add.reduceat(vals, ne_starts)
     return fmix64(sums)
+
+
+def hash_binary_rows(col) -> np.ndarray:
+    """Per-row polynomial hash of a ``binary``/``string`` Arrow column (the
+    ``_hash_string_array`` kernel — binary shares the offsets+data layout).
+    Nonlinear in the bytes (Horner fold, fmix64 finalizer), so byte edits
+    that preserve sums still change the hash — required by the index
+    manifest's input fingerprints (a linear checksum collided, review r04)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _hash_string_array(col)
 
 
 def token_hashes(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
@@ -185,6 +201,20 @@ def band_keys(sig: np.ndarray, n_bands: int) -> list[int]:
 _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
+def window_fold(flat_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial fold over every k-window of a hash stream:
+    ``acc = (acc * POLY) ^ h_j`` from the FNV offset — the single shared
+    n-gram/shingle kernel (MinHash shingles, Gopher repetition n-grams).
+    Returns uint64[len(flat_hashes) - k + 1]; caller masks windows that
+    cross doc boundaries."""
+    n = len(flat_hashes)
+    acc = np.full(n - k + 1, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = (acc * _POLY) ^ flat_hashes[j : j + n - k + 1]
+    return acc
+
+
 def shingle_hashes_flat(
     flat_hashes: np.ndarray, doc_bounds: np.ndarray, k: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -200,9 +230,7 @@ def shingle_hashes_flat(
     n_docs = len(doc_bounds) - 1
     doc_len = np.diff(doc_bounds)
     if n >= k:
-        acc = np.full(n - k + 1, _FNV_OFFSET, dtype=np.uint64)
-        for j in range(k):
-            acc = (acc * _POLY) ^ flat_hashes[j : j + n - k + 1]
+        acc = window_fold(flat_hashes, k)
         parent = np.repeat(np.arange(n_docs), doc_len)
         valid = parent[: n - k + 1] == parent[k - 1 :]
         sh_main = acc[valid]

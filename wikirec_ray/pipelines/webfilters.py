@@ -252,6 +252,21 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' and '…' per word
 GOPHER_MAX_BULLET_RATIO = 0.9   # lines starting with a bullet
 
 
+def _word_stream(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace words (the published Gopher/C4 accounting, NOT the index
+    tokenizer): (flat non-empty words, parent row index int64, word length
+    int64) — the single word-extraction kernel shared by every per-doc
+    word-statistics rule in this module."""
+    words = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words)
+    ne = pc.not_equal(flat, "")
+    flat = flat.filter(ne)
+    par = parents.filter(ne).to_numpy(zero_copy_only=False).astype(np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, par, wlen
+
+
 def gopher_quality_mask(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -264,16 +279,10 @@ def gopher_quality_mask(
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].combine_chunks().fill_null("")
-        words = pc.split_pattern_regex(texts, pattern=r"\s+")
-        flat = pc.list_flatten(words)
-        parents = pc.list_parent_indices(words)
-        ne = pc.not_equal(flat, "")
-        flat = flat.filter(ne)
-        par = parents.filter(ne).to_numpy(zero_copy_only=False)
+        flat, par, wlen = _word_stream(texts)
         n = batch.num_rows
         n_words = np.zeros(n, np.int64)
         np.add.at(n_words, par, 1)
-        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         len_sum = np.zeros(n, np.int64)
         np.add.at(len_sum, par, wlen)
         mean_len = np.divide(len_sum, np.maximum(n_words, 1), dtype=np.float64)
@@ -461,12 +470,15 @@ def dedup_lines_global(
 # IP addresses with stable placeholder tokens so downstream token stats
 # stay comparable).  All RE2-compatible — replayable in a DuckDB oracle.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    # (name, pattern, placeholder)
+    # (name, pattern, placeholder) — ORDER MATTERS: email first (digits in
+    # an address must not re-match), then ipv4 BEFORE phone (an IP like
+    # 192.168.10.25 matches the phone pattern's dot-separated digit groups;
+    # review r04)
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # international-ish phone: optional +CC, 3 groups of 2-4 digits with
-    # space/dash/dot separators, or a plain 7+ digit run with separators
-    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{2,4}[-. )]{1,2}\d{2,4}[-. ]?\d{2,4}", "<PHONE>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone: optional +CC, 3 groups of 2-4 digits with
+    # space/dash/dot separators
+    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{2,4}[-. )]{1,2}\d{2,4}[-. ]?\d{2,4}", "<PHONE>"),
 )
 
 
@@ -479,7 +491,7 @@ def scrub_pii(
     """Redact PII spans with placeholder tokens, stateless per batch —
     emits the scrubbed text plus a per-kind match count so corpus-level
     PII statistics are one ``sum`` away.  Patterns apply in declaration
-    order (email before phone, so digits inside an address never re-match).
+    order (see PII_PATTERNS note).
     Returns (id, text, n_email, n_phone, n_ipv4)."""
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -491,7 +503,7 @@ def scrub_pii(
                 (name, pc.count_substring_regex(txt, pat))
             )
             txt = pc.replace_substring_regex(txt, pattern=pat, replacement=repl)
-        cols["text"] = txt
+        cols[text_col] = txt
         for name, c in counts:
             cols[f"n_{name}"] = pc.cast(c, pa.int64())
         return pa.table(cols)
@@ -532,18 +544,12 @@ def repetition_ratios(
     cross-doc false collisions are impossible because grouping is
     per-doc).  Everything is numpy over the flat word stream — no Python
     loop over rows or tokens."""
-    from wikirec_ray.functions.hashing import GOLD64, token_hashes_arrow
+    from wikirec_ray.functions.hashing import token_hashes_arrow, window_fold
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].combine_chunks().fill_null("")
-        words = pc.split_pattern_regex(texts, pattern=r"\s+")
-        flat = pc.list_flatten(words)
-        parents = pc.list_parent_indices(words)
-        ne = pc.not_equal(flat, "")
-        flat = flat.filter(ne)
-        par = parents.filter(ne).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, par, wlen = _word_stream(texts)
         n = batch.num_rows
-        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         n_words = np.zeros(n, np.int64)
         np.add.at(n_words, par, 1)
         tot_chars = np.zeros(n, np.int64)
@@ -560,11 +566,7 @@ def repetition_ratios(
             if len(h) < k:
                 e = np.array([], np.int64)
                 return e, np.array([], np.uint64), e
-            # rolling poly fold over k consecutive word hashes
-            with np.errstate(over="ignore"):
-                acc = h[: len(h) - k + 1].copy()
-                for j in range(1, k):
-                    acc = acc * GOLD64 ^ h[j : len(h) - k + 1 + j]
+            acc = window_fold(h, k)  # the shared shingle/n-gram kernel
             gdoc = par[: len(h) - k + 1]
             valid = par[k - 1 :] == gdoc  # gram fully inside one doc
             # chars of the k words (no separators, matching the published

@@ -68,6 +68,9 @@ from wikirec_ray.state.segments import (
 )
 
 NORMS_TPART = -1  # reserved shuffle partition for doc-length runs
+# manifest format: v4 added per-partition input fingerprints (input-aware
+# resume); resume refuses to mix formats
+MANIFEST_VERSION = 4
 
 
 def term_partitions_for(terms, n_tparts: int = N_TERM_PARTITIONS) -> np.ndarray:
@@ -302,34 +305,6 @@ def _entry_table(entries: list[dict]) -> pa.Table:
     )
 
 
-def _blob_row_checksums(col) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row (byte-sum, position-weighted byte-sum) of a binary column,
-    fully vectorized (two ``reduceat`` passes over the shared data buffer;
-    empty rows clamped per the reduceat-empty-segment quirk)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    off, data = _binary_offsets_and_data(col)
-    n = len(off) - 1
-    sums = np.zeros(n, np.uint64)
-    wsums = np.zeros(n, np.uint64)
-    total = int(off[-1] - off[0])
-    if total == 0 or n == 0:
-        return sums, wsums
-    b = np.frombuffer(data, np.uint8)[off[0] : off[-1]].astype(np.uint64)
-    rel = (off - off[0]).astype(np.int64)
-    starts = rel[:-1]
-    counts = np.diff(rel)
-    cl = np.minimum(starts, total - 1)  # clamp: reduceat on empty segments
-    mask = counts > 0
-    s = np.add.reduceat(b, cl)
-    gw = np.arange(total, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        ws = np.add.reduceat(b * gw, cl) - starts.astype(np.uint64) * s
-    sums[mask] = s[mask]
-    wsums[mask] = ws[mask]
-    return sums, wsums
-
-
 def _group_fingerprint(group: pa.Table) -> str:
     """Order-independent content fingerprint of one shuffle group — the
     partition's true INPUT.  Resume skips a partition only when its output
@@ -337,8 +312,23 @@ def _group_fingerprint(group: pa.Table) -> str:
     changed corpus (appended docs, edited pages) rebuilds exactly the
     partitions whose inputs changed instead of silently serving stale
     postings.  XOR-combined per-row hashes make it independent of run
-    arrival order (the shuffle does not guarantee one)."""
-    from wikirec_ray.functions.hashing import GOLD64, fmix64, token_hashes_arrow
+    arrival order (the shuffle does not guarantee one); each blob hashes
+    through the NONLINEAR polynomial kernel (``hash_binary_rows``) — a
+    linear byte-sum checksum collided on compensating tf edits
+    (review r04).
+
+    Granularity note: rows are per-(map batch, term, range) RUNS, so the
+    fingerprint is sensitive to upstream block boundaries — re-reading the
+    same corpus with a different read parallelism rebuilds rather than
+    skips.  That direction is safe (never stale), and boundaries are
+    reproducible for a fixed corpus + config, which is the resume
+    contract."""
+    from wikirec_ray.functions.hashing import (
+        GOLD64,
+        fmix64,
+        hash_binary_rows,
+        token_hashes_arrow,
+    )
 
     n_rows = group.num_rows
     if n_rows == 0:
@@ -348,9 +338,7 @@ def _group_fingerprint(group: pa.Table) -> str:
         h = fmix64(h * GOLD64 ^ group["first_doc"].to_numpy().astype(np.uint64))
         h = fmix64(h * GOLD64 ^ group["n"].to_numpy().astype(np.uint64))
         for blob_col in ("doc_blob", "tf_blob", "dl_blob"):
-            s, ws = _blob_row_checksums(group[blob_col])
-            h = fmix64(h * GOLD64 ^ s)
-            h = fmix64(h * GOLD64 ^ ws)
+            h = fmix64(h * GOLD64 ^ hash_binary_rows(group[blob_col]))
         fp = np.bitwise_xor.reduce(h) ^ fmix64(np.uint64(n_rows))
     return f"{int(fp):016x}"
 
@@ -684,7 +672,6 @@ def build_index(
     with a different value triggers a full rebuild (partition assignment
     changes every file).
     """
-    MANIFEST_VERSION = 4  # v4: per-partition input fingerprints (input-aware resume)
     n_tparts = int(n_term_partitions or N_TERM_PARTITIONS)
     prior = load_manifest(index_dir) if resume else None
     if prior is not None and prior.get("version") != MANIFEST_VERSION:
@@ -780,7 +767,7 @@ def _build_index_inner(
         json.dump(stats, f, indent=1)
 
     manifest = {
-        "version": 4,
+        "version": MANIFEST_VERSION,
         "stats": stats,
         "lineage": lineage or {},
         "build_wall_s": round(time.monotonic() - t_start, 3),
