@@ -512,6 +512,113 @@ def run_zipf() -> None:
     ray.shutdown()
 
 
+def run_incremental() -> None:
+    """Incremental-ingest benchmark (manifest v5 input-aware resume),
+    modeling the real crawl-append workflow: the base corpus is a fixed
+    file set, the append arrives as NEW parquet files holding a new doc-id
+    range (new WARC dumps).  The v5 fingerprints are logical (decoded
+    postings, not run blobs), so base partitions skip even though adding
+    files changes how Ray bundles the read into tasks/batches.  Prints one
+    JSON line with append time, full-rebuild time, speedup, and partition
+    skip counts."""
+    import ray
+
+    probe_loss = wait_clean_window()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_empty_block_schema_warnings()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = max(NUM_CPUS, 16)
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    pages_dir = build_corpus()
+    n_total = ray.data.read_parquet(pages_dir, columns=["url"]).count()
+    n_base = int(n_total * 0.9)
+
+    # split ONCE into base/extra file sets (cached like the corpus itself)
+    split_root = os.path.join(CACHE_ROOT, f"incr-split-{os.path.basename(pages_dir)}")
+    if not os.path.exists(os.path.join(split_root, "_SUCCESS")):
+        shutil.rmtree(split_root, ignore_errors=True)
+        full = ray.data.read_parquet(pages_dir)
+
+        def doc_of(b: pa.Table) -> pa.Array:
+            return pc.cast(
+                pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()
+            )
+
+        full.map_batches(
+            lambda b: b.filter(pc.less(doc_of(b), n_base)), batch_format="pyarrow"
+        ).repartition(60).write_parquet(os.path.join(split_root, "base"))
+        full.map_batches(
+            lambda b: b.filter(pc.greater_equal(doc_of(b), n_base)),
+            batch_format="pyarrow",
+        ).repartition(8).write_parquet(os.path.join(split_root, "extra"))
+        with open(os.path.join(split_root, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+
+    import glob as _glob
+
+    base_files = sorted(_glob.glob(os.path.join(split_root, "base", "*.parquet")))
+    extra_files = sorted(_glob.glob(os.path.join(split_root, "extra", "*.parquet")))
+
+    def corpus(files):
+        pages = ray.data.read_parquet(files, columns=["url", "html"])
+        return extract_pages(pages).map_batches(
+            lambda b: b.append_column(
+                "doc_id",
+                pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+
+    corpus(base_files).count()  # warm page cache + worker pool
+    idx = os.path.join(CACHE_ROOT, f"bench-incr-{NUM_CPUS}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(corpus(base_files), idx, resume=False)
+    base_sec = time.monotonic() - t0
+    t1 = time.monotonic()
+    m = build_index(corpus(base_files + extra_files), idx, resume=True)
+    incr_sec = time.monotonic() - t1
+    enc = [k for k, v in m["partitions"].items() if not v.get("skipped", True)]
+    skp = [k for k, v in m["partitions"].items() if v.get("skipped", True)]
+    idx_full = os.path.join(CACHE_ROOT, f"bench-incr-full-{NUM_CPUS}")
+    shutil.rmtree(idx_full, ignore_errors=True)
+    t2 = time.monotonic()
+    build_index(corpus(base_files + extra_files), idx_full, resume=False)
+    full_sec = time.monotonic() - t2
+    log(
+        f"incremental: base(90%) {base_sec:.2f}s, append(10%) {incr_sec:.2f}s "
+        f"({len(enc)} partitions encoded, {len(skp)} skipped), "
+        f"full rebuild {full_sec:.2f}s"
+    )
+    print(json.dumps({
+        "metric": "incremental_append_sec",
+        "value": round(incr_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "base_build_sec": round(base_sec, 3),
+            "incremental_append_sec": round(incr_sec, 3),
+            "full_rebuild_sec": round(full_sec, 3),
+        },
+        "docs": int(n_total),
+        "appended_docs": int(n_total - n_base),
+        "partitions_encoded": len(enc),
+        "partitions_skipped": len(skp),
+        "speedup_vs_full": round(full_sec / max(incr_sec, 1e-9), 2),
+        "num_cpus": NUM_CPUS,
+        "cpu_probe_loss_pct": probe_loss,
+    }))
+    ray.shutdown()
+
+
 def run_scaling():
     import subprocess
 
@@ -565,5 +672,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--zipf" in sys.argv:
         run_zipf()
+    elif "--incremental" in sys.argv:
+        run_incremental()
     else:
         print(json.dumps(run_bench()))

@@ -433,11 +433,14 @@ def test_similar_docs_topk_replaces_sim_matrix(ray_session, tmp_path):
 
 
 def test_resume_is_input_aware_incremental(ray_session, tmp_path):
-    """Manifest v4 input fingerprints: resume must (a) skip everything when
-    the input is unchanged, (b) REBUILD partitions whose input changed (a
-    stale skip would silently drop appended docs — the pre-r4 behavior),
-    and (c) re-encode ONLY the touched doc ranges on a new-range append
-    (merges re-concatenate, old ranges skip)."""
+    """Manifest v5 logical input fingerprints: resume must (a) skip
+    everything when the input is unchanged, (b) REBUILD partitions whose
+    input changed (a stale skip would silently drop appended docs — the
+    pre-r4 behavior), (c) re-encode ONLY the touched doc ranges on a
+    new-range append (merges re-concatenate, old ranges skip), and
+    (d) still skip when the SAME corpus arrives with different block
+    boundaries (the real crawl-append read layout — v4's run-blob
+    fingerprints rebuilt everything here)."""
     import pyarrow as pa
     import ray.data
 
@@ -488,49 +491,37 @@ def test_resume_is_input_aware_incremental(ray_session, tmp_path):
     for q in (["alpha"], ["w5"], ["gamma12"]):
         assert rd2.topk(q, 10) == rd_full2.topk(q, 10)
 
+    # (d) identical corpus, different input blocking -> map batches (and so
+    # the shuffle's partial runs) split differently, yet every partition
+    # must still skip: the fingerprint is over decoded postings, not runs
+    m_reblk = build_index(
+        mk([(0, 600), (base, base + 300)]).repartition(7), idx, resume=True
+    )
+    assert all(e.get("skipped") for e in m_reblk["partitions"].values())
 
-def test_group_fingerprint_nonlinear():
-    """Review r04 regression: compensating tf/dl edits (equal byte-sums AND
-    equal position-weighted sums) must still change the input fingerprint —
-    a linear checksum collided and resume served stale postings."""
+
+def test_logical_fingerprint_properties():
+    """v5 input fingerprint invariants.  (1) NONLINEAR: compensating tf/dl
+    edits (equal byte-sums AND equal position-weighted sums) must change the
+    value — a linear checksum collided and resume served stale postings
+    (review r04).  (2) Record-order independent: the shuffle does not
+    guarantee run arrival order.  (3) Stream position matters: swapping the
+    tf and dl streams of a record is a different input.  (4) A single-record
+    edit is visible."""
     import numpy as np
-    import pyarrow as pa
 
-    from wikirec_ray.functions.compress import varint_encode
-    from wikirec_ray.stages.index_build import _group_fingerprint
+    from wikirec_ray.stages.index_build import _logical_fingerprint
 
-    def grp(tfs, dls):
-        return pa.table(
-            {
-                "tpart": pa.array([0], pa.int64()),
-                "range_id": pa.array([0], pa.int64()),
-                "term": pa.array(["foo"]),
-                "n": pa.array([3], pa.int64()),
-                "first_doc": pa.array([0], pa.int64()),
-                "doc_blob": pa.array(
-                    [bytes(varint_encode(np.array([0, 1, 1], np.uint64)))],
-                    pa.binary(),
-                ),
-                "tf_blob": pa.array(
-                    [bytes(varint_encode(np.array(tfs, np.uint64)))], pa.binary()
-                ),
-                "dl_blob": pa.array(
-                    [bytes(varint_encode(np.array(dls, np.uint64)))], pa.binary()
-                ),
-            }
-        )
+    def u(*a):
+        return np.array(a, np.uint64)
 
-    assert _group_fingerprint(grp([1, 3, 1], [2, 4, 2])) != _group_fingerprint(
-        grp([2, 1, 2], [3, 2, 3])
-    )
-    # same content -> same fp regardless of row order
-    two = pa.concat_tables([grp([1, 3, 1], [2, 4, 2]), grp([9, 9, 9], [9, 9, 9])])
-    rev = two.take(pa.array([1, 0]))
-    assert _group_fingerprint(two) == _group_fingerprint(rev)
-    # a change in ONLY the last byte of the last row is visible
-    t = grp([1, 3, 1], [2, 4, 2])
-    mod = t.set_column(
-        t.column_names.index("dl_blob"), "dl_blob",
-        pa.array([bytes(varint_encode(np.array([2, 4, 3], np.uint64)))], pa.binary()),
-    )
-    assert _group_fingerprint(t) != _group_fingerprint(mod)
+    base = _logical_fingerprint(u(7, 7, 7), u(0, 1, 2), u(1, 3, 1), u(2, 4, 2))
+    comp = _logical_fingerprint(u(7, 7, 7), u(0, 1, 2), u(2, 1, 2), u(3, 2, 3))
+    assert base != comp  # (1) compensating edit detected
+    perm = _logical_fingerprint(u(7, 7, 7), u(2, 0, 1), u(1, 1, 3), u(2, 2, 4))
+    assert base == perm  # (2) record order irrelevant
+    assert _logical_fingerprint(u(7), u(0), u(5), u(9)) != _logical_fingerprint(
+        u(7), u(0), u(9), u(5)
+    )  # (3) tf/dl swap visible
+    edit = _logical_fingerprint(u(7, 7, 7), u(0, 1, 2), u(1, 3, 1), u(2, 4, 3))
+    assert base != edit  # (4) one-value edit visible

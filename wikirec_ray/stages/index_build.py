@@ -69,8 +69,10 @@ from wikirec_ray.state.segments import (
 
 NORMS_TPART = -1  # reserved shuffle partition for doc-length runs
 # manifest format: v4 added per-partition input fingerprints (input-aware
-# resume); resume refuses to mix formats
-MANIFEST_VERSION = 4
+# resume); v5 made them LOGICAL (decoded-posting level) so resume skips
+# are independent of upstream batch/read boundaries; resume refuses to
+# mix formats
+MANIFEST_VERSION = 5
 
 
 def term_partitions_for(terms, n_tparts: int = N_TERM_PARTITIONS) -> np.ndarray:
@@ -305,41 +307,34 @@ def _entry_table(entries: list[dict]) -> pa.Table:
     )
 
 
-def _group_fingerprint(group: pa.Table) -> str:
-    """Order-independent content fingerprint of one shuffle group — the
-    partition's true INPUT.  Resume skips a partition only when its output
-    file is intact AND this fingerprint matches the manifest's, so a
-    changed corpus (appended docs, edited pages) rebuilds exactly the
-    partitions whose inputs changed instead of silently serving stale
-    postings.  XOR-combined per-row hashes make it independent of run
-    arrival order (the shuffle does not guarantee one); each blob hashes
-    through the NONLINEAR polynomial kernel (``hash_binary_rows``) — a
+def _logical_fingerprint(*streams: np.ndarray) -> str:
+    """Order-independent fingerprint of one partition's LOGICAL input —
+    one record per index position across the parallel uint64 streams
+    (postings: term-hash/doc_id/tf/dl; norms: doc_id/dl).  Resume skips a
+    partition only when its output file is intact AND this fingerprint
+    matches the manifest's, so a changed corpus (appended docs, edited
+    pages) rebuilds exactly the partitions whose inputs changed instead of
+    silently serving stale postings.
+
+    v5 hashes DECODED records rather than the raw run blobs (v4): the
+    value no longer depends on how upstream map batches split postings
+    into runs, so an unchanged partition skips even when the read layout
+    changed — e.g. a crawl append that re-bundles the base files into
+    different read tasks (v4 rebuilt everything there: safe, but an
+    incremental ingest never actually skipped).  XOR combines per-record
+    chained fmix64 hashes: record-order independent and NONLINEAR — a
     linear byte-sum checksum collided on compensating tf edits
-    (review r04).
+    (review r04)."""
+    from wikirec_ray.functions.hashing import GOLD64, fmix64
 
-    Granularity note: rows are per-(map batch, term, range) RUNS, so the
-    fingerprint is sensitive to upstream block boundaries — re-reading the
-    same corpus with a different read parallelism rebuilds rather than
-    skips.  That direction is safe (never stale), and boundaries are
-    reproducible for a fixed corpus + config, which is the resume
-    contract."""
-    from wikirec_ray.functions.hashing import (
-        GOLD64,
-        fmix64,
-        hash_binary_rows,
-        token_hashes_arrow,
-    )
-
-    n_rows = group.num_rows
-    if n_rows == 0:
+    n = len(streams[0])
+    if n == 0:
         return "0"
     with np.errstate(over="ignore"):
-        h = token_hashes_arrow(group["term"].combine_chunks())
-        h = fmix64(h * GOLD64 ^ group["first_doc"].to_numpy().astype(np.uint64))
-        h = fmix64(h * GOLD64 ^ group["n"].to_numpy().astype(np.uint64))
-        for blob_col in ("doc_blob", "tf_blob", "dl_blob"):
-            h = fmix64(h * GOLD64 ^ hash_binary_rows(group[blob_col]))
-        fp = np.bitwise_xor.reduce(h) ^ fmix64(np.uint64(n_rows))
+        h = np.full(n, GOLD64, np.uint64)
+        for s in streams:
+            h = fmix64(h * GOLD64 ^ s.astype(np.uint64))
+        fp = np.bitwise_xor.reduce(h) ^ fmix64(np.uint64(n))
     return f"{int(fp):016x}"
 
 
@@ -363,7 +358,7 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             o = np.argsort(ids)
             ids, dls_all = ids[o], dls_all[o]
             n_docs, sum_dl = len(ids), int(dls_all.sum())
-            fp = _group_fingerprint(group)
+            fp = _logical_fingerprint(ids, dls_all)
             if (
                 resume
                 and partition_is_valid(path, prior_partitions.get(key))
@@ -385,7 +380,40 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
         path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}",
                             f"range-{range_id:06d}.parquet")
         key = os.path.relpath(path, index_dir)
-        fp = _group_fingerprint(group)
+        # Vectorized run merge: all runs' varint streams are decoded in ONE
+        # pass each (concatenate → decode → split by run counts with the
+        # cumsum-restart correction), then postings are ordered by
+        # (term, doc_id) with a single lexsort.  Per-run Python decode calls
+        # dominated with zipfian vocabularies (most runs hold 1-3 postings).
+        # Decode happens BEFORE the resume check: the v5 input fingerprint
+        # is computed over the decoded (term, doc, tf, dl) records so an
+        # unchanged partition skips regardless of run boundaries; the skip
+        # path pays decode but not the sort/encode/write.
+        n_runs = group.num_rows
+        run_n = group["n"].to_numpy()
+        dict_terms = group["term"].combine_chunks().dictionary_encode()
+        uniq_terms = dict_terms.dictionary.to_pylist()
+        run_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        doc_concat = b"".join(group["doc_blob"].to_pylist())
+        tf_concat = b"".join(group["tf_blob"].to_pylist())
+        dl_concat = b"".join(group["dl_blob"].to_pylist())
+        total = int(run_n.sum())
+        gaps = varint_decode(doc_concat, total)
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        rstarts = np.zeros(n_runs, np.int64)
+        np.cumsum(run_n[:-1], out=rstarts[1:])
+        adj = csum[rstarts] - gaps[rstarts]
+        doc_ids = csum - np.repeat(adj, run_n)
+        tfs = varint_decode(tf_concat, total)
+        dls = varint_decode(dl_concat, total)
+
+        from wikirec_ray.functions.hashing import token_hashes_arrow
+
+        uniq_hashes = token_hashes_arrow(dict_terms.dictionary)
+        fp = _logical_fingerprint(
+            np.repeat(uniq_hashes[run_codes], run_n), doc_ids, tfs, dls
+        )
         if (
             resume
             and partition_is_valid(path, prior_partitions.get(key))
@@ -395,41 +423,14 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
             e.update(key=key, skipped=True)
             return _entry_table([e])
         t0 = time.monotonic()
-        # Vectorized run merge: all runs' varint streams are decoded in ONE
-        # pass each (concatenate → decode → split by run counts with the
-        # cumsum-restart correction), then postings are ordered by
-        # (term, doc_id) with a single lexsort.  Per-run Python decode calls
-        # dominated with zipfian vocabularies (most runs hold 1-3 postings).
-        n_runs = group.num_rows
-        run_n = group["n"].to_numpy()
-        first_doc = group["first_doc"].to_numpy()
-        dict_terms = group["term"].combine_chunks().dictionary_encode()
-        uniq_terms = dict_terms.dictionary.to_pylist()
         # lexicographic term order (deterministic output independent of
         # arrival order)
         lex_rank = np.empty(len(uniq_terms), np.int64)
         lex_rank[np.argsort(np.array(uniq_terms, dtype=object))] = np.arange(len(uniq_terms))
-        codes = lex_rank[dict_terms.indices.to_numpy(zero_copy_only=False)]
-        run_order = np.lexsort((first_doc, codes))
-
-        doc_blobs = group["doc_blob"].to_pylist()
-        tf_blobs = group["tf_blob"].to_pylist()
-        dl_blobs = group["dl_blob"].to_pylist()
-        doc_concat = b"".join(doc_blobs[i] for i in run_order)
-        tf_concat = b"".join(tf_blobs[i] for i in run_order)
-        dl_concat = b"".join(dl_blobs[i] for i in run_order)
-        n_sorted = run_n[run_order]
-        total = int(n_sorted.sum())
-        gaps = varint_decode(doc_concat, total)
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        rstarts = np.zeros(n_runs, np.int64)
-        np.cumsum(n_sorted[:-1], out=rstarts[1:])
-        adj = csum[rstarts] - gaps[rstarts]
-        doc_ids = csum - np.repeat(adj, n_sorted)
-        tfs = varint_decode(tf_concat, total)
-        dls = varint_decode(dl_concat, total)
-        term_idx = np.repeat(codes[run_order], n_sorted)
-        # final (term, doc) order — runs of one term may interleave doc ids
+        term_idx = np.repeat(lex_rank[run_codes], run_n)
+        # final (term, doc) order — runs of one term may interleave doc ids,
+        # and a (term, doc) pair is unique (each doc lives in one batch), so
+        # this single lexsort fully determines the output
         order2 = np.lexsort((doc_ids, term_idx))
         doc_ids, tfs, dls, term_idx = (
             doc_ids[order2], tfs[order2], dls[order2], term_idx[order2]
