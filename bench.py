@@ -578,41 +578,59 @@ def run_incremental() -> None:
             batch_format="pyarrow",
         )
 
+    from wikirec_ray.stages.index_build import append_index
+
     corpus(base_files).count()  # warm page cache + worker pool
     idx = os.path.join(CACHE_ROOT, f"bench-incr-{NUM_CPUS}")
+    idx2 = os.path.join(CACHE_ROOT, f"bench-incr-delta-{NUM_CPUS}")
     shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(idx2, ignore_errors=True)
     t0 = time.monotonic()
     build_index(corpus(base_files), idx, resume=False)
     base_sec = time.monotonic() - t0
+    shutil.copytree(idx, idx2)
+
+    # path 1: full-corpus resume (re-reads everything, skips unchanged encodes)
     t1 = time.monotonic()
     m = build_index(corpus(base_files + extra_files), idx, resume=True)
     incr_sec = time.monotonic() - t1
     enc = [k for k, v in m["partitions"].items() if not v.get("skipped", True)]
     skp = [k for k, v in m["partitions"].items() if v.get("skipped", True)]
+
+    # path 2: delta-only append (reads ONLY the new files, merges on disk)
+    t_d = time.monotonic()
+    m_d = append_index(corpus(extra_files), idx2)
+    delta_sec = time.monotonic() - t_d
+    enc_d = [k for k, v in m_d["partitions"].items() if not v.get("skipped", True)]
+
     idx_full = os.path.join(CACHE_ROOT, f"bench-incr-full-{NUM_CPUS}")
     shutil.rmtree(idx_full, ignore_errors=True)
     t2 = time.monotonic()
     build_index(corpus(base_files + extra_files), idx_full, resume=False)
     full_sec = time.monotonic() - t2
     log(
-        f"incremental: base(90%) {base_sec:.2f}s, append(10%) {incr_sec:.2f}s "
-        f"({len(enc)} partitions encoded, {len(skp)} skipped), "
+        f"incremental: base(90%) {base_sec:.2f}s; resume append {incr_sec:.2f}s "
+        f"({len(enc)} partitions encoded, {len(skp)} skipped); delta append "
+        f"{delta_sec:.2f}s ({len(enc_d)} partitions rewritten); "
         f"full rebuild {full_sec:.2f}s"
     )
     print(json.dumps({
-        "metric": "incremental_append_sec",
-        "value": round(incr_sec, 3),
+        "metric": "delta_append_sec",
+        "value": round(delta_sec, 3),
         "unit": "sec",
         "queries": {
             "base_build_sec": round(base_sec, 3),
-            "incremental_append_sec": round(incr_sec, 3),
+            "resume_append_sec": round(incr_sec, 3),
+            "delta_append_sec": round(delta_sec, 3),
             "full_rebuild_sec": round(full_sec, 3),
         },
         "docs": int(n_total),
         "appended_docs": int(n_total - n_base),
-        "partitions_encoded": len(enc),
-        "partitions_skipped": len(skp),
-        "speedup_vs_full": round(full_sec / max(incr_sec, 1e-9), 2),
+        "resume_partitions_encoded": len(enc),
+        "resume_partitions_skipped": len(skp),
+        "delta_partitions_rewritten": len(enc_d),
+        "resume_speedup_vs_full": round(full_sec / max(incr_sec, 1e-9), 2),
+        "delta_speedup_vs_full": round(full_sec / max(delta_sec, 1e-9), 2),
         "num_cpus": NUM_CPUS,
         "cpu_probe_loss_pct": probe_loss,
     }))

@@ -500,6 +500,67 @@ def test_resume_is_input_aware_incremental(ray_session, tmp_path):
     assert all(e.get("skipped") for e in m_reblk["partitions"].values())
 
 
+def test_append_index_delta_only(ray_session, tmp_path):
+    """append_index streams ONLY the delta corpus yet must be
+    indistinguishable from a full rebuild over base+delta: (1) identical
+    exact AND WAND topk plus stats, (2) merged partitions carry the same
+    logical fingerprints a full build records, so a subsequent full-corpus
+    resume skips EVERYTHING (appends and resumes compose), (3) overlapping
+    doc ids raise (append-only contract), and (4) after such a failed
+    append the next resume build heals the index back to correctness."""
+    import pytest
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.schema import DOC_RANGE_SIZE
+    from wikirec_ray.stages.index_build import append_index, build_index
+
+    def mk(ranges):
+        ids = [i for lo, hi in ranges for i in range(lo, hi)]
+        txt = [f"alpha beta w{i % 97} gamma{i % 13}" for i in ids]
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(txt, pa.string())})
+        )
+
+    idx = str(tmp_path / "appendable")
+    build_index(mk([(0, 500)]), idx, resume=False)
+
+    # delta straddles: tail of range 0 (in-place partition merge) + a brand
+    # new doc range (plain encode)
+    base = DOC_RANGE_SIZE
+    full_ranges = [(0, 700), (base, base + 200)]
+    m = append_index(mk([(500, 700), (base, base + 200)]), idx)
+    rewritten = [k for k, e in m["partitions"].items() if not e.get("skipped", True)]
+    assert any("range-000000" in k for k in rewritten)  # merged boundary range
+    assert any("range-000001" in k for k in rewritten)  # new range encoded
+
+    full = str(tmp_path / "appendable_full")
+    build_index(mk(full_ranges), full, resume=False)
+    rd, rdf = IndexReader(idx), IndexReader(full)
+    for q in (["alpha"], ["w5"], (["gamma7", "w3"]), ["w13", "alpha"]):
+        assert rd.topk(q, 10) == rdf.topk(q, 10)
+        assert rd.topk_wand(q, 10) == rdf.topk_wand(q, 10)
+    from wikirec_ray.state.segments import load_stats
+
+    assert load_stats(idx) == load_stats(full)
+
+    # (2) a full-corpus resume over the appended index skips every partition
+    m2 = build_index(mk(full_ranges), idx, resume=True)
+    assert all(e.get("skipped") for e in m2["partitions"].values())
+
+    # (3) + (4) overlapping ids fail loudly; a resume build then heals any
+    # partially rewritten partitions
+    with pytest.raises((ray.exceptions.RayTaskError, ValueError)):
+        append_index(mk([(600, 650)]), idx)
+    build_index(mk(full_ranges), idx, resume=True)
+    rd3 = IndexReader(idx)
+    for q in (["alpha"], ["w5"]):
+        assert rd3.topk(q, 10) == rdf.topk(q, 10)
+
+
 def test_logical_fingerprint_properties():
     """v5 input fingerprint invariants.  (1) NONLINEAR: compensating tf/dl
     edits (equal byte-sums AND equal position-weighted sums) must change the

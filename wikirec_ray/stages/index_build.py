@@ -453,6 +453,162 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
     return encode_group
 
 
+def _decode_range_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Bulk-decode one postings range file (SEGMENT_SCHEMA) back into flat
+    posting arrays: (terms, term_starts[len+1], doc_ids, tfs).  One varint
+    pass per stream — concatenated per-term blobs form one valid stream,
+    and per-block gap restarts are corrected with the same cumsum trick as
+    ``SegmentReader.postings`` (state/segments.py), just across all terms
+    at once."""
+    from wikirec_ray.functions.compress import varint_decode
+
+    terms = t["term"].to_pylist()
+    n_per = t["n"].to_numpy()
+    term_starts = np.zeros(len(terms) + 1, np.int64)
+    np.cumsum(n_per, out=term_starts[1:])
+    total = int(term_starts[-1])
+    if total == 0:
+        return terms, term_starts, np.empty(0, np.uint64), np.empty(0, np.uint64)
+    blk_counts = np.concatenate(
+        [unpack_i64(b) for b in t["blk_counts"].to_pylist()]
+    ).astype(np.int64)
+    gaps = varint_decode(b"".join(t["doc_blob"].to_pylist()), total)
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    bstarts = np.zeros(len(blk_counts), np.int64)
+    np.cumsum(blk_counts[:-1], out=bstarts[1:])
+    with np.errstate(over="ignore"):
+        adj = csum[bstarts] - gaps[bstarts]
+        doc_ids = csum - np.repeat(adj, blk_counts)
+    tfs = varint_decode(b"".join(t["tf_blob"].to_pylist()), total)
+    return terms, term_starts, doc_ids, tfs
+
+
+def make_delta_merger(index_dir: str):
+    """Group encoder for ``append_index``: each delta shuffle group MERGES
+    with the partition already on disk (bulk decode → union → re-encode)
+    instead of owning the whole range.  Fingerprints are recomputed over the
+    merged logical postings, so they equal what a full build over base+delta
+    records — ``build_index(resume=True)`` over the full corpus afterwards
+    skips every partition an append produced."""
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from wikirec_ray.functions.compress import varint_decode
+        from wikirec_ray.functions.hashing import token_hashes_arrow
+
+        tpart = int(group["tpart"][0].as_py())
+        range_id = int(group["range_id"][0].as_py())
+
+        # single-pass decode of the delta runs (same layout as encode_group)
+        n_runs = group.num_rows
+        run_n = group["n"].to_numpy()
+        total = int(run_n.sum())
+        gaps = varint_decode(b"".join(group["doc_blob"].to_pylist()), total)
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        rstarts = np.zeros(n_runs, np.int64)
+        np.cumsum(run_n[:-1], out=rstarts[1:])
+        with np.errstate(over="ignore"):
+            adj = csum[rstarts] - gaps[rstarts]
+            d_docs = csum - np.repeat(adj, run_n)
+        d_vals = varint_decode(b"".join(group["tf_blob"].to_pylist()), total)
+
+        if tpart == NORMS_TPART:
+            path = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
+            key = os.path.relpath(path, index_dir)
+            ids, dls = d_docs, d_vals  # norms runs: val stream holds doc lengths
+            if os.path.exists(path):
+                old = pq.read_table(path)
+                old_ids = old["doc_id"].to_numpy().astype(np.uint64)
+                if len(np.intersect1d(old_ids, ids)):
+                    raise ValueError(
+                        f"append_index: delta doc_ids overlap existing docs in "
+                        f"{key} — appends must carry only NEW doc ids; apply "
+                        f"edits with build_index(resume=True) over the full corpus"
+                    )
+                ids = np.concatenate([old_ids, ids])
+                dls = np.concatenate(
+                    [old["doc_len"].to_numpy().astype(np.uint64), dls]
+                )
+            o = np.argsort(ids)
+            ids, dls = ids[o], dls[o]
+            fp = _logical_fingerprint(ids, dls)
+            tbl = pa.table(
+                {"doc_id": pa.array(ids.astype(np.int64)),
+                 "doc_len": pa.array(dls.astype(np.int64))}
+            )
+            entry = atomic_write_table(tbl, path)
+            entry.update(key=key, kind="norms", range_id=range_id,
+                         n_docs=len(ids), sum_dl=int(dls.sum()), skipped=False,
+                         input_fp=fp)
+            return _entry_table([entry])
+
+        path = os.path.join(index_dir, "postings", f"tpart-{tpart:03d}",
+                            f"range-{range_id:06d}.parquet")
+        key = os.path.relpath(path, index_dir)
+        t0 = time.monotonic()
+        d_dls = varint_decode(b"".join(group["dl_blob"].to_pylist()), total)
+        dict_terms = group["term"].combine_chunks().dictionary_encode()
+        d_uniq = dict_terms.dictionary.to_pylist()
+        d_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        if os.path.exists(path):
+            o_terms, o_starts, o_docs, o_tfs = _decode_range_table(pq.read_table(path))
+            # old postings' per-doc lengths come from the range's norms file;
+            # doc lengths never change in append-only ingest, so reading it
+            # before or after its own merge task is equally correct
+            npath = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
+            norms = pq.read_table(npath)
+            n_ids = norms["doc_id"].to_numpy().astype(np.uint64)
+            n_order = np.argsort(n_ids)
+            o_dls = norms["doc_len"].to_numpy().astype(np.uint64)[n_order][
+                np.searchsorted(n_ids[n_order], o_docs)
+            ]
+        else:
+            o_terms, o_starts = [], np.zeros(1, np.int64)
+            o_docs = np.empty(0, np.uint64)
+            o_tfs = np.empty(0, np.uint64)
+            o_dls = np.empty(0, np.uint64)
+
+        # union vocabulary, then one lexsort over (term, doc)
+        uniq_all = sorted(set(o_terms) | set(d_uniq))
+        rank = {t: i for i, t in enumerate(uniq_all)}
+        o_term_idx = np.repeat(
+            np.array([rank[t] for t in o_terms], np.int64),
+            np.diff(o_starts).astype(np.int64),
+        )
+        d_rank = np.array([rank[t] for t in d_uniq], np.int64)
+        term_idx = np.concatenate([o_term_idx, np.repeat(d_rank[d_codes], run_n)])
+        doc_ids = np.concatenate([o_docs, d_docs])
+        tfs = np.concatenate([o_tfs, d_vals])
+        dls = np.concatenate([o_dls, d_dls])
+        order = np.lexsort((doc_ids, term_idx))
+        doc_ids, tfs, dls, term_idx = (
+            doc_ids[order], tfs[order], dls[order], term_idx[order]
+        )
+        if len(doc_ids) > 1:
+            dup = (np.diff(term_idx) == 0) & (np.diff(doc_ids) == 0)
+            if dup.any():
+                raise ValueError(
+                    f"append_index: duplicate (term, doc) postings in {key} — "
+                    f"delta doc_ids must be new"
+                )
+        uniq_hashes = token_hashes_arrow(pa.array(uniq_all, pa.string()))
+        fp = _logical_fingerprint(uniq_hashes[term_idx], doc_ids, tfs, dls)
+        boundaries = np.flatnonzero(np.diff(term_idx)) + 1
+        starts = np.concatenate([[0], boundaries, [len(doc_ids)]])
+        terms = [uniq_all[int(c)] for c in term_idx[starts[:-1]]]
+        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls)
+        entry = atomic_write_table(table, path)
+        entry.update(key=key, kind="postings", tpart=tpart, range_id=range_id,
+                     n_terms=len(terms), n_postings=int(len(doc_ids)),
+                     encode_ms=round((time.monotonic() - t0) * 1000, 3),
+                     skipped=False, input_fp=fp)
+        return _entry_table([entry])
+
+    return merge_group
+
+
 def _binary_offsets_and_data(col: pa.Array) -> tuple[np.ndarray, pa.Buffer]:
     """(absolute cell offsets int64[len+1], data buffer) of a binary array."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -775,6 +931,135 @@ def _build_index_inner(
         "partitions": {
             e["key"]: {k: v for k, v in e.items() if k != "key"}
             for e in entries + merge_entries
+        },
+    }
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
+def append_index(
+    delta_ds: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lineage: dict | None = None,
+) -> dict:
+    """Append-only incremental ingest: stream ONLY the delta corpus into an
+    existing index.  ``build_index(resume=True)`` over base+delta re-reads
+    and re-shuffles everything and merely skips the encode of unchanged
+    partitions; this path reads just the new docs — on a 100 TB index with
+    a 1 % crawl append that is the difference between re-streaming 100 TB
+    and streaming 1 TB.
+
+    Contract: delta docs carry doc_ids NOT present in the index (enforced —
+    overlapping ids raise; apply edits via a full ``resume=True`` build).
+    Only the (tpart, doc-range) partitions a delta doc touches are decoded,
+    merged and atomically rewritten; segments re-merge only for touched
+    tparts (pure concatenation).  Merged partitions record the same logical
+    fingerprint a full build over base+delta would, so appends and full
+    input-aware resumes compose in any order.  A failed append never saves
+    a manifest: partially rewritten partitions then fail the manifest md5
+    check and heal on the next ``resume=True`` build."""
+    prior = load_manifest(index_dir)
+    if prior is None or prior.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"append_index needs an existing v{MANIFEST_VERSION} manifest at "
+            f"{index_dir}; run build_index first"
+        )
+    stats0 = prior["stats"]
+    if (stats0.get("doc_range_size"), stats0.get("block_size")) != (
+        DOC_RANGE_SIZE, BLOCK_SIZE
+    ):
+        raise ValueError(
+            "append_index: index was built with different doc_range/block "
+            "sizes — partition keys would not line up; rebuild"
+        )
+    n_tparts = int(stats0["n_term_partitions"])
+    prior_parts = prior["partitions"]
+    t_start = time.monotonic()
+
+    import ray as _ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_min_parallelism = ctx.min_parallelism
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ctx.min_parallelism = max(ncpu, 16)
+    except Exception:
+        pass
+    try:
+        runs = delta_ds.map_batches(
+            lambda b: _postings_batch(b, id_col, text_col, n_tparts),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        touched = [
+            json.loads(r["entry"])
+            for r in runs.groupby(["tpart", "range_id"])
+            .map_groups(make_delta_merger(index_dir), batch_format="pyarrow")
+            .take_all()
+        ]
+    finally:
+        ctx.min_parallelism = prev_min_parallelism
+
+    touched_keys = {e["key"] for e in touched}
+    kept = [
+        dict(v, key=k, skipped=True)
+        for k, v in prior_parts.items()
+        if k not in touched_keys and v.get("kind") in ("norms", "postings")
+    ]
+    norm_entries = [e for e in touched + kept if e["kind"] == "norms"]
+    post_entries = [e for e in touched + kept if e["kind"] == "postings"]
+    n_docs = sum(e["n_docs"] for e in norm_entries)
+    total_tokens = sum(e["sum_dl"] for e in norm_entries)
+
+    # re-merge ONLY the tparts the delta touched; other segments are kept
+    touched_tparts = sorted({e["tpart"] for e in touched if e["kind"] == "postings"})
+    inputs_by_tpart: dict[int, dict[str, str]] = {t: {} for t in touched_tparts}
+    for e in post_entries:
+        if e["tpart"] in inputs_by_tpart:
+            inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
+    merge_entries = [
+        json.loads(r["entry"])
+        for r in ray.data.from_items([{"tpart": t} for t in touched_tparts])
+        .map_batches(
+            lambda b: _entry_table(
+                [
+                    e
+                    for t in b["tpart"].to_pylist()
+                    for e in _merge_tpart(
+                        index_dir, int(t), prior_parts, True, inputs_by_tpart[int(t)]
+                    )
+                ]
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .take_all()
+    ]
+    kept_meta = [
+        dict(v, key=k, skipped=True)
+        for k, v in prior_parts.items()
+        if v.get("kind") in ("segment", "df") and v.get("tpart") not in set(touched_tparts)
+    ]
+
+    stats = dict(
+        stats0,
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=(total_tokens / n_docs) if n_docs else 0.0,
+    )
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "stats": stats,
+        "lineage": lineage or dict(prior.get("lineage") or {}),
+        "build_wall_s": round(time.monotonic() - t_start, 3),
+        "partitions": {
+            e["key"]: {k: v for k, v in e.items() if k != "key"}
+            for e in touched + kept + merge_entries + kept_meta
         },
     }
     save_manifest(index_dir, manifest)
