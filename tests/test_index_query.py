@@ -561,6 +561,70 @@ def test_append_index_delta_only(ray_session, tmp_path):
         assert rd3.topk(q, 10) == rdf.topk(q, 10)
 
 
+def test_append_index_refuses_torn_or_duplicate_input(ray_session, tmp_path):
+    """append_index safety rails: (1) an on-disk partition that diverges
+    from the manifest (torn file from a crashed prior append) must abort the
+    append instead of being silently merged into a new, fully 'valid'
+    manifest; (2) duplicate doc_ids WITHIN the delta (a repeated crawl
+    record) must abort even when the duplicated doc would pass the
+    delta-vs-index overlap check; a resume build heals both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray
+    import ray.data
+
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.stages.index_build import append_index, build_index
+
+    def mk(ids, texts=None):
+        txt = texts or [f"alpha beta w{i % 97}" for i in ids]
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(txt, pa.string())})
+        )
+
+    idx = str(tmp_path / "torn")
+    build_index(mk(list(range(300))), idx, resume=False)
+
+    # (1) simulate a crashed prior append: rewrite one norms range on disk
+    # (valid parquet, extra doc) without touching the manifest
+    npath = os.path.join(idx, "norms", "range-000000.parquet")
+    old = pq.read_table(npath)
+    torn = pa.table({
+        "doc_id": pa.concat_arrays(
+            [old["doc_id"].combine_chunks(), pa.array([900], pa.int64())]),
+        "doc_len": pa.concat_arrays(
+            [old["doc_len"].combine_chunks(), pa.array([3], pa.int64())]),
+    })
+    pq.write_table(torn, npath)
+    with pytest.raises((ray.exceptions.RayTaskError, ValueError),
+                       match="does not match the manifest"):
+        append_index(mk([300, 301]), idx)
+    # heal, then the same append succeeds
+    build_index(mk(list(range(300))), idx, resume=True)
+    append_index(mk([300, 301]), idx)
+
+    # (2) duplicate doc_id inside the delta, split across batches so each
+    # batch-local view is clean
+    dup = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([500], pa.int64()),
+                  "text": pa.array(["alpha dup"], pa.string())})
+    ).union(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([500, 501], pa.int64()),
+                  "text": pa.array(["alpha dup again", "beta ok"], pa.string())})
+    ))
+    with pytest.raises((ray.exceptions.RayTaskError, ValueError),
+                       match="WITHIN the delta"):
+        append_index(dup, idx)
+    m = build_index(mk(list(range(302))), idx, resume=True)
+    assert sum(1 for e in m["partitions"].values()
+               if e["kind"] == "norms") >= 1
+    full = str(tmp_path / "torn_full")
+    build_index(mk(list(range(302))), full, resume=False)
+    assert IndexReader(idx).topk(["alpha"], 10) == IndexReader(full).topk(["alpha"], 10)
+
+
 def test_logical_fingerprint_properties():
     """v5 input fingerprint invariants.  (1) NONLINEAR: compensating tf/dl
     edits (equal byte-sums AND equal position-weighted sums) must change the

@@ -123,19 +123,6 @@ def _hash_string_array(flat) -> np.ndarray:
     return fmix64(sums)
 
 
-def hash_binary_rows(col) -> np.ndarray:
-    """Per-row polynomial hash of a ``binary``/``string`` Arrow column (the
-    ``_hash_string_array`` kernel — binary shares the offsets+data layout).
-    Nonlinear in the bytes (Horner fold, fmix64 finalizer), so byte edits
-    that preserve sums still change the hash — required by the index
-    manifest's input fingerprints (a linear checksum collided, review r04)."""
-    import pyarrow as pa
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return _hash_string_array(col)
-
-
 def token_hashes(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
     """Vector of stable 64-bit hashes for a Python token list (convenience
     wrapper over the Arrow-vectorized path).  ``cache`` is accepted for
@@ -205,9 +192,11 @@ def window_fold(flat_hashes: np.ndarray, k: int) -> np.ndarray:
     """Rolling polynomial fold over every k-window of a hash stream:
     ``acc = (acc * POLY) ^ h_j`` from the FNV offset — the single shared
     n-gram/shingle kernel (MinHash shingles, Gopher repetition n-grams).
-    Returns uint64[len(flat_hashes) - k + 1]; caller masks windows that
-    cross doc boundaries."""
+    Returns uint64[max(len(flat_hashes) - k + 1, 0)] (empty when the stream
+    is shorter than k); caller masks windows that cross doc boundaries."""
     n = len(flat_hashes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
     acc = np.full(n - k + 1, _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):

@@ -491,8 +491,9 @@ def scrub_pii(
     """Redact PII spans with placeholder tokens, stateless per batch —
     emits the scrubbed text plus a per-kind match count so corpus-level
     PII statistics are one ``sum`` away.  Patterns apply in declaration
-    order (see PII_PATTERNS note).
-    Returns (id, text, n_email, n_phone, n_ipv4)."""
+    order (see PII_PATTERNS note — ipv4 must precede phone).
+    Returns (id_col, text_col, n_<kind>...) with one count column per
+    pattern in pattern order (default: n_email, n_ipv4, n_phone)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         txt = batch[text_col].combine_chunks().fill_null("")

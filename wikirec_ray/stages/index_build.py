@@ -90,7 +90,6 @@ RUN_SCHEMA = pa.schema(
         ("range_id", pa.int64()),
         ("term", pa.string()),
         ("n", pa.int64()),
-        ("first_doc", pa.int64()),
         ("doc_blob", pa.binary()),   # varint delta-gap doc ids
         ("tf_blob", pa.binary()),    # varint tfs (norms runs: doc lengths)
         ("dl_blob", pa.binary()),    # varint per-posting doc lengths
@@ -198,11 +197,6 @@ def _postings_batch(
             "range_id": pa.array(ranges_out),
             "term": pa.array(terms_out, pa.string()),
             "n": pa.array((abs_ends - abs_starts).astype(np.int64)),
-            "first_doc": pa.array(
-                all_docs[abs_starts].astype(np.int64)
-                if len(abs_starts)
-                else np.empty(0, np.int64)
-            ),
             "doc_blob": pa.array(doc_blobs, pa.binary()),
             "tf_blob": pa.array(val_blobs, pa.binary()),
             "dl_blob": pa.array(dl_blobs, pa.binary()),
@@ -483,13 +477,33 @@ def _decode_range_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray,
     return terms, term_starts, doc_ids, tfs
 
 
-def make_delta_merger(index_dir: str):
+def make_delta_merger(index_dir: str, prior_parts: dict):
     """Group encoder for ``append_index``: each delta shuffle group MERGES
     with the partition already on disk (bulk decode → union → re-encode)
     instead of owning the whole range.  Fingerprints are recomputed over the
     merged logical postings, so they equal what a full build over base+delta
     records — ``build_index(resume=True)`` over the full corpus afterwards
-    skips every partition an append produced."""
+    skips every partition an append produced.
+
+    Every existing partition is validated against the manifest (size+md5)
+    BEFORE it is merged: a crashed prior append leaves files the saved
+    manifest does not describe, and silently merging them would bake the
+    half-applied delta into a fully "valid" new manifest.  Divergence
+    raises with the heal instruction instead."""
+
+    def check_prior(path: str, key: str) -> bool:
+        """True iff a validated prior partition exists at ``path``; False
+        iff the partition is genuinely new (no file, no manifest entry)."""
+        entry = prior_parts.get(key)
+        if entry is None and not os.path.exists(path):
+            return False
+        if not partition_is_valid(path, entry):
+            raise ValueError(
+                f"append_index: on-disk partition {key} does not match the "
+                f"manifest (torn file from a crashed prior append?) — heal "
+                f"with build_index(resume=True) over the full corpus first"
+            )
+        return True
 
     def merge_group(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -517,7 +531,14 @@ def make_delta_merger(index_dir: str):
             path = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
             key = os.path.relpath(path, index_dir)
             ids, dls = d_docs, d_vals  # norms runs: val stream holds doc lengths
-            if os.path.exists(path):
+            if len(ids) > 1:
+                s_ids = np.sort(ids)
+                if (np.diff(s_ids) == 0).any():
+                    raise ValueError(
+                        f"append_index: duplicate doc_ids WITHIN the delta in "
+                        f"{key} — each appended doc must appear exactly once"
+                    )
+            if check_prior(path, key):
                 old = pq.read_table(path)
                 old_ids = old["doc_id"].to_numpy().astype(np.uint64)
                 if len(np.intersect1d(old_ids, ids)):
@@ -552,11 +573,15 @@ def make_delta_merger(index_dir: str):
         d_uniq = dict_terms.dictionary.to_pylist()
         d_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
-        if os.path.exists(path):
+        if check_prior(path, key):
             o_terms, o_starts, o_docs, o_tfs = _decode_range_table(pq.read_table(path))
             # old postings' per-doc lengths come from the range's norms file;
             # doc lengths never change in append-only ingest, so reading it
-            # before or after its own merge task is equally correct
+            # before or after its own merge task is equally correct.  (The
+            # norms file is NOT md5-validated here — this run's own norms
+            # merge task may already have atomically rewritten it; taint
+            # from a crashed prior append is caught by that norms task's
+            # own check_prior, which fails the whole append.)
             npath = os.path.join(index_dir, "norms", f"range-{range_id:06d}.parquet")
             norms = pq.read_table(npath)
             n_ids = norms["doc_id"].to_numpy().astype(np.uint64)
@@ -997,7 +1022,8 @@ def append_index(
         touched = [
             json.loads(r["entry"])
             for r in runs.groupby(["tpart", "range_id"])
-            .map_groups(make_delta_merger(index_dir), batch_format="pyarrow")
+            .map_groups(make_delta_merger(index_dir, prior_parts),
+                        batch_format="pyarrow")
             .take_all()
         ]
     finally:
