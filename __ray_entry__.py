@@ -36,6 +36,16 @@ BM25_QUERY_SET: list[tuple[int, list[str]]] = [
     (7, ["stream", "dup"]),
 ]
 BM25_K = 10
+# exact-phrase retrieval (positional index): mixed shapes — common bigrams,
+# a trigram, and an absent term (must yield zero rows for that query)
+PHRASE_QUERY_SET: list[tuple[int, list[str]]] = [
+    (1, ["table", "hash"]),
+    (2, ["merge", "group"]),
+    (3, ["the", "customer", "join"]),
+    (4, ["slow", "key"]),
+    (5, ["absentterm", "table"]),
+]
+PHRASE_K = 10
 RECO_INPUT_DOCS = [3, 7]
 RECO_RATINGS = [8.0, 4.0]
 RECO_N = 10
@@ -334,6 +344,24 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _ensure_pos_index(sf_dir: str) -> str:
+    """Positional sibling of ``_ensure_index`` (store_positions=True) —
+    separate directory because the positional layout is a different manifest
+    lineage; cached the same way."""
+    from wikirec_ray.stages.index_build import build_index
+
+    index_dir = _index_dir_for(sf_dir) + "-pos"
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(
+        _documents(sf_dir),
+        index_dir,
+        resume=True,
+        lineage={"input": os.path.join(sf_dir, "documents.parquet")},
+        store_positions=True,
+    )
+    return index_dir
+
+
 def _webtext(sf_dir):
     """Deterministic web-shaped view of documents (see LINEIFY_PAT note):
     lineify -> bullet -> symbol-suffix, in that order on both sides."""
@@ -419,10 +447,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def tokens_tf(sf_dir):
-        from wikirec_ray.stages.analyze import doc_term_freqs
+    def phrase_search_q(sf_dir):
+        """Exact-phrase BM25 top-k over the POSITIONAL index
+        (store_positions=True): the phrase is a filter (adjacent tokens in
+        order), the score is the plain multi-term BM25 — replayable in SQL
+        as bm25 + a token-list adjacency scan."""
+        import pandas as pd
 
-        return _documents(sf_dir).map_batches(doc_term_freqs, batch_format="pyarrow")
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_pos_index(sf_dir))
+        rows = []
+        for qid, phr in PHRASE_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.phrase_topk(phr, PHRASE_K), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
     def corpus_stats_q(sf_dir):
         import pandas as pd
@@ -1235,8 +1278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hopping_window, lang_stratified — each family keeps a sibling entry
     # and its pytest oracle) to fund nine new ones: web curation ×3,
     # similar-docs, doc-topics, non-Latin cleaning, negative sampling,
-    # UMass coherence, C4 cross-doc line dedup.
+    # UMass coherence, C4 cross-doc line dedup.  tokens_tf retired later in
+    # r4 (its tokenize+count semantics are replayed inside term_df,
+    # corpus_stats and every bm25 oracle) to fund phrase_search (positional
+    # index + exact-phrase adjacency — strictly more machinery checked).
     return {
+        "phrase_search": phrase_search_q,
         "neg_samples": neg_samples_q,
         "topic_coherence": topic_coherence_q,
         "line_dedup_global": line_dedup_global_q,
@@ -1258,7 +1305,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lemmas": lemmas_q,
         "random_sample": random_sample_q,
         "approx_distinct_users": approx_distinct_users_q,
-        "tokens_tf": tokens_tf,
         "corpus_stats": corpus_stats_q,
         "term_df": term_df,
         "top_terms": top_terms,
@@ -1313,6 +1359,24 @@ def oracle_sql() -> dict[str, str]:
     score = _bm25_score_expr()
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
+    )
+    phrase_qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in PHRASE_QUERY_SET for t in terms
+    )
+    # per-query adjacency scan over the 1-based DuckDB token list: doc
+    # matches iff toks[i+j] == phrase[j] for all j at some start i
+    phrase_match_union = " UNION ALL ".join(
+        "SELECT {qid} AS query_id, doc_id FROM ("
+        "SELECT DISTINCT doc_id FROM t, LATERAL "
+        "(SELECT unnest(range(1, len(toks) - {L} + 2)) AS i) r "
+        "WHERE {conds})".format(
+            qid=qid,
+            L=len(phr),
+            conds=" AND ".join(
+                f"toks[i + {j}] = '{w}'" for j, w in enumerate(phr)
+            ),
+        )
+        for qid, phr in PHRASE_QUERY_SET
     )
     stoplist = _sql_stopword_list()
     reco = RECO_INPUT_DOCS
@@ -1958,9 +2022,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(ROUND(e) AS BIGINT) AS approx_distinct_users FROM est
         """,
-        "tokens_tf": f"""
-            WITH tok AS ({_TOK})
-            SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+        "phrase_search": f"""
+            WITH {_BM25_CORE},
+            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            pd AS ({phrase_match_union}),
+            q(query_id, term) AS (VALUES {phrase_qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            filt AS (
+                SELECT s.query_id, s.doc_id, s.score FROM scored s
+                JOIN pd ON pd.query_id = s.query_id AND pd.doc_id = s.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM filt WHERE round(score, 9) > 0
+            ) WHERE rn <= {PHRASE_K}
         """,
         "corpus_stats": f"""
             WITH tok AS ({_TOK}),

@@ -297,6 +297,33 @@ def run_bench() -> dict:
     docs_text = ray.data.read_parquet(pages_dir, columns=["url", "text"]).map_batches(
         with_ids, batch_format="pyarrow"
     )
+
+    # -- timed: positional build + exact-phrase queries -------------------
+    # (store_positions=True pays ~one extra varint per token through the
+    # shuffle; phrase_topk then answers adjacency queries from the index)
+    pos_dir = os.path.join(CACHE_ROOT, f"bench-index-pos-{NUM_CPUS}")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t8 = time.monotonic()
+    build_index(corpus, pos_dir, resume=False, store_positions=True)
+    pos_build_sec = time.monotonic() - t8
+    pos_reader = IndexReader(pos_dir)
+    phrases = []
+    for r in docs_text.limit(64).take(64):
+        ws = (r["text"] or "").split()
+        if len(ws) >= 3:
+            phrases.append([ws[1], ws[2]])
+    lat_phrase = []
+    for ph in phrases:
+        q0 = time.monotonic()
+        pos_reader.phrase_topk(ph, TOP_K)
+        lat_phrase.append(time.monotonic() - q0)
+    lp = np.array(lat_phrase) * 1000
+    log(
+        f"positional build {pos_build_sec:.2f}s; phrase p50="
+        f"{np.percentile(lp,50):.1f}ms p99={np.percentile(lp,99):.1f}ms "
+        f"over {len(lp)} phrases"
+    )
+
     t3 = time.monotonic()
     n_groups = exact_dedup(docs_text).count()
     dedup_exact_sec = time.monotonic() - t3
@@ -368,6 +395,7 @@ def run_bench() -> dict:
             "dedup_groups": round(dedup_groups_sec, 3),
             "line_dedup": round(line_dedup_sec, 3),
             "export_sink": round(export_sec, 3),
+            "index_build_positional": round(pos_build_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
@@ -379,6 +407,8 @@ def run_bench() -> dict:
         "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
         "serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
         "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
+        "phrase_p50_ms": round(float(np.percentile(lp, 50)), 3),
+        "phrase_p99_ms": round(float(np.percentile(lp, 99)), 3),
         "cpu_probe_loss_pct": probe_loss,
     }
     ray.shutdown()

@@ -625,6 +625,110 @@ def test_append_index_refuses_torn_or_duplicate_input(ray_session, tmp_path):
     assert IndexReader(idx).topk(["alpha"], 10) == IndexReader(full).topk(["alpha"], 10)
 
 
+def test_positional_index_phrase_topk(ray_session, tmp_path):
+    """Positional postings (store_positions=True) + exact phrase retrieval.
+
+    (1) phrase_topk matches a brute-force Python oracle (adjacency over the
+    tokenized text, BM25 scoring identical to topk) on 1/2/3-term phrases,
+    a repeated-term phrase, and an absent term; (2) a single-term phrase
+    equals plain topk; (3) SegmentReader.positions round-trips the exact
+    token offsets; (4) the positional layout is invariant to input blocking
+    (parallelism invariance — exercises the pos-offset rebase in the merge);
+    (5) BM25 topk over a positional index equals the non-positional index's
+    (positions are additive); (6) a non-positional index refuses phrase
+    queries loudly."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    ids = list(range(500))
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 50)))) for _ in ids]
+
+    def mk(parallelism=None):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        )
+        return ds.repartition(parallelism) if parallelism else ds
+
+    idx = str(tmp_path / "pos")
+    build_index(mk(), idx, resume=False, store_positions=True)
+    rd = IndexReader(idx)
+
+    toks = [t.split() for t in texts]
+    n = len(ids)
+    df = Counter(t for tl in toks for t in set(tl))
+    avgdl = sum(len(t) for t in toks) / n
+
+    def brute(phr, k):
+        out = []
+        for i, tl in enumerate(toks):
+            if not any(tl[j : j + len(phr)] == phr
+                       for j in range(len(tl) - len(phr) + 1)):
+                continue
+            s = 0.0
+            for t in phr:
+                tf = tl.count(t)
+                if tf:
+                    idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * tf * (BM25_K1 + 1.0) / (
+                        tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tl) / avgdl)
+                    )
+            out.append((i, round(s, 9)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    for phr in (["w1", "w2"], ["w3"], ["w5", "w5"], ["w0", "w1", "w2"],
+                ["w7", "w29"], ["absent", "w1"]):
+        got = rd.phrase_topk(phr, 10)
+        want = brute(phr, 10)
+        assert [(d, round(s, 6)) for d, s in got] == \
+               [(d, round(s, 6)) for d, s in want], phr
+
+    # single-term phrase == plain topk
+    assert rd.phrase_topk(["w4"], 10) == rd.topk(["w4"], 10)
+    assert rd.phrase_topk([], 10) == []
+
+    # positions round-trip for one doc
+    d, tf, p = rd.term_segment("w1").positions("w1")
+    docs = d.astype(np.int64)
+    target = int(docs[0])
+    st = 0
+    exp = [j for j, t in enumerate(toks[target]) if t == "w1"]
+    assert p[st : st + int(tf[0])].tolist() == exp
+
+    # parallelism invariance of the positional files
+    idx2 = str(tmp_path / "pos2")
+    build_index(mk(parallelism=13), idx2, resume=False, store_positions=True)
+    rd2 = IndexReader(idx2)
+    for phr in (["w1", "w2"], ["w0", "w1", "w2"]):
+        assert rd2.phrase_topk(phr, 10) == rd.phrase_topk(phr, 10)
+
+    # BM25 unaffected by positions
+    idx0 = str(tmp_path / "nopos")
+    build_index(mk(), idx0, resume=False, store_positions=False)
+    rd0 = IndexReader(idx0)
+    for q in (["w1"], ["w2", "w9"], ["w0", "w5", "w7"]):
+        assert rd.topk(q, 10) == rd0.topk(q, 10)
+        assert rd.topk_wand(q, 10) == rd0.topk_wand(q, 10)
+
+    # non-positional index refuses phrase queries
+    with pytest.raises(ValueError, match="store_positions"):
+        rd0.phrase_topk(["w1", "w2"], 10)
+
+    # resume across a store_positions flip rebuilds everything
+    m_flip = build_index(mk(), idx0, resume=True, store_positions=True)
+    assert all(not e.get("skipped", True)
+               for e in m_flip["partitions"].values())
+    assert IndexReader(idx0).phrase_topk(["w1", "w2"], 10) == \
+        rd.phrase_topk(["w1", "w2"], 10)
+
+
 def test_logical_fingerprint_properties():
     """v5 input fingerprint invariants.  (1) NONLINEAR: compensating tf/dl
     edits (equal byte-sums AND equal position-weighted sums) must change the

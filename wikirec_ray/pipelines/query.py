@@ -110,6 +110,90 @@ class IndexReader:
         scores = self.score_exact(terms)
         return topk_from_dense(scores, k)
 
+    # ---------------- exact phrase --------------------------------------
+    def phrase_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs containing ``terms`` as an EXACT
+        phrase (adjacent tokens, in order, in the indexed token stream).
+        Needs a positional index (``build_index(store_positions=True)``).
+
+        Scoring contract: a matching doc scores exactly what ``topk`` gives
+        it for the same term list (Σ per-term BM25) — the phrase is a
+        filter, not a proximity boost — so results are SQL-replayable with
+        the bm25 oracle plus a LIKE over the joined token stream.  Ranking
+        ties follow the same (round(score, 9) desc, doc asc) contract.
+
+        Fully vectorized: per-term positions decode once; candidate docs =
+        intersection of the terms' posting lists; adjacency is checked with
+        one sorted-membership pass per consecutive term over composite
+        (candidate, position) uint64 keys — no per-doc Python loop."""
+        if not terms:
+            return []
+        postings = []
+        for t in terms:
+            if self.df.get(t, 0) == 0:
+                return []  # absent term (a tpart with no terms has no file)
+            d, tf, p = self.term_segment(t).positions(t)
+            if len(d) == 0:
+                return []
+            postings.append((d, tf, p))
+        # candidate docs: present in EVERY term's posting list
+        cand = postings[0][0]
+        for d, _, _ in postings[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+        # composite keys: candidate index (compact) << 32 | position.
+        # positions < 2^32 (doc_len is int64 but a single doc's token count
+        # beyond 4e9 is outside the engine's doc-size envelope; guard).
+        def cand_keys(d, tf, p):
+            sel = np.searchsorted(d, cand)
+            counts = tf[sel].astype(np.int64)
+            starts = np.zeros(len(d) + 1, np.int64)
+            np.cumsum(tf.astype(np.int64), out=starts[1:])
+            gat = np.repeat(starts[sel], counts) + (
+                np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(
+                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+                )
+            )
+            pos_c = p[gat]
+            if len(pos_c) and int(pos_c.max()) >= (1 << 32):
+                raise ValueError("phrase_topk: token position >= 2^32")
+            owner = np.repeat(
+                np.arange(len(cand), dtype=np.uint64), counts
+            )
+            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
+        # chain: survivors after term j = (cand, p) with the phrase's first
+        # j+1 terms ending at position p
+        live = cand_keys(*postings[0])
+        for d, tf, p in postings[1:]:
+            nxt = cand_keys(d, tf, p)  # sorted: cand asc, pos asc
+            live = live + np.uint64(1)
+            live = live[nxt[np.searchsorted(nxt, live) % len(nxt)] == live]
+            if len(live) == 0:
+                return []
+        phrase_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
+        # score = the docs' ordinary multi-term BM25 (phrase is a filter)
+        avgdl = self.stats["avgdl"]
+        ids_out, contribs = [], []
+        for t, (d, tf, _) in zip(terms, postings):
+            idf = self.idf(t)
+            if idf == 0.0:
+                continue
+            sel = np.searchsorted(d, phrase_docs)
+            tfv = tf[sel].astype(np.float64)
+            dl = self.norms[phrase_docs.astype(np.int64)].astype(np.float64)
+            ids_out.append(phrase_docs.astype(np.int64))
+            contribs.append(
+                idf * tfv * (BM25_K1 + 1.0)
+                / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        if not ids_out:
+            return []
+        return topk_from_sparse(
+            np.concatenate(ids_out), np.concatenate(contribs), k
+        )
+
     # ---------------- block-max WAND ------------------------------------
 
     # Dense-regime routing: when the query's postings cover a large fraction

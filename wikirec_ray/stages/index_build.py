@@ -70,9 +70,10 @@ from wikirec_ray.state.segments import (
 NORMS_TPART = -1  # reserved shuffle partition for doc-length runs
 # manifest format: v4 added per-partition input fingerprints (input-aware
 # resume); v5 made them LOGICAL (decoded-posting level) so resume skips
-# are independent of upstream batch/read boundaries; resume refuses to
-# mix formats
-MANIFEST_VERSION = 5
+# are independent of upstream batch/read boundaries; v6 added the optional
+# positional-postings columns to SEGMENT_SCHEMA (phrase queries — the files
+# differ even when positions are off); resume refuses to mix formats
+MANIFEST_VERSION = 6
 
 
 def term_partitions_for(terms, n_tparts: int = N_TERM_PARTITIONS) -> np.ndarray:
@@ -93,23 +94,75 @@ RUN_SCHEMA = pa.schema(
         ("doc_blob", pa.binary()),   # varint delta-gap doc ids
         ("tf_blob", pa.binary()),    # varint tfs (norms runs: doc lengths)
         ("dl_blob", pa.binary()),    # varint per-posting doc lengths
+        ("pos_blob", pa.binary()),   # varint delta-gap token positions,
+                                     # restart per posting (tf values each);
+                                     # b"" when store_positions is off
     ]
 )
+
+
+def _pairs_with_positions(
+    batch: pa.Table, id_col: str, text_col: str
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """(id, text) batch -> per-(doc, term) pairs WITH token positions:
+    (doc_ids u64, uniq_terms, term_codes i64, tfs u64, pos_flat u64).
+
+    Same (doc, term, tf) multiset as ``doc_term_freqs`` (one lexsort over
+    the token stream instead of the Arrow group_by); ``pos_flat`` holds each
+    pair's ascending 0-based positions within the doc's kept-token stream,
+    pair-major (pair i spans ``pos_flat[cum_tf[i] : cum_tf[i+1]]``)."""
+    from wikirec_ray.stages.analyze import _flat_tokens
+
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = len(par)
+    if n_tok == 0:
+        return (np.empty(0, np.uint64), [], np.empty(0, np.int64),
+                np.empty(0, np.uint64), np.empty(0, np.uint64))
+    row_counts = np.bincount(par, minlength=batch.num_rows)
+    row_starts = np.zeros(batch.num_rows, np.int64)
+    np.cumsum(row_counts[:-1], out=row_starts[1:])
+    tok_pos = np.arange(n_tok, dtype=np.int64) - row_starts[par]
+    dict_arr = flat.dictionary_encode()
+    uniq_terms = dict_arr.dictionary.to_pylist()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order0 = np.lexsort((tok_pos, codes, par))
+    par_s, codes_s, pos_s = par[order0], codes[order0], tok_pos[order0]
+    pb = np.flatnonzero((np.diff(par_s) != 0) | (np.diff(codes_s) != 0)) + 1
+    pstarts = np.concatenate([[0], pb]).astype(np.int64)
+    pends = np.concatenate([pb, [n_tok]]).astype(np.int64)
+    ids_np = batch[id_col].to_numpy().astype(np.uint64)
+    return (
+        ids_np[par_s[pstarts]],
+        uniq_terms,
+        codes_s[pstarts],
+        (pends - pstarts).astype(np.uint64),
+        pos_s.astype(np.uint64),
+    )
 
 
 def _postings_batch(
     batch: pa.Table, id_col: str, text_col: str,
     n_tparts: int = N_TERM_PARTITIONS,
+    store_positions: bool = False,
 ) -> pa.Table:
     """(doc_id, text) -> partial posting runs + norms runs (RUN_SCHEMA).
 
     One row per (tpart, range_id, term) present in the batch with that
     term's in-batch postings (and their doc lengths) varint-encoded; plus
     one row per doc-range under tpart=-1 carrying (doc_id, doc_len).  Each
-    doc lives wholly inside one batch, so per-batch tf and dl are exact."""
-    tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
-    doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
-    tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
+    doc lives wholly inside one batch, so per-batch tf and dl are exact.
+    With ``store_positions`` each posting run also carries its token
+    positions (``pos_blob``, restart per posting)."""
+    pos_flat = None
+    if store_positions:
+        doc_ids, uniq_terms0, term_codes0, tfs, pos_flat = _pairs_with_positions(
+            batch, id_col, text_col
+        )
+    else:
+        tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
+        doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
+        tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
     range_ids = (doc_ids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
 
     # doc lengths: sum tf per doc, scattered back to posting rows
@@ -121,15 +174,31 @@ def _postings_batch(
     np.add.at(dl_per_doc, pos, tfs)
     dls = dl_per_doc[pos]
 
-    dict_arr = tf_tbl["term"].combine_chunks().dictionary_encode()
-    uniq_terms = dict_arr.dictionary.to_pylist()
+    if store_positions:
+        uniq_terms, term_codes = uniq_terms0, term_codes0
+    else:
+        dict_arr = tf_tbl["term"].combine_chunks().dictionary_encode()
+        uniq_terms = dict_arr.dictionary.to_pylist()
+        term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     tpart_per_uniq = term_partitions_for(uniq_terms, n_tparts)
-    term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
     order = np.lexsort((doc_ids, range_ids, term_codes))
     tc, rg, di, tf, dl = (
         term_codes[order], range_ids[order], doc_ids[order], tfs[order], dls[order]
     )
+    if store_positions:
+        # permute the per-pair position sub-streams into the sorted pair
+        # order (variable-length segment gather via offsets)
+        vstarts0 = np.zeros(len(tfs), np.int64)
+        np.cumsum(tfs[:-1].astype(np.int64), out=vstarts0[1:])
+        sl = tf.astype(np.int64)  # segment lengths in sorted order
+        pos_new_starts = np.zeros(len(sl) + 1, np.int64)
+        np.cumsum(sl, out=pos_new_starts[1:])
+        gather = np.repeat(vstarts0[order], sl) + (
+            np.arange(int(pos_new_starts[-1]), dtype=np.int64)
+            - np.repeat(pos_new_starts[:-1], sl)
+        )
+        pos_sorted = pos_flat[gather]
     if len(tc):
         boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
         starts = np.concatenate([[0], boundary, [len(tc)]])
@@ -191,6 +260,22 @@ def _postings_batch(
     dl_blobs = [dl_stream[dl_cum[s] : dl_cum[e]] for s, e in zip(run_starts, run_ends)]
     dl_blobs += [b""] * len(norm_starts)
 
+    if store_positions and len(pos_sorted):
+        pos_gaps = np.empty(len(pos_sorted), np.uint64)
+        pos_gaps[1:] = pos_sorted[1:] - pos_sorted[:-1]
+        pos_gaps[0] = pos_sorted[0]
+        pos_gaps[pos_new_starts[:-1]] = pos_sorted[pos_new_starts[:-1]]
+        pos_stream = varint_encode(pos_gaps)
+        pos_cum = np.zeros(len(pos_gaps) + 1, np.int64)
+        np.cumsum(varint_lengths(pos_gaps), out=pos_cum[1:])
+        pos_blobs = [
+            pos_stream[pos_cum[pos_new_starts[s]] : pos_cum[pos_new_starts[e]]]
+            for s, e in zip(run_starts, run_ends)
+        ]
+    else:
+        pos_blobs = [b""] * n_runs
+    pos_blobs += [b""] * len(norm_starts)
+
     return pa.table(
         {
             "tpart": pa.array(tparts_out),
@@ -200,6 +285,7 @@ def _postings_batch(
             "doc_blob": pa.array(doc_blobs, pa.binary()),
             "tf_blob": pa.array(val_blobs, pa.binary()),
             "dl_blob": pa.array(dl_blobs, pa.binary()),
+            "pos_blob": pa.array(pos_blobs, pa.binary()),
         },
         schema=RUN_SCHEMA,
     )
@@ -214,11 +300,13 @@ def _bm25_factor(tf: np.ndarray | float, dl: np.ndarray | float, avgdl: float):
 
 def _encode_terms_table(
     terms: list[str], starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
-    dls: np.ndarray,
+    dls: np.ndarray, pos: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode (term-sorted, doc-sorted-within-term) posting arrays into one
     SEGMENT_SCHEMA table. ``starts`` has len(terms)+1 boundaries. Holds no
-    corpus-global state (block bounds are raw maxtf/mindl).
+    corpus-global state (block bounds are raw maxtf/mindl).  ``pos``, when
+    given, is the flat posting-major position stream (posting i owns
+    ``pos[cum_tf[i] : cum_tf[i+1]]``) and fills pos_blob / blk_pos_off.
 
     Fully vectorized: ONE varint pass over all gaps and one over all tfs for
     the whole group (per-value byte lengths let each term/block slice its
@@ -264,6 +352,18 @@ def _encode_terms_table(
     blk_maxtf = np.maximum.reduceat(tfs, blk_starts).astype(np.int64)
     blk_mindl = np.minimum.reduceat(dls, blk_starts).astype(np.int64)
 
+    if pos is not None:
+        vstart = np.zeros(n_total + 1, np.int64)
+        np.cumsum(tfs.astype(np.int64), out=vstart[1:])
+        pos_gaps = np.empty(len(pos), np.uint64)
+        pos_gaps[1:] = pos[1:] - pos[:-1]
+        pos_gaps[0] = pos[0]
+        pos_gaps[vstart[:-1]] = pos[vstart[:-1]]  # restart per posting
+        pos_stream = varint_encode(pos_gaps)
+        pos_cum = np.zeros(len(pos_gaps) + 1, np.int64)
+        np.cumsum(varint_lengths(pos_gaps), out=pos_cum[1:])
+        pbyte = pos_cum[vstart]  # byte offset at every posting boundary
+
     cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
     bpos = 0
     for ti, term in enumerate(terms):
@@ -288,6 +388,15 @@ def _encode_terms_table(
         cols["blk_mindl"].append(pack_i64(blk_mindl[bpos : bpos + nb]))
         cols["term_maxtf"].append(int(blk_maxtf[bpos : bpos + nb].max()))
         cols["term_mindl"].append(int(blk_mindl[bpos : bpos + nb].min()))
+        if pos is not None:
+            p0 = int(pbyte[s])
+            cols["pos_blob"].append(pos_stream[p0 : int(pbyte[e])])
+            cols["blk_pos_off"].append(
+                pack_i64(np.concatenate([pbyte[bs], [pbyte[e]]]) - p0)
+            )
+        else:
+            cols["pos_blob"].append(b"")
+            cols["blk_pos_off"].append(b"")
         bpos += nb
     return pa.table(cols, schema=SEGMENT_SCHEMA)
 
@@ -332,7 +441,32 @@ def _logical_fingerprint(*streams: np.ndarray) -> str:
     return f"{int(fp):016x}"
 
 
-def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
+def _positions_hash(pos_abs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-posting uint64 digest of its position list (for the logical
+    input fingerprint of a POSITIONAL index): each value is hashed with its
+    rank inside the posting, then XOR-combined per posting — nonlinear in
+    the values (fmix64) and sensitive to within-posting order, so permuted
+    or shifted positions change the digest even when tf is unchanged."""
+    from wikirec_ray.functions.hashing import GOLD64, fmix64
+
+    n = len(tfs)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    counts = tfs.astype(np.int64)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    ranks = np.arange(len(pos_abs), dtype=np.uint64) - np.repeat(
+        starts, counts
+    ).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = fmix64((pos_abs.astype(np.uint64) * GOLD64) ^ fmix64(ranks))
+    return np.bitwise_xor.reduceat(h, starts)
+
+
+def make_group_encoder(
+    index_dir: str, prior_partitions: dict, resume: bool,
+    store_positions: bool = False,
+):
     """One callable for every shuffle group: norms groups (tpart=-1) merge
     doc-length runs; postings groups merge+block-encode posting runs."""
 
@@ -401,13 +535,26 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
         doc_ids = csum - np.repeat(adj, run_n)
         tfs = varint_decode(tf_concat, total)
         dls = varint_decode(dl_concat, total)
+        pos_abs = None
+        if store_positions:
+            # concatenated run pos blobs form one valid varint stream of
+            # Σtf values with a delta restart at every posting boundary
+            total_pos = int(tfs.sum())
+            pgaps = varint_decode(b"".join(group["pos_blob"].to_pylist()), total_pos)
+            pcsum = np.cumsum(pgaps, dtype=np.uint64)
+            vstart0 = np.zeros(total, np.int64)
+            np.cumsum(tfs[:-1].astype(np.int64), out=vstart0[1:])
+            with np.errstate(over="ignore"):
+                padj = pcsum[vstart0] - pgaps[vstart0]
+            pos_abs = pcsum - np.repeat(padj, tfs.astype(np.int64))
 
         from wikirec_ray.functions.hashing import token_hashes_arrow
 
         uniq_hashes = token_hashes_arrow(dict_terms.dictionary)
-        fp = _logical_fingerprint(
-            np.repeat(uniq_hashes[run_codes], run_n), doc_ids, tfs, dls
-        )
+        fp_streams = [np.repeat(uniq_hashes[run_codes], run_n), doc_ids, tfs, dls]
+        if pos_abs is not None:
+            fp_streams.append(_positions_hash(pos_abs, tfs))
+        fp = _logical_fingerprint(*fp_streams)
         if (
             resume
             and partition_is_valid(path, prior_partitions.get(key))
@@ -426,6 +573,16 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
         # and a (term, doc) pair is unique (each doc lives in one batch), so
         # this single lexsort fully determines the output
         order2 = np.lexsort((doc_ids, term_idx))
+        pos_sorted = None
+        if pos_abs is not None:
+            sl = tfs[order2].astype(np.int64)
+            new_starts = np.zeros(len(sl) + 1, np.int64)
+            np.cumsum(sl, out=new_starts[1:])
+            gather = np.repeat(vstart0[order2], sl) + (
+                np.arange(int(new_starts[-1]), dtype=np.int64)
+                - np.repeat(new_starts[:-1], sl)
+            )
+            pos_sorted = pos_abs[gather]
         doc_ids, tfs, dls, term_idx = (
             doc_ids[order2], tfs[order2], dls[order2], term_idx[order2]
         )
@@ -434,7 +591,7 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
         present = term_idx[starts[:-1]]
         terms_sorted_all = sorted(uniq_terms)
         terms = [terms_sorted_all[int(c)] for c in present]
-        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls)
+        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls, pos_sorted)
         entry = atomic_write_table(table, path)
         entry.update(
             key=key, kind="postings", tpart=tpart, range_id=range_id,
@@ -447,13 +604,16 @@ def make_group_encoder(index_dir: str, prior_partitions: dict, resume: bool):
     return encode_group
 
 
-def _decode_range_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+def _decode_range_table(
+    t: pa.Table,
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Bulk-decode one postings range file (SEGMENT_SCHEMA) back into flat
-    posting arrays: (terms, term_starts[len+1], doc_ids, tfs).  One varint
-    pass per stream — concatenated per-term blobs form one valid stream,
-    and per-block gap restarts are corrected with the same cumsum trick as
-    ``SegmentReader.postings`` (state/segments.py), just across all terms
-    at once."""
+    posting arrays: (terms, term_starts[len+1], doc_ids, tfs, pos|None).
+    One varint pass per stream — concatenated per-term blobs form one valid
+    stream, and per-block gap restarts are corrected with the same cumsum
+    trick as ``SegmentReader.postings`` (state/segments.py), just across all
+    terms at once.  ``pos`` is the flat posting-major position stream when
+    the file stores positions, else None."""
     from wikirec_ray.functions.compress import varint_decode
 
     terms = t["term"].to_pylist()
@@ -462,7 +622,8 @@ def _decode_range_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray,
     np.cumsum(n_per, out=term_starts[1:])
     total = int(term_starts[-1])
     if total == 0:
-        return terms, term_starts, np.empty(0, np.uint64), np.empty(0, np.uint64)
+        return (terms, term_starts, np.empty(0, np.uint64),
+                np.empty(0, np.uint64), None)
     blk_counts = np.concatenate(
         [unpack_i64(b) for b in t["blk_counts"].to_pylist()]
     ).astype(np.int64)
@@ -474,10 +635,22 @@ def _decode_range_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray,
         adj = csum[bstarts] - gaps[bstarts]
         doc_ids = csum - np.repeat(adj, blk_counts)
     tfs = varint_decode(b"".join(t["tf_blob"].to_pylist()), total)
-    return terms, term_starts, doc_ids, tfs
+    pos = None
+    pos_concat = b"".join(t["pos_blob"].to_pylist()) if "pos_blob" in t.schema.names else b""
+    if pos_concat:
+        total_pos = int(tfs.sum())
+        pgaps = varint_decode(pos_concat, total_pos)
+        pcsum = np.cumsum(pgaps, dtype=np.uint64)
+        vstart = np.zeros(total, np.int64)
+        np.cumsum(tfs[:-1].astype(np.int64), out=vstart[1:])
+        with np.errstate(over="ignore"):
+            padj = pcsum[vstart] - pgaps[vstart]
+        pos = pcsum - np.repeat(padj, tfs.astype(np.int64))
+    return terms, term_starts, doc_ids, tfs, pos
 
 
-def make_delta_merger(index_dir: str, prior_parts: dict):
+def make_delta_merger(index_dir: str, prior_parts: dict,
+                      store_positions: bool = False):
     """Group encoder for ``append_index``: each delta shuffle group MERGES
     with the partition already on disk (bulk decode → union → re-encode)
     instead of owning the whole range.  Fingerprints are recomputed over the
@@ -572,9 +745,26 @@ def make_delta_merger(index_dir: str, prior_parts: dict):
         dict_terms = group["term"].combine_chunks().dictionary_encode()
         d_uniq = dict_terms.dictionary.to_pylist()
         d_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d_pos = None
+        if store_positions:
+            total_pos = int(d_vals.sum())
+            pgaps = varint_decode(b"".join(group["pos_blob"].to_pylist()), total_pos)
+            pcsum = np.cumsum(pgaps, dtype=np.uint64)
+            dvs = np.zeros(total, np.int64)
+            np.cumsum(d_vals[:-1].astype(np.int64), out=dvs[1:])
+            with np.errstate(over="ignore"):
+                padj = pcsum[dvs] - pgaps[dvs]
+            d_pos = pcsum - np.repeat(padj, d_vals.astype(np.int64))
 
         if check_prior(path, key):
-            o_terms, o_starts, o_docs, o_tfs = _decode_range_table(pq.read_table(path))
+            o_terms, o_starts, o_docs, o_tfs, o_pos = _decode_range_table(
+                pq.read_table(path)
+            )
+            if store_positions and len(o_docs) and o_pos is None:
+                raise ValueError(
+                    f"append_index: {key} stores no positions but the index "
+                    f"stats say store_positions — rebuild"
+                )
             # old postings' per-doc lengths come from the range's norms file;
             # doc lengths never change in append-only ingest, so reading it
             # before or after its own merge task is equally correct.  (The
@@ -594,6 +784,7 @@ def make_delta_merger(index_dir: str, prior_parts: dict):
             o_docs = np.empty(0, np.uint64)
             o_tfs = np.empty(0, np.uint64)
             o_dls = np.empty(0, np.uint64)
+            o_pos = np.empty(0, np.uint64) if store_positions else None
 
         # union vocabulary, then one lexsort over (term, doc)
         uniq_all = sorted(set(o_terms) | set(d_uniq))
@@ -608,6 +799,22 @@ def make_delta_merger(index_dir: str, prior_parts: dict):
         tfs = np.concatenate([o_tfs, d_vals])
         dls = np.concatenate([o_dls, d_dls])
         order = np.lexsort((doc_ids, term_idx))
+        pos_sorted = None
+        if store_positions:
+            pos_all = np.concatenate(
+                [o_pos if o_pos is not None else np.empty(0, np.uint64),
+                 d_pos if d_pos is not None else np.empty(0, np.uint64)]
+            )
+            vst = np.zeros(len(tfs), np.int64)
+            np.cumsum(tfs[:-1].astype(np.int64), out=vst[1:])
+            sl = tfs[order].astype(np.int64)
+            nstarts = np.zeros(len(sl) + 1, np.int64)
+            np.cumsum(sl, out=nstarts[1:])
+            gather = np.repeat(vst[order], sl) + (
+                np.arange(int(nstarts[-1]), dtype=np.int64)
+                - np.repeat(nstarts[:-1], sl)
+            )
+            pos_sorted = pos_all[gather]
         doc_ids, tfs, dls, term_idx = (
             doc_ids[order], tfs[order], dls[order], term_idx[order]
         )
@@ -619,11 +826,14 @@ def make_delta_merger(index_dir: str, prior_parts: dict):
                     f"delta doc_ids must be new"
                 )
         uniq_hashes = token_hashes_arrow(pa.array(uniq_all, pa.string()))
-        fp = _logical_fingerprint(uniq_hashes[term_idx], doc_ids, tfs, dls)
+        fp_streams = [uniq_hashes[term_idx], doc_ids, tfs, dls]
+        if pos_sorted is not None:
+            fp_streams.append(_positions_hash(pos_sorted, tfs))
+        fp = _logical_fingerprint(*fp_streams)
         boundaries = np.flatnonzero(np.diff(term_idx)) + 1
         starts = np.concatenate([[0], boundaries, [len(doc_ids)]])
         terms = [uniq_all[int(c)] for c in term_idx[starts[:-1]]]
-        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls)
+        table = _encode_terms_table(terms, starts, doc_ids, tfs, dls, pos_sorted)
         entry = atomic_write_table(table, path)
         entry.update(key=key, kind="postings", tpart=tpart, range_id=range_id,
                      n_terms=len(terms), n_postings=int(len(doc_ids)),
@@ -740,6 +950,12 @@ def _merge_range_tables(tables: list[pa.Table]) -> pa.Table:
     n_col = allt["n"].to_numpy()
     maxtf = allt["term_maxtf"].to_numpy()
     mindl = allt["term_mindl"].to_numpy()
+    # positional indexes rebase blk_pos_off like the other offset columns;
+    # positions-off files carry b"" cells, which concatenate to b""
+    has_pos = int(
+        pc.sum(pc.binary_length(allt["blk_pos_off"])).as_py() or 0
+    ) > 0
+    pos_off_merge = _rebase_block_offsets if has_pos else _regroup_binary
     return pa.table(
         {
             "term": terms_all.take(pa.array(group_starts)),
@@ -754,6 +970,8 @@ def _merge_range_tables(tables: list[pa.Table]) -> pa.Table:
             "blk_mindl": _regroup_binary(allt["blk_mindl"], group_starts),
             "term_maxtf": pa.array(np.maximum.reduceat(maxtf, gs[:-1]).astype(np.int64)),
             "term_mindl": pa.array(np.minimum.reduceat(mindl, gs[:-1]).astype(np.int64)),
+            "pos_blob": _regroup_binary(allt["pos_blob"], group_starts),
+            "blk_pos_off": pos_off_merge(allt["blk_pos_off"], group_starts),
         },
         schema=SEGMENT_SCHEMA,
     )
@@ -842,6 +1060,7 @@ def build_index(
     resume: bool = True,
     lineage: dict | None = None,
     n_term_partitions: int | None = None,
+    store_positions: bool = False,
 ) -> dict:
     """Build the full index from a Dataset(id, text, …); returns the manifest.
 
@@ -853,6 +1072,12 @@ def build_index(
     ``schema.N_TERM_PARTITIONS`` and is recorded in the manifest — resuming
     with a different value triggers a full rebuild (partition assignment
     changes every file).
+
+    ``store_positions`` additionally records each posting's token positions
+    (``pos_blob``) enabling exact phrase queries (``IndexReader.phrase_topk``)
+    at ~the cost of one extra varint per token in the shuffle and on disk;
+    BM25 paths are unaffected.  Recorded in the manifest — resuming with a
+    different value triggers a full rebuild.
     """
     n_tparts = int(n_term_partitions or N_TERM_PARTITIONS)
     prior = load_manifest(index_dir) if resume else None
@@ -860,6 +1085,10 @@ def build_index(
         prior = None  # older segment format — never resume across versions
     if prior is not None and prior.get("stats", {}).get("n_term_partitions") != n_tparts:
         prior = None  # different partitioning — every partition is stale
+    if prior is not None and bool(
+        prior.get("stats", {}).get("store_positions", False)
+    ) != bool(store_positions):
+        prior = None  # positional layout differs — every file is stale
     prior_parts = (prior or {}).get("partitions", {})
     t_start = time.monotonic()
 
@@ -880,7 +1109,7 @@ def build_index(
     try:
         return _build_index_inner(
             ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-            n_tparts,
+            n_tparts, store_positions,
         )
     finally:
         ctx.min_parallelism = prev_min_parallelism
@@ -888,18 +1117,19 @@ def build_index(
 
 def _build_index_inner(
     ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-    n_tparts,
+    n_tparts, store_positions=False,
 ) -> dict:
     # -- the single shuffle: postings + norms in one groupby -------------
     runs = ds.map_batches(
-        lambda b: _postings_batch(b, id_col, text_col, n_tparts),
+        lambda b: _postings_batch(b, id_col, text_col, n_tparts, store_positions),
         batch_format="pyarrow",
         batch_size=4096,  # bigger batches → fewer partial runs in the shuffle
     )
     entries = [
         json.loads(r["entry"])
         for r in runs.groupby(["tpart", "range_id"])
-        .map_groups(make_group_encoder(index_dir, prior_parts, resume),
+        .map_groups(make_group_encoder(index_dir, prior_parts, resume,
+                                       store_positions),
                     batch_format="pyarrow")
         .take_all()
     ]
@@ -944,6 +1174,7 @@ def _build_index_inner(
         "n_term_partitions": n_tparts,
         "doc_range_size": DOC_RANGE_SIZE,
         "block_size": BLOCK_SIZE,
+        "store_positions": bool(store_positions),
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -1000,6 +1231,7 @@ def append_index(
             "sizes — partition keys would not line up; rebuild"
         )
     n_tparts = int(stats0["n_term_partitions"])
+    store_positions = bool(stats0.get("store_positions", False))
     prior_parts = prior["partitions"]
     t_start = time.monotonic()
 
@@ -1015,14 +1247,16 @@ def append_index(
         pass
     try:
         runs = delta_ds.map_batches(
-            lambda b: _postings_batch(b, id_col, text_col, n_tparts),
+            lambda b: _postings_batch(b, id_col, text_col, n_tparts,
+                                      store_positions),
             batch_format="pyarrow",
             batch_size=4096,
         )
         touched = [
             json.loads(r["entry"])
             for r in runs.groupby(["tpart", "range_id"])
-            .map_groups(make_delta_merger(index_dir, prior_parts),
+            .map_groups(make_delta_merger(index_dir, prior_parts,
+                                          store_positions),
                         batch_format="pyarrow")
             .take_all()
         ]

@@ -33,7 +33,15 @@ a block without decoding it)::
     doc_blob/tf_blob: binary (delta-gap + varint, restart per block),
     blk_maxtf:  binary (int64[] LE — max tf per block),
     blk_mindl:  binary (int64[] LE — min doc length per block),
-    term_maxtf / term_mindl: int64.
+    term_maxtf / term_mindl: int64,
+    pos_blob:   binary (OPTIONAL positional postings, empty when the index
+                was built with store_positions=False: per-posting token
+                positions within the doc, delta-gap varints with a restart
+                at every posting; the per-posting value count is that
+                posting's tf, so no extra offsets are stored per posting),
+    blk_pos_off: binary (int64[] LE, len nblk+1 — byte offsets of each
+                block's position run inside pos_blob; empty when positions
+                are off).
 
 Block-max metadata is stored as (max tf, min dl) per block rather than a
 precomputed score bound: the idf-independent BM25 factor
@@ -75,6 +83,8 @@ SEGMENT_SCHEMA = pa.schema(
         ("blk_mindl", pa.binary()),
         ("term_maxtf", pa.int64()),
         ("term_mindl", pa.int64()),
+        ("pos_blob", pa.binary()),
+        ("blk_pos_off", pa.binary()),
     ]
 )
 
@@ -165,6 +175,9 @@ class SegmentReader:
             t: i for i, t in enumerate(self.table["term"].to_pylist())
         }
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._positions_cache: dict[
+            str, tuple[np.ndarray, np.ndarray, np.ndarray]
+        ] = {}
         self._cache_terms = cache_terms
 
     def terms(self) -> list[str]:
@@ -222,6 +235,41 @@ class SegmentReader:
         if len(self._postings_cache) < self._cache_terms:
             self._postings_cache[term] = (doc_ids, tfs)
         return doc_ids, tfs
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """term -> (doc_ids, tfs, flat positions uint64) for a POSITIONAL
+        index (``build_index(store_positions=True)``).  Posting i's token
+        positions are ``pos[cum_tf[i] : cum_tf[i+1]]``, ascending — the
+        per-posting value count is the posting's tf, so the position stream
+        needs no offsets of its own.  Decode is the same one-pass
+        cumsum-with-restart as ``postings`` (restart per POSTING here).
+        Raises if the index stores no positions.  Hot terms are memoized
+        like ``postings`` (phrase sets repeat terms)."""
+        from wikirec_ray.functions.compress import varint_decode
+
+        hit = self._positions_cache.get(term)
+        if hit is not None:
+            return hit
+        doc_ids, tfs = self.postings(term)
+        if len(doc_ids) == 0:
+            return doc_ids, tfs, np.empty(0, np.uint64)
+        row = self.term_row(term)
+        if not row["pos_blob"]:
+            raise ValueError(
+                f"index stores no positions for term {term!r} — build with "
+                f"store_positions=True to enable phrase queries"
+            )
+        counts = tfs.astype(np.int64)
+        n_vals = int(counts.sum())
+        gaps = varint_decode(row["pos_blob"], n_vals)
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        adj = csum[starts] - gaps[starts]
+        pos = csum - np.repeat(adj, counts)
+        if len(self._positions_cache) < self._cache_terms:
+            self._positions_cache[term] = (doc_ids, tfs, pos)
+        return doc_ids, tfs, pos
 
     def block_bounds(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(max tf, min dl) per block — inputs to the query-time bound."""
