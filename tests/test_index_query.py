@@ -728,6 +728,70 @@ def test_positional_index_phrase_topk(ray_session, tmp_path):
     assert IndexReader(idx0).phrase_topk(["w1", "w2"], 10) == \
         rd.phrase_topk(["w1", "w2"], 10)
 
+    # block-selective decode (positions_select over blk_pos_off) must equal
+    # slicing the full stream, via a fresh reader whose positions cache is
+    # cold (the >2-block term 'w1' exercises multi-block skip)
+    from wikirec_ray.functions.compress import gather_segments
+
+    seg = IndexReader(idx).term_segment("w1")
+    d, tf, pos_all = IndexReader(idx).term_segment("w1").positions("w1")
+    starts = np.zeros(len(tf) + 1, np.int64)
+    np.cumsum(tf.astype(np.int64), out=starts[1:])
+    for sel in (np.array([0], np.int64),
+                np.arange(0, len(d), 7, dtype=np.int64),
+                np.arange(len(d), dtype=np.int64)):
+        want, wb = gather_segments(pos_all, starts[sel], tf[sel].astype(np.int64))
+        got, gb = seg.positions_select("w1", sel)
+        assert got.tolist() == want.tolist() and gb.tolist() == wb.tolist()
+
+
+def test_append_index_positional(ray_session, tmp_path):
+    """append_index on a POSITIONAL index: the delta's positions merge into
+    the on-disk partitions, phrase results equal a full positional rebuild,
+    and the merged fingerprints let a subsequent full-corpus resume skip
+    everything (appends and resumes compose for positional layouts too)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.schema import DOC_RANGE_SIZE
+    from wikirec_ray.stages.index_build import append_index, build_index
+
+    vocab = [f"w{i}" for i in range(20)]
+
+    def texts_for(ids):
+        out = []
+        for i in ids:
+            r = np.random.default_rng(1000 + i)  # per-doc, call-order-free
+            out.append(" ".join(r.choice(vocab, size=int(r.integers(6, 40)))))
+        return out
+
+    def mk(ids):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts_for(ids), pa.string())})
+        )
+
+    idx = str(tmp_path / "pos_app")
+    base_ids = list(range(400))
+    build_index(mk(base_ids), idx, resume=False, store_positions=True)
+    # delta straddles the boundary range and a brand-new range
+    extra_ids = list(range(400, 520)) + list(range(DOC_RANGE_SIZE,
+                                                   DOC_RANGE_SIZE + 80))
+    append_index(mk(extra_ids), idx)
+
+    full = str(tmp_path / "pos_app_full")
+    build_index(mk(base_ids + extra_ids), full, resume=False,
+                store_positions=True)
+    rd, rdf = IndexReader(idx), IndexReader(full)
+    for phr in (["w1", "w2"], ["w3"], ["w0", "w1", "w2"], ["w5", "w5"]):
+        assert rd.phrase_topk(phr, 10) == rdf.phrase_topk(phr, 10), phr
+    for q in (["w1"], ["w2", "w9"]):
+        assert rd.topk(q, 10) == rdf.topk(q, 10)
+
+    m2 = build_index(mk(base_ids + extra_ids), idx, resume=True,
+                     store_positions=True)
+    assert all(e.get("skipped") for e in m2["partitions"].values())
+
 
 def test_logical_fingerprint_properties():
     """v5 input fingerprint invariants.  (1) NONLINEAR: compensating tf/dl

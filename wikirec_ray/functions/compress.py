@@ -101,3 +101,41 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, count: int | None = None):
     doc_ids = delta_decode(varint_decode(doc_blob, count))
     tfs = varint_decode(tf_blob, count)
     return doc_ids, tfs
+
+
+def decode_restarted(blob: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode a varint delta-gap stream whose delta RESTARTS at each segment
+    start (segment i holds ``counts[i]`` values; the first value of a
+    segment is absolute).  One decode + one cumsum over the whole stream,
+    then a per-segment correction — the shared kernel behind block-restart
+    posting decode, per-posting position decode, and run-restart shuffle
+    decode (previously four hand-inlined copies)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    gaps = varint_decode(blob, total)
+    if total == 0:
+        return gaps
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    with np.errstate(over="ignore"):
+        adj = csum[starts] - gaps[starts]
+    return csum - np.repeat(adj, counts)
+
+
+def gather_segments(
+    values: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate ``values[starts[i] : starts[i] + lengths[i]]`` for all i,
+    fully vectorized (the variable-length segment gather used to reorder
+    per-posting position sub-streams).  Returns (gathered values,
+    int64[len+1] output segment boundaries)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    out_starts = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=out_starts[1:])
+    idx = np.repeat(starts, lengths) + (
+        np.arange(int(out_starts[-1]), dtype=np.int64)
+        - np.repeat(out_starts[:-1], lengths)
+    )
+    return values[idx], out_starts

@@ -122,52 +122,61 @@ class IndexReader:
         the bm25 oracle plus a LIKE over the joined token stream.  Ranking
         ties follow the same (round(score, 9) desc, doc asc) contract.
 
-        Fully vectorized: per-term positions decode once; candidate docs =
-        intersection of the terms' posting lists; adjacency is checked with
-        one sorted-membership pass per consecutive term over composite
-        (candidate, position) uint64 keys — no per-doc Python loop."""
+        Fully vectorized, candidate-bounded: candidate docs = intersection
+        of the terms' posting lists, then each term's positions are fetched
+        for ONLY the candidate postings — sparse candidates take the
+        ``positions_select`` block-skip path (work bounded by the rarest
+        term's df, not a heavy term's total position count), dense ones
+        decode+memoize the whole stream.  Adjacency is one sorted-membership
+        pass per consecutive term over composite (candidate, position)
+        uint64 keys — no per-doc Python loop."""
+        from wikirec_ray.functions.compress import gather_segments
+
         if not terms:
             return []
         postings = []
         for t in terms:
             if self.df.get(t, 0) == 0:
                 return []  # absent term (a tpart with no terms has no file)
-            d, tf, p = self.term_segment(t).positions(t)
+            seg = self.term_segment(t)
+            d, tf = seg.postings(t)
             if len(d) == 0:
                 return []
-            postings.append((d, tf, p))
+            postings.append((d, tf, seg))
         # candidate docs: present in EVERY term's posting list
         cand = postings[0][0]
         for d, _, _ in postings[1:]:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return []
+
         # composite keys: candidate index (compact) << 32 | position.
-        # positions < 2^32 (doc_len is int64 but a single doc's token count
-        # beyond 4e9 is outside the engine's doc-size envelope; guard).
-        def cand_keys(d, tf, p):
+        # Positions must stay below 2^32 - 1 so the chain's +1 increment
+        # cannot carry into the owner bits (doc token counts beyond 4e9 are
+        # outside the engine's doc-size envelope; fail loudly).
+        def cand_keys(t, d, tf, seg):
             sel = np.searchsorted(d, cand)
-            counts = tf[sel].astype(np.int64)
-            starts = np.zeros(len(d) + 1, np.int64)
-            np.cumsum(tf.astype(np.int64), out=starts[1:])
-            gat = np.repeat(starts[sel], counts) + (
-                np.arange(int(counts.sum()), dtype=np.int64)
-                - np.repeat(
-                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            if 4 * len(cand) >= len(d):  # dense: decode once, memoized
+                _, tf_all, pos_all = seg.positions(t)
+                starts = np.zeros(len(tf_all) + 1, np.int64)
+                np.cumsum(tf_all.astype(np.int64), out=starts[1:])
+                pos_c, bounds = gather_segments(
+                    pos_all, starts[sel], tf_all[sel].astype(np.int64)
                 )
-            )
-            pos_c = p[gat]
-            if len(pos_c) and int(pos_c.max()) >= (1 << 32):
-                raise ValueError("phrase_topk: token position >= 2^32")
+            else:  # sparse: decode only blocks holding a candidate posting
+                pos_c, bounds = seg.positions_select(t, sel)
+            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - 1:
+                raise ValueError("phrase_topk: token position >= 2^32 - 1")
             owner = np.repeat(
-                np.arange(len(cand), dtype=np.uint64), counts
+                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
             )
             return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
+
         # chain: survivors after term j = (cand, p) with the phrase's first
         # j+1 terms ending at position p
-        live = cand_keys(*postings[0])
-        for d, tf, p in postings[1:]:
-            nxt = cand_keys(d, tf, p)  # sorted: cand asc, pos asc
+        live = cand_keys(terms[0], *postings[0])
+        for t, (d, tf, seg) in zip(terms[1:], postings[1:]):
+            nxt = cand_keys(t, d, tf, seg)  # sorted: cand asc, pos asc
             live = live + np.uint64(1)
             live = live[nxt[np.searchsorted(nxt, live) % len(nxt)] == live]
             if len(live) == 0:
@@ -175,15 +184,15 @@ class IndexReader:
         phrase_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
         # score = the docs' ordinary multi-term BM25 (phrase is a filter)
         avgdl = self.stats["avgdl"]
+        docs64 = phrase_docs.astype(np.int64)
+        dl = self.norms[docs64].astype(np.float64)
         ids_out, contribs = [], []
         for t, (d, tf, _) in zip(terms, postings):
             idf = self.idf(t)
             if idf == 0.0:
                 continue
-            sel = np.searchsorted(d, phrase_docs)
-            tfv = tf[sel].astype(np.float64)
-            dl = self.norms[phrase_docs.astype(np.int64)].astype(np.float64)
-            ids_out.append(phrase_docs.astype(np.int64))
+            tfv = tf[np.searchsorted(d, phrase_docs)].astype(np.float64)
+            ids_out.append(docs64)
             contribs.append(
                 idf * tfv * (BM25_K1 + 1.0)
                 / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))

@@ -189,16 +189,13 @@ def _postings_batch(
     if store_positions:
         # permute the per-pair position sub-streams into the sorted pair
         # order (variable-length segment gather via offsets)
+        from wikirec_ray.functions.compress import gather_segments
+
         vstarts0 = np.zeros(len(tfs), np.int64)
         np.cumsum(tfs[:-1].astype(np.int64), out=vstarts0[1:])
-        sl = tf.astype(np.int64)  # segment lengths in sorted order
-        pos_new_starts = np.zeros(len(sl) + 1, np.int64)
-        np.cumsum(sl, out=pos_new_starts[1:])
-        gather = np.repeat(vstarts0[order], sl) + (
-            np.arange(int(pos_new_starts[-1]), dtype=np.int64)
-            - np.repeat(pos_new_starts[:-1], sl)
+        pos_sorted, pos_new_starts = gather_segments(
+            pos_flat, vstarts0[order], tf.astype(np.int64)
         )
-        pos_sorted = pos_flat[gather]
     if len(tc):
         boundary = np.flatnonzero(np.diff(tc) | np.diff(rg)) + 1
         starts = np.concatenate([[0], boundary, [len(tc)]])
@@ -517,36 +514,28 @@ def make_group_encoder(
         # is computed over the decoded (term, doc, tf, dl) records so an
         # unchanged partition skips regardless of run boundaries; the skip
         # path pays decode but not the sort/encode/write.
-        n_runs = group.num_rows
+        from wikirec_ray.functions.compress import decode_restarted, gather_segments
+
         run_n = group["n"].to_numpy()
         dict_terms = group["term"].combine_chunks().dictionary_encode()
         uniq_terms = dict_terms.dictionary.to_pylist()
         run_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
-        doc_concat = b"".join(group["doc_blob"].to_pylist())
         tf_concat = b"".join(group["tf_blob"].to_pylist())
         dl_concat = b"".join(group["dl_blob"].to_pylist())
         total = int(run_n.sum())
-        gaps = varint_decode(doc_concat, total)
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        rstarts = np.zeros(n_runs, np.int64)
-        np.cumsum(run_n[:-1], out=rstarts[1:])
-        adj = csum[rstarts] - gaps[rstarts]
-        doc_ids = csum - np.repeat(adj, run_n)
+        doc_ids = decode_restarted(b"".join(group["doc_blob"].to_pylist()), run_n)
         tfs = varint_decode(tf_concat, total)
         dls = varint_decode(dl_concat, total)
         pos_abs = None
         if store_positions:
             # concatenated run pos blobs form one valid varint stream of
             # Σtf values with a delta restart at every posting boundary
-            total_pos = int(tfs.sum())
-            pgaps = varint_decode(b"".join(group["pos_blob"].to_pylist()), total_pos)
-            pcsum = np.cumsum(pgaps, dtype=np.uint64)
+            pos_abs = decode_restarted(
+                b"".join(group["pos_blob"].to_pylist()), tfs
+            )
             vstart0 = np.zeros(total, np.int64)
             np.cumsum(tfs[:-1].astype(np.int64), out=vstart0[1:])
-            with np.errstate(over="ignore"):
-                padj = pcsum[vstart0] - pgaps[vstart0]
-            pos_abs = pcsum - np.repeat(padj, tfs.astype(np.int64))
 
         from wikirec_ray.functions.hashing import token_hashes_arrow
 
@@ -575,14 +564,9 @@ def make_group_encoder(
         order2 = np.lexsort((doc_ids, term_idx))
         pos_sorted = None
         if pos_abs is not None:
-            sl = tfs[order2].astype(np.int64)
-            new_starts = np.zeros(len(sl) + 1, np.int64)
-            np.cumsum(sl, out=new_starts[1:])
-            gather = np.repeat(vstart0[order2], sl) + (
-                np.arange(int(new_starts[-1]), dtype=np.int64)
-                - np.repeat(new_starts[:-1], sl)
+            pos_sorted, _ = gather_segments(
+                pos_abs, vstart0[order2], tfs[order2].astype(np.int64)
             )
-            pos_sorted = pos_abs[gather]
         doc_ids, tfs, dls, term_idx = (
             doc_ids[order2], tfs[order2], dls[order2], term_idx[order2]
         )
@@ -614,7 +598,7 @@ def _decode_range_table(
     trick as ``SegmentReader.postings`` (state/segments.py), just across all
     terms at once.  ``pos`` is the flat posting-major position stream when
     the file stores positions, else None."""
-    from wikirec_ray.functions.compress import varint_decode
+    from wikirec_ray.functions.compress import decode_restarted, varint_decode
 
     terms = t["term"].to_pylist()
     n_per = t["n"].to_numpy()
@@ -627,25 +611,12 @@ def _decode_range_table(
     blk_counts = np.concatenate(
         [unpack_i64(b) for b in t["blk_counts"].to_pylist()]
     ).astype(np.int64)
-    gaps = varint_decode(b"".join(t["doc_blob"].to_pylist()), total)
-    csum = np.cumsum(gaps, dtype=np.uint64)
-    bstarts = np.zeros(len(blk_counts), np.int64)
-    np.cumsum(blk_counts[:-1], out=bstarts[1:])
-    with np.errstate(over="ignore"):
-        adj = csum[bstarts] - gaps[bstarts]
-        doc_ids = csum - np.repeat(adj, blk_counts)
+    doc_ids = decode_restarted(b"".join(t["doc_blob"].to_pylist()), blk_counts)
     tfs = varint_decode(b"".join(t["tf_blob"].to_pylist()), total)
     pos = None
     pos_concat = b"".join(t["pos_blob"].to_pylist()) if "pos_blob" in t.schema.names else b""
     if pos_concat:
-        total_pos = int(tfs.sum())
-        pgaps = varint_decode(pos_concat, total_pos)
-        pcsum = np.cumsum(pgaps, dtype=np.uint64)
-        vstart = np.zeros(total, np.int64)
-        np.cumsum(tfs[:-1].astype(np.int64), out=vstart[1:])
-        with np.errstate(over="ignore"):
-            padj = pcsum[vstart] - pgaps[vstart]
-        pos = pcsum - np.repeat(padj, tfs.astype(np.int64))
+        pos = decode_restarted(pos_concat, tfs)
     return terms, term_starts, doc_ids, tfs, pos
 
 
@@ -681,23 +652,20 @@ def make_delta_merger(index_dir: str, prior_parts: dict,
     def merge_group(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        from wikirec_ray.functions.compress import varint_decode
+        from wikirec_ray.functions.compress import (
+            decode_restarted,
+            gather_segments,
+            varint_decode,
+        )
         from wikirec_ray.functions.hashing import token_hashes_arrow
 
         tpart = int(group["tpart"][0].as_py())
         range_id = int(group["range_id"][0].as_py())
 
         # single-pass decode of the delta runs (same layout as encode_group)
-        n_runs = group.num_rows
         run_n = group["n"].to_numpy()
         total = int(run_n.sum())
-        gaps = varint_decode(b"".join(group["doc_blob"].to_pylist()), total)
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        rstarts = np.zeros(n_runs, np.int64)
-        np.cumsum(run_n[:-1], out=rstarts[1:])
-        with np.errstate(over="ignore"):
-            adj = csum[rstarts] - gaps[rstarts]
-            d_docs = csum - np.repeat(adj, run_n)
+        d_docs = decode_restarted(b"".join(group["doc_blob"].to_pylist()), run_n)
         d_vals = varint_decode(b"".join(group["tf_blob"].to_pylist()), total)
 
         if tpart == NORMS_TPART:
@@ -747,14 +715,9 @@ def make_delta_merger(index_dir: str, prior_parts: dict,
         d_codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         d_pos = None
         if store_positions:
-            total_pos = int(d_vals.sum())
-            pgaps = varint_decode(b"".join(group["pos_blob"].to_pylist()), total_pos)
-            pcsum = np.cumsum(pgaps, dtype=np.uint64)
-            dvs = np.zeros(total, np.int64)
-            np.cumsum(d_vals[:-1].astype(np.int64), out=dvs[1:])
-            with np.errstate(over="ignore"):
-                padj = pcsum[dvs] - pgaps[dvs]
-            d_pos = pcsum - np.repeat(padj, d_vals.astype(np.int64))
+            d_pos = decode_restarted(
+                b"".join(group["pos_blob"].to_pylist()), d_vals
+            )
 
         if check_prior(path, key):
             o_terms, o_starts, o_docs, o_tfs, o_pos = _decode_range_table(
@@ -807,14 +770,9 @@ def make_delta_merger(index_dir: str, prior_parts: dict,
             )
             vst = np.zeros(len(tfs), np.int64)
             np.cumsum(tfs[:-1].astype(np.int64), out=vst[1:])
-            sl = tfs[order].astype(np.int64)
-            nstarts = np.zeros(len(sl) + 1, np.int64)
-            np.cumsum(sl, out=nstarts[1:])
-            gather = np.repeat(vst[order], sl) + (
-                np.arange(int(nstarts[-1]), dtype=np.int64)
-                - np.repeat(nstarts[:-1], sl)
+            pos_sorted, _ = gather_segments(
+                pos_all, vst[order], tfs[order].astype(np.int64)
             )
-            pos_sorted = pos_all[gather]
         doc_ids, tfs, dls, term_idx = (
             doc_ids[order], tfs[order], dls[order], term_idx[order]
         )

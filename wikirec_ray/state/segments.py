@@ -215,7 +215,7 @@ class SegmentReader:
         doc_id[i] = csum[i] − csum[s] + v[s].  Hot terms are memoized (query
         sets repeat terms; the cache is the in-memory tier a segment server
         would keep)."""
-        from wikirec_ray.functions.compress import varint_decode
+        from wikirec_ray.functions.compress import decode_restarted, varint_decode
 
         hit = self._postings_cache.get(term)
         if hit is not None:
@@ -224,14 +224,8 @@ class SegmentReader:
         if row is None:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         counts = unpack_i64(row["blk_counts"])
-        n = int(counts.sum())
-        gaps = varint_decode(row["doc_blob"], n)
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        adj = csum[starts] - gaps[starts]  # uint64 wraparound-safe
-        doc_ids = csum - np.repeat(adj, counts)
-        tfs = varint_decode(row["tf_blob"], n)
+        doc_ids = decode_restarted(row["doc_blob"], counts)
+        tfs = varint_decode(row["tf_blob"], int(counts.sum()))
         if len(self._postings_cache) < self._cache_terms:
             self._postings_cache[term] = (doc_ids, tfs)
         return doc_ids, tfs
@@ -245,7 +239,7 @@ class SegmentReader:
         cumsum-with-restart as ``postings`` (restart per POSTING here).
         Raises if the index stores no positions.  Hot terms are memoized
         like ``postings`` (phrase sets repeat terms)."""
-        from wikirec_ray.functions.compress import varint_decode
+        from wikirec_ray.functions.compress import decode_restarted
 
         hit = self._positions_cache.get(term)
         if hit is not None:
@@ -259,17 +253,69 @@ class SegmentReader:
                 f"index stores no positions for term {term!r} — build with "
                 f"store_positions=True to enable phrase queries"
             )
-        counts = tfs.astype(np.int64)
-        n_vals = int(counts.sum())
-        gaps = varint_decode(row["pos_blob"], n_vals)
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        adj = csum[starts] - gaps[starts]
-        pos = csum - np.repeat(adj, counts)
+        pos = decode_restarted(row["pos_blob"], tfs)
         if len(self._positions_cache) < self._cache_terms:
             self._positions_cache[term] = (doc_ids, tfs, pos)
         return doc_ids, tfs, pos
+
+    def positions_select(
+        self, term: str, sel: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Positions for a SUBSET of a term's postings without decoding the
+        whole stream — the blk_pos_off skip path: only blocks containing a
+        selected posting have their position bytes varint-decoded.  ``sel``
+        is sorted posting indices (as from ``searchsorted`` over the term's
+        doc_ids).  Returns (flat positions, int64[len(sel)+1] boundaries).
+
+        At crawl scale this is what bounds a phrase query on a heavy term:
+        work is O(positions in TOUCHED blocks), set by the rarest term's df,
+        not by this term's total position count."""
+        from wikirec_ray.functions.compress import decode_restarted, gather_segments
+
+        hit = self._positions_cache.get(term)
+        row = self.term_row(term)
+        tfs_all = None
+        if hit is not None:
+            _, tfs_all, pos_all = hit
+        if row is None:
+            return np.empty(0, np.uint64), np.zeros(1, np.int64)
+        counts = unpack_i64(row["blk_counts"])
+        if tfs_all is None:
+            from wikirec_ray.functions.compress import varint_decode
+
+            tfs_all = varint_decode(row["tf_blob"], int(counts.sum()))
+        tf_starts = np.zeros(len(tfs_all) + 1, np.int64)
+        np.cumsum(tfs_all.astype(np.int64), out=tf_starts[1:])
+        if hit is not None:  # whole stream already decoded — slice it
+            return gather_segments(pos_all, tf_starts[sel], tfs_all[sel])
+        if not row["pos_blob"]:
+            raise ValueError(
+                f"index stores no positions for term {term!r} — build with "
+                f"store_positions=True to enable phrase queries"
+            )
+        # map selected postings to blocks; decode only the touched blocks
+        blk_starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=blk_starts[1:])
+        blk_of_sel = np.searchsorted(blk_starts, sel, side="right") - 1
+        blocks = np.unique(blk_of_sel)
+        pos_off = unpack_i64(row["blk_pos_off"])
+        blob = row["pos_blob"]
+        chunks = b"".join(blob[pos_off[b] : pos_off[b + 1]] for b in blocks)
+        # per-posting value counts within the touched blocks
+        post_sel_starts = blk_starts[blocks]
+        post_sel_ends = np.concatenate([blk_starts[1:], [len(tfs_all)]])[blocks]
+        post_idx, _ = gather_segments(
+            np.arange(len(tfs_all), dtype=np.int64),
+            post_sel_starts, post_sel_ends - post_sel_starts,
+        )
+        pos_touched = decode_restarted(chunks, tfs_all[post_idx])
+        # local value offsets of each touched posting inside pos_touched;
+        # post_idx is sorted (blocks ascending, ranges contiguous), so the
+        # selected postings locate with one searchsorted
+        local_starts = np.zeros(len(post_idx) + 1, np.int64)
+        np.cumsum(tfs_all[post_idx].astype(np.int64), out=local_starts[1:])
+        sel_local = local_starts[np.searchsorted(post_idx, sel)]
+        return gather_segments(pos_touched, sel_local, tfs_all[sel])
 
     def block_bounds(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(max tf, min dl) per block — inputs to the query-time bound."""
