@@ -318,10 +318,21 @@ def run_bench() -> dict:
         pos_reader.phrase_topk(ph, TOP_K)
         lat_phrase.append(time.monotonic() - q0)
     lp = np.array(lat_phrase) * 1000
+    # distributed phrase serving through the range-sharded engine
+    pos_eng = RangeShardedQueryEngine(pos_dir, pool_size=4)
+    pos_eng.phrase_topk(phrases[0], TOP_K)  # warm the pool
+    lat_sphrase = []
+    for ph in phrases:
+        q0 = time.monotonic()
+        pos_eng.phrase_topk(ph, TOP_K)
+        lat_sphrase.append(time.monotonic() - q0)
+    pos_eng.shutdown()
+    lsp = np.array(lat_sphrase) * 1000
     log(
         f"positional build {pos_build_sec:.2f}s; phrase p50="
-        f"{np.percentile(lp,50):.1f}ms p99={np.percentile(lp,99):.1f}ms "
-        f"over {len(lp)} phrases"
+        f"{np.percentile(lp,50):.1f}ms p99={np.percentile(lp,99):.1f}ms; "
+        f"served phrase p50={np.percentile(lsp,50):.1f}ms "
+        f"p99={np.percentile(lsp,99):.1f}ms over {len(lp)} phrases"
     )
 
     t3 = time.monotonic()
@@ -409,6 +420,8 @@ def run_bench() -> dict:
         "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
         "phrase_p50_ms": round(float(np.percentile(lp, 50)), 3),
         "phrase_p99_ms": round(float(np.percentile(lp, 99)), 3),
+        "serve_phrase_p50_ms": round(float(np.percentile(lsp, 50)), 3),
+        "serve_phrase_p99_ms": round(float(np.percentile(lsp, 99)), 3),
         "cpu_probe_loss_pct": probe_loss,
     }
     ray.shutdown()

@@ -83,3 +83,77 @@ def test_range_sharded_equals_local(spread_index, ray_session):
                 assert eng.topk(q, k) == reader.topk(q, k), (q, k)
     finally:
         eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def spread_pos_index(ray_session, tmp_path_factory):
+    """Positional sibling of spread_index (same multi-range corpus,
+    store_positions=True) for distributed phrase serving."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("spread_pos_idx"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.multiply(b["doc_id"], 37), "text": b["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    build_index(ds, d, resume=False, store_positions=True)
+    return d
+
+
+PHRASES = [
+    ["table", "hash"],
+    ["the", "customer"],
+    ["merge"],
+    ["key", "key"],
+    ["slow", "key", "value"],
+    ["absentterm", "table"],
+]
+
+
+def test_range_sharded_phrase_equals_local(spread_pos_index, ray_session):
+    """Distributed exact-phrase == IndexReader.phrase_topk: adjacency is
+    per-doc, every doc lives in one range shard, so per-shard
+    phrase_match_docs + k-way merge is exact."""
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(spread_pos_index, pool_size=3)
+    try:
+        assert eng.n_ranges >= 2
+        reader = IndexReader(spread_pos_index)
+        n_nonempty = 0
+        for q in PHRASES:
+            for k in (1, 10, 50):
+                got = eng.phrase_topk(q, k)
+                assert got == reader.phrase_topk(q, k), (q, k)
+                n_nonempty += bool(got)
+        assert n_nonempty > 0, "phrase set must hit the corpus"
+        assert eng.phrase_topk([], 10) == []
+    finally:
+        eng.shutdown()
+
+
+def test_range_sharded_phrase_requires_positions(spread_index, ray_session):
+    """A non-positional index refuses distributed phrase queries loudly
+    (the shard's positions_select raises through ray.get)."""
+    import ray as _ray
+
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(spread_index, pool_size=2)
+    try:
+        with pytest.raises((_ray.exceptions.RayTaskError, ValueError),
+                           match="store_positions"):
+            eng.phrase_topk(["table", "hash"], 10)
+    finally:
+        eng.shutdown()

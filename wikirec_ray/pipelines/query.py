@@ -111,6 +111,40 @@ class IndexReader:
         return topk_from_dense(scores, k)
 
     # ---------------- exact phrase --------------------------------------
+    @staticmethod
+    def phrase_match_docs(
+        cand: np.ndarray, items: list[tuple[str, np.ndarray, object]]
+    ) -> np.ndarray:
+        """Docs (subset of sorted ``cand``) containing the phrase.  Each
+        items[i] = (term_i, its sorted doc_ids, its SegmentReader); shared
+        by the local reader and the range-sharded serving shards (adjacency
+        is per-doc, so doc-range shards run this on their own ranges).
+
+        Composite keys: candidate index (compact) << 32 | position; the +1
+        chain step must not carry into the owner bits, hence the
+        2^32 - 1 position guard (doc token counts beyond 4e9 are outside
+        the engine's doc-size envelope — fail loudly)."""
+        def cand_keys(term, d, seg):
+            sel = np.searchsorted(d, cand)
+            pos_c, bounds = seg.positions_select(term, sel)
+            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - 1:
+                raise ValueError("phrase match: token position >= 2^32 - 1")
+            owner = np.repeat(
+                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
+            )
+            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
+
+        # chain: survivors after term j = (cand, p) with the phrase's first
+        # j+1 terms ending at position p
+        live = cand_keys(*items[0])
+        for term, d, seg in items[1:]:
+            nxt = cand_keys(term, d, seg)  # sorted: cand asc, pos asc
+            live = live + np.uint64(1)
+            live = live[nxt[np.searchsorted(nxt, live) % len(nxt)] == live]
+            if len(live) == 0:
+                return cand[:0]
+        return cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
+
     def phrase_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing ``terms`` as an EXACT
         phrase (adjacent tokens, in order, in the indexed token stream).
@@ -124,14 +158,10 @@ class IndexReader:
 
         Fully vectorized, candidate-bounded: candidate docs = intersection
         of the terms' posting lists, then each term's positions are fetched
-        for ONLY the candidate postings — sparse candidates take the
-        ``positions_select`` block-skip path (work bounded by the rarest
-        term's df, not a heavy term's total position count), dense ones
-        decode+memoize the whole stream.  Adjacency is one sorted-membership
-        pass per consecutive term over composite (candidate, position)
-        uint64 keys — no per-doc Python loop."""
-        from wikirec_ray.functions.compress import gather_segments
-
+        for ONLY the candidate postings — ``positions_select`` block-skips
+        for sparse candidates (work bounded by the rarest term's df, not a
+        heavy term's total position count) and decodes+memoizes the whole
+        stream for dense ones.  Adjacency via ``phrase_match_docs``."""
         if not terms:
             return []
         postings = []
@@ -149,39 +179,11 @@ class IndexReader:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return []
-
-        # composite keys: candidate index (compact) << 32 | position.
-        # Positions must stay below 2^32 - 1 so the chain's +1 increment
-        # cannot carry into the owner bits (doc token counts beyond 4e9 are
-        # outside the engine's doc-size envelope; fail loudly).
-        def cand_keys(t, d, tf, seg):
-            sel = np.searchsorted(d, cand)
-            if 4 * len(cand) >= len(d):  # dense: decode once, memoized
-                _, tf_all, pos_all = seg.positions(t)
-                starts = np.zeros(len(tf_all) + 1, np.int64)
-                np.cumsum(tf_all.astype(np.int64), out=starts[1:])
-                pos_c, bounds = gather_segments(
-                    pos_all, starts[sel], tf_all[sel].astype(np.int64)
-                )
-            else:  # sparse: decode only blocks holding a candidate posting
-                pos_c, bounds = seg.positions_select(t, sel)
-            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - 1:
-                raise ValueError("phrase_topk: token position >= 2^32 - 1")
-            owner = np.repeat(
-                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
-            )
-            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
-
-        # chain: survivors after term j = (cand, p) with the phrase's first
-        # j+1 terms ending at position p
-        live = cand_keys(terms[0], *postings[0])
-        for t, (d, tf, seg) in zip(terms[1:], postings[1:]):
-            nxt = cand_keys(t, d, tf, seg)  # sorted: cand asc, pos asc
-            live = live + np.uint64(1)
-            live = live[nxt[np.searchsorted(nxt, live) % len(nxt)] == live]
-            if len(live) == 0:
-                return []
-        phrase_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
+        phrase_docs = self.phrase_match_docs(
+            cand, [(t, d, seg) for t, (d, _, seg) in zip(terms, postings)]
+        )
+        if len(phrase_docs) == 0:
+            return []
         # score = the docs' ordinary multi-term BM25 (phrase is a filter)
         avgdl = self.stats["avgdl"]
         docs64 = phrase_docs.astype(np.int64)

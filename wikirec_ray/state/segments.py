@@ -269,7 +269,8 @@ class SegmentReader:
 
         At crawl scale this is what bounds a phrase query on a heavy term:
         work is O(positions in TOUCHED blocks), set by the rarest term's df,
-        not by this term's total position count."""
+        not by this term's total position count.  Dense selections (touching
+        ≥¼ of the blocks) route to the memoized full-stream decode."""
         from wikirec_ray.functions.compress import decode_restarted, gather_segments
 
         hit = self._positions_cache.get(term)
@@ -284,10 +285,6 @@ class SegmentReader:
             from wikirec_ray.functions.compress import varint_decode
 
             tfs_all = varint_decode(row["tf_blob"], int(counts.sum()))
-        tf_starts = np.zeros(len(tfs_all) + 1, np.int64)
-        np.cumsum(tfs_all.astype(np.int64), out=tf_starts[1:])
-        if hit is not None:  # whole stream already decoded — slice it
-            return gather_segments(pos_all, tf_starts[sel], tfs_all[sel])
         if not row["pos_blob"]:
             raise ValueError(
                 f"index stores no positions for term {term!r} — build with "
@@ -298,6 +295,13 @@ class SegmentReader:
         np.cumsum(counts[:-1], out=blk_starts[1:])
         blk_of_sel = np.searchsorted(blk_starts, sel, side="right") - 1
         blocks = np.unique(blk_of_sel)
+        if hit is None and 4 * len(blocks) >= len(counts):
+            _, tfs_all, pos_all = self.positions(term)  # dense: memoize
+            hit = True
+        if hit:  # whole stream decoded — slice it
+            tf_starts = np.zeros(len(tfs_all) + 1, np.int64)
+            np.cumsum(tfs_all.astype(np.int64), out=tf_starts[1:])
+            return gather_segments(pos_all, tf_starts[sel], tfs_all[sel])
         pos_off = unpack_i64(row["blk_pos_off"])
         blob = row["pos_blob"]
         chunks = b"".join(blob[pos_off[b] : pos_off[b + 1]] for b in blocks)

@@ -257,6 +257,63 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int):
+        """This shard's exact-phrase top-k over its ranges.  ``terms_with_idf``
+        is in PHRASE ORDER (duplicates kept).  Adjacency is per-doc and every
+        doc lives wholly inside one range, so each range resolves its own
+        matches with the shared ``phrase_match_docs`` kernel over its
+        per-(tpart, range) chunk readers — the reason phrase serving lives in
+        the doc-range-sharded engine (a term-sharded layout would have to
+        ship position streams between shards)."""
+        from wikirec_ray.pipelines.query import IndexReader, topk_from_sparse
+
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            items = []
+            for term, tpart, _ in terms_with_idf:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    items = None
+                    break
+                d, tf = chunk.postings(term)
+                items.append((term, d, tf, chunk))
+            if not items:
+                continue
+            cand = items[0][1]
+            for _, d, _, _ in items[1:]:
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+                if not len(cand):
+                    break
+            if not len(cand):
+                continue
+            pdocs = IndexReader.phrase_match_docs(
+                cand, [(t, d, c) for t, d, _, c in items]
+            )
+            if not len(pdocs):
+                continue
+            docs64 = pdocs.astype(np.int64)
+            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
+            ids_out, contribs = [], []
+            for (term, d, tf, _), (_, _, idf) in zip(items, terms_with_idf):
+                if idf == 0.0:
+                    continue
+                tfv = tf[np.searchsorted(d, pdocs)].astype(np.float64)
+                ids_out.append(docs64)
+                contribs.append(
+                    idf * tfv * (BM25_K1 + 1.0)
+                    / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+            if ids_out:
+                out.extend(topk_from_sparse(
+                    np.concatenate(ids_out), np.concatenate(contribs), k
+                ))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
 
 class RangeShardedQueryEngine:
     """Coordinator over a RangeServer pool: idf resolves at a tpart-sharded
@@ -326,6 +383,35 @@ class RangeShardedQueryEngine:
             return []
         # phase 2: fan out to every range shard, merge partial top-k
         partials = ray.get([s.topk.remote(twi, k) for s in self.servers])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def phrase_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Distributed exact-phrase top-k (positional index required) —
+        must equal ``IndexReader.phrase_topk``.  Same two phases as ``topk``;
+        shards check adjacency locally because every doc lives wholly inside
+        one doc range."""
+        if not terms:
+            return []
+        uniq = sorted(set(terms))
+        tparts = {t: zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq}
+        by_resolver: dict[int, list[str]] = {}
+        for t in uniq:
+            by_resolver.setdefault(self.resolver_of[tparts[t]], []).append(t)
+        futures = {
+            rid: self.resolvers[rid].resolve_idf.remote(ts)
+            for rid, ts in by_resolver.items()
+        }
+        idf_of: dict[str, float] = {}
+        for rid, ts in by_resolver.items():
+            idf_of.update(zip(ts, ray.get(futures[rid])))
+        if any(idf_of[t] == 0.0 for t in terms):
+            return []  # a term absent from the corpus → no phrase anywhere
+        twi = [(t, tparts[t], idf_of[t]) for t in terms]  # PHRASE order
+        partials = ray.get(
+            [s.phrase_topk.remote(twi, k) for s in self.servers]
+        )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
