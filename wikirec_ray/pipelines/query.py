@@ -20,6 +20,13 @@ Two paths, pytest-asserted identical:
 - block-max WAND (document-at-a-time with per-block upper bounds; skipped
   blocks are never varint-decoded) — rank-safe, so results match exactly.
 
+Positional indexes (``build_index(store_positions=True)``) additionally
+answer exact-phrase queries: ``phrase_topk`` intersects the phrase terms'
+posting lists, verifies adjacency with one vectorized sorted-membership
+pass per consecutive term (``phrase_match_docs``), and scores matching
+docs with the plain multi-term BM25 — the phrase is a filter, keeping the
+result SQL-replayable.
+
 Queries stream through the engine as a Dataset: ``score_queries_dataset``
 runs an actor pool (``map_batches(BM25Scorer, concurrency=…)``) where each
 actor opens the index once in ``__init__`` and scores query batches
