@@ -680,3 +680,77 @@ def test_pipelines_tolerate_empty_corpus(ray_session):
     assert encode_corpus(empty).count() == 0
     assert train_phrases(empty) == {}
     assert corpus_stats(empty) == {"n_docs": 0, "total_tokens": 0, "avgdl": 0.0}
+
+
+def test_keyword_and_phrase_snippets(ray_session):
+    """KWIC snippet extraction == a DuckDB replay over the 1-indexed token
+    list (same tokenizer contract as the oracle SQL elsewhere): every
+    term/phrase occurrence, 0-based doc position, window-clamped context."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.snippets import keyword_snippets, phrase_snippets
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    ids = list(range(160))
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 25))))
+             for _ in ids]
+    texts[0] = ""          # empty doc
+    texts[1] = "w1"        # single-token doc (window clamps both sides)
+    texts[2] = "w1 w2 w1 w2 w1"  # overlapping phrase occurrences
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+
+    def canon(rows):
+        return sorted((int(d), int(p), s) for d, p, s in rows)
+
+    # --- keyword snippets -------------------------------------------------
+    got = canon(
+        (r["doc_id"], r["pos"], r["snippet"])
+        for r in keyword_snippets(ds, ["w1", "w5"], window=2).take_all()
+    )
+    want = canon(con.execute(f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM docs),
+        h AS (SELECT doc_id, i, toks FROM t,
+              LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+              WHERE toks[i] IN ('w1', 'w5'))
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[greatest(i - 2, 1) :
+                                    least(i + 2, len(toks))], ' ') AS snippet
+        FROM h
+    """).fetchall())
+    assert got == want and len(got) > 50
+
+    # --- phrase snippets --------------------------------------------------
+    got_p = canon(
+        (r["doc_id"], r["pos"], r["snippet"])
+        for r in phrase_snippets(ds, ["w1", "w2"], window=1).take_all()
+    )
+    want_p = canon(con.execute(f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM docs),
+        h AS (SELECT doc_id, i, toks FROM t,
+              LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+              WHERE toks[i] = 'w1' AND toks[i + 1] = 'w2')
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[greatest(i - 1, 1) :
+                                    least(i + 2, len(toks))], ' ') AS snippet
+        FROM h
+    """).fetchall())
+    assert got_p == want_p and len(got_p) > 3
+    # doc 2 has the overlapping occurrences at 0 and 2
+    assert [(d, p) for d, p, _ in got_p if d == 2] == [(2, 0), (2, 2)]
+
+    # single-token and empty docs survive the clamps
+    got1 = [(r["doc_id"], r["pos"], r["snippet"])
+            for r in keyword_snippets(ds, ["w1"], window=3).take_all()
+            if r["doc_id"] == 1]
+    assert got1 == [(1, 0, "w1")]
