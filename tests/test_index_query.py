@@ -745,6 +745,62 @@ def test_positional_index_phrase_topk(ray_session, tmp_path):
         assert got.tolist() == want.tolist() and gb.tolist() == wb.tolist()
 
 
+def test_positions_select_sparse_block_skip(ray_session, tmp_path):
+    """The SPARSE branch of positions_select (blk_pos_off block-skip
+    decode) — requires a term with enough blocks that a small selection
+    stays under the ¼-density gate, which no other test corpus reaches:
+    'common' here has 3000 postings ≈ 24 blocks, and selections of ≤5
+    postings touch ≤5 blocks (4·5 < 24 → sparse path).  Asserts the branch
+    equals full-stream slicing on fresh (cache-cold) readers and that a
+    rare-anchored phrase through it matches a brute-force text scan."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.functions.compress import gather_segments
+    from wikirec_ray.schema import BLOCK_SIZE
+    from wikirec_ray.stages.index_build import build_index
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    rare_docs = {17, 1804, 2999}
+    texts = []
+    for i in range(n):
+        body = " ".join(rng.choice(["x1", "x2", "x3"], size=6))
+        if i in rare_docs:
+            texts.append(f"{body} rare common {body}")
+        else:
+            texts.append(f"{body} common {body}")
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(n)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    idx = str(tmp_path / "sparse_pos")
+    build_index(ds, idx, resume=False, store_positions=True)
+
+    seg_full = IndexReader(idx).term_segment("common")
+    d, tf, pos_all = seg_full.positions("common")
+    assert len(d) == n and len(d) > 4 * BLOCK_SIZE  # >= 5 blocks guaranteed
+    tf_starts = np.zeros(len(tf) + 1, np.int64)
+    np.cumsum(tf.astype(np.int64), out=tf_starts[1:])
+    for sel in (np.array([0], np.int64),
+                np.array([0, len(d) - 1], np.int64),
+                np.array([17, 1804, 2999], np.int64),
+                np.array([500, 501, 502], np.int64)):
+        want, wb = gather_segments(pos_all, tf_starts[sel], tf[sel].astype(np.int64))
+        # fresh reader per selection: positions cache cold → sparse branch
+        got, gb = IndexReader(idx).term_segment("common").positions_select(
+            "common", sel
+        )
+        assert got.tolist() == want.tolist() and gb.tolist() == wb.tolist(), sel
+
+    # end-to-end: rare-anchored phrase routes 'common' through the sparse
+    # branch (3 candidate docs → ≤3 touched blocks of 24)
+    hits = IndexReader(idx).phrase_topk(["rare", "common"], 10)
+    assert sorted(doc for doc, _ in hits) == sorted(rare_docs)
+    toks0 = texts[17].split()
+    assert ["rare", "common"] == toks0[toks0.index("rare"):toks0.index("rare") + 2]
+
+
 def test_append_index_positional(ray_session, tmp_path):
     """append_index on a POSITIONAL index: the delta's positions merge into
     the on-disk partitions, phrase results equal a full positional rebuild,

@@ -52,6 +52,16 @@ from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_
 ROUND_DP = 9
 
 
+def bm25_contrib(idf, tf, dl, avgdl):
+    """Per-posting BM25 contribution — THE scoring kernel, shared by the
+    local reader, the WAND cursors, and both serving engines so the formula
+    (and its float evaluation order) can never diverge between paths that
+    are pytest-asserted identical."""
+    return idf * tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+
+
 class IndexReader:
     """Driver/actor-side handle on a built index: stats + df + lazy segments.
 
@@ -107,9 +117,7 @@ class IndexReader:
             d = doc_ids.astype(np.int64)
             tf = tfs.astype(np.float64)
             dl = self.norms[d].astype(np.float64)
-            scores[d] += idf * tf * (BM25_K1 + 1.0) / (
-                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-            )
+            scores[d] += bm25_contrib(idf, tf, dl, avgdl)
         return scores
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
@@ -202,10 +210,7 @@ class IndexReader:
                 continue
             tfv = tf[np.searchsorted(d, phrase_docs)].astype(np.float64)
             ids_out.append(docs64)
-            contribs.append(
-                idf * tfv * (BM25_K1 + 1.0)
-                / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-            )
+            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
         if not ids_out:
             return []
         return topk_from_sparse(
@@ -354,9 +359,7 @@ class _TermCursor:
     def score_current(self, norms: np.ndarray, avgdl: float) -> float:
         tf = float(self.tfs[self.i])
         dl = float(norms[int(self.doc_ids[self.i])])
-        return self.idf * tf * (BM25_K1 + 1.0) / (
-            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-        )
+        return bm25_contrib(self.idf, tf, dl, avgdl)
 
     def next(self) -> None:
         self.i += 1

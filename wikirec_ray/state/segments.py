@@ -273,18 +273,21 @@ class SegmentReader:
         ≥¼ of the blocks) route to the memoized full-stream decode."""
         from wikirec_ray.functions.compress import decode_restarted, gather_segments
 
-        hit = self._positions_cache.get(term)
-        row = self.term_row(term)
-        tfs_all = None
-        if hit is not None:
-            _, tfs_all, pos_all = hit
-        if row is None:
-            return np.empty(0, np.uint64), np.zeros(1, np.int64)
-        counts = unpack_i64(row["blk_counts"])
-        if tfs_all is None:
-            from wikirec_ray.functions.compress import varint_decode
+        def slice_full(tfs_all, pos_all):
+            tf_starts = np.zeros(len(tfs_all) + 1, np.int64)
+            np.cumsum(tfs_all.astype(np.int64), out=tf_starts[1:])
+            return gather_segments(pos_all, tf_starts[sel], tfs_all[sel])
 
-            tfs_all = varint_decode(row["tf_blob"], int(counts.sum()))
+        hit = self._positions_cache.get(term)
+        if hit is not None:  # warm fast path: no row copy, no re-decode
+            _, tfs_all, pos_all = hit
+            return slice_full(tfs_all, pos_all)
+        if not self.has(term):
+            return np.empty(0, np.uint64), np.zeros(len(sel) + 1, np.int64)
+        # postings() memoizes — tf_blob is never decoded twice per term
+        _, tfs_all = self.postings(term)
+        row = self.term_row(term)
+        counts = unpack_i64(row["blk_counts"])
         if not row["pos_blob"]:
             raise ValueError(
                 f"index stores no positions for term {term!r} — build with "
@@ -295,13 +298,9 @@ class SegmentReader:
         np.cumsum(counts[:-1], out=blk_starts[1:])
         blk_of_sel = np.searchsorted(blk_starts, sel, side="right") - 1
         blocks = np.unique(blk_of_sel)
-        if hit is None and 4 * len(blocks) >= len(counts):
+        if 4 * len(blocks) >= len(counts):
             _, tfs_all, pos_all = self.positions(term)  # dense: memoize
-            hit = True
-        if hit:  # whole stream decoded — slice it
-            tf_starts = np.zeros(len(tfs_all) + 1, np.int64)
-            np.cumsum(tfs_all.astype(np.int64), out=tf_starts[1:])
-            return gather_segments(pos_all, tf_starts[sel], tfs_all[sel])
+            return slice_full(tfs_all, pos_all)
         pos_off = unpack_i64(row["blk_pos_off"])
         blob = row["pos_blob"]
         chunks = b"".join(blob[pos_off[b] : pos_off[b + 1]] for b in blocks)

@@ -32,7 +32,7 @@ import zlib
 import numpy as np
 import ray
 
-from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS
+from wikirec_ray.schema import N_TERM_PARTITIONS
 
 
 def _idf_from_df(df: int, n_docs: int) -> float:
@@ -74,6 +74,8 @@ class SegmentServer:
 
     def score_terms(self, terms_with_tpart: list[tuple[str, int]]):
         """[(term, tpart)] -> list of (doc_ids uint64, contribs f64)."""
+        from wikirec_ray.pipelines.query import bm25_contrib
+
         avgdl = self.stats["avgdl"]
         out = []
         for term, tpart in terms_with_tpart:
@@ -88,10 +90,7 @@ class SegmentServer:
                 continue
             tf = tfs.astype(np.float64)
             dl = self.norms[doc_ids.astype(np.int64)].astype(np.float64)
-            contrib = idf * tf * (BM25_K1 + 1.0) / (
-                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-            )
-            out.append((doc_ids, contrib))
+            out.append((doc_ids, bm25_contrib(idf, tf, dl, avgdl)))
         return out
 
     def resolve_idf(self, terms: list[str]) -> list[float]:
@@ -227,7 +226,7 @@ class RangeServer:
         """This shard's top-k [(doc_id, rounded_score)] over its ranges —
         each doc lives in exactly one shard, so the global top-k is the
         top-k of the per-shard unions."""
-        from wikirec_ray.pipelines.query import topk_from_dense
+        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
 
         avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
@@ -249,9 +248,7 @@ class RangeServer:
                 d = doc_ids.astype(np.int64)
                 tf = tfs.astype(np.float64)
                 dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
-                local[d - base] += idf * tf * (BM25_K1 + 1.0) / (
-                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-                )
+                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
             if hit:
                 out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
@@ -265,7 +262,11 @@ class RangeServer:
         per-(tpart, range) chunk readers — the reason phrase serving lives in
         the doc-range-sharded engine (a term-sharded layout would have to
         ship position streams between shards)."""
-        from wikirec_ray.pipelines.query import IndexReader, topk_from_sparse
+        from wikirec_ray.pipelines.query import (
+            IndexReader,
+            bm25_contrib,
+            topk_from_sparse,
+        )
 
         avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
@@ -303,10 +304,7 @@ class RangeServer:
                     continue
                 tfv = tf[np.searchsorted(d, pdocs)].astype(np.float64)
                 ids_out.append(docs64)
-                contribs.append(
-                    idf * tfv * (BM25_K1 + 1.0)
-                    / (tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-                )
+                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
             if ids_out:
                 out.extend(topk_from_sparse(
                     np.concatenate(ids_out), np.concatenate(contribs), k
@@ -359,24 +357,29 @@ class RangeShardedQueryEngine:
             DfResolver.remote(index_dir, ts) for ts in r_assign
         ]
 
-    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        # phase 1: resolve idf at the df owners (one batched round trip)
+    def _resolve_idfs(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        """Phase 1 shared by topk/phrase_topk: one batched round trip to the
+        df owners; returns {term: (tpart, idf)} for the UNIQUE terms."""
         uniq = sorted(set(terms))
-        tparts = [zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq]
-        by_resolver: dict[int, list[int]] = {}
-        for i, tp in enumerate(tparts):
-            by_resolver.setdefault(self.resolver_of[tp], []).append(i)
+        tparts = {t: zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq}
+        by_resolver: dict[int, list[str]] = {}
+        for t in uniq:
+            by_resolver.setdefault(self.resolver_of[tparts[t]], []).append(t)
         futures = {
-            rid: self.resolvers[rid].resolve_idf.remote([uniq[i] for i in idxs])
-            for rid, idxs in by_resolver.items()
+            rid: self.resolvers[rid].resolve_idf.remote(ts)
+            for rid, ts in by_resolver.items()
         }
-        idfs = [0.0] * len(uniq)
-        for rid, idxs in by_resolver.items():
-            for i, v in zip(idxs, ray.get(futures[rid])):
-                idfs[i] = v
+        out: dict[str, tuple[int, float]] = {}
+        for rid, ts in by_resolver.items():
+            for t, v in zip(ts, ray.get(futures[rid])):
+                out[t] = (tparts[t], v)
+        return out
+
+    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        resolved = self._resolve_idfs(terms)
         twi = [
             (t, tp, idf)
-            for t, tp, idf in zip(uniq, tparts, idfs)
+            for t, (tp, idf) in sorted(resolved.items())
             if idf != 0.0
         ]
         if not twi:
@@ -394,21 +397,10 @@ class RangeShardedQueryEngine:
         one doc range."""
         if not terms:
             return []
-        uniq = sorted(set(terms))
-        tparts = {t: zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq}
-        by_resolver: dict[int, list[str]] = {}
-        for t in uniq:
-            by_resolver.setdefault(self.resolver_of[tparts[t]], []).append(t)
-        futures = {
-            rid: self.resolvers[rid].resolve_idf.remote(ts)
-            for rid, ts in by_resolver.items()
-        }
-        idf_of: dict[str, float] = {}
-        for rid, ts in by_resolver.items():
-            idf_of.update(zip(ts, ray.get(futures[rid])))
-        if any(idf_of[t] == 0.0 for t in terms):
+        resolved = self._resolve_idfs(terms)
+        if any(resolved[t][1] == 0.0 for t in terms):
             return []  # a term absent from the corpus → no phrase anywhere
-        twi = [(t, tparts[t], idf_of[t]) for t in terms]  # PHRASE order
+        twi = [(t, *resolved[t]) for t in terms]  # PHRASE order
         partials = ray.get(
             [s.phrase_topk.remote(twi, k) for s in self.servers]
         )
