@@ -801,6 +801,80 @@ def test_positions_select_sparse_block_skip(ray_session, tmp_path):
     assert ["rare", "common"] == toks0[toks0.index("rare"):toks0.index("rare") + 2]
 
 
+def test_near_topk_proximity(ray_session, tmp_path):
+    """near_topk == brute force: docs where every query term occurs within
+    `window` tokens of an occurrence of the ANCHOR (least-frequent term,
+    lexicographic tie-break), scored as plain multi-term BM25 with the
+    standard ranking contract.  Covers window=0 and window larger than any
+    doc (degrades to pure AND), plus equality with phrase-free topk
+    restricted to the AND set."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(25)]
+    ids = list(range(400))
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 60))))
+             for _ in ids]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    idx = str(tmp_path / "near")
+    build_index(ds, idx, resume=False, store_positions=True)
+    rd = IndexReader(idx)
+
+    toks = [t.split() for t in texts]
+    n = len(ids)
+    df = Counter(t for tl in toks for t in set(tl))
+    avgdl = sum(len(t) for t in toks) / n
+
+    def brute(terms, k, window):
+        anchor = min(set(terms), key=lambda t: (df.get(t, 0), t))
+        out = []
+        for i, tl in enumerate(toks):
+            occ = {t: [j for j, x in enumerate(tl) if x == t]
+                   for t in set(terms)}
+            if any(not occ[t] for t in set(terms)):
+                continue
+            ok = any(
+                all(any(abs(q - p) <= window for q in occ[t])
+                    for t in set(terms))
+                for p in occ[anchor]
+            )
+            if not ok:
+                continue
+            s = 0.0
+            for t in terms:  # duplicates double-count, like topk
+                tf = tl.count(t)
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tl) / avgdl)
+                )
+            out.append((i, round(s, 9)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    for terms, w in ((["w1", "w2"], 3), (["w3", "w7", "w9"], 5),
+                     (["w0", "w1"], 0), (["w2", "w4"], 1000),
+                     (["w5", "w5"], 2), (["absent", "w1"], 4)):
+        got = rd.near_topk(terms, 10, window=w)
+        want = brute(terms, 10, w)
+        assert [(d, round(s, 6)) for d, s in got] == \
+               [(d, round(s, 6)) for d, s in want], (terms, w)
+
+    # huge window == conjunctive AND: every doc containing all terms
+    and_docs = {i for i, tl in enumerate(toks)
+                if "w2" in tl and "w4" in tl}
+    got_big = rd.near_topk(["w2", "w4"], 10_000, window=1000)
+    assert {d for d, _ in got_big} == and_docs
+    assert rd.near_topk([], 10) == []
+
+
 def test_append_index_positional(ray_session, tmp_path):
     """append_index on a POSITIONAL index: the delta's positions merge into
     the on-disk partitions, phrase results equal a full positional rebuild,

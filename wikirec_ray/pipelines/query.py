@@ -217,6 +217,83 @@ class IndexReader:
             np.concatenate(ids_out), np.concatenate(contribs), k
         )
 
+    # ---------------- proximity (NEAR) ----------------------------------
+    def near_topk(
+        self, terms: list[str], k: int, window: int = 8
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs where every query term occurs
+        within ``window`` tokens of some occurrence of the ANCHOR term —
+        the least-frequent query term (ties broken lexicographically), the
+        cheapest occurrence list to scan and the standard lead term for
+        proximity evaluation.  Needs a positional index.
+
+        Same scoring contract as ``phrase_topk``: proximity is a FILTER,
+        scores are the plain multi-term BM25, ranking ties by
+        (round(score, 9) desc, doc asc).  Fully vectorized: the anchor's
+        candidate occurrences are checked against each other term with two
+        ``searchsorted`` range probes over composite (candidate, position)
+        keys — no per-doc Python loop."""
+        if not terms or window < 0:
+            return []
+        if window >= (1 << 20):
+            raise ValueError("near_topk: window too large")
+        postings = []
+        for t in terms:
+            if self.df.get(t, 0) == 0:
+                return []
+            seg = self.term_segment(t)
+            d, tf = seg.postings(t)
+            if len(d) == 0:
+                return []
+            postings.append((t, d, tf, seg))
+        cand = postings[0][1]
+        for _, d, _, _ in postings[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+
+        def keys_of(t, d, seg):
+            sel = np.searchsorted(d, cand)
+            pos_c, bounds = seg.positions_select(t, sel)
+            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - (1 << 21):
+                raise ValueError("near_topk: token position too large")
+            owner = np.repeat(
+                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
+            )
+            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
+
+        order = sorted(range(len(terms)),
+                       key=lambda i: (len(postings[i][1]), terms[i]))
+        anchor = order[0]
+        live = keys_of(terms[anchor], postings[anchor][1], postings[anchor][3])
+        w = np.uint64(window)
+        mask32 = np.uint64((1 << 32) - 1)
+        for i in order[1:]:
+            if terms[i] == terms[anchor]:
+                continue  # duplicate of the anchor always matches itself
+            kt = keys_of(terms[i], postings[i][1], postings[i][3])
+            pos = live & mask32
+            lo = (live & ~mask32) | np.where(pos > w, pos - w, np.uint64(0))
+            hi = live + w  # same owner: pos + window < 2^32 by the guard
+            survive = (np.searchsorted(kt, hi, side="right")
+                       > np.searchsorted(kt, lo, side="left"))
+            live = live[survive]
+            if len(live) == 0:
+                return []
+        near_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
+        avgdl = self.stats["avgdl"]
+        docs64 = near_docs.astype(np.int64)
+        dl = self.norms[docs64].astype(np.float64)
+        ids_out, contribs = [], []
+        for t, d, tf, _ in postings:
+            idf = self.idf(t)
+            tfv = tf[np.searchsorted(d, near_docs)].astype(np.float64)
+            ids_out.append(docs64)
+            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
+        return topk_from_sparse(
+            np.concatenate(ids_out), np.concatenate(contribs), k
+        )
+
     # ---------------- block-max WAND ------------------------------------
 
     # Dense-regime routing: when the query's postings cover a large fraction
