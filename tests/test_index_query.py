@@ -625,6 +625,30 @@ def test_append_index_refuses_torn_or_duplicate_input(ray_session, tmp_path):
     assert IndexReader(idx).topk(["alpha"], 10) == IndexReader(full).topk(["alpha"], 10)
 
 
+def _brute_filtered_bm25(toks, terms, k, match_fn):
+    """Shared brute oracle for the positional filter retrievals: docs
+    passing ``match_fn(token_list)`` scored with plain multi-term BM25
+    (duplicate terms double-count, like topk), engine ranking contract."""
+    n = len(toks)
+    df = Counter(t for tl in toks for t in set(tl))
+    avgdl = sum(len(t) for t in toks) / n
+    out = []
+    for i, tl in enumerate(toks):
+        if not match_fn(tl):
+            continue
+        s = 0.0
+        for t in terms:
+            tf = tl.count(t)
+            if tf:
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tl) / avgdl)
+                )
+        out.append((i, round(s, 9)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
 def test_positional_index_phrase_topk(ray_session, tmp_path):
     """Positional postings (store_positions=True) + exact phrase retrieval.
 
@@ -661,27 +685,13 @@ def test_positional_index_phrase_topk(ray_session, tmp_path):
     rd = IndexReader(idx)
 
     toks = [t.split() for t in texts]
-    n = len(ids)
-    df = Counter(t for tl in toks for t in set(tl))
-    avgdl = sum(len(t) for t in toks) / n
 
     def brute(phr, k):
-        out = []
-        for i, tl in enumerate(toks):
-            if not any(tl[j : j + len(phr)] == phr
-                       for j in range(len(tl) - len(phr) + 1)):
-                continue
-            s = 0.0
-            for t in phr:
-                tf = tl.count(t)
-                if tf:
-                    idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
-                    s += idf * tf * (BM25_K1 + 1.0) / (
-                        tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tl) / avgdl)
-                    )
-            out.append((i, round(s, 9)))
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out[:k]
+        return _brute_filtered_bm25(
+            toks, phr, k,
+            lambda tl: any(tl[j : j + len(phr)] == phr
+                           for j in range(len(tl) - len(phr) + 1)),
+        )
 
     for phr in (["w1", "w2"], ["w3"], ["w5", "w5"], ["w0", "w1", "w2"],
                 ["w7", "w29"], ["absent", "w1"]):
@@ -829,35 +839,23 @@ def test_near_topk_proximity(ray_session, tmp_path):
     rd = IndexReader(idx)
 
     toks = [t.split() for t in texts]
-    n = len(ids)
     df = Counter(t for tl in toks for t in set(tl))
-    avgdl = sum(len(t) for t in toks) / n
 
     def brute(terms, k, window):
         anchor = min(set(terms), key=lambda t: (df.get(t, 0), t))
-        out = []
-        for i, tl in enumerate(toks):
+
+        def near_match(tl):
             occ = {t: [j for j, x in enumerate(tl) if x == t]
                    for t in set(terms)}
             if any(not occ[t] for t in set(terms)):
-                continue
-            ok = any(
+                return False
+            return any(
                 all(any(abs(q - p) <= window for q in occ[t])
                     for t in set(terms))
                 for p in occ[anchor]
             )
-            if not ok:
-                continue
-            s = 0.0
-            for t in terms:  # duplicates double-count, like topk
-                tf = tl.count(t)
-                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
-                s += idf * tf * (BM25_K1 + 1.0) / (
-                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(tl) / avgdl)
-                )
-            out.append((i, round(s, 9)))
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out[:k]
+
+        return _brute_filtered_bm25(toks, terms, k, near_match)
 
     for terms, w in ((["w1", "w2"], 3), (["w3", "w7", "w9"], 5),
                      (["w0", "w1"], 0), (["w2", "w4"], 1000),

@@ -125,6 +125,75 @@ class IndexReader:
         scores = self.score_exact(terms)
         return topk_from_dense(scores, k)
 
+    # ---------------- positional filter retrieval ------------------------
+    # phrase_topk and near_topk share one shape: AND-intersect the terms'
+    # posting lists, test a positional predicate over composite
+    # (candidate, position) keys, then score the surviving docs with the
+    # PLAIN multi-term BM25 (the predicate is a filter, keeping results
+    # SQL-replayable).  The three building blocks below are that shape.
+
+    @staticmethod
+    def _cand_keys(cand: np.ndarray, term: str, d: np.ndarray, seg,
+                   margin: int) -> np.ndarray:
+        """Sorted composite keys (candidate index << 32 | position) for one
+        term's positions restricted to ``cand`` docs.  Positions within
+        ``margin`` of 2^32 raise — downstream key arithmetic adds up to
+        ``margin`` and must not carry into the owner bits (doc token counts
+        beyond ~4e9 are outside the engine's doc-size envelope)."""
+        sel = np.searchsorted(d, cand)
+        pos_c, bounds = seg.positions_select(term, sel)
+        if len(pos_c) and int(pos_c.max()) >= (1 << 32) - margin:
+            raise ValueError(
+                f"positional query: token position within {margin} of 2^32"
+            )
+        owner = np.repeat(
+            np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
+        )
+        return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
+
+    def _positional_candidates(self, terms: list[str]):
+        """(postings, cand) for positional filter retrieval — postings[i] =
+        (term, sorted doc_ids, tfs, SegmentReader), cand = the sorted
+        AND-intersection; (None, None) when any term is absent or the
+        intersection is empty."""
+        postings = []
+        for t in terms:
+            if self.df.get(t, 0) == 0:
+                return None, None  # absent term (tpart may have no file)
+            seg = self.term_segment(t)
+            d, tf = seg.postings(t)
+            if len(d) == 0:
+                return None, None
+            postings.append((t, d, tf, seg))
+        cand = postings[0][1]
+        for _, d, _, _ in postings[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return None, None
+        return postings, cand
+
+    def _filtered_topk(self, postings, docs: np.ndarray, k: int):
+        """Plain multi-term BM25 over the filter-surviving ``docs`` under
+        the engine-wide (round(score, 9) desc, doc asc) contract."""
+        if len(docs) == 0:
+            return []
+        avgdl = self.stats["avgdl"]
+        docs64 = docs.astype(np.int64)
+        dl = self.norms[docs64].astype(np.float64)
+        ids_out, contribs = [], []
+        for t, d, tf, _ in postings:
+            idf = self.idf(t)
+            if idf == 0.0:
+                continue
+            tfv = tf[np.searchsorted(d, docs)].astype(np.float64)
+            ids_out.append(docs64)
+            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
+        if not ids_out:
+            return []
+        return topk_from_sparse(
+            np.concatenate(ids_out), np.concatenate(contribs), k
+        )
+
     # ---------------- exact phrase --------------------------------------
     @staticmethod
     def phrase_match_docs(
@@ -134,26 +203,12 @@ class IndexReader:
         items[i] = (term_i, its sorted doc_ids, its SegmentReader); shared
         by the local reader and the range-sharded serving shards (adjacency
         is per-doc, so doc-range shards run this on their own ranges).
-
-        Composite keys: candidate index (compact) << 32 | position; the +1
-        chain step must not carry into the owner bits, hence the
-        2^32 - 1 position guard (doc token counts beyond 4e9 are outside
-        the engine's doc-size envelope — fail loudly)."""
-        def cand_keys(term, d, seg):
-            sel = np.searchsorted(d, cand)
-            pos_c, bounds = seg.positions_select(term, sel)
-            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - 1:
-                raise ValueError("phrase match: token position >= 2^32 - 1")
-            owner = np.repeat(
-                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
-            )
-            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
-
+        The +1 chain step below is why ``_cand_keys`` runs with margin 1."""
         # chain: survivors after term j = (cand, p) with the phrase's first
         # j+1 terms ending at position p
-        live = cand_keys(*items[0])
+        live = IndexReader._cand_keys(cand, *items[0], margin=1)
         for term, d, seg in items[1:]:
-            nxt = cand_keys(term, d, seg)  # sorted: cand asc, pos asc
+            nxt = IndexReader._cand_keys(cand, term, d, seg, margin=1)
             live = live + np.uint64(1)
             live = live[nxt[np.searchsorted(nxt, live) % len(nxt)] == live]
             if len(live) == 0:
@@ -179,43 +234,13 @@ class IndexReader:
         stream for dense ones.  Adjacency via ``phrase_match_docs``."""
         if not terms:
             return []
-        postings = []
-        for t in terms:
-            if self.df.get(t, 0) == 0:
-                return []  # absent term (a tpart with no terms has no file)
-            seg = self.term_segment(t)
-            d, tf = seg.postings(t)
-            if len(d) == 0:
-                return []
-            postings.append((d, tf, seg))
-        # candidate docs: present in EVERY term's posting list
-        cand = postings[0][0]
-        for d, _, _ in postings[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
-            if len(cand) == 0:
-                return []
+        postings, cand = self._positional_candidates(terms)
+        if postings is None:
+            return []
         phrase_docs = self.phrase_match_docs(
-            cand, [(t, d, seg) for t, (d, _, seg) in zip(terms, postings)]
+            cand, [(t, d, seg) for t, d, _, seg in postings]
         )
-        if len(phrase_docs) == 0:
-            return []
-        # score = the docs' ordinary multi-term BM25 (phrase is a filter)
-        avgdl = self.stats["avgdl"]
-        docs64 = phrase_docs.astype(np.int64)
-        dl = self.norms[docs64].astype(np.float64)
-        ids_out, contribs = [], []
-        for t, (d, tf, _) in zip(terms, postings):
-            idf = self.idf(t)
-            if idf == 0.0:
-                continue
-            tfv = tf[np.searchsorted(d, phrase_docs)].astype(np.float64)
-            ids_out.append(docs64)
-            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
-        if not ids_out:
-            return []
-        return topk_from_sparse(
-            np.concatenate(ids_out), np.concatenate(contribs), k
-        )
+        return self._filtered_topk(postings, phrase_docs, k)
 
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
@@ -232,67 +257,43 @@ class IndexReader:
         (round(score, 9) desc, doc asc).  Fully vectorized: the anchor's
         candidate occurrences are checked against each other term with two
         ``searchsorted`` range probes over composite (candidate, position)
-        keys — no per-doc Python loop."""
+        keys — no per-doc Python loop.  Any ``window`` below 2^31 is valid;
+        a window at least the longest doc degrades to conjunctive AND."""
         if not terms or window < 0:
             return []
-        if window >= (1 << 20):
-            raise ValueError("near_topk: window too large")
-        postings = []
-        for t in terms:
-            if self.df.get(t, 0) == 0:
-                return []
-            seg = self.term_segment(t)
-            d, tf = seg.postings(t)
-            if len(d) == 0:
-                return []
-            postings.append((t, d, tf, seg))
-        cand = postings[0][1]
-        for _, d, _, _ in postings[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
-            if len(cand) == 0:
-                return []
+        if window >= (1 << 31):
+            raise ValueError("near_topk: window must be < 2^31")
+        postings, cand = self._positional_candidates(terms)
+        if postings is None:
+            return []
 
-        def keys_of(t, d, seg):
-            sel = np.searchsorted(d, cand)
-            pos_c, bounds = seg.positions_select(t, sel)
-            if len(pos_c) and int(pos_c.max()) >= (1 << 32) - (1 << 21):
-                raise ValueError("near_topk: token position too large")
-            owner = np.repeat(
-                np.arange(len(cand), dtype=np.uint64), np.diff(bounds)
-            )
-            return (owner << np.uint64(32)) | pos_c.astype(np.uint64)
-
+        # the key probes add up to `window`; margin window+1 keeps pos+w
+        # from carrying into the owner bits
+        margin = window + 1
         order = sorted(range(len(terms)),
                        key=lambda i: (len(postings[i][1]), terms[i]))
         anchor = order[0]
-        live = keys_of(terms[anchor], postings[anchor][1], postings[anchor][3])
+        live = self._cand_keys(cand, terms[anchor], postings[anchor][1],
+                               postings[anchor][3], margin)
         w = np.uint64(window)
         mask32 = np.uint64((1 << 32) - 1)
+        seen = {terms[anchor]}  # a term constrains at most once
         for i in order[1:]:
-            if terms[i] == terms[anchor]:
-                continue  # duplicate of the anchor always matches itself
-            kt = keys_of(terms[i], postings[i][1], postings[i][3])
+            if terms[i] in seen:
+                continue
+            seen.add(terms[i])
+            kt = self._cand_keys(cand, terms[i], postings[i][1],
+                                 postings[i][3], margin)
             pos = live & mask32
             lo = (live & ~mask32) | np.where(pos > w, pos - w, np.uint64(0))
-            hi = live + w  # same owner: pos + window < 2^32 by the guard
+            hi = live + w  # same owner: pos + window < 2^32 by the margin
             survive = (np.searchsorted(kt, hi, side="right")
                        > np.searchsorted(kt, lo, side="left"))
             live = live[survive]
             if len(live) == 0:
                 return []
         near_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
-        avgdl = self.stats["avgdl"]
-        docs64 = near_docs.astype(np.int64)
-        dl = self.norms[docs64].astype(np.float64)
-        ids_out, contribs = [], []
-        for t, d, tf, _ in postings:
-            idf = self.idf(t)
-            tfv = tf[np.searchsorted(d, near_docs)].astype(np.float64)
-            ids_out.append(docs64)
-            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
-        return topk_from_sparse(
-            np.concatenate(ids_out), np.concatenate(contribs), k
-        )
+        return self._filtered_topk(postings, near_docs, k)
 
     # ---------------- block-max WAND ------------------------------------
 
