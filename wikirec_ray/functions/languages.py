@@ -357,8 +357,8 @@ STOPWORDS_BY_LANG: dict[str, frozenset[str]] = {
         """agus an na is tá bhí beidh ní go ar le do de i in ag as ó chuig
         faoi thar idir gan trí roimh tar éis mé tú sé sí muid sibh siad mo
         do a ár bhur seo sin siúd cé cad cathain cá conas cén fáth ach nó
-        má dá mar toisc gach uile roinnt mórán beagán an-","""
-        """ níos is ea níl nach bhfuil raibh""".split()
+        má dá mar toisc gach uile roinnt mórán beagán an-
+        níos is ea níl nach bhfuil raibh""".split()
     ),
     "gl": frozenset(
         """o a os as de do da dos das en no na nos nas un unha uns unhas e

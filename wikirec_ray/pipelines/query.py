@@ -79,6 +79,20 @@ class IndexReader:
         self.df = load_df(index_dir)
         self.norms = load_norms(index_dir)
         self._segments: dict[int, SegmentReader] = {}
+        self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
+
+    @property
+    def bigrams(self) -> frozenset[str]:
+        """Composite terms ("w1 w2") whose posting lists were precomputed at
+        build time (``build_index(precompute_bigrams=K)``); empty for plain
+        indexes.  Loaded lazily from ``bigrams.parquet``."""
+        if self._bigrams is None:
+            from wikirec_ray.state.segments import load_bigram_pairs
+
+            self._bigrams = frozenset(
+                f"{a} {b}" for a, b in load_bigram_pairs(self.index_dir)
+            )
+        return self._bigrams
 
     def idf(self, term: str) -> float:
         df = self.df.get(term, 0)
@@ -231,9 +245,20 @@ class IndexReader:
         for ONLY the candidate postings — ``positions_select`` block-skips
         for sparse candidates (work bounded by the rarest term's df, not a
         heavy term's total position count) and decodes+memoizes the whole
-        stream for dense ones.  Adjacency via ``phrase_match_docs``."""
+        stream for dense ones.  Adjacency via ``phrase_match_docs``.
+
+        Fast path: a two-term phrase whose pair was precomputed at build
+        time (``precompute_bigrams``) reads the composite term's posting
+        list instead — a plain varint doc decode, no position streams at
+        all.  Results are identical by construction (the composite list IS
+        the adjacency-filtered doc set); pinned by pytest against the
+        positional path."""
         if not terms:
             return []
+        if len(terms) == 2:
+            comp = f"{terms[0]} {terms[1]}"
+            if comp in self.bigrams:
+                return self._precomputed_phrase_topk(terms, comp, k)
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
@@ -242,15 +267,35 @@ class IndexReader:
         )
         return self._filtered_topk(postings, phrase_docs, k)
 
+    def _precomputed_phrase_topk(
+        self, terms: list[str], comp: str, k: int
+    ) -> list[tuple[int, float]]:
+        """Precomputed-pair phrase: the composite term's doc list is exactly
+        the adjacency-filtered candidate set; score with the plain per-term
+        postings under the shared ``_filtered_topk`` contract."""
+        if self.df.get(comp, 0) == 0:
+            return []  # pair precomputed but occurs nowhere
+        phrase_docs, _ = self.postings(comp)
+        postings = []
+        for t in terms:
+            if self.df.get(t, 0) == 0:
+                return []
+            seg = self.term_segment(t)
+            d, tf = seg.postings(t)
+            postings.append((t, d, tf, seg))
+        return self._filtered_topk(postings, phrase_docs, k)
+
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
         self, terms: list[str], k: int, window: int = 8
     ) -> list[tuple[int, float]]:
-        """BM25 top-k restricted to docs where every query term occurs
-        within ``window`` tokens of some occurrence of the ANCHOR term —
-        the least-frequent query term (ties broken lexicographically), the
-        cheapest occurrence list to scan and the standard lead term for
-        proximity evaluation.  Needs a positional index.
+        """BM25 top-k restricted to docs containing at least one anchor
+        occurrence such that every query term occurs within ``window``
+        tokens of THAT single occurrence (one shared anchor position, not
+        per-term-independent anchors).  The ANCHOR is the least-frequent
+        query term (ties broken lexicographically), the cheapest occurrence
+        list to scan and the standard lead term for proximity evaluation.
+        Needs a positional index.
 
         Same scoring contract as ``phrase_topk``: proximity is a FILTER,
         scores are the plain multi-term BM25, ranking ties by

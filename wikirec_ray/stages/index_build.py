@@ -141,10 +141,106 @@ def _pairs_with_positions(
     )
 
 
+_BIGRAM_SET_CACHE: dict[str, frozenset] = {}
+
+
+def _resolve_bigrams(ref) -> frozenset | None:
+    """ObjectRef | list | frozenset | None -> frozenset[(w1, w2)], memoized
+    per worker process so the broadcast pair list (``ray.put`` once on the
+    driver) is deserialized once per worker — never re-shipped or re-built
+    per batch."""
+    if ref is None:
+        return None
+    if isinstance(ref, frozenset):
+        return ref
+    if isinstance(ref, (list, tuple)):
+        return frozenset(map(tuple, ref))
+    key = ref.hex()
+    bs = _BIGRAM_SET_CACHE.get(key)
+    if bs is None:
+        import ray
+
+        bs = frozenset(map(tuple, ray.get(ref)))
+        _BIGRAM_SET_CACHE[key] = bs
+    return bs
+
+
+def _pair_postings(
+    batch: pa.Table, id_col: str, text_col: str, pairs: frozenset
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Composite-term postings for the precomputed bigram set: per (doc,
+    pair in ``pairs``) occurrence counts and first-token positions, in the
+    same shape ``_pairs_with_positions`` gives unigrams — (doc_ids u64,
+    comp_terms, codes i64 into comp_terms, tfs u64, pos_flat u64).
+
+    The composite term is ``"{w1} {w2}"`` (space-joined — collision-free
+    because the whitespace tokenizer never emits a token containing a
+    space).  Vectorized: one adjacency mask, eligibility prefilter at the
+    batch-vocabulary level (two O(|batch vocab|) set probes), exact pair
+    membership checked only for the unique eligible pairs present."""
+    from wikirec_ray.stages.analyze import _flat_tokens
+
+    empty = (np.empty(0, np.uint64), [], np.empty(0, np.int64),
+             np.empty(0, np.uint64), np.empty(0, np.uint64))
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(par) < 2:
+        return empty
+    dict_arr = flat.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    firsts = {a for a, _ in pairs}
+    seconds = {b for _, b in pairs}
+    elig1 = np.fromiter((t in firsts for t in uniq), np.bool_, len(uniq))
+    elig2 = np.fromiter((t in seconds for t in uniq), np.bool_, len(uniq))
+    if not (elig1.any() and elig2.any()):
+        return empty
+    idx = np.flatnonzero(
+        (par[1:] == par[:-1]) & elig1[codes[:-1]] & elig2[codes[1:]]
+    )
+    if not len(idx):
+        return empty
+    n_uniq = len(uniq)
+    pair_code = codes[idx] * n_uniq + codes[idx + 1]
+    up = np.unique(pair_code)
+    valid = np.fromiter(
+        ((uniq[int(p) // n_uniq], uniq[int(p) % n_uniq]) in pairs for p in up),
+        np.bool_, len(up),
+    )
+    if not valid.any():
+        return empty
+    keep = valid[np.searchsorted(up, pair_code)]
+    idx, pair_code = idx[keep], pair_code[keep]
+    # 0-based position of w1 within the doc's kept-token stream
+    row_counts = np.bincount(par, minlength=batch.num_rows)
+    row_starts = np.zeros(batch.num_rows, np.int64)
+    np.cumsum(row_counts[:-1], out=row_starts[1:])
+    pos_in_doc = idx - row_starts[par[idx]]
+    order = np.lexsort((pos_in_doc, pair_code, par[idx]))
+    d_s, pc_s, pos_s = par[idx][order], pair_code[order], pos_in_doc[order]
+    pb = np.flatnonzero((np.diff(d_s) != 0) | (np.diff(pc_s) != 0)) + 1
+    starts = np.concatenate([[0], pb]).astype(np.int64)
+    ends = np.concatenate([pb, [len(d_s)]]).astype(np.int64)
+    comp_keys = up[valid]
+    comp_uniq = [
+        f"{uniq[int(p) // n_uniq]} {uniq[int(p) % n_uniq]}" for p in comp_keys
+    ]
+    comp_codes = np.searchsorted(comp_keys, pc_s[starts]).astype(np.int64)
+    ids_np = batch[id_col].to_numpy().astype(np.uint64)
+    return (
+        ids_np[d_s[starts]],
+        comp_uniq,
+        comp_codes,
+        (ends - starts).astype(np.uint64),
+        pos_s.astype(np.uint64),
+    )
+
+
 def _postings_batch(
     batch: pa.Table, id_col: str, text_col: str,
     n_tparts: int = N_TERM_PARTITIONS,
     store_positions: bool = False,
+    bigrams=None,
 ) -> pa.Table:
     """(doc_id, text) -> partial posting runs + norms runs (RUN_SCHEMA).
 
@@ -153,7 +249,12 @@ def _postings_batch(
     one row per doc-range under tpart=-1 carrying (doc_id, doc_len).  Each
     doc lives wholly inside one batch, so per-batch tf and dl are exact.
     With ``store_positions`` each posting run also carries its token
-    positions (``pos_blob``, restart per posting)."""
+    positions (``pos_blob``, restart per posting).  With ``bigrams`` (a
+    precomputed pair set — frozenset, list, or its broadcast ObjectRef)
+    composite-term postings for occurring pairs are emitted through the
+    SAME shuffle; doc lengths and norms count unigrams only, so BM25 is
+    unaffected."""
+    bigrams = _resolve_bigrams(bigrams)
     pos_flat = None
     if store_positions:
         doc_ids, uniq_terms0, term_codes0, tfs, pos_flat = _pairs_with_positions(
@@ -163,9 +264,10 @@ def _postings_batch(
         tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
         doc_ids = tf_tbl[id_col].to_numpy().astype(np.uint64)
         tfs = tf_tbl["tf"].to_numpy().astype(np.uint64)
-    range_ids = (doc_ids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
 
     # doc lengths: sum tf per doc, scattered back to posting rows
+    # (UNIGRAM postings only — composite bigram postings appended below must
+    # not inflate doc length, which is the BM25 normalizer)
     batch_ids = batch[id_col].to_numpy().astype(np.uint64)
     order_b = np.argsort(batch_ids)
     sorted_bids = batch_ids[order_b]
@@ -180,6 +282,21 @@ def _postings_batch(
         dict_arr = tf_tbl["term"].combine_chunks().dictionary_encode()
         uniq_terms = dict_arr.dictionary.to_pylist()
         term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if bigrams:
+        p_docs, p_uniq, p_codes, p_tfs, p_pos = _pair_postings(
+            batch, id_col, text_col, bigrams
+        )
+        if len(p_docs):
+            p_dls = dl_per_doc[np.searchsorted(sorted_bids, p_docs)]
+            term_codes = np.concatenate([term_codes, p_codes + len(uniq_terms)])
+            uniq_terms = list(uniq_terms) + p_uniq
+            doc_ids = np.concatenate([doc_ids, p_docs])
+            tfs = np.concatenate([tfs, p_tfs])
+            dls = np.concatenate([dls, p_dls])
+            if store_positions:
+                pos_flat = np.concatenate([pos_flat, p_pos])
+    range_ids = (doc_ids // np.uint64(DOC_RANGE_SIZE)).astype(np.int64)
     tpart_per_uniq = term_partitions_for(uniq_terms, n_tparts)
 
     order = np.lexsort((doc_ids, range_ids, term_codes))
@@ -1019,6 +1136,7 @@ def build_index(
     lineage: dict | None = None,
     n_term_partitions: int | None = None,
     store_positions: bool = False,
+    precompute_bigrams: int = 0,
 ) -> dict:
     """Build the full index from a Dataset(id, text, …); returns the manifest.
 
@@ -1036,6 +1154,16 @@ def build_index(
     at ~the cost of one extra varint per token in the shuffle and on disk;
     BM25 paths are unaffected.  Recorded in the manifest — resuming with a
     different value triggers a full rebuild.
+
+    ``precompute_bigrams=K`` additionally materializes posting lists for the
+    K highest-document-frequency adjacent token pairs as composite terms
+    ("w1 w2"), selected by a pre-pass (``phrases.top_bigrams_by_df``) and
+    recorded in ``bigrams.parquet``: a two-term phrase query whose pair is
+    precomputed becomes a normal posting lookup instead of a position-stream
+    decode — the stopword-pair ("of the") cold path that otherwise decodes
+    two df≈N position streams.  Doc lengths/norms count unigrams only, so
+    BM25 scores are unchanged.  Recorded in the manifest — resuming with a
+    different value triggers a full rebuild.
     """
     n_tparts = int(n_term_partitions or N_TERM_PARTITIONS)
     prior = load_manifest(index_dir) if resume else None
@@ -1047,6 +1175,10 @@ def build_index(
         prior.get("stats", {}).get("store_positions", False)
     ) != bool(store_positions):
         prior = None  # positional layout differs — every file is stale
+    if prior is not None and int(
+        prior.get("stats", {}).get("precompute_bigrams", 0)
+    ) != int(precompute_bigrams):
+        prior = None  # composite-term set differs — postings content changes
     prior_parts = (prior or {}).get("partitions", {})
     t_start = time.monotonic()
 
@@ -1067,7 +1199,7 @@ def build_index(
     try:
         return _build_index_inner(
             ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-            n_tparts, store_positions,
+            n_tparts, store_positions, precompute_bigrams,
         )
     finally:
         ctx.min_parallelism = prev_min_parallelism
@@ -1075,11 +1207,26 @@ def build_index(
 
 def _build_index_inner(
     ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-    n_tparts, store_positions=False,
+    n_tparts, store_positions=False, precompute_bigrams=0,
 ) -> dict:
+    # -- optional pre-pass: select + broadcast the frequent-bigram set ----
+    # (one extra streaming read of the corpus and one pair-vocabulary-sized
+    # groupby; the pair list is ray.put once and memoized per worker)
+    bigram_pairs: list[tuple[str, str]] = []
+    bigram_ref = None
+    if precompute_bigrams:
+        from wikirec_ray.stages.phrases import top_bigrams_by_df
+
+        bigram_pairs = top_bigrams_by_df(ds, int(precompute_bigrams), text_col)
+        if bigram_pairs:
+            import ray as _ray_put
+
+            bigram_ref = _ray_put.put(bigram_pairs)
+
     # -- the single shuffle: postings + norms in one groupby -------------
     runs = ds.map_batches(
-        lambda b: _postings_batch(b, id_col, text_col, n_tparts, store_positions),
+        lambda b: _postings_batch(b, id_col, text_col, n_tparts, store_positions,
+                                  bigram_ref),
         batch_format="pyarrow",
         batch_size=4096,  # bigger batches → fewer partial runs in the shuffle
     )
@@ -1123,6 +1270,23 @@ def _build_index_inner(
         .take_all()
     ]
 
+    # -- persist the bigram pair set the postings were built with ---------
+    bigram_entries: list[dict] = []
+    bigrams_path = os.path.join(index_dir, "bigrams.parquet")
+    if precompute_bigrams:
+        big_tbl = pa.table(
+            {
+                "w1": pa.array([a for a, _ in bigram_pairs], pa.string()),
+                "w2": pa.array([b for _, b in bigram_pairs], pa.string()),
+            }
+        )
+        bigram_entries = [
+            dict(atomic_write_table(big_tbl, bigrams_path),
+                 key="bigrams.parquet", kind="bigrams")
+        ]
+    elif os.path.exists(bigrams_path):
+        os.remove(bigrams_path)  # stale set from a differently-configured build
+
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
@@ -1133,6 +1297,8 @@ def _build_index_inner(
         "doc_range_size": DOC_RANGE_SIZE,
         "block_size": BLOCK_SIZE,
         "store_positions": bool(store_positions),
+        "precompute_bigrams": int(precompute_bigrams),
+        "n_bigrams": len(bigram_pairs),
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -1144,7 +1310,7 @@ def _build_index_inner(
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "partitions": {
             e["key"]: {k: v for k, v in e.items() if k != "key"}
-            for e in entries + merge_entries
+            for e in entries + merge_entries + bigram_entries
         },
     }
     save_manifest(index_dir, manifest)
@@ -1191,6 +1357,25 @@ def append_index(
     n_tparts = int(stats0["n_term_partitions"])
     store_positions = bool(stats0.get("store_positions", False))
     prior_parts = prior["partitions"]
+
+    # delta docs must emit composite postings for the SAME pair set the
+    # index was built with (frozen at build time — appends never re-rank
+    # the top-K; a full rebuild refreshes the selection)
+    bigram_ref = None
+    if int(stats0.get("precompute_bigrams", 0)):
+        from wikirec_ray.state.segments import load_bigram_pairs
+
+        bp = os.path.join(index_dir, "bigrams.parquet")
+        if not partition_is_valid(bp, prior_parts.get("bigrams.parquet")):
+            raise ValueError(
+                "append_index: bigrams.parquet is missing or fails its "
+                "manifest md5 — heal with a full build_index(resume=True)"
+            )
+        pairs = load_bigram_pairs(index_dir)
+        if pairs:
+            import ray as _ray_put
+
+            bigram_ref = _ray_put.put(pairs)
     t_start = time.monotonic()
 
     import ray as _ray
@@ -1206,7 +1391,7 @@ def append_index(
     try:
         runs = delta_ds.map_batches(
             lambda b: _postings_batch(b, id_col, text_col, n_tparts,
-                                      store_positions),
+                                      store_positions, bigram_ref),
             batch_format="pyarrow",
             batch_size=4096,
         )
@@ -1259,7 +1444,8 @@ def append_index(
     kept_meta = [
         dict(v, key=k, skipped=True)
         for k, v in prior_parts.items()
-        if v.get("kind") in ("segment", "df") and v.get("tpart") not in set(touched_tparts)
+        if (v.get("kind") in ("segment", "df") and v.get("tpart") not in set(touched_tparts))
+        or v.get("kind") == "bigrams"
     ]
 
     stats = dict(

@@ -234,6 +234,81 @@ def train_phrases(
 
 
 # ---------------------------------------------------------------------------
+# frequent-bigram selection (index-build precompute pass)
+# ---------------------------------------------------------------------------
+
+
+def _pair_df_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial DOCUMENT frequencies of adjacent token pairs:
+    one row per (w1, w2) with the number of distinct batch docs containing
+    the pair (docs live wholly inside one batch, so partial DFs sum exactly
+    to corpus DF).  Fully vectorized: one adjacency mask + one Arrow
+    group_by over deduplicated (doc, w1, w2) triples."""
+    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    if len(par) < 2:
+        return empty
+    same = par[1:] == par[:-1]
+    idx = np.flatnonzero(same)
+    if not len(idx):
+        return empty
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_uniq = len(dict_arr.dictionary)
+    # dedupe (doc, pair) occurrences -> one row per doc containing the pair
+    key = (par[idx] * n_uniq + codes[idx]) * n_uniq + codes[idx + 1]
+    uniq_keys = np.unique(key)
+    pair_code = uniq_keys % (n_uniq * n_uniq)
+    c1 = (pair_code // n_uniq).astype(np.int64)
+    c2 = (pair_code % n_uniq).astype(np.int64)
+    g = (
+        pa.table(
+            {
+                "w1": dict_arr.dictionary.take(pa.array(c1)),
+                "w2": dict_arr.dictionary.take(pa.array(c2)),
+            }
+        )
+        .group_by(["w1", "w2"])
+        .aggregate([("w1", "count")])
+    )
+    return pa.table(
+        {"w1": g["w1"], "w2": g["w2"], "n": pc.cast(g["w1_count"], pa.int64())}
+    )
+
+
+def top_bigrams_by_df(
+    ds: ray.data.Dataset, k: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """The ``k`` adjacent token pairs occurring in the most documents,
+    deterministically ordered (df desc, w1 asc, w2 asc).  One streaming
+    pass + one pair-vocabulary-sized groupby; the driver pulls only the
+    top-k rows.  This is ``build_index(precompute_bigrams=k)``'s selection
+    pass: the pairs whose posting lists get materialized as composite terms
+    so stopword-pair phrase queries skip the position-stream decode."""
+    from ray.data.aggregate import Sum
+
+    if k <= 0:
+        return []
+    totals = (
+        ds.map_batches(
+            lambda b: _pair_df_partials(b, text_col), batch_format="pyarrow"
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = (
+        totals.sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .take_all()
+    )
+    return [(r["w1"], r["w2"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
 # gensim-style stream application (greedy, consuming)
 # ---------------------------------------------------------------------------
 

@@ -369,6 +369,21 @@ def load_df_tparts(index_dir: str, tparts: list[int]) -> dict[str, int]:
     return dict(zip(t["term"].to_pylist(), t["df"].to_numpy().tolist()))
 
 
+def load_bigram_pairs(index_dir: str) -> list[tuple[str, str]]:
+    """The frequent-bigram pair list a positional/precomputed index was
+    built with (``build_index(precompute_bigrams=k)`` writes it as
+    ``bigrams.parquet``), in the build's deterministic (df desc, w1, w2)
+    order.  Empty when the index has no precomputed pairs.  Readers turn
+    each pair into the composite term ``"{w1} {w2}"`` — a token that can
+    never collide with a real term because the whitespace tokenizer strips
+    spaces from every indexed token."""
+    p = os.path.join(index_dir, "bigrams.parquet")
+    if not os.path.exists(p):
+        return []
+    t = pq.read_table(p)
+    return list(zip(t["w1"].to_pylist(), t["w2"].to_pylist()))
+
+
 def load_df(index_dir: str) -> dict[str, int]:
     """term -> document frequency, from the per-tpart df files the merge
     emits (DF == postings count, one posting per (term, doc))."""

@@ -312,6 +312,52 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def precomputed_phrase_topk(
+        self, comp: str, comp_tpart: int,
+        terms_with_idf: list[tuple[str, int, float]], k: int,
+    ):
+        """Precomputed-bigram phrase: this shard's top-k using the composite
+        term's posting chunks as the phrase-doc filter — no position streams
+        touched (the build materialized the adjacency).  Scores are the
+        plain per-term BM25, identical to ``phrase_topk`` on the same
+        query (pinned in tests)."""
+        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_sparse
+
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            cchunk = self._chunk(comp_tpart, r)
+            if cchunk is None or not cchunk.has(comp):
+                continue
+            pdocs, _ = cchunk.postings(comp)
+            if not len(pdocs):
+                continue
+            docs64 = pdocs.astype(np.int64)
+            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
+            ids_out, contribs = [], []
+            for term, tpart, idf in terms_with_idf:
+                if idf == 0.0:
+                    continue
+                chunk = self._chunk(tpart, r)
+                # a composite posting in this range implies both terms post
+                # here; guard anyway (torn reads heal via manifest checks)
+                if chunk is None or not chunk.has(term):
+                    ids_out = []
+                    break
+                d, tf = chunk.postings(term)
+                tfv = tf[np.searchsorted(d, pdocs)].astype(np.float64)
+                ids_out.append(docs64)
+                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
+            if ids_out:
+                out.extend(topk_from_sparse(
+                    np.concatenate(ids_out), np.concatenate(contribs), k
+                ))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
 
 class RangeShardedQueryEngine:
     """Coordinator over a RangeServer pool: idf resolves at a tpart-sharded
@@ -334,6 +380,13 @@ class RangeShardedQueryEngine:
         self.stats = load_stats(index_dir)
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.n_docs = self.stats["n_docs"]
+        # precomputed composite terms (O(K) coordinator state, K = the
+        # build's precompute_bigrams — thousands, not vocabulary-sized)
+        from wikirec_ray.state.segments import load_bigram_pairs
+
+        self.bigrams = frozenset(
+            f"{a} {b}" for a, b in load_bigram_pairs(index_dir)
+        )
         norms_dir = os.path.join(index_dir, "norms")
         range_ids = sorted(
             int(p.split("-")[1].split(".")[0])
@@ -401,6 +454,17 @@ class RangeShardedQueryEngine:
         if any(resolved[t][1] == 0.0 for t in terms):
             return []  # a term absent from the corpus → no phrase anywhere
         twi = [(t, *resolved[t]) for t in terms]  # PHRASE order
+        if len(terms) == 2:
+            comp = f"{terms[0]} {terms[1]}"
+            if comp in self.bigrams:
+                comp_tpart = zlib.crc32(comp.encode("utf-8")) % self.n_tparts
+                partials = ray.get([
+                    s.precomputed_phrase_topk.remote(comp, comp_tpart, twi, k)
+                    for s in self.servers
+                ])
+                merged = [hit for p in partials for hit in p]
+                merged.sort(key=lambda x: (-x[1], x[0]))
+                return merged[:k]
         partials = ray.get(
             [s.phrase_topk.remote(twi, k) for s in self.servers]
         )
