@@ -46,6 +46,26 @@ PHRASE_QUERY_SET: list[tuple[int, list[str]]] = [
     (5, ["absentterm", "table"]),
 ]
 PHRASE_K = 10
+# the positional registry index precomputes the top-K bigram posting lists
+# (build_index(precompute_bigrams=...)): with the closed 31-word vocabulary
+# every common pair lands in the top 256, so phrase_search's two-term
+# queries are answered by the PRECOMPUTED fast path (plain posting lookup)
+# while the SQL oracle stays the same adjacency replay — an end-to-end
+# driver check that the fast path equals positional-verified results
+PHRASE_PRECOMPUTE_K = 256
+# proximity (NEAR) retrieval: every term within NEAR_WINDOW tokens of one
+# shared anchor occurrence (anchor = least-df term, ties lexicographic);
+# query 4 carries an absent term (must yield zero rows for that query)
+NEAR_QUERY_SET: list[tuple[int, list[str]]] = [
+    (1, ["table", "hash"]),
+    (2, ["spark", "join", "filter"]),
+    (3, ["customer", "order"]),
+    (4, ["absentterm", "merge"]),
+]
+NEAR_WINDOW = 5
+NEAR_K = 10
+SNIPPET_TERMS = ["spark", "window"]  # KWIC driver entry
+SNIPPET_WINDOW = 3
 RECO_INPUT_DOCS = [3, 7]
 RECO_RATINGS = [8.0, 4.0]
 RECO_N = 10
@@ -55,9 +75,7 @@ ANN_K = 10
 EMB_DUP_THRESHOLD = 0.4
 PRUNE_MIN_DF = 2
 PRUNE_MIN_LEN = 3
-TOP_TERMS_N = 20
 TRUNCATE_AT = 50
-FREQ_TERM_MIN_TOTAL = 900  # splits the sf0.01 term-count distribution
 EXPORT_MIN_TOKENS = 15  # drops the short tail (p5 of sf0.01 is 16 tokens)
 HOP_WINDOW_S, HOP_S = 3600, 1800
 ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE = "purchase", "click"
@@ -358,6 +376,7 @@ def _ensure_pos_index(sf_dir: str) -> str:
         resume=True,
         lineage={"input": os.path.join(sf_dir, "documents.parquet")},
         store_positions=True,
+        precompute_bigrams=PHRASE_PRECOMPUTE_K,
     )
     return index_dir
 
@@ -467,6 +486,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["query_id", "rank", "doc_id", "score"]
         ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
+    def near_search_q(sf_dir):
+        """Proximity (NEAR) BM25 top-k over the positional index: a doc
+        matches iff one anchor occurrence (anchor = least-df query term,
+        ties lexicographic) has every query term within NEAR_WINDOW tokens;
+        proximity is a FILTER, scores are the plain multi-term BM25 —
+        SQL-replayable as bm25 + an EXISTS window scan per term."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_pos_index(sf_dir))
+        rows = []
+        for qid, terms in NEAR_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.near_topk(terms, NEAR_K, NEAR_WINDOW), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
+    def keyword_snippets_q(sf_dir):
+        """KWIC: one row per occurrence of a query term — (doc_id, 0-based
+        token pos, window-clamped context snippet); stateless map_batches
+        grep, no index."""
+        from wikirec_ray.pipelines.snippets import keyword_snippets
+
+        return keyword_snippets(
+            _documents(sf_dir), SNIPPET_TERMS, window=SNIPPET_WINDOW
+        )
+
+    def repetition_ratios_q(sf_dir):
+        """Gopher Table A1 repetition signals per doc (top n-gram char
+        fraction for n=2,3,4; duplicated n-gram char fraction for n=5,10)
+        plus the combined keep flag."""
+        from wikirec_ray.pipelines.webfilters import repetition_ratios
+
+        out = repetition_ratios(_documents(sf_dir))
+        return out.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("keep"), "keep",
+                pc.cast(b["keep"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+
     def corpus_stats_q(sf_dir):
         import pandas as pd
 
@@ -485,26 +550,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from wikirec_ray.stages.stats import document_frequencies
 
         return document_frequencies(_documents(sf_dir))
-
-    def top_terms(sf_dir):
-        from wikirec_ray.stages.stats import document_frequencies
-
-        return (
-            document_frequencies(_documents(sf_dir))
-            .sort(["df", "term"], descending=[True, False])
-            .limit(TOP_TERMS_N)
-        )
-
-    def bm25_topk(sf_dir):
-        import ray.data
-
-        from wikirec_ray.pipelines.query import score_queries_dataset
-
-        index_dir = _ensure_index(sf_dir)
-        qds = ray.data.from_items(
-            [{"query_id": q, "terms": t, "k": BM25_K} for q, t in BM25_QUERY_SET]
-        )
-        return score_queries_dataset(qds, index_dir, k=BM25_K)
 
     def bm25_topk_wand(sf_dir):
         import ray.data
@@ -628,11 +673,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return vocabulary_prune(
             _documents(sf_dir), min_df=PRUNE_MIN_DF, min_len=PRUNE_MIN_LEN
         )
-
-    def frequent_terms_q(sf_dir):
-        from wikirec_ray.stages.stats import frequent_terms
-
-        return frequent_terms(_documents(sf_dir), min_total=FREQ_TERM_MIN_TOTAL)
 
     def phrase_scores_q(sf_dir):
         import pandas as pd
@@ -1282,7 +1322,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r4 (its tokenize+count semantics are replayed inside term_df,
     # corpus_stats and every bm25 oracle) to fund phrase_search (positional
     # index + exact-phrase adjacency — strictly more machinery checked).
+    # Round 5 retired top_terms (= term_df + sort/limit, fully implied),
+    # frequent_terms (thresholded term totals, same tokenize+count core as
+    # term_df) and bm25_topk (exact scoring is identically exercised by
+    # bm25_topk_wand — pytest pins wand == exact — plus recommend and
+    # similar_docs_topk) to fund near_search (positional proximity),
+    # keyword_snippets (KWIC) and repetition_ratios (Gopher A1) — each a
+    # round-4 family that previously had only a pytest oracle.
     return {
+        "near_search": near_search_q,
+        "keyword_snippets": keyword_snippets_q,
+        "repetition_ratios": repetition_ratios_q,
         "phrase_search": phrase_search_q,
         "neg_samples": neg_samples_q,
         "topic_coherence": topic_coherence_q,
@@ -1307,8 +1357,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": approx_distinct_users_q,
         "corpus_stats": corpus_stats_q,
         "term_df": term_df,
-        "top_terms": top_terms,
-        "bm25_topk": bm25_topk,
         "bm25_topk_wand": bm25_topk_wand,
         "recommend": recommend_q,
         "exact_dedup": exact_dedup_q,
@@ -1317,7 +1365,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_q,
         "fingerprints": fingerprints_q,
         "vocab_prune": vocab_prune_q,
-        "frequent_terms": frequent_terms_q,
         "phrase_scores": phrase_scores_q,
         "phrase_apply": phrase_apply_q,
         "extract_text": extract_text_q,
@@ -1377,6 +1424,80 @@ def oracle_sql() -> dict[str, str]:
             ),
         )
         for qid, phr in PHRASE_QUERY_SET
+    )
+    # NEAR replay: tp = (doc_id, 1-based pos, term); per query the anchor is
+    # the least-df term (ties lexicographic, same rule as near_topk), and a
+    # doc matches iff SOME anchor occurrence has every query term within
+    # NEAR_WINDOW positions (inclusive, matching the two searchsorted range
+    # probes).  Distances are invariant to the 1-based shift.
+    near_qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in NEAR_QUERY_SET for t in terms
+    )
+    near_match_union = " UNION ALL ".join(
+        "SELECT {qid} AS query_id, doc_id FROM ("
+        "SELECT DISTINCT tp.doc_id FROM tp JOIN ("
+        "SELECT term FROM dfv WHERE term IN ({tl}) "
+        "ORDER BY df, term LIMIT 1) a ON tp.term = a.term "
+        "WHERE {conds})".format(
+            qid=qid,
+            tl=", ".join(f"'{t}'" for t in sorted(set(terms))),
+            conds=" AND ".join(
+                f"EXISTS (SELECT 1 FROM tp q WHERE q.doc_id = tp.doc_id "
+                f"AND q.term = '{t}' AND q.i BETWEEN tp.i - {NEAR_WINDOW} "
+                f"AND tp.i + {NEAR_WINDOW})"
+                for t in sorted(set(terms))
+            ),
+        )
+        for qid, terms in NEAR_QUERY_SET
+    )
+    snip_terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
+
+    # repetition_ratios replay: whitespace words (the published Gopher
+    # accounting), per-k n-gram char fractions; thresholds interpolated from
+    # the SAME constants the Ray kernel uses
+    from wikirec_ray.pipelines.webfilters import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    def _rep_gram_cte(name: str, k: int, agg: str) -> str:
+        inner = (
+            f"SELECT doc_id, array_to_string(ws[i : i + {k - 1}], ' ') AS g, "
+            f"list_sum(list_transform(ws[i : i + {k - 1}], "
+            f"x -> length(x)))::BIGINT AS glen "
+            f"FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {k} + 2)) AS i) r"
+        )
+        grouped = (
+            f"SELECT doc_id, COUNT(*)::BIGINT AS cnt, ANY_VALUE(glen) AS glen "
+            f"FROM ({inner}) GROUP BY doc_id, g"
+        )
+        return f"{name} AS (SELECT doc_id, {agg} FROM ({grouped}) GROUP BY doc_id)"
+
+    rep_ctes = ",\n            ".join(
+        [_rep_gram_cte(f"g{k}", k, "MAX(cnt * glen) AS v") for k in (2, 3, 4)]
+        + [
+            _rep_gram_cte(
+                f"d{k}", k,
+                "SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END)::BIGINT AS v",
+            )
+            for k in (5, 10)
+        ]
+    )
+    rep_frac = {
+        n: f"COALESCE({n}.v, 0)::DOUBLE / GREATEST(b.tot, 1)"
+        for n in ("g2", "g3", "g4", "d5", "d10")
+    }
+    rep_cols = ", ".join(
+        [f"ROUND({rep_frac[f'g{k}']}, 6) AS top{k}_char_frac" for k in (2, 3, 4)]
+        + [f"ROUND({rep_frac[f'd{k}']}, 6) AS dup{k}_char_frac" for k in (5, 10)]
+    )
+    rep_keep = " AND ".join(
+        [f"{rep_frac[f'g{k}']} <= {GOPHER_TOP_NGRAM_MAX[k]}" for k in (2, 3, 4)]
+        + [f"{rep_frac[f'd{k}']} <= {GOPHER_DUP_NGRAM_MAX[k]}" for k in (5, 10)]
+    )
+    rep_joins = " ".join(
+        f"LEFT JOIN {n} ON {n}.doc_id = b.doc_id"
+        for n in ("g2", "g3", "g4", "d5", "d10")
     )
     stoplist = _sql_stopword_list()
     reco = RECO_INPUT_DOCS
@@ -2047,6 +2168,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM filt WHERE round(score, 9) > 0
             ) WHERE rn <= {PHRASE_K}
         """,
+        "near_search": f"""
+            WITH {_BM25_CORE},
+            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            tp AS (SELECT doc_id, i, toks[i] AS term FROM t,
+                   LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+            nd AS ({near_match_union}),
+            q(query_id, term) AS (VALUES {near_qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            filt AS (
+                SELECT s.query_id, s.doc_id, s.score FROM scored s
+                JOIN nd ON nd.query_id = s.query_id AND nd.doc_id = s.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM filt WHERE round(score, 9) > 0
+            ) WHERE rn <= {NEAR_K}
+        """,
+        "keyword_snippets": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            h AS (SELECT doc_id, i, toks FROM t,
+                  LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+                  WHERE toks[i] IN ({snip_terms}))
+            SELECT doc_id, (i - 1)::BIGINT AS pos,
+                   array_to_string(toks[greatest(i - {SNIPPET_WINDOW}, 1) :
+                                        least(i + {SNIPPET_WINDOW}, len(toks))],
+                                   ' ') AS snippet
+            FROM h
+        """,
+        "repetition_ratios": f"""
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(COALESCE(text, ''), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       COALESCE(list_sum(list_transform(ws, x -> length(x))),
+                                0)::BIGINT AS tot
+                FROM w
+            ),
+            {rep_ctes}
+            SELECT b.doc_id, {rep_cols}, ({rep_keep})::BIGINT AS keep
+            FROM b {rep_joins}
+        """,
         "corpus_stats": f"""
             WITH tok AS ({_TOK}),
             dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)
@@ -2058,30 +2234,6 @@ def oracle_sql() -> dict[str, str]:
         "term_df": f"""
             WITH tok AS ({_TOK})
             SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
-        """,
-        "top_terms": f"""
-            WITH tok AS ({_TOK})
-            SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
-            ORDER BY df DESC, term LIMIT {TOP_TERMS_N}
-        """,
-        "bm25_topk": f"""
-            WITH {_BM25_CORE},
-            q(query_id, term) AS (VALUES {qvals}),
-            scored AS (
-                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
-                FROM q JOIN tf USING (term) JOIN dfv USING (term)
-                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-                GROUP BY q.query_id, tf.doc_id
-            )
-            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
-            FROM (
-                SELECT query_id, doc_id, score,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY round(score, 9) DESC, doc_id
-                       ) AS rn
-                FROM scored WHERE round(score, 9) > 0
-            ) WHERE rn <= {BM25_K}
         """,
         "bm25_topk_wand": f"""
             WITH {_BM25_CORE},
@@ -2193,11 +2345,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*)::BIGINT AS n_kept
             FROM tok JOIN keep USING (term) GROUP BY doc_id
-        """,
-        "frequent_terms": f"""
-            WITH tok AS ({_TOK})
-            SELECT term, COUNT(*)::BIGINT AS total_tf FROM tok GROUP BY term
-            HAVING COUNT(*) >= {FREQ_TERM_MIN_TOTAL}
         """,
         "phrase_scores": f"""
             WITH tok AS ({_TOK}),
