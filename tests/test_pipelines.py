@@ -466,6 +466,57 @@ def test_hash_join_semantics(ray_session):
         hash_join(left, right, "k", join_type="cross")
 
 
+def test_broadcast_lookup_matches_hash_join(ray_session):
+    """broadcast_lookup (ray.put'd small side, no shuffle) == hash_join on
+    unique-key lookups for inner and left outer; duplicate right keys and
+    unsupported join types refuse loudly."""
+    import numpy as np
+    import pytest as _pt
+    import ray.data
+
+    from wikirec_ray.pipelines.joins import broadcast_lookup, hash_join
+
+    rng = np.random.default_rng(5)
+    big = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array(rng.integers(0, 40, 500), pa.int64()),
+            "x": pa.array(rng.normal(size=500)),
+        })
+    ).repartition(7)
+    dim = ray.data.from_arrow(
+        pa.table({
+            "dk": pa.array(list(range(0, 40, 2)), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(0, 40, 2)]),
+        })
+    )
+
+    def canon(ds):
+        return sorted(
+            (r["k"], round(r["x"], 9), r.get("name"))
+            for r in ds.take_all()
+        )
+
+    for jt in ("inner", "left outer"):
+        got = canon(broadcast_lookup(big, dim, "k", "dk", join_type=jt))
+        want = canon(hash_join(big, dim, "k", "dk", join_type=jt))
+        assert got == want and len(got) > 100, jt
+
+    # collision suffix parity with hash_join
+    dim2 = ray.data.from_arrow(
+        pa.table({"dk": pa.array([3], pa.int64()), "x": pa.array([99.0])})
+    )
+    out = broadcast_lookup(big, dim2, "k", "dk").take_all()
+    assert out and all(r["x_r"] == 99.0 and r["k"] == 3 for r in out)
+
+    dup = ray.data.from_arrow(
+        pa.table({"dk": pa.array([1, 1], pa.int64()), "name": pa.array(["a", "b"])})
+    )
+    with _pt.raises(ValueError, match="duplicate"):
+        broadcast_lookup(big, dup, "k", "dk")
+    with _pt.raises(ValueError, match="inner"):
+        broadcast_lookup(big, dim, "k", "dk", join_type="right outer")
+
+
 def test_approx_distinct_error_bound(ray_session, sf_dir):
     import os
 
