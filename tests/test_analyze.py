@@ -147,3 +147,40 @@ def test_wikirec_cleaner_property_equivalence():
             assert out["tokens"].to_pylist() == want, (docs, rn)
 
     check()
+
+
+def test_fold_accents_option():
+    """fold_accents=True folds the token stream AND the word sets before
+    matching (scalar == vectorized kernel pinned), so accented stopwords
+    match accent-stripped corpora and vice versa; default off keeps the
+    reference's exact-form matching."""
+    import pyarrow as pa
+
+    from wikirec_ray.stages.analyze import (
+        WikirecCleaner,
+        fold_accents_array,
+        fold_accents_word,
+    )
+
+    words = ["für", "über", "Mädchen", "fur", "déjà", "straße", "plain"]
+    assert [fold_accents_word(w) for w in words] == \
+        fold_accents_array(pa.array(words)).to_pylist()
+
+    sw = frozenset({"für", "über"})
+    batch_stripped = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["fur uber haus"]),
+    })
+    batch_accented = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["für über Mädchen haus"]),
+    })
+    # folded: stripped corpus matches the accented list; output is folded
+    folded = WikirecCleaner(stopwords=sw, fold_accents=True)
+    assert folded(batch_stripped)["tokens"].to_pylist() == [["haus"]]
+    assert folded(batch_accented)["tokens"].to_pylist() == [["madchen", "haus"]]
+    # unfolded (default): stripped forms do NOT match the accented list,
+    # native forms do, and output keeps its accents
+    plain = WikirecCleaner(stopwords=sw)
+    assert plain(batch_stripped)["tokens"].to_pylist() == [["fur", "uber", "haus"]]
+    assert plain(batch_accented)["tokens"].to_pylist() == [["mädchen", "haus"]]

@@ -101,3 +101,44 @@ def test_lda_validation(two_topic_corpus):
         train_lda(ds, n_topics=0)
     with pytest.raises(ValueError):
         train_lda(ds, n_topics=2, inner_iters=0)
+
+
+def test_topic_stability_sweep(two_topic_corpus):
+    """Reference graph_lda_topic_evals stability metric
+    (/root/reference/src/wikirec/utils.py:140-170): the sweep result equals
+    a brute mean-Jaccard replay over the returned topic word lists, each
+    count's topics equal an independent train_lda run (determinism), and
+    the reference's empty-topic Jaccard quirks are preserved."""
+    from wikirec_ray.pipelines.lda import (
+        jaccard_topic_similarity,
+        top_topic_words,
+        topic_stability,
+        train_lda,
+    )
+
+    ds, _, _ = two_topic_corpus
+    res = topic_stability(ds, [1, 2, 3], num_topic_words=4, iters=6, seed=7)
+    assert res["topic_nums"] == [1, 2, 3]
+    assert len(res["mean_stability"]) == 3
+    assert set(res["topics"]) == {1, 2, 3, 4}  # the appended extra count
+    nums = [1, 2, 3, 4]
+    for i in range(3):
+        sims = [
+            jaccard_topic_similarity(t1, t2)
+            for t1 in res["topics"][nums[i]]
+            for t2 in res["topics"][nums[i + 1]]
+        ]
+        assert abs(res["mean_stability"][i] - float(np.mean(sims))) < 1e-12
+    assert all(0.0 <= s <= 1.0 for s in res["mean_stability"])
+    # per-count topics == an independent deterministic training run
+    m2 = train_lda(ds, n_topics=2, iters=6, seed=7)
+    assert res["topics"][2] == top_topic_words(m2, 4)
+    # reference jaccard quirks (utils.py:125-131)
+    assert jaccard_topic_similarity([], []) == 1.0
+    assert jaccard_topic_similarity([], ["x"]) == 1.0
+    assert jaccard_topic_similarity(["x"], ["x", "y"]) == 0.5
+    assert jaccard_topic_similarity(["x"], ["y"]) == 0.0
+    with pytest.raises(ValueError):
+        topic_stability(ds, [])
+    with pytest.raises(ValueError):
+        topic_stability(ds, [3, 2])

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -225,26 +226,39 @@ def train_doc2vec(
                 return out.append_column("grad", gcol).append_column("loss", lcol)
 
             nxt = state.map_batches(sgd, batch_format="pyarrow").materialize()
+            # two-level reduction: non-empty carriers are summed
+            # REDUCE_FANOUT-at-a-time in workers (combine_sparse_grads)
+            # before the driver's final pass — the driver reads
+            # n_blocks / FANOUT rows instead of n_blocks, so it is no
+            # longer the epoch's reduction bottleneck at cluster scale
+            from wikirec_ray.functions.gradreduce import (
+                REDUCE_FANOUT,
+                combine_sparse_grads,
+                decode_sparse_grad,
+            )
+
+            gsrc = nxt.map_batches(
+                lambda b: b.select(["grad", "loss"]).filter(
+                    pc.not_equal(b["grad"], b"")
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda b: combine_sparse_grads(b, dim),
+                batch_format="pyarrow",
+                batch_size=REDUCE_FANOUT,
+            )
             grad = np.zeros_like(U)
             cnt = np.zeros(V, np.float64)
             total_loss = 0.0
-            for out in nxt.iter_batches(batch_format="pyarrow", batch_size=None):
+            for out in gsrc.iter_batches(batch_format="pyarrow", batch_size=None):
                 garr = out["grad"]
                 for i in range(out.num_rows):
                     blob = garr[i].as_py()
+                    total_loss += out["loss"][i].as_py()
                     if blob:
-                        k = int(np.frombuffer(blob, np.int64, count=1)[0])
-                        idx = np.frombuffer(blob, np.int64, count=k, offset=8)
-                        gblk = np.frombuffer(
-                            blob, np.float64, count=k * dim, offset=8 + k * 8
-                        ).reshape(k, dim)
-                        cblk = np.frombuffer(
-                            blob, np.float64, count=k,
-                            offset=8 + k * 8 + k * dim * 8,
-                        )
-                        grad[idx] += gblk  # idx unique per block
+                        idx, gblk, cblk = decode_sparse_grad(blob, dim)
+                        grad[idx] += gblk  # idx unique per combined row
                         cnt[idx] += cblk
-                        total_loss += out["loss"][i].as_py()
             # per-word MEAN gradient: with a capped vocabulary each word
             # accumulates thousands of contributions per epoch and the raw
             # sum diverges (observed on the synthetic corpus)

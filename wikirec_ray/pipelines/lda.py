@@ -212,16 +212,27 @@ def train_lda(
                     }
                 )
 
+            # two-level reduction (gradreduce.py): workers sum the K×V
+            # sufficient-statistics blobs REDUCE_FANOUT-at-a-time before
+            # the driver's final pass — the driver reads n_batches / FANOUT
+            # rows, so it is not the epoch's reduction bottleneck
+            from wikirec_ray.functions.gradreduce import (
+                REDUCE_FANOUT,
+                combine_dense_stats,
+            )
+
+            ssrc = bow.map_batches(partial, batch_format="pyarrow").map_batches(
+                combine_dense_stats, batch_format="pyarrow",
+                batch_size=REDUCE_FANOUT,
+            )
             stats = np.zeros((K, V), np.float64)
             ll = 0.0
-            for out in bow.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            ):
+            for out in ssrc.iter_batches(batch_format="pyarrow"):
                 for i in range(out.num_rows):
-                    stats += np.frombuffer(
-                        out["stats"][i].as_py(), np.float64
-                    ).reshape(K, V)
+                    blob = out["stats"][i].as_py()
                     ll += out["ll"][i].as_py()
+                    if blob:
+                        stats += np.frombuffer(blob, np.float64).reshape(K, V)
             beta = stats + eta
             beta /= beta.sum(axis=1, keepdims=True)
             lls.append(ll)
@@ -261,6 +272,74 @@ def doc_topics(
         )
 
     return bow.map_batches(fn, batch_format="pyarrow")
+
+
+def jaccard_topic_similarity(topic_1: list[str], topic_2: list[str]) -> float:
+    """The reference's topic Jaccard (|A∩B| / |A∪B|) including its
+    empty-list fixups (``/root/reference/src/wikirec/utils.py:113-137``:
+    one empty side copies the other, two empty sides compare ["_None"] —
+    both yielding 1.0)."""
+    if topic_1 == [] and topic_2 != []:
+        topic_1 = topic_2
+    if topic_1 != [] and topic_2 == []:
+        topic_2 = topic_1
+    if topic_1 == [] and topic_2 == []:
+        topic_1 = topic_2 = ["_None"]
+    s1, s2 = set(topic_1), set(topic_2)
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def topic_stability(
+    ds: ray.data.Dataset,
+    topic_nums: list[int],
+    num_topic_words: int = 10,
+    iters: int = 20,
+    alpha: float = 0.1,
+    eta: float = 0.01,
+    inner_iters: int = 12,
+    seed: int = 23,
+    text_col: str = "text",
+) -> dict:
+    """The reference's cross-topic-count stability sweep
+    (``graph_lda_topic_evals``, ``/root/reference/src/wikirec/utils.py:140-170``):
+    train one model per topic count — PLUS the reference's appended extra
+    count ``topic_nums[-1] + 1`` so every requested count has a successor —
+    take each model's top-``num_topic_words`` topic words, and report, for
+    each requested count, the MEAN pairwise Jaccard similarity between its
+    topics and the next count's topics (high stability = the topic
+    structure survives adding a topic).
+
+    Each model trains with the distributed ``train_lda`` (the sweep is a
+    driver-side loop over K values — the models are independent, and each
+    training run already saturates the cluster, so there is nothing to
+    gain by nesting parallelism).  Returns ``{"topic_nums": requested,
+    "mean_stability": [...], "topics": {n: [[words]]}}``."""
+    if not topic_nums or any(n < 1 for n in topic_nums):
+        raise ValueError("topic_nums must be non-empty positive counts")
+    if sorted(topic_nums) != list(topic_nums):
+        raise ValueError("topic_nums must be ascending (the reference "
+                         "compares consecutive counts)")
+    nums = list(topic_nums) + [topic_nums[-1] + 1]
+    topics: dict[int, list[list[str]]] = {}
+    for n in nums:
+        model = train_lda(
+            ds, n_topics=n, iters=iters, alpha=alpha, eta=eta,
+            inner_iters=inner_iters, seed=seed, text_col=text_col,
+        )
+        topics[n] = top_topic_words(model, num_topic_words)
+    stability = [
+        float(np.mean([
+            jaccard_topic_similarity(t1, t2)
+            for t1 in topics[nums[i]]
+            for t2 in topics[nums[i + 1]]
+        ]))
+        for i in range(len(nums) - 1)
+    ]
+    return {
+        "topic_nums": list(topic_nums),
+        "mean_stability": stability,
+        "topics": topics,
+    }
 
 
 def top_topic_words(model: dict, n: int = 10) -> list[list[str]]:

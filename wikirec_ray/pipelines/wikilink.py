@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -211,26 +212,37 @@ def train_wikilink_nn(
                 return out.append_column("grad", gcol).append_column("loss", lcol2)
 
             nxt = state.map_batches(sgd, batch_format="pyarrow").materialize()
+            # two-level reduction (see gradreduce.py): workers sum carriers
+            # REDUCE_FANOUT-at-a-time; the driver's final pass reads
+            # n_blocks / FANOUT rows — not the reduction bottleneck
+            from wikirec_ray.functions.gradreduce import (
+                REDUCE_FANOUT,
+                combine_sparse_grads,
+                decode_sparse_grad,
+            )
+
+            gsrc = nxt.map_batches(
+                lambda b: b.select(["grad", "loss"]).filter(
+                    pc.not_equal(b["grad"], b"")
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda b: combine_sparse_grads(b, dim),
+                batch_format="pyarrow",
+                batch_size=REDUCE_FANOUT,
+            )
             grad = np.zeros_like(U)
             cnt = np.zeros(n_links, np.float64)
             total_loss = 0.0
-            for out in nxt.iter_batches(batch_format="pyarrow", batch_size=None):
+            for out in gsrc.iter_batches(batch_format="pyarrow", batch_size=None):
                 garr = out["grad"]
                 for i in range(out.num_rows):
                     blob = garr[i].as_py()
+                    total_loss += out["loss"][i].as_py()
                     if blob:
-                        k = int(np.frombuffer(blob, np.int64, count=1)[0])
-                        idx = np.frombuffer(blob, np.int64, count=k, offset=8)
-                        gblk = np.frombuffer(
-                            blob, np.float64, count=k * dim, offset=8 + k * 8
-                        ).reshape(k, dim)
-                        cblk = np.frombuffer(
-                            blob, np.float64, count=k,
-                            offset=8 + k * 8 + k * dim * 8,
-                        )
-                        grad[idx] += gblk  # idx unique per block
+                        idx, gblk, cblk = decode_sparse_grad(blob, dim)
+                        grad[idx] += gblk  # idx unique per combined row
                         cnt[idx] += cblk
-                        total_loss += out["loss"][i].as_py()
             U = U - cur_lr * grad / np.maximum(cnt, 1.0)[:, None]
             losses.append(total_loss)
             state = nxt  # already materialized; carriers dropped next epoch

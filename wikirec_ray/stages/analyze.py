@@ -242,6 +242,27 @@ def clean_text_column(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.replace_substring_regex(s, pattern=_PUNCT_CLASS, replacement="")
 
 
+def fold_accents_word(w: str) -> str:
+    """NFKD-decompose and drop combining marks: 'für' -> 'fur'.  The scalar
+    twin of ``fold_accents_array`` (pytest pins them equal)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", w) if not unicodedata.combining(c)
+    )
+
+
+def fold_accents_array(arr: pa.Array) -> pa.Array:
+    """Vectorized accent folding (Arrow utf8_normalize NFKD + an RE2
+    combining-mark strip) — the optional ``fold_accents`` step of the
+    cleaning chain, so the natively-accented stopword lists
+    (``functions/languages.py``) also match corpora that were
+    accent-stripped upstream (ADVICE r03: never store stripped forms in the
+    lists themselves; fold at match time instead)."""
+    n = pc.utf8_normalize(arr, form="NFKD")
+    return pc.replace_substring_regex(n, pattern=r"\p{Mn}", replacement="")
+
+
 class WikirecCleaner:
     """Actor-pool stage: the reference cleaning chain, fully vectorized —
     Arrow RE2 kernels for the text chain, ``is_in``/``utf8_is_numeric``
@@ -253,6 +274,11 @@ class WikirecCleaner:
     Stateful only in that the value-set arrays are built once per actor
     (__init__), mirroring how the reference builds its stopword set once and
     shares it via fork (data_utils.py:715-728).
+
+    ``fold_accents=True`` NFKD-folds BOTH the token stream and the
+    configured word sets before any matching (and in the output tokens), so
+    the natively-accented stopword lists match accent-stripped corpora and
+    vice versa; default off preserves the reference's exact-form matching.
     """
 
     def __init__(
@@ -264,6 +290,7 @@ class WikirecCleaner:
         names: frozenset[str] = DEFAULT_NAMES,
         text_col: str = "text",
         id_col: str = "doc_id",
+        fold_accents: bool = False,
     ):
         self.stopwords = stopwords
         self.words_to_ignore = words_to_ignore
@@ -272,17 +299,22 @@ class WikirecCleaner:
         self.names = names
         self.text_col = text_col
         self.id_col = id_col
+        self.fold_accents = fold_accents
+        fold = fold_accents_word if fold_accents else (lambda w: w)
         # drop set: words_to_ignore ∪ {"ref"} ∪ stopwords — all tested
         # against the ORIGINAL-case token (data_utils.py:589-597)
         self._drop = pa.array(
-            sorted(set(words_to_ignore) | {"ref"} | set(stopwords)), pa.string()
+            sorted({fold(w) for w in set(words_to_ignore) | {"ref"} | set(stopwords)}),
+            pa.string(),
         )
-        self._names = pa.array(sorted(names), pa.string())
+        self._names = pa.array(sorted({fold(w) for w in names}), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cleaned = clean_text_column(batch[self.text_col])
         toks = pc.split_pattern_regex(cleaned, pattern=r"\s+")
         flat = pc.list_flatten(toks)
+        if self.fold_accents:
+            flat = fold_accents_array(flat)
         parents = pc.list_parent_indices(toks)
         keep = pc.not_equal(flat, "")
         if self.remove_names:
