@@ -14,6 +14,12 @@ scheduling overhead).
 ``--scaling``: runs the same benchmark in two fresh processes at
 num_cpus=8 and num_cpus=32 on the same (pre-built) corpus and reports both
 throughputs plus scaling efficiency = (t8/t32)/(32/8).
+``--zipf``: realistic 50k-term vocabulary (WAND, phrase cold/warm, and the
+frequent-bigram precompute vs the stopword-pair cold path).
+``--incremental``: resume-append vs delta-append vs full rebuild, plain and
+positional.
+``--serve-load``: N concurrent clients against one range-sharded pool;
+QPS + p50/p99 at 1/4/16 clients.
 """
 
 from __future__ import annotations
@@ -567,6 +573,61 @@ def run_zipf() -> None:
         f"warm p50={np.percentile(lpw,50):.1f}ms p99={np.percentile(lpw,99):.1f}ms "
         f"over {len(lp)} phrases"
     )
+
+    # the stopword-pair cold path vs the build-time bigram precompute
+    # (VERDICT r04 top-next): build with precompute_bigrams, query the most
+    # frequent precomputed pairs on BOTH indexes — on the plain positional
+    # index each such query pays the full position-stream decode of two
+    # df≈N terms; on the precomputed index it is a normal posting lookup
+    pre_k = int(os.environ.get("BENCH_PRECOMPUTE_BIGRAMS", "1024"))
+    pre_dir = os.path.join(CACHE_ROOT, f"zipf-index-pre-{NUM_CPUS}")
+    shutil.rmtree(pre_dir, ignore_errors=True)
+    tq = time.monotonic()
+    build_index(ds, pre_dir, resume=False, store_positions=True,
+                precompute_bigrams=pre_k)
+    pre_build_sec = time.monotonic() - tq
+    pre_reader = IndexReader(pre_dir)
+    common_pairs = [c.split(" ") for c in sorted(
+        pre_reader.bigrams,
+        key=lambda c: -pre_reader.df.get(c, 0),
+    )[:8]]
+    lat_cold, lat_pre = [], []
+    for ph in common_pairs:
+        fresh = IndexReader(pos_dir)  # cold position caches per query
+        t = time.monotonic(); fresh.phrase_topk(ph, 10)
+        lat_cold.append(time.monotonic() - t)
+    for ph in common_pairs:
+        fresh = IndexReader(pre_dir)
+        t = time.monotonic(); fresh.phrase_topk(ph, 10)
+        lat_pre.append(time.monotonic() - t)
+    # warm = shared reader (open segments, memoized caches): the serving
+    # tier's steady state.  The plain path stays position-bound only on its
+    # FIRST decode of each hot pair; the precomputed path never decodes
+    # positions at all, so its warm cost is a posting lookup
+    warm_pos, warm_pre = IndexReader(pos_dir), IndexReader(pre_dir)
+    for rd in (warm_pos, warm_pre):
+        rd.phrase_topk(common_pairs[0], 10)
+    lat_cold_w, lat_pre_w = [], []
+    for ph in common_pairs:
+        t = time.monotonic(); warm_pos.phrase_topk(ph, 10)
+        lat_cold_w.append(time.monotonic() - t)
+    for ph in common_pairs:
+        t = time.monotonic(); warm_pre.phrase_topk(ph, 10)
+        lat_pre_w.append(time.monotonic() - t)
+    # sanity: identical results on both paths
+    pre_mismatch = sum(
+        IndexReader(pre_dir).phrase_topk(ph, 10) != IndexReader(pos_dir).phrase_topk(ph, 10)
+        for ph in common_pairs[:4]
+    )
+    lc, lpre = np.array(lat_cold) * 1000, np.array(lat_pre) * 1000
+    lcw, lprew = np.array(lat_cold_w) * 1000, np.array(lat_pre_w) * 1000
+    log(
+        f"zipf common-pair phrase: positional cold p50={np.percentile(lc,50):.1f}ms "
+        f"p99={np.percentile(lc,99):.1f}ms warm p99={np.percentile(lcw,99):.1f}ms -> "
+        f"precomputed cold p50={np.percentile(lpre,50):.1f}ms "
+        f"p99={np.percentile(lpre,99):.1f}ms warm p99={np.percentile(lprew,99):.1f}ms "
+        f"(pre-build {pre_build_sec:.2f}s, K={pre_k}, mismatches={pre_mismatch})"
+    )
     print(json.dumps({
         "metric": "zipf_wand_p50_ms",
         "value": round(float(np.percentile(lw, 50)), 3),
@@ -584,9 +645,17 @@ def run_zipf() -> None:
             "phrase_cold_p99_ms": round(float(np.percentile(lp, 99)), 3),
             "phrase_warm_p50_ms": round(float(np.percentile(lpw, 50)), 3),
             "phrase_warm_p99_ms": round(float(np.percentile(lpw, 99)), 3),
+            "pre_build_sec": round(pre_build_sec, 3),
+            "phrase_common_cold_p50_ms": round(float(np.percentile(lc, 50)), 3),
+            "phrase_common_cold_p99_ms": round(float(np.percentile(lc, 99)), 3),
+            "phrase_common_pre_p50_ms": round(float(np.percentile(lpre, 50)), 3),
+            "phrase_common_pre_p99_ms": round(float(np.percentile(lpre, 99)), 3),
+            "phrase_common_cold_warm_p99_ms": round(float(np.percentile(lcw, 99)), 3),
+            "phrase_common_pre_warm_p99_ms": round(float(np.percentile(lprew, 99)), 3),
         },
         "docs": n_docs,
         "wand_rank_mismatches": int(mismatch),
+        "precomputed_phrase_mismatches": int(pre_mismatch),
         "num_cpus": NUM_CPUS,
         "cpu_probe_loss_pct": probe_loss,
     }))
@@ -689,11 +758,30 @@ def run_incremental() -> None:
     t2 = time.monotonic()
     build_index(corpus(base_files + extra_files), idx_full, resume=False)
     full_sec = time.monotonic() - t2
+
+    # positional variant (VERDICT r04 item 10): the delta-append speedup
+    # must hold with positions on — the third varint stream flows through
+    # the same touched-partition-only merge
+    idx_p = os.path.join(CACHE_ROOT, f"bench-incr-posi-{NUM_CPUS}")
+    idx_pf = os.path.join(CACHE_ROOT, f"bench-incr-posi-full-{NUM_CPUS}")
+    shutil.rmtree(idx_p, ignore_errors=True)
+    shutil.rmtree(idx_pf, ignore_errors=True)
+    build_index(corpus(base_files), idx_p, resume=False, store_positions=True)
+    t_pd = time.monotonic()
+    m_pd = append_index(corpus(extra_files), idx_p)
+    pos_delta_sec = time.monotonic() - t_pd
+    enc_pd = [k for k, v in m_pd["partitions"].items() if not v.get("skipped", True)]
+    t_pf = time.monotonic()
+    build_index(corpus(base_files + extra_files), idx_pf, resume=False,
+                store_positions=True)
+    pos_full_sec = time.monotonic() - t_pf
+
     log(
         f"incremental: base(90%) {base_sec:.2f}s; resume append {incr_sec:.2f}s "
         f"({len(enc)} partitions encoded, {len(skp)} skipped); delta append "
         f"{delta_sec:.2f}s ({len(enc_d)} partitions rewritten); "
-        f"full rebuild {full_sec:.2f}s"
+        f"full rebuild {full_sec:.2f}s; positional delta {pos_delta_sec:.2f}s "
+        f"({len(enc_pd)} rewritten) vs positional full {pos_full_sec:.2f}s"
     )
     print(json.dumps({
         "metric": "delta_append_sec",
@@ -704,6 +792,8 @@ def run_incremental() -> None:
             "resume_append_sec": round(incr_sec, 3),
             "delta_append_sec": round(delta_sec, 3),
             "full_rebuild_sec": round(full_sec, 3),
+            "pos_delta_append_sec": round(pos_delta_sec, 3),
+            "pos_full_rebuild_sec": round(pos_full_sec, 3),
         },
         "docs": int(n_total),
         "appended_docs": int(n_total - n_base),
@@ -712,6 +802,97 @@ def run_incremental() -> None:
         "delta_partitions_rewritten": len(enc_d),
         "resume_speedup_vs_full": round(full_sec / max(incr_sec, 1e-9), 2),
         "delta_speedup_vs_full": round(full_sec / max(delta_sec, 1e-9), 2),
+        "pos_delta_speedup_vs_full": round(
+            pos_full_sec / max(pos_delta_sec, 1e-9), 2
+        ),
+        "pos_delta_partitions_rewritten": len(enc_pd),
+        "num_cpus": NUM_CPUS,
+        "cpu_probe_loss_pct": probe_loss,
+    }))
+    ray.shutdown()
+
+
+def run_serve_load() -> None:
+    """Concurrent-client serving benchmark (VERDICT r04 item 5): N client
+    threads stream queries against ONE RangeShardedQueryEngine pool and the
+    JSON line reports QPS + p50/p99 per client count (1/4/16).  All other
+    latency numbers in BASELINE.md are single-client; this is the number a
+    serving deployment asks first.  The index is built once (resume=True)
+    over the amplified corpus and reused across runs."""
+    import ray
+
+    probe_loss = wait_clean_window()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_empty_block_schema_warnings()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = max(NUM_CPUS, 16)
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    pages_dir = build_corpus()
+    index_dir = os.path.join(
+        CACHE_ROOT, f"bench-serve-idx-{os.path.basename(pages_dir)}"
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    corpus = extract_pages(pages).map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    build_index(corpus, index_dir, resume=True, lineage={"input": pages_dir})
+
+    queries = make_queries()
+    pool_size = int(os.environ.get("BENCH_SERVE_POOL", "8"))
+    eng = RangeShardedQueryEngine(index_dir, pool_size=pool_size)
+    for _, terms in queries[:8]:
+        eng.topk(terms, TOP_K)  # warm every shard + resolver
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    per_client = int(os.environ.get("BENCH_SERVE_QPC", "50"))
+    out: dict = {}
+    for n_clients in (1, 4, 16):
+        def client(cid: int) -> list[float]:
+            rng = np.random.default_rng(100 + cid)
+            lats = []
+            for _ in range(per_client):
+                _, terms = queries[int(rng.integers(0, len(queries)))]
+                q0 = time.monotonic()
+                eng.topk(terms, TOP_K)
+                lats.append(time.monotonic() - q0)
+            return lats
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=n_clients) as ex:
+            all_lats = [l for ls in ex.map(client, range(n_clients)) for l in ls]
+        wall = time.monotonic() - t0
+        la = np.array(all_lats) * 1000
+        out[f"qps_c{n_clients}"] = round(len(all_lats) / wall, 1)
+        out[f"p50_ms_c{n_clients}"] = round(float(np.percentile(la, 50)), 3)
+        out[f"p99_ms_c{n_clients}"] = round(float(np.percentile(la, 99)), 3)
+        log(
+            f"serve-load c={n_clients}: {out[f'qps_c{n_clients}']} qps, "
+            f"p50={out[f'p50_ms_c{n_clients}']}ms p99={out[f'p99_ms_c{n_clients}']}ms"
+        )
+    eng.shutdown()
+    print(json.dumps({
+        "metric": "serve_qps_c16",
+        "value": out["qps_c16"],
+        "unit": "qps",
+        "queries": out,
+        "pool_size": pool_size,
         "num_cpus": NUM_CPUS,
         "cpu_probe_loss_pct": probe_loss,
     }))
@@ -773,5 +954,7 @@ if __name__ == "__main__":
         run_zipf()
     elif "--incremental" in sys.argv:
         run_incremental()
+    elif "--serve-load" in sys.argv:
+        run_serve_load()
     else:
         print(json.dumps(run_bench()))
