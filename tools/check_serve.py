@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BAND_P50_MS = 9.0   # round-5 clean-window serve p50 on the sf0.01 index
+BAND_P50_MS = 7.0   # round-5 clean-window serve p50 on the sf0.01 index
+#                     (measured 6.1 ms at probe 3%, 2026-08-18)
 TOLERANCE = 1.5     # fail when p50 exceeds band × tolerance
 N_QUERIES = 60
 

@@ -285,27 +285,52 @@ def top_bigrams_by_df(
 ) -> list[tuple[str, str]]:
     """The ``k`` adjacent token pairs occurring in the most documents,
     deterministically ordered (df desc, w1 asc, w2 asc).  One streaming
-    pass + one pair-vocabulary-sized groupby; the driver pulls only the
-    top-k rows.  This is ``build_index(precompute_bigrams=k)``'s selection
-    pass: the pairs whose posting lists get materialized as composite terms
-    so stopword-pair phrase queries skip the position-stream decode."""
-    from ray.data.aggregate import Sum
-
+    pass + one single-int-key hash-partitioned shuffle; the driver pulls at
+    most n_parts × k candidate rows.  This is
+    ``build_index(precompute_bigrams=k)``'s selection pass: the pairs whose
+    posting lists get materialized as composite terms so stopword-pair
+    phrase queries skip the position-stream decode."""
     if k <= 0:
         return []
-    totals = (
-        ds.map_batches(
-            lambda b: _pair_df_partials(b, text_col), batch_format="pyarrow"
+    from wikirec_ray.functions.hashing import GOLD64, fmix64, token_hashes_arrow
+    from wikirec_ray.functions.partitions import partitioned_map_groups
+
+    partials = ds.map_batches(
+        lambda b: _pair_df_partials(b, text_col), batch_format="pyarrow"
+    )
+
+    # aggregate inside hash partitions (the dedup._aggregate_pairs shape):
+    # shuffling on ONE int column and running Arrow's C++ group_by inside
+    # each partition is ~10× a Ray groupby over two string key columns at a
+    # multi-million-pair vocabulary (the pair key is hashed only for
+    # PLACEMENT — identity stays the exact strings).  Each partition also
+    # pre-trims to its local top-k (>= k rows incl. ties), so the driver
+    # pull is bounded by n_parts × k, never the pair vocabulary.
+    def key_fn(b: pa.Table) -> np.ndarray:
+        h1 = token_hashes_arrow(b["w1"].combine_chunks())
+        h2 = token_hashes_arrow(b["w2"].combine_chunks())
+        with np.errstate(over="ignore"):
+            return fmix64(h1 * GOLD64 + h2)
+
+    def agg_topk(part: pa.Table) -> pa.Table:
+        g = (
+            part.select(["w1", "w2", "n"])
+            .group_by(["w1", "w2"])
+            .aggregate([("n", "sum")])
         )
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    rows = (
-        totals.sort(["n", "w1", "w2"], descending=[True, False, False])
-        .limit(k)
-        .take_all()
-    )
-    return [(r["w1"], r["w2"]) for r in rows]
+        n = g["n_sum"].to_numpy()
+        if len(n) > k:
+            thr = np.partition(n, len(n) - k)[len(n) - k]
+            keep = n >= thr
+            g = g.filter(pa.array(keep))
+            n = n[keep]
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "n": pa.array(n.astype(np.int64))}
+        )
+
+    cand = partitioned_map_groups(partials, key_fn, agg_topk).take_all()
+    cand.sort(key=lambda r: (-r["n"], r["w1"], r["w2"]))
+    return [(r["w1"], r["w2"]) for r in cand[:k]]
 
 
 # ---------------------------------------------------------------------------
