@@ -587,10 +587,17 @@ def run_zipf() -> None:
                 precompute_bigrams=pre_k)
     pre_build_sec = time.monotonic() - tq
     pre_reader = IndexReader(pre_dir)
+    # deterministic pair choice: (-df, pair) — a bare -df key would order
+    # equal-df pairs by set iteration (PYTHONHASHSEED-dependent)
     common_pairs = [c.split(" ") for c in sorted(
         pre_reader.bigrams,
-        key=lambda c: -pre_reader.df.get(c, 0),
+        key=lambda c: (-pre_reader.df.get(c, 0), c),
     )[:8]]
+    if not common_pairs:
+        raise RuntimeError(
+            "zipf precompute leg: empty bigram set (BENCH_PRECOMPUTE_BIGRAMS"
+            f"={pre_k}) — nothing to measure"
+        )
     lat_cold, lat_pre = [], []
     for ph in common_pairs:
         fresh = IndexReader(pos_dir)  # cold position caches per query

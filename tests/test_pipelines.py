@@ -516,6 +516,21 @@ def test_broadcast_lookup_matches_hash_join(ray_session):
     with _pt.raises(ValueError, match="inner"):
         broadcast_lookup(big, dim, "k", "dk", join_type="right outer")
 
+    # null left keys never match (review r5: the NaN->int64 cast is
+    # undefined and could fabricate a hit): inner drops them, left outer
+    # keeps them with null value columns
+    nulls = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, None, 4], pa.int64()),
+                  "x": pa.array([1.0, 2.0, 3.0])})
+    )
+    inner = broadcast_lookup(nulls, dim, "k", "dk").take_all()
+    assert sorted((r["k"], r["name"]) for r in inner) == [(2, "n2"), (4, "n4")]
+    louter = broadcast_lookup(nulls, dim, "k", "dk",
+                              join_type="left outer").take_all()
+    assert sorted((r["k"], r["name"]) for r in louter
+                  if r["k"] is not None) == [(2, "n2"), (4, "n4")]
+    assert [r["name"] for r in louter if r["k"] is None] == [None]
+
 
 def test_approx_distinct_error_bound(ray_session, sf_dir):
     import os

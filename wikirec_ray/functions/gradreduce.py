@@ -92,9 +92,12 @@ def combine_dense_stats(batch: pa.Table) -> pa.Table:
     sarr = batch["stats"]
     larr = batch["ll"]
     for i in range(batch.num_rows):
-        v = np.frombuffer(sarr[i].as_py(), np.float64)
-        acc = v.copy() if acc is None else acc + v
+        blob = sarr[i].as_py()
         ll += larr[i].as_py()
+        if not blob:
+            continue  # empty carrier (e.g. a chained second combine level)
+        v = np.frombuffer(blob, np.float64)
+        acc = v.copy() if acc is None else acc + v
     out = acc.tobytes() if acc is not None else b""
     return pa.table(
         {"stats": pa.array([out], pa.binary()),

@@ -202,19 +202,20 @@ def train_doc2vec(
                         pa.array(np.ascontiguousarray(D).reshape(-1)), dim
                     ),
                 )
-                # ONE grad/loss carrier row per block (row 0); the driver
-                # skips empty carriers, so block coalescing stays safe.
-                # SPARSE layout [k:int64][idx:k×int64][grad:k×dim f64]
-                # [cnt:k f64] — only words this block touched; per-word
-                # driver accumulation order is unchanged vs the dense blob
-                # (same block order under preserve_order), so losses are
-                # bitwise identical while partial bytes drop ~|touched|/V
+                # ONE grad/loss carrier row per block (row 0); empty
+                # carriers are filtered before the combine stage, so block
+                # coalescing stays safe.  Sparse layout owned by
+                # gradreduce.encode_sparse_grad — only words this block
+                # touched (partial bytes drop ~|touched|/V).  Accumulation
+                # is per-RUN deterministic (fixed batching under
+                # preserve_order); the 16-way worker combine changes float
+                # association vs summing raw blocks, so values are not
+                # comparable bit-for-bit with pre-r5 runs.
+                from wikirec_ray.functions.gradreduce import encode_sparse_grad
+
                 touched = np.flatnonzero(cnt_U != 0.0).astype(np.int64)
-                blob = (
-                    np.int64(len(touched)).tobytes()
-                    + touched.tobytes()
-                    + np.ascontiguousarray(grad_U[touched]).tobytes()
-                    + cnt_U[touched].tobytes()
+                blob = encode_sparse_grad(
+                    touched, grad_U[touched], cnt_U[touched]
                 )
                 gcol = pa.array(
                     [blob] + [b""] * (n_docs - 1),

@@ -107,13 +107,16 @@ _LOOKUP_CACHE: dict[str, tuple] = {}
 def _resolve_lookup(ref) -> tuple:
     """ObjectRef -> (sorted keys, key-sorted value table), memoized per
     worker process — the broadcast table is fetched from the local object
-    store once per worker, never re-shipped per batch."""
+    store once per worker, never re-shipped per batch.  Single-slot cache
+    (the access pattern is one live broadcast per stage): a new ref evicts
+    the previous one, so long-lived workers never pin dead tables."""
     key = ref.hex()
     v = _LOOKUP_CACHE.get(key)
     if v is None:
         import ray
 
         v = ray.get(ref)
+        _LOOKUP_CACHE.clear()
         _LOOKUP_CACHE[key] = v
     return v
 
@@ -161,11 +164,17 @@ def broadcast_lookup(
     left_names = set(left.schema().base_schema.names)
 
     def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         sk, vals = _resolve_lookup(ref)
-        bk = batch[left_on].to_numpy().astype(np.int64)
+        col = batch[left_on].combine_chunks()
+        # null keys never match: to_numpy on a null-bearing int column
+        # yields float64 NaN, whose int64 cast is undefined — mask first
+        notnull = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        bk = col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.searchsorted(sk, bk)
         idx_c = np.minimum(idx, max(len(sk) - 1, 0))
-        hit = (sk[idx_c] == bk) if len(sk) else np.zeros(len(bk), bool)
+        hit = ((sk[idx_c] == bk) & notnull) if len(sk) else np.zeros(len(bk), bool)
         if join_type == "inner":
             batch = batch.filter(pa.array(hit))
             take_idx = pa.array(idx_c[hit], pa.int64())

@@ -193,14 +193,15 @@ def train_wikilink_nn(
                         pa.array(np.ascontiguousarray(A).reshape(-1)), dim
                     ),
                 )
-                # sparse partial [k][idx][grad k×dim][cnt k] — touched links
-                # only; per-link accumulation order matches the dense blob
+                # sparse partial (layout owned by gradreduce.encode_sparse_
+                # grad) — touched links only; per-run deterministic under
+                # preserve_order, combined 16-at-a-time worker-side before
+                # the driver pass (not bit-comparable with pre-r5 sums)
+                from wikirec_ray.functions.gradreduce import encode_sparse_grad
+
                 touched = np.flatnonzero(cnt_U != 0.0).astype(np.int64)
-                blob = (
-                    np.int64(len(touched)).tobytes()
-                    + touched.tobytes()
-                    + np.ascontiguousarray(grad_U[touched]).tobytes()
-                    + cnt_U[touched].tobytes()
+                blob = encode_sparse_grad(
+                    touched, grad_U[touched], cnt_U[touched]
                 )
                 gcol = pa.array(
                     [blob] + [b""] * (n - 1),

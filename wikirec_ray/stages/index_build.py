@@ -102,7 +102,7 @@ RUN_SCHEMA = pa.schema(
 
 
 def _pairs_with_positions(
-    batch: pa.Table, id_col: str, text_col: str
+    batch: pa.Table, id_col: str, text_col: str, layout=None
 ) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, np.ndarray]:
     """(id, text) batch -> per-(doc, term) pairs WITH token positions:
     (doc_ids u64, uniq_terms, term_codes i64, tfs u64, pos_flat u64).
@@ -110,10 +110,12 @@ def _pairs_with_positions(
     Same (doc, term, tf) multiset as ``doc_term_freqs`` (one lexsort over
     the token stream instead of the Arrow group_by); ``pos_flat`` holds each
     pair's ascending 0-based positions within the doc's kept-token stream,
-    pair-major (pair i spans ``pos_flat[cum_tf[i] : cum_tf[i+1]]``)."""
+    pair-major (pair i spans ``pos_flat[cum_tf[i] : cum_tf[i+1]]``).
+    ``layout`` is an optional pre-computed ``_flat_tokens`` result so a
+    caller that also runs ``_pair_postings`` tokenizes the batch once."""
     from wikirec_ray.stages.analyze import _flat_tokens
 
-    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    parents, flat = layout or _flat_tokens(batch[text_col].combine_chunks())
     par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
     n_tok = len(par)
     if n_tok == 0:
@@ -161,12 +163,16 @@ def _resolve_bigrams(ref) -> frozenset | None:
         import ray
 
         bs = frozenset(map(tuple, ray.get(ref)))
+        # single-slot: one live pair set per build; evicting the previous
+        # ref keeps long-lived workers from pinning dead sets
+        _BIGRAM_SET_CACHE.clear()
         _BIGRAM_SET_CACHE[key] = bs
     return bs
 
 
 def _pair_postings(
-    batch: pa.Table, id_col: str, text_col: str, pairs: frozenset
+    batch: pa.Table, id_col: str, text_col: str, pairs: frozenset,
+    layout=None,
 ) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, np.ndarray]:
     """Composite-term postings for the precomputed bigram set: per (doc,
     pair in ``pairs``) occurrence counts and first-token positions, in the
@@ -182,7 +188,7 @@ def _pair_postings(
 
     empty = (np.empty(0, np.uint64), [], np.empty(0, np.int64),
              np.empty(0, np.uint64), np.empty(0, np.uint64))
-    parents, flat = _flat_tokens(batch[text_col].combine_chunks())
+    parents, flat = layout or _flat_tokens(batch[text_col].combine_chunks())
     par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
     if len(par) < 2:
         return empty
@@ -255,10 +261,18 @@ def _postings_batch(
     SAME shuffle; doc lengths and norms count unigrams only, so BM25 is
     unaffected."""
     bigrams = _resolve_bigrams(bigrams)
+    # tokenize ONCE per batch: with bigrams on, the same _flat_tokens layout
+    # feeds both the unigram pass and _pair_postings (review r5 — the
+    # duplicate tokenize doubled the hot combiner's Arrow split cost)
+    layout = None
+    if bigrams:
+        from wikirec_ray.stages.analyze import _flat_tokens
+
+        layout = _flat_tokens(batch[text_col].combine_chunks())
     pos_flat = None
     if store_positions:
         doc_ids, uniq_terms0, term_codes0, tfs, pos_flat = _pairs_with_positions(
-            batch, id_col, text_col
+            batch, id_col, text_col, layout
         )
     else:
         tf_tbl = doc_term_freqs(batch, id_col=id_col, text_col=text_col)
@@ -285,7 +299,7 @@ def _postings_batch(
 
     if bigrams:
         p_docs, p_uniq, p_codes, p_tfs, p_pos = _pair_postings(
-            batch, id_col, text_col, bigrams
+            batch, id_col, text_col, bigrams, layout
         )
         if len(p_docs):
             p_dls = dl_per_doc[np.searchsorted(sorted_bids, p_docs)]
