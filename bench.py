@@ -943,6 +943,11 @@ def run_scaling():
                     f"serve_p50_ms_cpus{hi}": r_hi["serve_p50_ms"],
                     f"serve_p99_ms_cpus{lo}": r_lo["serve_p99_ms"],
                     f"serve_p99_ms_cpus{hi}": r_hi["serve_p99_ms"],
+                    # per-child probe readings: a leg whose probe exceeded
+                    # ~8% ran under co-tenant steal and its efficiency
+                    # number should not be compared against clean runs
+                    f"cpu_probe_loss_pct_cpus{lo}": r_lo["cpu_probe_loss_pct"],
+                    f"cpu_probe_loss_pct_cpus{hi}": r_hi["cpu_probe_loss_pct"],
                 },
                 "docs": r_hi["docs"],
                 "docs_per_sec_lo": r_lo["build_docs_per_sec"],

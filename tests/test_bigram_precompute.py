@@ -259,3 +259,29 @@ def test_served_precomputed_phrase_matches_local(corpora, ray_session):
         assert eng.phrase_topk(phr3, 10) == rd_pre.phrase_topk(phr3, 10)
     finally:
         eng.shutdown()
+
+
+def test_subpair_pruned_long_phrases(corpora, ray_session):
+    """3+-term phrases whose consecutive sub-pairs are precomputed take the
+    candidate-pruning path; results must equal the plain positional index,
+    the brute oracle, and the served engine."""
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    texts, ids = corpora["texts"], corpora["ids"]
+    toks = [t.split() for t in texts]
+    id_of = dict(enumerate(ids))
+    rd_pos = IndexReader(corpora["idx_pos"])
+    rd_pre = IndexReader(corpora["idx_pre"])
+    a, b = sorted(rd_pre.bigrams)[0].split()
+    phrases = [[a, b, a], [a, b, b], ["w0", a, b], [b, a, b, a]]
+    for phr in phrases:
+        got = [(d, round(s, 6)) for d, s in rd_pre.phrase_topk(phr, 10)]
+        assert got == [(d, round(s, 6)) for d, s in rd_pos.phrase_topk(phr, 10)], phr
+        want = [(id_of[d], round(s, 6)) for d, s in _brute_phrase(toks, phr, 10)]
+        assert got == want, phr
+    eng = RangeShardedQueryEngine(corpora["idx_pre"], pool_size=2)
+    try:
+        for phr in phrases:
+            assert eng.phrase_topk(phr, 10) == rd_pre.phrase_topk(phr, 10), phr
+    finally:
+        eng.shutdown()

@@ -252,7 +252,12 @@ class IndexReader:
         list instead — a plain varint doc decode, no position streams at
         all.  Results are identical by construction (the composite list IS
         the adjacency-filtered doc set); pinned by pytest against the
-        positional path."""
+        positional path.  Longer phrases intersect the candidate set with
+        every precomputed consecutive sub-pair's composite list BEFORE the
+        positional chain — a common phrase like "of the cat" shrinks to
+        docs actually containing "of the" adjacently, which puts
+        ``positions_select`` on its block-skip path instead of a full
+        df≈N position decode."""
         if not terms:
             return []
         if len(terms) == 2:
@@ -262,6 +267,16 @@ class IndexReader:
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
+        if len(terms) > 2 and self.bigrams:
+            for i in range(len(terms) - 1):
+                comp = f"{terms[i]} {terms[i + 1]}"
+                if comp in self.bigrams:
+                    if self.df.get(comp, 0) == 0:
+                        return []  # a sub-pair never occurs -> no phrase
+                    dc, _ = self.postings(comp)
+                    cand = cand[np.isin(cand, dc, assume_unique=True)]
+                    if len(cand) == 0:
+                        return []
         phrase_docs = self.phrase_match_docs(
             cand, [(t, d, seg) for t, d, _, seg in postings]
         )

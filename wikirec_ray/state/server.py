@@ -254,14 +254,19 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
-    def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int):
+    def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
+                    sub_comps: list[tuple[str, int]] | None = None):
         """This shard's exact-phrase top-k over its ranges.  ``terms_with_idf``
         is in PHRASE ORDER (duplicates kept).  Adjacency is per-doc and every
         doc lives wholly inside one range, so each range resolves its own
         matches with the shared ``phrase_match_docs`` kernel over its
         per-(tpart, range) chunk readers — the reason phrase serving lives in
         the doc-range-sharded engine (a term-sharded layout would have to
-        ship position streams between shards)."""
+        ship position streams between shards).  ``sub_comps`` =
+        [(composite term, its tpart)] for every precomputed consecutive
+        sub-pair of a 3+-term phrase: candidates intersect those composite
+        doc lists BEFORE the positional chain (same pruning as the local
+        reader — exact, since a phrase doc contains every sub-pair)."""
         from wikirec_ray.pipelines.query import (
             IndexReader,
             bm25_contrib,
@@ -289,6 +294,15 @@ class RangeServer:
                 cand = cand[np.isin(cand, d, assume_unique=True)]
                 if not len(cand):
                     break
+            for comp, ctpart in sub_comps or ():
+                if not len(cand):
+                    break
+                cchunk = self._chunk(ctpart, r)
+                if cchunk is None or not cchunk.has(comp):
+                    cand = cand[:0]  # sub-pair absent in this range
+                    break
+                dc, _ = cchunk.postings(comp)
+                cand = cand[np.isin(cand, dc, assume_unique=True)]
             if not len(cand):
                 continue
             pdocs = IndexReader.phrase_match_docs(
@@ -465,8 +479,19 @@ class RangeShardedQueryEngine:
                 merged = [hit for p in partials for hit in p]
                 merged.sort(key=lambda x: (-x[1], x[0]))
                 return merged[:k]
+        # 3+-term phrases: precomputed consecutive sub-pairs prune shard
+        # candidates before the positional chain (same rule as the local
+        # reader's phrase_topk)
+        sub_comps = []
+        if len(terms) > 2 and self.bigrams:
+            for i in range(len(terms) - 1):
+                comp = f"{terms[i]} {terms[i + 1]}"
+                if comp in self.bigrams:
+                    sub_comps.append(
+                        (comp, zlib.crc32(comp.encode("utf-8")) % self.n_tparts)
+                    )
         partials = ray.get(
-            [s.phrase_topk.remote(twi, k) for s in self.servers]
+            [s.phrase_topk.remote(twi, k, sub_comps) for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
