@@ -157,3 +157,34 @@ def test_range_sharded_phrase_requires_positions(spread_index, ray_session):
             eng.phrase_topk(["table", "hash"], 10)
     finally:
         eng.shutdown()
+
+
+def test_range_sharded_near_equals_local(spread_pos_index, ray_session):
+    """Distributed NEAR == IndexReader.near_topk: the coordinator fixes the
+    anchor from global dfs (max idf == min df, ties lexicographic), each
+    range shard matches proximity locally with the shared kernel.  Covers
+    2/3-term queries, duplicate terms, window=0, a huge window (degrades to
+    AND == plain conjunctive filter), and an absent term."""
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(spread_pos_index, pool_size=3)
+    try:
+        reader = IndexReader(spread_pos_index)
+        n_nonempty = 0
+        near_qs = [q for q in PHRASES if q] + [
+            ["table", "hash", "join"],
+            ["table", "table", "hash"],
+        ]
+        for q in near_qs:
+            for w in (0, 3, 8, 10_000):
+                got = eng.near_topk(q, 10, window=w)
+                assert got == reader.near_topk(q, 10, window=w), (q, w)
+                n_nonempty += bool(got)
+        assert n_nonempty > 0, "NEAR set must hit the corpus"
+        assert eng.near_topk([], 10) == []
+        assert eng.near_topk(["zzzabsent", "table"], 10) == []
+        with pytest.raises(ValueError, match="2\\^31"):
+            eng.near_topk(["table", "hash"], 10, window=1 << 31)
+    finally:
+        eng.shutdown()

@@ -326,24 +326,44 @@ class IndexReader:
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
-
-        # the key probes add up to `window`; margin window+1 keeps pos+w
-        # from carrying into the owner bits
-        margin = window + 1
         order = sorted(range(len(terms)),
                        key=lambda i: (len(postings[i][1]), terms[i]))
         anchor = order[0]
-        live = self._cand_keys(cand, terms[anchor], postings[anchor][1],
-                               postings[anchor][3], margin)
-        w = np.uint64(window)
-        mask32 = np.uint64((1 << 32) - 1)
         seen = {terms[anchor]}  # a term constrains at most once
+        others = []
         for i in order[1:]:
             if terms[i] in seen:
                 continue
             seen.add(terms[i])
-            kt = self._cand_keys(cand, terms[i], postings[i][1],
-                                 postings[i][3], margin)
+            others.append((terms[i], postings[i][1], postings[i][3]))
+        near_docs = self.near_match_docs(
+            cand,
+            (terms[anchor], postings[anchor][1], postings[anchor][3]),
+            others, window,
+        )
+        return self._filtered_topk(postings, near_docs, k)
+
+    @staticmethod
+    def near_match_docs(
+        cand: np.ndarray,
+        anchor_item: tuple[str, np.ndarray, object],
+        other_items: list[tuple[str, np.ndarray, object]],
+        window: int,
+    ) -> np.ndarray:
+        """Docs (subset of sorted ``cand``) with at least one ANCHOR
+        occurrence whose ±``window`` token range covers an occurrence of
+        every other term.  Each item = (term, its sorted doc_ids, its
+        SegmentReader); shared by the local reader and the range-sharded
+        shards (proximity is per-doc, so each shard runs this on its own
+        ranges — the caller fixes the anchor from GLOBAL dfs so shards
+        agree).  The key probes add up to ``window``; margin window+1
+        keeps pos+window from carrying into the owner bits."""
+        margin = window + 1
+        live = IndexReader._cand_keys(cand, *anchor_item, margin)
+        w = np.uint64(window)
+        mask32 = np.uint64((1 << 32) - 1)
+        for item in other_items:
+            kt = IndexReader._cand_keys(cand, *item, margin)
             pos = live & mask32
             lo = (live & ~mask32) | np.where(pos > w, pos - w, np.uint64(0))
             hi = live + w  # same owner: pos + window < 2^32 by the margin
@@ -351,9 +371,8 @@ class IndexReader:
                        > np.searchsorted(kt, lo, side="left"))
             live = live[survive]
             if len(live) == 0:
-                return []
-        near_docs = cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
-        return self._filtered_topk(postings, near_docs, k)
+                return cand[:0]
+        return cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
 
     # ---------------- block-max WAND ------------------------------------
 

@@ -326,6 +326,75 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def near_topk(self, terms_with_idf: list[tuple[str, int, float]],
+                  anchor_term: str, window: int, k: int):
+        """This shard's proximity (NEAR) top-k over its ranges: docs with an
+        ``anchor_term`` occurrence whose ±window covers every query term,
+        via the shared ``IndexReader.near_match_docs`` kernel.  The anchor
+        is chosen by the COORDINATOR from global dfs (max idf, ties
+        lexicographic — identical to the local reader's least-df rule), so
+        every shard evaluates the same predicate.  Scoring is the plain
+        multi-term BM25 over surviving docs, duplicates double-counting,
+        same as the local ``_filtered_topk`` contract."""
+        from wikirec_ray.pipelines.query import (
+            IndexReader,
+            bm25_contrib,
+            topk_from_sparse,
+        )
+
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            items = []
+            for term, tpart, _ in terms_with_idf:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    items = None
+                    break
+                d, tf = chunk.postings(term)
+                items.append((term, d, tf, chunk))
+            if not items:
+                continue
+            cand = items[0][1]
+            for _, d, _, _ in items[1:]:
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+                if not len(cand):
+                    break
+            if not len(cand):
+                continue
+            anchor_item = None
+            others = []
+            seen: set[str] = set()
+            for term, d, _, chunk in items:
+                if term in seen:
+                    continue
+                seen.add(term)
+                if term == anchor_term and anchor_item is None:
+                    anchor_item = (term, d, chunk)
+                else:
+                    others.append((term, d, chunk))
+            ndocs = IndexReader.near_match_docs(cand, anchor_item, others, window)
+            if not len(ndocs):
+                continue
+            docs64 = ndocs.astype(np.int64)
+            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
+            ids_out, contribs = [], []
+            for (term, d, tf, _), (_, _, idf) in zip(items, terms_with_idf):
+                if idf == 0.0:
+                    continue
+                tfv = tf[np.searchsorted(d, ndocs)].astype(np.float64)
+                ids_out.append(docs64)
+                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
+            if ids_out:
+                out.extend(topk_from_sparse(
+                    np.concatenate(ids_out), np.concatenate(contribs), k
+                ))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def precomputed_phrase_topk(
         self, comp: str, comp_tpart: int,
         terms_with_idf: list[tuple[str, int, float]], k: int,
@@ -492,6 +561,31 @@ class RangeShardedQueryEngine:
                     )
         partials = ray.get(
             [s.phrase_topk.remote(twi, k, sub_comps) for s in self.servers]
+        )
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def near_topk(self, terms: list[str], k: int,
+                  window: int = 8) -> list[tuple[int, float]]:
+        """Distributed proximity (NEAR) top-k — must equal
+        ``IndexReader.near_topk``.  The coordinator fixes the anchor from
+        GLOBAL dfs: idf is strictly decreasing in df, so max idf (ties →
+        lexicographically smallest term) IS the local reader's
+        (df, term)-min anchor rule; proximity is then per-doc, so each
+        range shard resolves its own matches with the shared kernel."""
+        if not terms or window < 0:
+            return []
+        if window >= (1 << 31):
+            raise ValueError("near_topk: window must be < 2^31")
+        resolved = self._resolve_idfs(terms)
+        if any(resolved[t][1] == 0.0 for t in terms):
+            return []  # a term absent from the corpus → no NEAR match
+        anchor = min(sorted(set(terms)),
+                     key=lambda t: (-resolved[t][1], t))
+        twi = [(t, *resolved[t]) for t in terms]  # query order, dups kept
+        partials = ray.get(
+            [s.near_topk.remote(twi, anchor, window, k) for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
