@@ -756,6 +756,7 @@ def embedding_dup_pairs(
     ``embedding_dup_pairs_bucketed`` (LSH-partitioned pairs, no driver
     materialization) as the scale path; raise the cap explicitly only for
     oracle runs that can afford the O(N²)."""
+    ds = ds.materialize()  # count + take_all + map: ONE upstream execution
     n = ds.count()
     if n > max_rows:
         raise ValueError(

@@ -52,6 +52,29 @@ from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_
 ROUND_DP = 9
 
 
+def precomputed_subpairs(terms: list[str], bigrams) -> list[str]:
+    """Deduped composite terms ("wi wi+1") for the precomputed consecutive
+    sub-pairs of a phrase — the single owner of the pairing rule, shared by
+    the local reader and the served coordinator so the two paths cannot
+    diverge (and a phrase like [a,b,a,b] intersects each composite list
+    once, not per occurrence)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for i in range(len(terms) - 1):
+        comp = f"{terms[i]} {terms[i + 1]}"
+        if comp in bigrams and comp not in seen:
+            seen.add(comp)
+            out.append(comp)
+    return out
+
+
+# decoding a composite posting list to prune candidates only pays when the
+# list is not much longer than the candidate set it prunes (a rare term in
+# the phrase already shrank cand; block-skip position decode then costs µs
+# while a df≈N composite decode costs tens of ms)
+SUBPAIR_PRUNE_MAX_RATIO = 32
+
+
 def bm25_contrib(idf, tf, dl, avgdl):
     """Per-posting BM25 contribution — THE scoring kernel, shared by the
     local reader, the WAND cursors, and both serving engines so the formula
@@ -268,15 +291,19 @@ class IndexReader:
         if postings is None:
             return []
         if len(terms) > 2 and self.bigrams:
-            for i in range(len(terms) - 1):
-                comp = f"{terms[i]} {terms[i + 1]}"
-                if comp in self.bigrams:
-                    if self.df.get(comp, 0) == 0:
-                        return []  # a sub-pair never occurs -> no phrase
-                    dc, _ = self.postings(comp)
-                    cand = cand[np.isin(cand, dc, assume_unique=True)]
-                    if len(cand) == 0:
-                        return []
+            # pairing rule owned by precomputed_subpairs (shared with the
+            # served coordinator); prune is optional per pair — skipping a
+            # pair never changes results, only work
+            for comp in precomputed_subpairs(terms, self.bigrams):
+                dfc = self.df.get(comp, 0)
+                if dfc == 0:
+                    return []  # a sub-pair never occurs -> no phrase
+                if dfc > SUBPAIR_PRUNE_MAX_RATIO * len(cand):
+                    continue  # decode would cost more than the prune saves
+                dc, _ = self.postings(comp)
+                cand = cand[np.isin(cand, dc, assume_unique=True)]
+                if len(cand) == 0:
+                    return []
         phrase_docs = self.phrase_match_docs(
             cand, [(t, d, seg) for t, d, _, seg in postings]
         )

@@ -192,6 +192,13 @@ class SegmentReader:
             return None
         return self.table.slice(i, 1).to_pylist()[0]
 
+    def term_df(self, term: str) -> int | None:
+        """Posting count for a term WITHOUT touching the blob columns
+        (``term_row`` copies them) — the cheap metadata probe prune-cost
+        guards need; None when the term is absent."""
+        i = self._row_by_term.get(term)
+        return None if i is None else int(self.table["n"][i].as_py())
+
     @staticmethod
     def decode_block(row: dict, b: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode ONE block of a term row (the WAND skip unit)."""

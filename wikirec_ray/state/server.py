@@ -254,6 +254,49 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def _gather_items(self, r: int, terms_with_idf):
+        """(items, cand) for one range: per-term chunk postings in QUERY
+        order (duplicates kept, matching the scoring contract) plus their
+        AND intersection; (None, None) when any term has no postings in
+        this range.  Shared per-range scaffolding of every filtered
+        retrieval below — one owner, so the gather/guard logic cannot
+        drift between phrase, NEAR, and precomputed paths."""
+        items = []
+        for term, tpart, _ in terms_with_idf:
+            chunk = self._chunk(tpart, r)
+            if chunk is None or not chunk.has(term):
+                return None, None
+            d, tf = chunk.postings(term)
+            items.append((term, d, tf, chunk))
+        cand = items[0][1]
+        for _, d, _, _ in items[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if not len(cand):
+                break
+        return items, cand
+
+    def _score_filtered(self, nr, items, terms_with_idf, docs, k):
+        """Plain multi-term BM25 over the filter-surviving ``docs`` of one
+        range (duplicates double-count) -> the range's top-k partial; the
+        served twin of ``IndexReader._filtered_topk``."""
+        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_sparse
+
+        avgdl = self.stats["avgdl"]
+        docs64 = docs.astype(np.int64)
+        dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
+        ids_out, contribs = [], []
+        for (term, d, tf, _), (_, _, idf) in zip(items, terms_with_idf):
+            if idf == 0.0:
+                continue
+            tfv = tf[np.searchsorted(d, docs)].astype(np.float64)
+            ids_out.append(docs64)
+            contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
+        if not ids_out:
+            return []
+        return topk_from_sparse(
+            np.concatenate(ids_out), np.concatenate(contribs), k
+        )
+
     def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
                     sub_comps: list[tuple[str, int]] | None = None):
         """This shard's exact-phrase top-k over its ranges.  ``terms_with_idf``
@@ -266,41 +309,31 @@ class RangeServer:
         [(composite term, its tpart)] for every precomputed consecutive
         sub-pair of a 3+-term phrase: candidates intersect those composite
         doc lists BEFORE the positional chain (same pruning as the local
-        reader — exact, since a phrase doc contains every sub-pair)."""
+        reader — exact, since a phrase doc contains every sub-pair; the
+        decode-cost guard uses the chunk's cached row metadata)."""
         from wikirec_ray.pipelines.query import (
+            SUBPAIR_PRUNE_MAX_RATIO,
             IndexReader,
-            bm25_contrib,
-            topk_from_sparse,
         )
 
-        avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
             if nr is None:
                 continue
-            items = []
-            for term, tpart, _ in terms_with_idf:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    items = None
-                    break
-                d, tf = chunk.postings(term)
-                items.append((term, d, tf, chunk))
-            if not items:
+            items, cand = self._gather_items(r, terms_with_idf)
+            if items is None:
                 continue
-            cand = items[0][1]
-            for _, d, _, _ in items[1:]:
-                cand = cand[np.isin(cand, d, assume_unique=True)]
-                if not len(cand):
-                    break
             for comp, ctpart in sub_comps or ():
                 if not len(cand):
                     break
                 cchunk = self._chunk(ctpart, r)
-                if cchunk is None or not cchunk.has(comp):
+                dfc = cchunk.term_df(comp) if cchunk is not None else None
+                if dfc is None:
                     cand = cand[:0]  # sub-pair absent in this range
                     break
+                if dfc > SUBPAIR_PRUNE_MAX_RATIO * len(cand):
+                    continue  # decode would cost more than the prune saves
                 dc, _ = cchunk.postings(comp)
                 cand = cand[np.isin(cand, dc, assume_unique=True)]
             if not len(cand):
@@ -308,21 +341,9 @@ class RangeServer:
             pdocs = IndexReader.phrase_match_docs(
                 cand, [(t, d, c) for t, d, _, c in items]
             )
-            if not len(pdocs):
-                continue
-            docs64 = pdocs.astype(np.int64)
-            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
-            ids_out, contribs = [], []
-            for (term, d, tf, _), (_, _, idf) in zip(items, terms_with_idf):
-                if idf == 0.0:
-                    continue
-                tfv = tf[np.searchsorted(d, pdocs)].astype(np.float64)
-                ids_out.append(docs64)
-                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
-            if ids_out:
-                out.extend(topk_from_sparse(
-                    np.concatenate(ids_out), np.concatenate(contribs), k
-                ))
+            if len(pdocs):
+                out.extend(self._score_filtered(nr, items, terms_with_idf,
+                                                pdocs, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -336,34 +357,15 @@ class RangeServer:
         every shard evaluates the same predicate.  Scoring is the plain
         multi-term BM25 over surviving docs, duplicates double-counting,
         same as the local ``_filtered_topk`` contract."""
-        from wikirec_ray.pipelines.query import (
-            IndexReader,
-            bm25_contrib,
-            topk_from_sparse,
-        )
+        from wikirec_ray.pipelines.query import IndexReader
 
-        avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
             if nr is None:
                 continue
-            items = []
-            for term, tpart, _ in terms_with_idf:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    items = None
-                    break
-                d, tf = chunk.postings(term)
-                items.append((term, d, tf, chunk))
-            if not items:
-                continue
-            cand = items[0][1]
-            for _, d, _, _ in items[1:]:
-                cand = cand[np.isin(cand, d, assume_unique=True)]
-                if not len(cand):
-                    break
-            if not len(cand):
+            items, cand = self._gather_items(r, terms_with_idf)
+            if items is None or not len(cand):
                 continue
             anchor_item = None
             others = []
@@ -377,21 +379,9 @@ class RangeServer:
                 else:
                     others.append((term, d, chunk))
             ndocs = IndexReader.near_match_docs(cand, anchor_item, others, window)
-            if not len(ndocs):
-                continue
-            docs64 = ndocs.astype(np.int64)
-            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
-            ids_out, contribs = [], []
-            for (term, d, tf, _), (_, _, idf) in zip(items, terms_with_idf):
-                if idf == 0.0:
-                    continue
-                tfv = tf[np.searchsorted(d, ndocs)].astype(np.float64)
-                ids_out.append(docs64)
-                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
-            if ids_out:
-                out.extend(topk_from_sparse(
-                    np.concatenate(ids_out), np.concatenate(contribs), k
-                ))
+            if len(ndocs):
+                out.extend(self._score_filtered(nr, items, terms_with_idf,
+                                                ndocs, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -403,10 +393,9 @@ class RangeServer:
         term's posting chunks as the phrase-doc filter — no position streams
         touched (the build materialized the adjacency).  Scores are the
         plain per-term BM25, identical to ``phrase_topk`` on the same
-        query (pinned in tests)."""
-        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_sparse
-
-        avgdl = self.stats["avgdl"]
+        query (pinned in tests).  A composite posting implies both terms
+        post in the range, so ``_gather_items`` returning None here means a
+        torn file — the range is skipped and heals via manifest checks."""
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
@@ -418,26 +407,11 @@ class RangeServer:
             pdocs, _ = cchunk.postings(comp)
             if not len(pdocs):
                 continue
-            docs64 = pdocs.astype(np.int64)
-            dl = nr[1][np.searchsorted(nr[0], docs64)].astype(np.float64)
-            ids_out, contribs = [], []
-            for term, tpart, idf in terms_with_idf:
-                if idf == 0.0:
-                    continue
-                chunk = self._chunk(tpart, r)
-                # a composite posting in this range implies both terms post
-                # here; guard anyway (torn reads heal via manifest checks)
-                if chunk is None or not chunk.has(term):
-                    ids_out = []
-                    break
-                d, tf = chunk.postings(term)
-                tfv = tf[np.searchsorted(d, pdocs)].astype(np.float64)
-                ids_out.append(docs64)
-                contribs.append(bm25_contrib(idf, tfv, dl, avgdl))
-            if ids_out:
-                out.extend(topk_from_sparse(
-                    np.concatenate(ids_out), np.concatenate(contribs), k
-                ))
+            items, _cand = self._gather_items(r, terms_with_idf)
+            if items is None:
+                continue
+            out.extend(self._score_filtered(nr, items, terms_with_idf,
+                                            pdocs, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -549,16 +523,16 @@ class RangeShardedQueryEngine:
                 merged.sort(key=lambda x: (-x[1], x[0]))
                 return merged[:k]
         # 3+-term phrases: precomputed consecutive sub-pairs prune shard
-        # candidates before the positional chain (same rule as the local
-        # reader's phrase_topk)
+        # candidates before the positional chain (pairing rule owned by
+        # query.precomputed_subpairs — shared with the local reader)
+        from wikirec_ray.pipelines.query import precomputed_subpairs
+
         sub_comps = []
         if len(terms) > 2 and self.bigrams:
-            for i in range(len(terms) - 1):
-                comp = f"{terms[i]} {terms[i + 1]}"
-                if comp in self.bigrams:
-                    sub_comps.append(
-                        (comp, zlib.crc32(comp.encode("utf-8")) % self.n_tparts)
-                    )
+            sub_comps = [
+                (comp, zlib.crc32(comp.encode("utf-8")) % self.n_tparts)
+                for comp in precomputed_subpairs(terms, self.bigrams)
+            ]
         partials = ray.get(
             [s.phrase_topk.remote(twi, k, sub_comps) for s in self.servers]
         )
