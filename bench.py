@@ -574,6 +574,27 @@ def run_zipf() -> None:
         f"over {len(lp)} phrases"
     )
 
+    # proximity (NEAR) latency on the same mixed real-text pairs: the
+    # rare-anchored regime (anchor-on-rarest bounds the scan by the rare
+    # term's df); the all-common NEAR cold path shares the phrase cold
+    # path's position-decode cost and, unlike phrase, CANNOT use composite
+    # terms (a window match need not be adjacent) — measured via the warm
+    # pass like the phrase rows
+    near_reader = IndexReader(pos_dir)  # fresh: position caches cold
+    lat_n, lat_nw = [], []
+    for ph in phrases:
+        t = time.monotonic(); near_reader.near_topk(ph, 10, window=5)
+        lat_n.append(time.monotonic() - t)
+    for ph in phrases:
+        t = time.monotonic(); near_reader.near_topk(ph, 10, window=5)
+        lat_nw.append(time.monotonic() - t)
+    ln_, lnw = np.array(lat_n) * 1000, np.array(lat_nw) * 1000
+    log(
+        f"zipf NEAR(5): cold p50={np.percentile(ln_,50):.1f}ms "
+        f"p99={np.percentile(ln_,99):.1f}ms; warm p50={np.percentile(lnw,50):.1f}ms "
+        f"p99={np.percentile(lnw,99):.1f}ms"
+    )
+
     # the stopword-pair cold path vs the build-time bigram precompute
     # (VERDICT r04 top-next): build with precompute_bigrams, query the most
     # frequent precomputed pairs on BOTH indexes — on the plain positional
@@ -652,6 +673,10 @@ def run_zipf() -> None:
             "phrase_cold_p99_ms": round(float(np.percentile(lp, 99)), 3),
             "phrase_warm_p50_ms": round(float(np.percentile(lpw, 50)), 3),
             "phrase_warm_p99_ms": round(float(np.percentile(lpw, 99)), 3),
+            "near_cold_p50_ms": round(float(np.percentile(ln_, 50)), 3),
+            "near_cold_p99_ms": round(float(np.percentile(ln_, 99)), 3),
+            "near_warm_p50_ms": round(float(np.percentile(lnw, 50)), 3),
+            "near_warm_p99_ms": round(float(np.percentile(lnw, 99)), 3),
             "pre_build_sec": round(pre_build_sec, 3),
             "phrase_common_cold_p50_ms": round(float(np.percentile(lc, 50)), 3),
             "phrase_common_cold_p99_ms": round(float(np.percentile(lc, 99)), 3),

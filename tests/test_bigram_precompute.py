@@ -285,3 +285,34 @@ def test_subpair_pruned_long_phrases(corpora, ray_session):
             assert eng.phrase_topk(phr, 10) == rd_pre.phrase_topk(phr, 10), phr
     finally:
         eng.shutdown()
+
+
+def test_search_query_string_routing(corpora, ray_session):
+    """search(): one query string routes to phrase / NEAR / BM25 with the
+    indexing tokenizer's normalization, over BOTH the local reader and the
+    range-sharded engine."""
+    from wikirec_ray.pipelines.query import parse_query, search
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    assert parse_query('"table hash"') == ("phrase", ["table", "hash"], None)
+    assert parse_query("NEAR/5(Spark JOIN)") == ("near", ["spark", "join"], 5)
+    assert parse_query("Spark-JOIN!") == ("bm25", ["spark", "join"], None)
+    assert parse_query("   ") == ("bm25", [], None)
+
+    rd = IndexReader(corpora["idx_pre"])
+    a, b = sorted(rd.bigrams)[0].split()
+    assert search(rd, f'"{a} {b}"') == rd.phrase_topk([a, b], 10)
+    assert search(rd, f"NEAR/4({a} {b})") == rd.near_topk([a, b], 10, 4)
+    assert search(rd, f"{a.upper()} {b}!") == rd.topk_wand([a, b], 10)
+    assert search(rd, "") == []
+    assert search(rd, '""') == []
+
+    eng = RangeShardedQueryEngine(corpora["idx_pre"], pool_size=2)
+    try:
+        for q in (f'"{a} {b}"', f"NEAR/4({a} {b})", f"{a} {b}"):
+            got = search(eng, q)
+            want = search(rd, q)
+            # engine BM25 routes to exact topk (no WAND) — identical results
+            assert got == want, q
+    finally:
+        eng.shutdown()

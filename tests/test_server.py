@@ -188,3 +188,29 @@ def test_range_sharded_near_equals_local(spread_pos_index, ray_session):
             eng.near_topk(["table", "hash"], 10, window=1 << 31)
     finally:
         eng.shutdown()
+
+
+def test_range_sharded_duplicate_query_terms(spread_pos_index, ray_session):
+    """A repeated query term contributes once per occurrence in EVERY
+    engine (review r5: the range-sharded coordinator deduped terms and
+    silently halved duplicate-term scores)."""
+    from wikirec_ray.pipelines.query import IndexReader
+    from wikirec_ray.state.server import (
+        DistributedQueryEngine,
+        RangeShardedQueryEngine,
+    )
+
+    reader = IndexReader(spread_pos_index)
+    qs = [["table", "table"], ["table", "table", "hash"],
+          ["hash", "table", "hash", "hash"]]
+    eng = RangeShardedQueryEngine(spread_pos_index, pool_size=3)
+    eng2 = DistributedQueryEngine(spread_pos_index, pool_size=2)
+    try:
+        for q in qs:
+            want = reader.topk(q, 10)
+            assert want, q
+            assert eng.topk(q, 10) == want, q
+            assert eng2.topk(q, 10) == want, q
+    finally:
+        eng.shutdown()
+        eng2.shutdown()

@@ -815,3 +815,58 @@ def recommend(
         np.flatnonzero(rounded > 0).tolist(), key=lambda d: (-rounded[d], d)
     )[:n]
     return [(int(d), float(rounded[d])) for d in order]
+
+
+# ---------------------------------------------------------------------------
+# query-string convenience surface
+# ---------------------------------------------------------------------------
+
+_NEAR_QUERY_RE = None  # compiled lazily (keeps module import light)
+
+
+def parse_query(query: str) -> tuple[str, list[str], int | None]:
+    """One-string mini query language -> (mode, terms, window):
+
+    - ``"exact phrase"``       -> ("phrase", terms, None)
+    - ``NEAR/5(spark join)``   -> ("near", terms, 5)
+    - anything else            -> ("bm25", terms, None)
+
+    Terms are normalized with the SAME contract as indexing (lower +
+    non-alphanumeric split + drop empties), so a user query like
+    ``Spark-JOIN!`` matches the indexed token stream exactly."""
+    import re
+
+    global _NEAR_QUERY_RE
+    if _NEAR_QUERY_RE is None:
+        _NEAR_QUERY_RE = re.compile(r"^NEAR/(\d+)\((.+)\)$", re.DOTALL)
+
+    def toks(s: str) -> list[str]:
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    q = query.strip()
+    m = _NEAR_QUERY_RE.match(q)
+    if m:
+        return "near", toks(m.group(2)), int(m.group(1))
+    if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
+        return "phrase", toks(q[1:-1]), None
+    return "bm25", toks(q), None
+
+
+def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Route a query STRING to the right retrieval path of ``engine`` —
+    an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
+    ``topk`` / ``phrase_topk`` / ``near_topk``): quoted strings run exact
+    phrase, ``NEAR/n(...)`` runs proximity, plain terms run BM25 (via the
+    rank-safe WAND router when the engine has one).  The user-facing
+    analog of the reference's title-based ``recommend`` surface
+    (``/root/reference/src/wikirec/model.py:294-383``), for engines whose
+    input is text queries rather than seed articles."""
+    mode, terms, window = parse_query(query)
+    if not terms:
+        return []
+    if mode == "phrase":
+        return engine.phrase_topk(terms, k)
+    if mode == "near":
+        return engine.near_topk(terms, k, window)
+    bm25 = getattr(engine, "topk_wand", None) or engine.topk
+    return bm25(terms, k)

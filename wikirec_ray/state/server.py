@@ -487,10 +487,12 @@ class RangeShardedQueryEngine:
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         resolved = self._resolve_idfs(terms)
+        # QUERY order with duplicates kept: a repeated query term contributes
+        # once per occurrence, like the local reader, the term-sharded
+        # engine, and the SQL oracle's VALUES join (review r5 — the sorted
+        # unique list silently halved duplicate-term scores here)
         twi = [
-            (t, tp, idf)
-            for t, (tp, idf) in sorted(resolved.items())
-            if idf != 0.0
+            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
         ]
         if not twi:
             return []
