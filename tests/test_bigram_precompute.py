@@ -298,6 +298,9 @@ def test_search_query_string_routing(corpora, ray_session):
     assert parse_query("NEAR/5(Spark JOIN)") == ("near", ["spark", "join"], 5)
     assert parse_query("Spark-JOIN!") == ("bm25", ["spark", "join"], None)
     assert parse_query("   ") == ("bm25", [], None)
+    # oversized user windows clamp to the AND-degenerate max, never raise
+    assert parse_query("NEAR/99999999999999(a b)")[2] == (1 << 31) - 1
+    assert parse_query(f"NEAR/{1 << 31}(a b)")[2] == (1 << 31) - 1
 
     rd = IndexReader(corpora["idx_pre"])
     a, b = sorted(rd.bigrams)[0].split()
@@ -306,6 +309,10 @@ def test_search_query_string_routing(corpora, ray_session):
     assert search(rd, f"{a.upper()} {b}!") == rd.topk_wand([a, b], 10)
     assert search(rd, "") == []
     assert search(rd, '""') == []
+    assert search(rd, f"NEAR/{1 << 40}({a} {b})") == rd.near_topk(
+        [a, b], 10, (1 << 31) - 1)
+    # duplicate terms hit the same per-occurrence contract on every route
+    assert search(rd, f"{a} {a}") == rd.topk([a, a], 10)
 
     eng = RangeShardedQueryEngine(corpora["idx_pre"], pool_size=2)
     try:

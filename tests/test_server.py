@@ -211,6 +211,9 @@ def test_range_sharded_duplicate_query_terms(spread_pos_index, ray_session):
             assert want, q
             assert eng.topk(q, 10) == want, q
             assert eng2.topk(q, 10) == want, q
+            # the WAND route must double-count too (review r5: unscaled
+            # cursor dedupe single-counted duplicates on this path only)
+            assert reader.topk_wand(q, 10, force_wand=True) == want, q
     finally:
         eng.shutdown()
         eng2.shutdown()

@@ -40,13 +40,14 @@ from __future__ import annotations
 import heapq
 import math
 import os
+import re
 import zlib
 
 import numpy as np
 import pyarrow as pa
 import ray.data
 
-from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS
+from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS, TOKEN_SPLIT_REGEX
 from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_stats
 
 ROUND_DP = 9
@@ -564,6 +565,15 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, 
     docs are fully rescored with the same float64 formula; final ranking uses
     the same round-then-(score desc, doc_id asc) ordering."""
     avgdl = reader.stats["avgdl"]
+    # one cursor per UNIQUE term, idf scaled by the term's query
+    # multiplicity: a repeated query term contributes once per occurrence
+    # (the engine-wide contract; contributions and block bounds are linear
+    # in idf, so rank-safety is unaffected).  Review r5: the unscaled
+    # dedupe silently single-counted duplicates on the WAND route while
+    # the dense fallback double-counted.
+    from collections import Counter
+
+    mult = Counter(terms)
     cursors = []
     for term in sorted(set(terms)):
         idf = reader.idf(term)
@@ -572,7 +582,7 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, 
         seg = reader.term_segment(term)
         if not seg.has(term):
             continue
-        cursors.append(_TermCursor(seg, term, idf, avgdl))
+        cursors.append(_TermCursor(seg, term, idf * mult[term], avgdl))
     if not cursors:
         return []
     # Heap of (rounded_score, -doc_id): the weakest entry (lowest score, then
@@ -821,7 +831,11 @@ def recommend(
 # query-string convenience surface
 # ---------------------------------------------------------------------------
 
-_NEAR_QUERY_RE = None  # compiled lazily (keeps module import light)
+_NEAR_QUERY_RE = re.compile(r"^NEAR/(\d+)\((.+)\)$", re.DOTALL)
+# any window this large already degrades to conjunctive AND (no doc has
+# 2^31 tokens), so user-supplied windows clamp instead of raising — a
+# query-string surface must not crash on user-controlled input
+_NEAR_WINDOW_CLAMP = (1 << 31) - 1
 
 
 def parse_query(query: str) -> tuple[str, list[str], int | None]:
@@ -831,22 +845,23 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - anything else            -> ("bm25", terms, None)
 
-    Terms are normalized with the SAME contract as indexing (lower +
-    non-alphanumeric split + drop empties), so a user query like
-    ``Spark-JOIN!`` matches the indexed token stream exactly."""
-    import re
-
-    global _NEAR_QUERY_RE
-    if _NEAR_QUERY_RE is None:
-        _NEAR_QUERY_RE = re.compile(r"^NEAR/(\d+)\((.+)\)$", re.DOTALL)
+    Terms are normalized with the SAME contract as indexing
+    (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
+    the one constant the analyzer and the SQL oracle also share), so a
+    user query like ``Spark-JOIN!`` matches the indexed token stream
+    exactly.  Oversized NEAR windows clamp to the AND-degenerate maximum."""
 
     def toks(s: str) -> list[str]:
-        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        return [t for t in re.split(TOKEN_SPLIT_REGEX, s.lower()) if t]
 
     q = query.strip()
     m = _NEAR_QUERY_RE.match(q)
     if m:
-        return "near", toks(m.group(2)), int(m.group(1))
+        digits = m.group(1)
+        w = _NEAR_WINDOW_CLAMP if len(digits) > 9 else min(
+            int(digits), _NEAR_WINDOW_CLAMP
+        )
+        return "near", toks(m.group(2)), w
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
         return "phrase", toks(q[1:-1]), None
     return "bm25", toks(q), None
