@@ -846,11 +846,13 @@ def run_incremental() -> None:
 
 def run_serve_load() -> None:
     """Concurrent-client serving benchmark (VERDICT r04 item 5): N client
-    threads stream queries against ONE RangeShardedQueryEngine pool and the
-    JSON line reports QPS + p50/p99 per client count (1/4/16).  All other
-    latency numbers in BASELINE.md are single-client; this is the number a
-    serving deployment asks first.  The index is built once (resume=True)
-    over the amplified corpus and reused across runs."""
+    threads stream a MIXED workload (80% BM25, 10% exact phrase from the
+    precomputed pairs, 10% NEAR) through the ``search()`` query-string
+    surface against ONE RangeShardedQueryEngine pool; the JSON line reports
+    QPS + p50/p99 per client count (1/4/16).  All other latency numbers in
+    BASELINE.md are single-client; this is the number a serving deployment
+    asks first.  The index is positional + bigram-precomputed and built
+    once (resume=True) over the amplified corpus, reused across runs."""
     import ray
 
     probe_loss = wait_clean_window()
@@ -872,7 +874,7 @@ def run_serve_load() -> None:
 
     pages_dir = build_corpus()
     index_dir = os.path.join(
-        CACHE_ROOT, f"bench-serve-idx-{os.path.basename(pages_dir)}"
+        CACHE_ROOT, f"bench-serve-idx-pos-{os.path.basename(pages_dir)}"
     )
     os.makedirs(index_dir, exist_ok=True)
     pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
@@ -883,13 +885,26 @@ def run_serve_load() -> None:
         ),
         batch_format="pyarrow",
     )
-    build_index(corpus, index_dir, resume=True, lineage={"input": pages_dir})
+    build_index(corpus, index_dir, resume=True, lineage={"input": pages_dir},
+                store_positions=True, precompute_bigrams=256)
+
+    from wikirec_ray.pipelines.query import search
 
     queries = make_queries()
     pool_size = int(os.environ.get("BENCH_SERVE_POOL", "8"))
     eng = RangeShardedQueryEngine(index_dir, pool_size=pool_size)
-    for _, terms in queries[:8]:
-        eng.topk(terms, TOP_K)  # warm every shard + resolver
+    # mixed query-string workload through the user-facing search() router
+    pairs = sorted(eng.bigrams)[:32]
+    qstrings: list[str] = []
+    for i, (_, terms) in enumerate(queries):
+        if i % 10 == 8 and pairs:
+            qstrings.append(f'"{pairs[i % len(pairs)]}"')
+        elif i % 10 == 9 and len(terms) >= 2:
+            qstrings.append(f"NEAR/6({' '.join(terms[:3])})")
+        else:
+            qstrings.append(" ".join(terms))
+    for q in qstrings[:10]:
+        search(eng, q, TOP_K)  # warm every shard + resolver
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -900,9 +915,9 @@ def run_serve_load() -> None:
             rng = np.random.default_rng(100 + cid)
             lats = []
             for _ in range(per_client):
-                _, terms = queries[int(rng.integers(0, len(queries)))]
+                q = qstrings[int(rng.integers(0, len(qstrings)))]
                 q0 = time.monotonic()
-                eng.topk(terms, TOP_K)
+                search(eng, q, TOP_K)
                 lats.append(time.monotonic() - q0)
             return lats
 
