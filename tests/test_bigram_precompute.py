@@ -301,6 +301,13 @@ def test_search_query_string_routing(corpora, ray_session):
     # oversized user windows clamp to the AND-degenerate max, never raise
     assert parse_query("NEAR/99999999999999(a b)")[2] == (1 << 31) - 1
     assert parse_query(f"NEAR/{1 << 31}(a b)")[2] == (1 << 31) - 1
+    # leading zeros don't trip the digit-length guard into the clamp
+    assert parse_query("NEAR/0000000005(a b)")[2] == 5
+    assert parse_query("NEAR/" + "0" * 40 + "7(a b)")[2] == 7
+    assert parse_query("NEAR/000(a b)")[2] == 0
+    # operator is case-insensitive with optional whitespace, like the terms
+    assert parse_query("near/5(Spark JOIN)") == ("near", ["spark", "join"], 5)
+    assert parse_query("Near / 5 (a b)") == ("near", ["a", "b"], 5)
 
     rd = IndexReader(corpora["idx_pre"])
     a, b = sorted(rd.bigrams)[0].split()

@@ -47,7 +47,13 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from wikirec_ray.schema import BM25_B, BM25_K1, N_TERM_PARTITIONS, TOKEN_SPLIT_REGEX
+from wikirec_ray.schema import (
+    BM25_B,
+    BM25_K1,
+    N_TERM_PARTITIONS,
+    NEAR_WINDOW_MAX,
+    TOKEN_SPLIT_REGEX,
+)
 from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_stats
 
 ROUND_DP = 9
@@ -349,8 +355,8 @@ class IndexReader:
         a window at least the longest doc degrades to conjunctive AND."""
         if not terms or window < 0:
             return []
-        if window >= (1 << 31):
-            raise ValueError("near_topk: window must be < 2^31")
+        if window > NEAR_WINDOW_MAX:
+            raise ValueError("near_topk: window must be <= 2^31 - 1")
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
@@ -831,11 +837,13 @@ def recommend(
 # query-string convenience surface
 # ---------------------------------------------------------------------------
 
-_NEAR_QUERY_RE = re.compile(r"^NEAR/(\d+)\((.+)\)$", re.DOTALL)
-# any window this large already degrades to conjunctive AND (no doc has
-# 2^31 tokens), so user-supplied windows clamp instead of raising — a
-# query-string surface must not crash on user-controlled input
-_NEAR_WINDOW_CLAMP = (1 << 31) - 1
+# Operator is case-insensitive with optional whitespace around "/" and
+# before "(": every other part of the surface is case-normalized, so
+# "near/5(a b)" silently running as BM25 over ['near','5','a','b'] would
+# be the one inconsistent corner.
+_NEAR_QUERY_RE = re.compile(
+    r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
 
 
 def parse_query(query: str) -> tuple[str, list[str], int | None]:
@@ -857,9 +865,14 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     q = query.strip()
     m = _NEAR_QUERY_RE.match(q)
     if m:
-        digits = m.group(1)
-        w = _NEAR_WINDOW_CLAMP if len(digits) > 9 else min(
-            int(digits), _NEAR_WINDOW_CLAMP
+        # Oversized windows CLAMP to the near_topk maximum (schema
+        # constant) rather than raising — a user-facing parser must not
+        # crash on user input.  Strip leading zeros before the length
+        # guard (which exists to dodge CPython's int() digit limit), so
+        # "NEAR/0000000005" still means 5.
+        digits = m.group(1).lstrip("0")
+        w = NEAR_WINDOW_MAX if len(digits) > 9 else min(
+            int(digits or "0"), NEAR_WINDOW_MAX
         )
         return "near", toks(m.group(2)), w
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':

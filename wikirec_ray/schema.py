@@ -39,6 +39,16 @@ BM25_B = 0.75
 # parameters.
 TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
 
+# Largest NEAR proximity window any retrieval path accepts.  The proximity
+# kernels build composite (candidate, position) int64 keys whose position
+# component carries through a +window step, so window must stay below 2^31;
+# a window this size already degrades to conjunctive AND (no doc has 2^31
+# tokens).  near_topk (local and served) REJECTS larger windows; the
+# query-string surface (parse_query) CLAMPS to this instead, because a
+# user-facing parser must not raise on user-controlled input.  All three
+# sites share this constant so the raise/clamp boundary cannot drift.
+NEAR_WINDOW_MAX = (1 << 31) - 1
+
 # Index layout knobs.
 N_TERM_PARTITIONS = 32  # tpart = hash(term) % N_TERM_PARTITIONS
 DOC_RANGE_SIZE = 8192  # salt: doc_id // DOC_RANGE_SIZE bounds shuffle groups

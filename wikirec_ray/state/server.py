@@ -32,7 +32,7 @@ import zlib
 import numpy as np
 import ray
 
-from wikirec_ray.schema import N_TERM_PARTITIONS
+from wikirec_ray.schema import N_TERM_PARTITIONS, NEAR_WINDOW_MAX
 
 
 def _idf_from_df(df: int, n_docs: int) -> float:
@@ -552,8 +552,8 @@ class RangeShardedQueryEngine:
         range shard resolves its own matches with the shared kernel."""
         if not terms or window < 0:
             return []
-        if window >= (1 << 31):
-            raise ValueError("near_topk: window must be < 2^31")
+        if window > NEAR_WINDOW_MAX:
+            raise ValueError("near_topk: window must be <= 2^31 - 1")
         resolved = self._resolve_idfs(terms)
         if any(resolved[t][1] == 0.0 for t in terms):
             return []  # a term absent from the corpus → no NEAR match
