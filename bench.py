@@ -852,7 +852,11 @@ def run_serve_load() -> None:
     QPS + p50/p99 per client count (1/4/16).  All other latency numbers in
     BASELINE.md are single-client; this is the number a serving deployment
     asks first.  The index is positional + bigram-precomputed and built
-    once (resume=True) over the amplified corpus, reused across runs."""
+    once (resume=True) over the amplified corpus, reused across runs.
+    A final leg reruns the 16-client workload against a
+    ``ReplicatedSearchTier`` (BENCH_SERVE_COORDS coordinator actors, one
+    shared shard pool) — evidence for the coordinator-replication scale
+    path past the single-coordinator ~150 QPS ceiling."""
     import ray
 
     probe_loss = wait_clean_window()
@@ -934,12 +938,53 @@ def run_serve_load() -> None:
             f"p50={out[f'p50_ms_c{n_clients}']}ms p99={out[f'p99_ms_c{n_clients}']}ms"
         )
     eng.shutdown()
+
+    # Replicated-coordinator tier: the single-process coordinator above
+    # tops out ~150 QPS on its own Python merge + ray.get round-trips; the
+    # scale path is N coordinator ACTORS over the SAME shard/resolver pool
+    # (each replica resolves, fans out, and merges in parallel).  Same
+    # mixed workload, 16 clients pinned round-robin to the replicas.
+    from wikirec_ray.state.server import ReplicatedSearchTier
+
+    n_coord = int(os.environ.get("BENCH_SERVE_COORDS", "4"))
+    tier = ReplicatedSearchTier(index_dir, n_coordinators=n_coord,
+                                pool_size=pool_size)
+    for cid in range(n_coord):
+        for q in qstrings[:10]:
+            tier.search(q, TOP_K, client_id=cid)  # warm every replica
+
+    for n_clients in (16,):
+        def rclient(cid: int) -> list[float]:
+            rng = np.random.default_rng(200 + cid)
+            lats = []
+            for _ in range(per_client):
+                q = qstrings[int(rng.integers(0, len(qstrings)))]
+                q0 = time.monotonic()
+                tier.search(q, TOP_K, client_id=cid)
+                lats.append(time.monotonic() - q0)
+            return lats
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=n_clients) as ex:
+            all_lats = [l for ls in ex.map(rclient, range(n_clients)) for l in ls]
+        wall = time.monotonic() - t0
+        la = np.array(all_lats) * 1000
+        key = f"c{n_clients}_repl{n_coord}"
+        out[f"qps_{key}"] = round(len(all_lats) / wall, 1)
+        out[f"p50_ms_{key}"] = round(float(np.percentile(la, 50)), 3)
+        out[f"p99_ms_{key}"] = round(float(np.percentile(la, 99)), 3)
+        log(
+            f"serve-load {key}: {out[f'qps_{key}']} qps, "
+            f"p50={out[f'p50_ms_{key}']}ms p99={out[f'p99_ms_{key}']}ms"
+        )
+    tier.shutdown()
     print(json.dumps({
         "metric": "serve_qps_c16",
         "value": out["qps_c16"],
         "unit": "qps",
         "queries": out,
         "pool_size": pool_size,
+        "n_coordinators": n_coord,
         "num_cpus": NUM_CPUS,
         "cpu_probe_loss_pct": probe_loss,
     }))

@@ -217,3 +217,40 @@ def test_range_sharded_duplicate_query_terms(spread_pos_index, ray_session):
     finally:
         eng.shutdown()
         eng2.shutdown()
+
+
+def test_replicated_coordinators_share_one_pool(spread_pos_index, ray_session):
+    """ReplicatedSearchTier: N coordinator actors attached to ONE shard +
+    resolver pool return exactly the local reader's results on every route
+    (BM25 / phrase / NEAR via the search() surface), regardless of which
+    replica serves the query; an attached coordinator's shutdown leaves the
+    shared pool alive."""
+    from wikirec_ray.pipelines.query import IndexReader, search
+    from wikirec_ray.state.server import (
+        RangeShardedQueryEngine,
+        ReplicatedSearchTier,
+    )
+
+    reader = IndexReader(spread_pos_index)
+    tier = ReplicatedSearchTier(spread_pos_index, n_coordinators=3,
+                                pool_size=3)
+    try:
+        qstrings = ['table hash', '"table hash"', 'NEAR/6(table hash)',
+                    'the customer', '"key key"', 'absentterm']
+        n_nonempty = 0
+        for q in qstrings:
+            want = search(reader, q, 10)
+            for cid in range(3):  # every replica answers identically
+                assert tier.search(q, 10, client_id=cid) == want, (q, cid)
+            n_nonempty += bool(want)
+        assert n_nonempty >= 4, "query set must hit the corpus"
+
+        # an ATTACHED coordinator's shutdown must not kill the shared pool
+        attached = RangeShardedQueryEngine(
+            spread_pos_index, handles=tier.base.handles())
+        assert attached.topk(["table", "hash"], 5) == \
+            reader.topk(["table", "hash"], 5)
+        attached.shutdown()
+        assert tier.search("table hash", 5) == reader.topk(["table", "hash"], 5)
+    finally:
+        tier.shutdown()

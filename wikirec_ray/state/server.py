@@ -427,7 +427,7 @@ class RangeShardedQueryEngine:
     in the term-sharded engine's docstring for the 10^12-doc design point."""
 
     def __init__(self, index_dir: str, pool_size: int = 4,
-                 resolver_pool_size: int = 2):
+                 resolver_pool_size: int = 2, handles: dict | None = None):
         import os
 
         from wikirec_ray.state.segments import load_stats
@@ -444,6 +444,19 @@ class RangeShardedQueryEngine:
         self.bigrams = frozenset(
             f"{a} {b}" for a, b in load_bigram_pairs(index_dir)
         )
+        # ``handles`` ATTACHES this coordinator to an existing shard +
+        # resolver pool instead of spawning one — the replication path: a
+        # coordinator is O(1) state, so any number of them can serve over
+        # the SAME immutable pool (see ReplicatedSearchTier).  An attached
+        # coordinator does not own the pool and its shutdown() leaves the
+        # actors running.
+        self._owns_pool = handles is None
+        if handles is not None:
+            self.servers = list(handles["servers"])
+            self.resolvers = list(handles["resolvers"])
+            self.resolver_of = dict(handles["resolver_of"])
+            self.n_ranges = int(handles["n_ranges"])
+            return
         norms_dir = os.path.join(index_dir, "norms")
         range_ids = sorted(
             int(p.split("-")[1].split(".")[0])
@@ -466,6 +479,16 @@ class RangeShardedQueryEngine:
         self.resolvers = [
             DfResolver.remote(index_dir, ts) for ts in r_assign
         ]
+
+    def handles(self) -> dict:
+        """The shareable pool state: pass to another coordinator's
+        ``handles=`` to serve over the same shard/resolver actors."""
+        return {
+            "servers": self.servers,
+            "resolvers": self.resolvers,
+            "resolver_of": self.resolver_of,
+            "n_ranges": self.n_ranges,
+        }
 
     def _resolve_idfs(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         """Phase 1 shared by topk/phrase_topk: one batched round trip to the
@@ -568,7 +591,75 @@ class RangeShardedQueryEngine:
         return merged[:k]
 
     def shutdown(self):
-        for s in self.servers + self.resolvers:
-            ray.kill(s)
+        if self._owns_pool:
+            for s in self.servers + self.resolvers:
+                ray.kill(s)
         self.servers = []
         self.resolvers = []
+
+
+@ray.remote
+class SearchCoordinator:
+    """A coordinator replica as an ACTOR: an attached
+    ``RangeShardedQueryEngine`` (O(1) state — stats + the O(K) bigram set)
+    over a shared shard/resolver pool, exposing the ``search()``
+    query-string surface.  Replicating the coordinator is the serving
+    scale path: the single-process coordinator tops out ~150 QPS on the
+    driver's Python merge + ``ray.get`` round-trips (BASELINE.md), while
+    the shards underneath are idle-capable, so QPS scales with coordinator
+    count until the shard pool saturates."""
+
+    def __init__(self, index_dir: str, handles: dict):
+        from wikirec_ray.pipelines.query import search as _search
+
+        self._search = _search
+        self.eng = RangeShardedQueryEngine(index_dir, handles=handles)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self._search(self.eng, query, k)
+
+    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        return self.eng.topk(terms, k)
+
+
+class ReplicatedSearchTier:
+    """N ``SearchCoordinator`` replicas over ONE shard/resolver pool.
+
+    ``search()`` routes a query string to a replica (round-robin by
+    ``client_id``) and blocks for the result; ``submit()`` returns the
+    ``ObjectRef`` for callers overlapping their own requests.  The tier
+    owns both the replicas and the underlying pool: ``shutdown()`` kills
+    everything.  This is the deployment shape BASELINE.md's serve-load
+    section names for beating the per-coordinator ceiling — each replica
+    does its own idf resolution, fan-out, and top-k merge in parallel with
+    the others, against the same immutable segments."""
+
+    def __init__(self, index_dir: str, n_coordinators: int = 4,
+                 pool_size: int = 4, resolver_pool_size: int = 2):
+        self.base = RangeShardedQueryEngine(
+            index_dir, pool_size=pool_size,
+            resolver_pool_size=resolver_pool_size,
+        )
+        h = self.base.handles()
+        self.coordinators = [
+            SearchCoordinator.remote(index_dir, h)
+            for _ in range(max(1, n_coordinators))
+        ]
+
+    @property
+    def bigrams(self):
+        return self.base.bigrams
+
+    def submit(self, query: str, k: int = 10, client_id: int = 0):
+        c = self.coordinators[client_id % len(self.coordinators)]
+        return c.search.remote(query, k)
+
+    def search(self, query: str, k: int = 10,
+               client_id: int = 0) -> list[tuple[int, float]]:
+        return ray.get(self.submit(query, k, client_id))
+
+    def shutdown(self):
+        for c in self.coordinators:
+            ray.kill(c)
+        self.coordinators = []
+        self.base.shutdown()
