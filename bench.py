@@ -947,8 +947,9 @@ def run_serve_load() -> None:
     from wikirec_ray.state.server import ReplicatedSearchTier
 
     n_coord = int(os.environ.get("BENCH_SERVE_COORDS", "4"))
+    n_pools = int(os.environ.get("BENCH_SERVE_POOLS", "1"))
     tier = ReplicatedSearchTier(index_dir, n_coordinators=n_coord,
-                                pool_size=pool_size)
+                                pool_size=pool_size, n_pools=n_pools)
     for cid in range(n_coord):
         for q in qstrings[:10]:
             tier.search(q, TOP_K, client_id=cid)  # warm every replica
@@ -969,7 +970,8 @@ def run_serve_load() -> None:
             all_lats = [l for ls in ex.map(rclient, range(n_clients)) for l in ls]
         wall = time.monotonic() - t0
         la = np.array(all_lats) * 1000
-        key = f"c{n_clients}_repl{n_coord}"
+        key = f"c{n_clients}_repl{n_coord}" + (
+            f"x{n_pools}" if n_pools > 1 else "")
         out[f"qps_{key}"] = round(len(all_lats) / wall, 1)
         out[f"p50_ms_{key}"] = round(float(np.percentile(la, 50)), 3)
         out[f"p99_ms_{key}"] = round(float(np.percentile(la, 99)), 3)
@@ -985,6 +987,7 @@ def run_serve_load() -> None:
         "queries": out,
         "pool_size": pool_size,
         "n_coordinators": n_coord,
+        "n_pools": n_pools,
         "num_cpus": NUM_CPUS,
         "cpu_probe_loss_pct": probe_loss,
     }))

@@ -233,7 +233,7 @@ def test_replicated_coordinators_share_one_pool(spread_pos_index, ray_session):
 
     reader = IndexReader(spread_pos_index)
     tier = ReplicatedSearchTier(spread_pos_index, n_coordinators=3,
-                                pool_size=3)
+                                pool_size=3, n_pools=2)
     try:
         qstrings = ['table hash', '"table hash"', 'NEAR/6(table hash)',
                     'the customer', '"key key"', 'absentterm']

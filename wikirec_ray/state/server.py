@@ -623,27 +623,41 @@ class SearchCoordinator:
 
 
 class ReplicatedSearchTier:
-    """N ``SearchCoordinator`` replicas over ONE shard/resolver pool.
+    """N ``SearchCoordinator`` replicas over ``n_pools`` shard/resolver
+    pool REPLICAS (coordinator i attaches to pool i % n_pools).
 
     ``search()`` routes a query string to a replica (round-robin by
     ``client_id``) and blocks for the result; ``submit()`` returns the
     ``ObjectRef`` for callers overlapping their own requests.  The tier
-    owns both the replicas and the underlying pool: ``shutdown()`` kills
-    everything.  This is the deployment shape BASELINE.md's serve-load
-    section names for beating the per-coordinator ceiling — each replica
-    does its own idf resolution, fan-out, and top-k merge in parallel with
-    the others, against the same immutable segments."""
+    owns both the replicas and the pools: ``shutdown()`` kills everything.
+
+    The two replication knobs are the serving scale path, in order: extra
+    COORDINATORS parallelize the per-query resolve + fan-out + merge past
+    the ~150 QPS single-process ceiling, until the shard pool itself
+    saturates; extra POOLS then multiply shard capacity — a range-sharded
+    query fans out to every shard of its pool, so adding shards to one
+    pool divides per-query work without raising aggregate throughput,
+    whereas independent pool replicas (each a full copy of the serving
+    segments, like replica groups in any production search tier) scale
+    QPS linearly until the machine's CPUs are the limit.  Memory cost is
+    n_pools × the loaded segment state; the index files themselves are
+    immutable and shared."""
 
     def __init__(self, index_dir: str, n_coordinators: int = 4,
-                 pool_size: int = 4, resolver_pool_size: int = 2):
-        self.base = RangeShardedQueryEngine(
-            index_dir, pool_size=pool_size,
-            resolver_pool_size=resolver_pool_size,
-        )
-        h = self.base.handles()
+                 pool_size: int = 4, resolver_pool_size: int = 2,
+                 n_pools: int = 1):
+        self.pools = [
+            RangeShardedQueryEngine(
+                index_dir, pool_size=pool_size,
+                resolver_pool_size=resolver_pool_size,
+            )
+            for _ in range(max(1, n_pools))
+        ]
+        self.base = self.pools[0]
         self.coordinators = [
-            SearchCoordinator.remote(index_dir, h)
-            for _ in range(max(1, n_coordinators))
+            SearchCoordinator.remote(
+                index_dir, self.pools[i % len(self.pools)].handles())
+            for i in range(max(1, n_coordinators))
         ]
 
     @property
@@ -662,4 +676,6 @@ class ReplicatedSearchTier:
         for c in self.coordinators:
             ray.kill(c)
         self.coordinators = []
-        self.base.shutdown()
+        for p in self.pools:
+            p.shutdown()
+        self.pools = []
