@@ -854,9 +854,10 @@ def run_serve_load() -> None:
     asks first.  The index is positional + bigram-precomputed and built
     once (resume=True) over the amplified corpus, reused across runs.
     A final leg reruns the 16-client workload against a
-    ``ReplicatedSearchTier`` (BENCH_SERVE_COORDS coordinator actors, one
-    shared shard pool) — evidence for the coordinator-replication scale
-    path past the single-coordinator ~150 QPS ceiling."""
+    ``ReplicatedSearchTier`` (BENCH_SERVE_COORDS coordinator actors over
+    BENCH_SERVE_POOL_REPLICAS shard-pool replicas; note BENCH_SERVE_POOL,
+    singular, is the SHARD COUNT per pool) — evidence for the replication
+    scale path past the single-coordinator ~150 QPS ceiling."""
     import ray
 
     probe_loss = wait_clean_window()
@@ -914,14 +915,18 @@ def run_serve_load() -> None:
 
     per_client = int(os.environ.get("BENCH_SERVE_QPC", "50"))
     out: dict = {}
-    for n_clients in (1, 4, 16):
+    def run_clients(n_clients: int, do_query, seed_base: int, key: str):
+        """One load leg: n_clients threads, each issuing per_client queries
+        drawn from the SAME workload — both legs (single coordinator vs
+        replicated tier) measure through this one function so the same-run
+        comparison in BASELINE.md can't drift."""
         def client(cid: int) -> list[float]:
-            rng = np.random.default_rng(100 + cid)
+            rng = np.random.default_rng(seed_base + cid)
             lats = []
             for _ in range(per_client):
                 q = qstrings[int(rng.integers(0, len(qstrings)))]
                 q0 = time.monotonic()
-                search(eng, q, TOP_K)
+                do_query(q, cid)
                 lats.append(time.monotonic() - q0)
             return lats
 
@@ -930,48 +935,6 @@ def run_serve_load() -> None:
             all_lats = [l for ls in ex.map(client, range(n_clients)) for l in ls]
         wall = time.monotonic() - t0
         la = np.array(all_lats) * 1000
-        out[f"qps_c{n_clients}"] = round(len(all_lats) / wall, 1)
-        out[f"p50_ms_c{n_clients}"] = round(float(np.percentile(la, 50)), 3)
-        out[f"p99_ms_c{n_clients}"] = round(float(np.percentile(la, 99)), 3)
-        log(
-            f"serve-load c={n_clients}: {out[f'qps_c{n_clients}']} qps, "
-            f"p50={out[f'p50_ms_c{n_clients}']}ms p99={out[f'p99_ms_c{n_clients}']}ms"
-        )
-    eng.shutdown()
-
-    # Replicated-coordinator tier: the single-process coordinator above
-    # tops out ~150 QPS on its own Python merge + ray.get round-trips; the
-    # scale path is N coordinator ACTORS over the SAME shard/resolver pool
-    # (each replica resolves, fans out, and merges in parallel).  Same
-    # mixed workload, 16 clients pinned round-robin to the replicas.
-    from wikirec_ray.state.server import ReplicatedSearchTier
-
-    n_coord = int(os.environ.get("BENCH_SERVE_COORDS", "4"))
-    n_pools = int(os.environ.get("BENCH_SERVE_POOLS", "1"))
-    tier = ReplicatedSearchTier(index_dir, n_coordinators=n_coord,
-                                pool_size=pool_size, n_pools=n_pools)
-    for cid in range(n_coord):
-        for q in qstrings[:10]:
-            tier.search(q, TOP_K, client_id=cid)  # warm every replica
-
-    for n_clients in (16,):
-        def rclient(cid: int) -> list[float]:
-            rng = np.random.default_rng(200 + cid)
-            lats = []
-            for _ in range(per_client):
-                q = qstrings[int(rng.integers(0, len(qstrings)))]
-                q0 = time.monotonic()
-                tier.search(q, TOP_K, client_id=cid)
-                lats.append(time.monotonic() - q0)
-            return lats
-
-        t0 = time.monotonic()
-        with ThreadPoolExecutor(max_workers=n_clients) as ex:
-            all_lats = [l for ls in ex.map(rclient, range(n_clients)) for l in ls]
-        wall = time.monotonic() - t0
-        la = np.array(all_lats) * 1000
-        key = f"c{n_clients}_repl{n_coord}" + (
-            f"x{n_pools}" if n_pools > 1 else "")
         out[f"qps_{key}"] = round(len(all_lats) / wall, 1)
         out[f"p50_ms_{key}"] = round(float(np.percentile(la, 50)), 3)
         out[f"p99_ms_{key}"] = round(float(np.percentile(la, 99)), 3)
@@ -979,6 +942,32 @@ def run_serve_load() -> None:
             f"serve-load {key}: {out[f'qps_{key}']} qps, "
             f"p50={out[f'p50_ms_{key}']}ms p99={out[f'p99_ms_{key}']}ms"
         )
+
+    for n_clients in (1, 4, 16):
+        run_clients(n_clients, lambda q, cid: search(eng, q, TOP_K),
+                    seed_base=100, key=f"c{n_clients}")
+    eng.shutdown()
+
+    # Replicated tier: the single-process coordinator above tops out
+    # ~150 QPS on its own Python merge + ray.get round-trips; the scale
+    # path is N coordinator ACTORS (each resolves, fans out, and merges in
+    # parallel) over BENCH_SERVE_POOL_REPLICAS shard-pool replicas (a
+    # range-sharded query fans out to every shard of its pool, so only
+    # independent pools add capacity).  Same mixed workload, 16 clients
+    # pinned round-robin to the replicas.
+    from wikirec_ray.state.server import ReplicatedSearchTier
+
+    n_coord = int(os.environ.get("BENCH_SERVE_COORDS", "4"))
+    n_pools = int(os.environ.get("BENCH_SERVE_POOL_REPLICAS", "1"))
+    tier = ReplicatedSearchTier(index_dir, n_coordinators=n_coord,
+                                pool_size=pool_size, n_pools=n_pools)
+    for cid in range(n_coord):
+        for q in qstrings[:10]:
+            tier.search(q, TOP_K, client_id=cid)  # warm every replica
+
+    repl_key = f"c16_repl{n_coord}" + (f"x{n_pools}" if n_pools > 1 else "")
+    run_clients(16, lambda q, cid: tier.search(q, TOP_K, client_id=cid),
+                seed_base=200, key=repl_key)
     tier.shutdown()
     print(json.dumps({
         "metric": "serve_qps_c16",

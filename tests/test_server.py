@@ -235,8 +235,18 @@ def test_replicated_coordinators_share_one_pool(spread_pos_index, ray_session):
     tier = ReplicatedSearchTier(spread_pos_index, n_coordinators=3,
                                 pool_size=3, n_pools=2)
     try:
+        # n_pools clamps to the coordinator count (an unreachable pool
+        # would only burn actors + segment memory)
+        assert len(tier.pools) == 2 and len(tier.coordinators) == 3
+        from wikirec_ray.state.server import ReplicatedSearchTier as _T
+        t2 = _T(spread_pos_index, n_coordinators=1, pool_size=2, n_pools=5)
+        assert len(t2.pools) == 1
+        t2.shutdown()
+        # duplicate terms appear on the BM25 and NEAR routes too (CLAUDE.md:
+        # every retrieval route needs duplicate-terms parity)
         qstrings = ['table hash', '"table hash"', 'NEAR/6(table hash)',
-                    'the customer', '"key key"', 'absentterm']
+                    'the customer', '"key key"', 'absentterm',
+                    'table table hash', 'NEAR/6(table table hash)']
         n_nonempty = 0
         for q in qstrings:
             want = search(reader, q, 10)

@@ -646,23 +646,23 @@ class ReplicatedSearchTier:
     def __init__(self, index_dir: str, n_coordinators: int = 4,
                  pool_size: int = 4, resolver_pool_size: int = 2,
                  n_pools: int = 1):
+        n_coordinators = max(1, n_coordinators)
+        # a pool beyond the coordinator count would never receive a query
+        # — clamp instead of silently paying its actors + segment memory
+        n_pools = min(max(1, n_pools), n_coordinators)
         self.pools = [
             RangeShardedQueryEngine(
                 index_dir, pool_size=pool_size,
                 resolver_pool_size=resolver_pool_size,
             )
-            for _ in range(max(1, n_pools))
+            for _ in range(n_pools)
         ]
         self.base = self.pools[0]
         self.coordinators = [
             SearchCoordinator.remote(
                 index_dir, self.pools[i % len(self.pools)].handles())
-            for i in range(max(1, n_coordinators))
+            for i in range(n_coordinators)
         ]
-
-    @property
-    def bigrams(self):
-        return self.base.bigrams
 
     def submit(self, query: str, k: int = 10, client_id: int = 0):
         c = self.coordinators[client_id % len(self.coordinators)]
