@@ -1,0 +1,109 @@
+"""python -m wikirec_ray: the ray-job-submit CLI surface over the library.
+
+Each subcommand is exercised through main() under the session's Ray (the
+_ensure_ray guard skips init when a session exists); outputs are the JSON
+lines a job driver would parse."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def run_cli(capsys, argv):
+    from wikirec_ray.__main__ import main
+
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_build_stats_query_append(ray_session, tmp_path, capsys, sf_dir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "cli_idx")
+
+    rc, built = run_cli(capsys, [
+        "build", "--input", docs, "--format", "documents", "--index", idx,
+        "--positions", "--bigrams", "32", "--no-resume",
+    ])
+    assert rc == 0 and built["n_docs"] > 0 and built["partitions"] > 0
+
+    rc, st = run_cli(capsys, ["stats", "--index", idx])
+    assert rc == 0
+    assert st["n_docs"] == built["n_docs"]
+    assert st["positions"] is True and st["bigrams"] == 32
+    assert st["lineage"]["format"] == "documents"
+
+    # all three query routes, equal to the library surface
+    from wikirec_ray.pipelines.query import IndexReader, search
+
+    rd = IndexReader(idx)
+    a, b = sorted(rd.bigrams)[0].split()
+    for q in (f"{a} {b}", f'"{a} {b}"', f"NEAR/4({a} {b})"):
+        rc, res = run_cli(capsys, ["query", "--index", idx, q, "-k", "5"])
+        assert rc == 0
+        assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+            search(rd, q, 5), q
+
+    # served query path
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, f"{a} {b}", "-k", "5", "--serve", "2",
+    ])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        search(rd, f"{a} {b}", 5)
+
+    # delta append: new ids, text reused — n_docs grows by the delta size
+    t = pq.read_table(docs, columns=["doc_id", "text"]).slice(0, 20)
+    delta = pa.table({
+        "doc_id": pa.compute.add(t["doc_id"], 10_000_000),
+        "text": t["text"],
+    })
+    delta_path = tmp_path / "delta"
+    delta_path.mkdir()
+    pq.write_table(delta, delta_path / "part-0.parquet")
+    rc, appended = run_cli(capsys, [
+        "append", "--input", str(delta_path), "--format", "documents",
+        "--index", idx,
+    ])
+    assert rc == 0 and appended["n_docs"] == built["n_docs"] + 20
+
+
+def test_cli_stats_missing_index(ray_session, tmp_path, capsys):
+    rc, out = run_cli(capsys, ["stats", "--index", str(tmp_path / "nope")])
+    assert rc == 1 and "error" in out
+
+
+def test_cli_pages_format(ray_session, tmp_path, capsys, sf_dir):
+    """--format pages runs the html extraction chain; doc ids come from the
+    trailing url integer, matching the library's bench/entry convention."""
+    from wikirec_ray.sources.synth import build_pages
+
+    pages_dir = build_pages(sf_dir)  # cached synth pages (url, html, ...)
+    rc, built = run_cli(capsys, [
+        "build", "--input", pages_dir, "--format", "pages",
+        "--index", str(tmp_path / "pages_idx"), "--no-resume",
+    ])
+    assert rc == 0 and built["n_docs"] > 0
+
+    # byte-identity invariant carried: the pages build indexes the same
+    # corpus as the documents build, so a query answers identically
+    docs_idx = str(tmp_path / "docs_idx")
+    rc, built2 = run_cli(capsys, [
+        "build", "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--format", "documents", "--index", docs_idx, "--no-resume",
+    ])
+    assert built2["n_docs"] == built["n_docs"]
+    from wikirec_ray.pipelines.query import IndexReader
+
+    r1 = IndexReader(str(tmp_path / "pages_idx"))
+    r2 = IndexReader(docs_idx)
+    assert r1.topk(["the", "table"], 10) == r2.topk(["the", "table"], 10)

@@ -1,0 +1,197 @@
+"""Command-line entry points — the ``ray job submit`` surface.
+
+On a cluster these are the driver scripts a deployment submits
+(``ray job submit -- python -m wikirec_ray build ...``); locally they run
+against ``address="local"``.  Each subcommand is a thin argparse shell over
+the library functions — all pipeline logic lives in the package, so the
+CLI adds no second code path to keep correct.
+
+    python -m wikirec_ray build  --input DIR --index DIR \
+        [--format pages|documents] [--positions] [--bigrams K] [--no-resume]
+    python -m wikirec_ray append --input DIR --index DIR [--format ...]
+    python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL]
+    python -m wikirec_ray stats  --index DIR
+
+Query strings use the ``search()`` mini-language: ``"quoted"`` = exact
+phrase, ``NEAR/n(terms)`` = proximity, anything else = BM25 (WAND).
+
+This module (not the library) owns the Ray session, per the repo rule
+that only CLI scripts, bench.py and the test fixture call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _corpus(input_dir: str, fmt: str):
+    """(doc_id, text) Dataset from either input shape.
+
+    ``pages``: parquet of Common-Crawl-style rows (url, html, ...) —
+    column-pruned read, streaming extraction, doc_id = the trailing
+    integer of the url (the synth source's invertible id scheme).
+    ``documents``: parquet already shaped (doc_id, text)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from wikirec_ray.stages.extract import extract_pages
+
+    if fmt == "documents":
+        return ray.data.read_parquet(input_dir, columns=["doc_id", "text"])
+    pages = ray.data.read_parquet(input_dir, columns=["url", "html"])
+    return extract_pages(pages).map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""),
+                    pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from wikirec_ray.stages.index_build import build_index
+
+    manifest = build_index(
+        _corpus(args.input, args.format),
+        args.index,
+        resume=not args.no_resume,
+        lineage={"input": args.input, "format": args.format},
+        store_positions=args.positions,
+        precompute_bigrams=args.bigrams,
+    )
+    print(json.dumps({
+        "index": args.index,
+        "n_docs": manifest.get("stats", {}).get("n_docs"),
+        "partitions": len(manifest.get("partitions", [])),
+        "positions": args.positions,
+        "bigrams": args.bigrams,
+    }))
+    return 0
+
+
+def cmd_append(args) -> int:
+    _ensure_ray()
+    from wikirec_ray.stages.index_build import append_index
+
+    manifest = append_index(
+        _corpus(args.input, args.format),
+        args.index,
+        lineage={"input": args.input, "format": args.format},
+    )
+    print(json.dumps({
+        "index": args.index,
+        "n_docs": manifest.get("stats", {}).get("n_docs"),
+        "partitions": len(manifest.get("partitions", [])),
+    }))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from wikirec_ray.pipelines.query import IndexReader, search
+
+    if args.serve:
+        _ensure_ray()  # the served engine needs a Ray session for actors
+        from wikirec_ray.state.server import RangeShardedQueryEngine
+
+        engine = RangeShardedQueryEngine(args.index, pool_size=args.serve)
+    else:
+        engine = IndexReader(args.index)  # pure local read, no Ray needed
+    try:
+        hits = search(engine, args.query, args.k)
+        print(json.dumps({
+            "query": args.query,
+            "hits": [{"doc_id": d, "score": s} for d, s in hits],
+        }))
+    finally:
+        if args.serve:
+            engine.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from wikirec_ray.state.segments import load_manifest, load_stats
+
+    manifest = load_manifest(args.index)
+    if manifest is None:
+        print(json.dumps({"error": f"no manifest in {args.index}"}))
+        return 1
+    stats = load_stats(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "format_version": manifest.get("version"),
+        "n_docs": stats.get("n_docs"),
+        "n_term_partitions": stats.get("n_term_partitions"),
+        "avgdl": stats.get("avgdl"),
+        "partitions": len(manifest.get("partitions", [])),
+        "positions": bool(stats.get("store_positions")),
+        "bigrams": stats.get("precompute_bigrams", 0),
+        "build_wall_s": manifest.get("build_wall_s"),
+        "lineage": manifest.get("lineage", {}),
+    }))
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wikirec_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def io(sp, needs_input=True):
+        if needs_input:
+            sp.add_argument("--input", required=True,
+                            help="input parquet dir")
+            sp.add_argument("--format", choices=["pages", "documents"],
+                            default="pages")
+        sp.add_argument("--index", required=True, help="index dir")
+
+    b = sub.add_parser("build", help="build an index from a corpus")
+    io(b)
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (phrase/NEAR retrieval)")
+    b.add_argument("--bigrams", type=int, default=0, metavar="K",
+                   help="precompute top-K frequent-bigram posting lists")
+    b.add_argument("--no-resume", action="store_true",
+                   help="rebuild from scratch even if a manifest exists")
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("append", help="delta-only incremental ingest")
+    io(a)
+    a.set_defaults(fn=cmd_append)
+
+    q = sub.add_parser("query", help="run one query string")
+    io(q, needs_input=False)
+    q.add_argument("query", help='BM25 terms, "exact phrase", or NEAR/n(...)')
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--serve", type=int, default=0, metavar="POOL",
+                   help="query through a range-sharded actor pool of this "
+                        "size instead of the local reader")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats", help="print index manifest summary")
+    io(s, needs_input=False)
+    s.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
