@@ -107,3 +107,39 @@ def test_cli_pages_format(ray_session, tmp_path, capsys, sf_dir):
     r1 = IndexReader(str(tmp_path / "pages_idx"))
     r2 = IndexReader(docs_idx)
     assert r1.topk(["the", "table"], 10) == r2.topk(["the", "table"], 10)
+
+
+def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
+    """serve: query lines in, JSON lines out; malformed queries error
+    per-line without killing the server; EOF shuts the tier down."""
+    import io
+    import os as _os
+    import sys as _sys
+
+    docs = _os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "serve_idx")
+    rc, _ = run_cli(capsys, [
+        "build", "--input", docs, "--format", "documents", "--index", idx,
+        "--positions", "--no-resume",
+    ])
+    assert rc == 0
+
+    from wikirec_ray.__main__ import main
+    from wikirec_ray.pipelines.query import IndexReader, search
+
+    rd = IndexReader(idx)
+    monkeypatch.setattr(
+        _sys, "stdin",
+        io.StringIO('table hash\n\n"the table"\nNEAR/99999999999999999(a b)\n'))
+    rc = main(["serve", "--index", idx, "-k", "5",
+               "--coordinators", "2", "--pool", "2"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True and lines[0]["pools"] == 1
+    assert [(h["doc_id"], h["score"]) for h in lines[1]["hits"]] == \
+        search(rd, "table hash", 5)
+    assert [(h["doc_id"], h["score"]) for h in lines[2]["hits"]] == \
+        search(rd, '"the table"', 5)
+    # the huge NEAR window CLAMPS (parse surface) and still answers
+    assert "hits" in lines[3]
+    assert len(lines) == 4  # blank line skipped

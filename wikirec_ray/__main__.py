@@ -10,6 +10,8 @@ CLI adds no second code path to keep correct.
         [--format pages|documents] [--positions] [--bigrams K] [--no-resume]
     python -m wikirec_ray append --input DIR --index DIR [--format ...]
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL]
+    python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
+        [--pool-replicas R]      # stdin query lines -> stdout JSON lines
     python -m wikirec_ray stats  --index DIR
 
 Query strings use the ``search()`` mini-language: ``"quoted"`` = exact
@@ -124,6 +126,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-running query server: one query string per stdin line, one
+    JSON result line per stdout line (errors are reported per-line, the
+    server stays up).  Backed by the replicated tier — ``--coordinators``
+    replicas over ``--pool-replicas`` shard pools of ``--pool`` shards —
+    so this is the deployment shape BASELINE.md's serve-load section
+    measures.  Exits cleanly on EOF."""
+    _ensure_ray()
+    from wikirec_ray.state.server import ReplicatedSearchTier
+
+    tier = ReplicatedSearchTier(
+        args.index, n_coordinators=args.coordinators,
+        pool_size=args.pool, n_pools=args.pool_replicas,
+    )
+    print(json.dumps({"ready": True, "index": args.index,
+                      "coordinators": args.coordinators,
+                      "pools": len(tier.pools), "pool_size": args.pool}),
+          flush=True)
+    try:
+        for i, line in enumerate(sys.stdin):
+            q = line.strip()
+            if not q:
+                continue
+            try:
+                hits = tier.search(q, args.k, client_id=i)
+                print(json.dumps({
+                    "query": q,
+                    "hits": [{"doc_id": d, "score": s} for d, s in hits],
+                }), flush=True)
+            except Exception as exc:  # malformed query must not kill serving
+                print(json.dumps({"query": q, "error": str(exc)}),
+                      flush=True)
+    finally:
+        tier.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from wikirec_ray.state.segments import load_manifest, load_stats
 
@@ -181,6 +220,16 @@ def make_parser() -> argparse.ArgumentParser:
                    help="query through a range-sharded actor pool of this "
                         "size instead of the local reader")
     q.set_defaults(fn=cmd_query)
+
+    sv = sub.add_parser(
+        "serve", help="query server: stdin query lines -> stdout JSON lines")
+    io(sv, needs_input=False)
+    sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--coordinators", type=int, default=4)
+    sv.add_argument("--pool", type=int, default=4,
+                    help="shards per pool replica")
+    sv.add_argument("--pool-replicas", type=int, default=1)
+    sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("stats", help="print index manifest summary")
     io(s, needs_input=False)
