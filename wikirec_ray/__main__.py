@@ -9,6 +9,8 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray build  --input DIR --index DIR \
         [--format pages|documents] [--positions] [--bigrams K] [--no-resume]
     python -m wikirec_ray append --input DIR --index DIR [--format ...]
+    python -m wikirec_ray delete --index DIR --ids 3,17,42 | --ids-file F
+    python -m wikirec_ray compact --index DIR
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL]
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
         [--pool-replicas R]      # stdin query lines -> stdout JSON lines
@@ -28,12 +30,18 @@ import json
 import sys
 
 
+_OWNS_RAY = False  # did THIS invocation start the session? (tests call
+#                     main() under their own session, which must survive)
+
+
 def _ensure_ray():
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+        _OWNS_RAY = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -99,6 +107,36 @@ def cmd_append(args) -> int:
     print(json.dumps({
         "index": args.index,
         "n_docs": manifest.get("stats", {}).get("n_docs"),
+        "partitions": len(manifest.get("partitions", [])),
+    }))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone doc ids (no Ray session needed — a driver-side manifest
+    update).  Deleted docs vanish from every retrieval route immediately;
+    run ``compact`` to purge postings and recompute stats."""
+    from wikirec_ray.stages.lifecycle import delete_docs
+
+    if args.ids:
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    else:
+        with open(args.ids_file) as f:
+            ids = [int(line) for line in f if line.strip()]
+    out = delete_docs(args.index, ids)
+    print(json.dumps(dict(out, index=args.index)))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _ensure_ray()
+    from wikirec_ray.stages.lifecycle import compact_index
+
+    manifest = compact_index(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "n_docs": manifest.get("stats", {}).get("n_docs"),
+        "n_tombstones": manifest.get("stats", {}).get("n_tombstones", 0),
         "partitions": len(manifest.get("partitions", [])),
     }))
     return 0
@@ -180,6 +218,7 @@ def cmd_stats(args) -> int:
         "partitions": len(manifest.get("partitions", [])),
         "positions": bool(stats.get("store_positions")),
         "bigrams": stats.get("precompute_bigrams", 0),
+        "tombstones": stats.get("n_tombstones", 0),
         "build_wall_s": manifest.get("build_wall_s"),
         "lineage": manifest.get("lineage", {}),
     }))
@@ -212,6 +251,18 @@ def make_parser() -> argparse.ArgumentParser:
     io(a)
     a.set_defaults(fn=cmd_append)
 
+    d = sub.add_parser("delete", help="tombstone doc ids (purge via compact)")
+    io(d, needs_input=False)
+    g = d.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ids", help="comma-separated doc ids")
+    g.add_argument("--ids-file", help="file with one doc id per line")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact",
+                       help="purge tombstoned docs, recompute stats")
+    io(c, needs_input=False)
+    c.set_defaults(fn=cmd_compact)
+
     q = sub.add_parser("query", help="run one query string")
     io(q, needs_input=False)
     q.add_argument("query", help='BM25 terms, "exact phrase", or NEAR/n(...)')
@@ -239,7 +290,16 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    finally:
+        # end only a session THIS run started (repo rule: CLI scripts own
+        # their session; a caller's — e.g. pytest's — must survive)
+        if _OWNS_RAY:
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -54,7 +54,14 @@ from wikirec_ray.schema import (
     NEAR_WINDOW_MAX,
     TOKEN_SPLIT_REGEX,
 )
-from wikirec_ray.state.segments import SegmentReader, load_df, load_norms, load_stats
+from wikirec_ray.state.segments import (
+    SegmentReader,
+    filter_tombstoned,
+    load_df,
+    load_norms,
+    load_stats,
+    load_tombstones,
+)
 
 ROUND_DP = 9
 
@@ -108,6 +115,11 @@ class IndexReader:
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.df = load_df(index_dir)
         self.norms = load_norms(index_dir)
+        # pending deletes (lifecycle.delete_docs): a query-time overlay —
+        # loaded once at construction (immutable-snapshot contract), every
+        # retrieval route below drops these docs.  Stats/df stay frozen
+        # until compact_index, so surviving docs' scores are unchanged.
+        self.tombstones = load_tombstones(index_dir)
         self._segments: dict[int, SegmentReader] = {}
         self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
 
@@ -146,6 +158,18 @@ class IndexReader:
     def postings(self, term: str):
         return self.term_segment(term).postings(term)
 
+    def alive(self, docs: np.ndarray) -> np.ndarray:
+        """``docs`` minus tombstoned ids (shared filtering kernel)."""
+        return filter_tombstoned(docs, self.tombstones)
+
+    def is_deleted(self, doc_id: int) -> bool:
+        """Scalar tombstone probe (the WAND admission check)."""
+        t = self.tombstones
+        if not len(t):
+            return False
+        i = int(np.searchsorted(t, np.uint64(doc_id)))
+        return i < len(t) and int(t[i]) == int(doc_id)
+
     # ---------------- exact term-at-a-time ------------------------------
     def score_exact(self, terms: list[str]) -> np.ndarray:
         """Dense per-doc score array (float64, length n_docs)."""
@@ -162,6 +186,8 @@ class IndexReader:
             tf = tfs.astype(np.float64)
             dl = self.norms[d].astype(np.float64)
             scores[d] += bm25_contrib(idf, tf, dl, avgdl)
+        if len(self.tombstones):
+            scores[self.tombstones.astype(np.int64)] = 0.0
         return scores
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
@@ -214,6 +240,9 @@ class IndexReader:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return None, None
+        cand = self.alive(cand)  # drop tombstoned docs BEFORE position work
+        if len(cand) == 0:
+            return None, None
         return postings, cand
 
     def _filtered_topk(self, postings, docs: np.ndarray, k: int):
@@ -325,6 +354,7 @@ class IndexReader:
         if self.df.get(comp, 0) == 0:
             return []  # pair precomputed but occurs nowhere
         phrase_docs, _ = self.postings(comp)
+        phrase_docs = self.alive(phrase_docs)
         postings = []
         for t in terms:
             if self.df.get(t, 0) == 0:
@@ -639,11 +669,15 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, 
                     c.advance_to(boundary + 1)
             continue
         if live[0].cur_doc() == pivot_doc:
-            # all prefix cursors aligned on pivot → score it fully
+            # all prefix cursors aligned on pivot → score it fully (unless
+            # tombstoned — deleted docs are skipped at admission; bounds
+            # may still include their potential, which only weakens
+            # pruning, never correctness)
             score = 0.0
-            for c in cursors:
-                if c.cur_doc() == pivot_doc:
-                    score += c.score_current(reader.norms, avgdl)
+            if not reader.is_deleted(pivot_doc):
+                for c in cursors:
+                    if c.cur_doc() == pivot_doc:
+                        score += c.score_current(reader.norms, avgdl)
             item = (round(score, ROUND_DP), -pivot_doc)
             if item[0] > 0:
                 if len(heap) < k:

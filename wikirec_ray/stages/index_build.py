@@ -1301,6 +1301,18 @@ def _build_index_inner(
     elif os.path.exists(bigrams_path):
         os.remove(bigrams_path)  # stale set from a differently-configured build
 
+    # pending deletes (lifecycle.delete_docs) survive a heal/resume build:
+    # tombstones are INDEX state (a removal promise), not build input — a
+    # valid prior overlay is carried forward; anything else (fresh build,
+    # torn file, no prior manifest) resets the overlay
+    tomb_path = os.path.join(index_dir, "tombstones.parquet")
+    prior_tomb = prior_parts.get("tombstones.parquet")
+    tomb_entries: list[dict] = []
+    if prior_tomb is not None and partition_is_valid(tomb_path, prior_tomb):
+        tomb_entries = [dict(prior_tomb, key="tombstones.parquet", skipped=True)]
+    elif os.path.exists(tomb_path):
+        os.remove(tomb_path)
+
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
@@ -1313,6 +1325,7 @@ def _build_index_inner(
         "store_positions": bool(store_positions),
         "precompute_bigrams": int(precompute_bigrams),
         "n_bigrams": len(bigram_pairs),
+        "n_tombstones": int(tomb_entries[0]["n_tombstones"]) if tomb_entries else 0,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -1324,7 +1337,7 @@ def _build_index_inner(
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "partitions": {
             e["key"]: {k: v for k, v in e.items() if k != "key"}
-            for e in entries + merge_entries + bigram_entries
+            for e in entries + merge_entries + bigram_entries + tomb_entries
         },
     }
     save_manifest(index_dir, manifest)
@@ -1459,7 +1472,10 @@ def append_index(
         dict(v, key=k, skipped=True)
         for k, v in prior_parts.items()
         if (v.get("kind") in ("segment", "df") and v.get("tpart") not in set(touched_tparts))
-        or v.get("kind") == "bigrams"
+        or v.get("kind") in ("bigrams", "tombstones")
+        # tombstones carry through an append untouched: the delta-overlap
+        # check above already rejects re-adding a deleted id (its norms row
+        # survives until compaction), and stats stay frozen-per-contract
     ]
 
     stats = dict(

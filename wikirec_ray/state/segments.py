@@ -391,6 +391,39 @@ def load_bigram_pairs(index_dir: str) -> list[tuple[str, str]]:
     return list(zip(t["w1"].to_pylist(), t["w2"].to_pylist()))
 
 
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted uint64 doc_ids deleted from the index but not yet compacted
+    away (``lifecycle.delete_docs`` writes them; ``compact_index`` clears
+    them).  Empty when the index has no pending deletes.  Readers drop
+    these docs from every retrieval route; corpus stats (n_docs, avgdl,
+    df) stay FROZEN until compaction — the Lucene semantics: a deleted doc
+    stops appearing immediately, scores of surviving docs change only when
+    the deletion is physically merged away."""
+    p = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(p):
+        return np.empty(0, np.uint64)
+    return pq.read_table(p)["doc_id"].to_numpy().astype(np.uint64)
+
+
+def alive_mask(docs: np.ndarray, tombs: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where ``docs[i]`` is NOT tombstoned — one
+    vectorized membership probe (``docs`` need not be sorted; ``tombs``
+    is, as ``load_tombstones`` returns it).  THE filtering kernel every
+    retrieval route shares (local reader, WAND admission via scalar
+    probe, both serving engines)."""
+    if len(tombs) == 0 or len(docs) == 0:
+        return np.ones(len(docs), bool)
+    i = np.minimum(np.searchsorted(tombs, docs), len(tombs) - 1)
+    return tombs[i] != docs
+
+
+def filter_tombstoned(docs: np.ndarray, tombs: np.ndarray) -> np.ndarray:
+    """``docs`` minus the tombstoned ids (see ``alive_mask``)."""
+    if len(tombs) == 0 or len(docs) == 0:
+        return docs
+    return docs[alive_mask(docs, tombs)]
+
+
 def load_df(index_dir: str) -> dict[str, int]:
     """term -> document frequency, from the per-tpart df files the merge
     emits (DF == postings count, one posting per (term, doc))."""

@@ -56,6 +56,7 @@ class SegmentServer:
             load_df_tparts,
             load_norms,
             load_stats,
+            load_tombstones,
         )
 
         import os
@@ -64,6 +65,9 @@ class SegmentServer:
         self.n_docs = self.stats["n_docs"]
         self.norms = load_norms(index_dir)
         self.df = load_df_tparts(index_dir, tparts)
+        # pending deletes: filtered shard-side so the coordinator never
+        # sees a tombstoned doc (stats/df stay frozen until compaction)
+        self.tombstones = load_tombstones(index_dir)
         # a tpart with no terms has no segment file (sparse vocabularies);
         # missing readers score as empty
         self.readers = {}
@@ -75,6 +79,7 @@ class SegmentServer:
     def score_terms(self, terms_with_tpart: list[tuple[str, int]]):
         """[(term, tpart)] -> list of (doc_ids uint64, contribs f64)."""
         from wikirec_ray.pipelines.query import bm25_contrib
+        from wikirec_ray.state.segments import alive_mask
 
         avgdl = self.stats["avgdl"]
         out = []
@@ -85,6 +90,9 @@ class SegmentServer:
                 out.append((np.empty(0, np.uint64), np.empty(0, np.float64)))
                 continue
             doc_ids, tfs = reader.postings(term)
+            if len(self.tombstones) and len(doc_ids):
+                keep = alive_mask(doc_ids, self.tombstones)
+                doc_ids, tfs = doc_ids[keep], tfs[keep]
             if len(doc_ids) == 0:
                 out.append((doc_ids, np.empty(0, np.float64)))
                 continue
@@ -204,6 +212,18 @@ class RangeServer:
             if os.path.exists(p):
                 t = pq.read_table(p)
                 self.norms[r] = (t["doc_id"].to_numpy(), t["doc_len"].to_numpy())
+        # pending deletes restricted to THIS shard's ranges (a shard holds
+        # only O(its doc share) of the tombstone set, like its norms)
+        from wikirec_ray.state.segments import load_tombstones
+
+        all_tombs = load_tombstones(index_dir)
+        self.tombs: dict[int, np.ndarray] = {}
+        if len(all_tombs):
+            t_range = (all_tombs // np.uint64(self.range_size)).astype(np.int64)
+            for r in self.range_ids:
+                tr = all_tombs[t_range == r]
+                if len(tr):
+                    self.tombs[r] = tr
         self._chunks: dict[tuple[int, int], object] = {}
 
     def _chunk(self, tpart: int, range_id: int):
@@ -250,6 +270,9 @@ class RangeServer:
                 dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
                 local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
             if hit:
+                tr = self.tombs.get(r)
+                if tr is not None:
+                    local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
                 out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
@@ -273,6 +296,11 @@ class RangeServer:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if not len(cand):
                 break
+        tr = self.tombs.get(r)
+        if tr is not None and len(cand):
+            from wikirec_ray.state.segments import filter_tombstoned
+
+            cand = filter_tombstoned(cand, tr)
         return items, cand
 
     def _score_filtered(self, nr, items, terms_with_idf, docs, k):
@@ -405,6 +433,11 @@ class RangeServer:
             if cchunk is None or not cchunk.has(comp):
                 continue
             pdocs, _ = cchunk.postings(comp)
+            tr = self.tombs.get(r)
+            if tr is not None and len(pdocs):
+                from wikirec_ray.state.segments import filter_tombstoned
+
+                pdocs = filter_tombstoned(pdocs, tr)
             if not len(pdocs):
                 continue
             items, _cand = self._gather_items(r, terms_with_idf)
