@@ -64,6 +64,21 @@ NEAR_QUERY_SET: list[tuple[int, list[str]]] = [
 ]
 NEAR_WINDOW = 5
 NEAR_K = 10
+# boolean retrieval (Lucene-style clauses): must/must_not FILTER, BM25 over
+# the should+must occurrences SCORES (the engine-wide filter-vs-score
+# contract).  Duplicate occurrences score once per occurrence (parity rule);
+# query 5 carries an absent must term (zero rows for that query); query 6
+# duplicates a must term (scores twice, filters once).
+BOOLEAN_QUERY_SET: list[tuple[int, list[str], list[str], list[str]]] = [
+    (0, ["spark", "join"], ["table"], []),
+    (1, ["vector", "window"], [], ["the"]),
+    (2, ["customer"], ["order", "row"], ["dup"]),
+    (3, [], ["group", "key"], []),
+    (4, ["scan", "scan"], [], ["slow"]),
+    (5, ["merge"], ["absentterm"], []),
+    (6, ["stream"], ["dup", "dup"], []),
+]
+BOOLEAN_K = 10
 SNIPPET_TERMS = ["spark", "window"]  # KWIC driver entry
 SNIPPET_WINDOW = 3
 RECO_INPUT_DOCS = [3, 7]
@@ -501,6 +516,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for qid, terms in NEAR_QUERY_SET:
             for rank, (doc, score) in enumerate(
                 reader.near_topk(terms, NEAR_K, NEAR_WINDOW), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
+    def boolean_search_q(sf_dir):
+        """Boolean retrieval over the plain index: every hit contains ALL
+        must terms and NO must_not term; the clauses are filters, the
+        score is the plain BM25 sum over should+must occurrences —
+        SQL-replayable as the shared bm25 CTEs + per-query EXISTS /
+        NOT EXISTS predicates."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_index(sf_dir))
+        rows = []
+        for qid, should, must, must_not in BOOLEAN_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.boolean_topk(should, must, must_not, BOOLEAN_K), 1
             ):
                 rows.append((qid, rank, doc, round(score, 6)))
         return pd.DataFrame(
@@ -1332,8 +1368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bm25_topk_wand — pytest pins wand == exact — plus recommend and
     # similar_docs_topk) to fund near_search (positional proximity),
     # keyword_snippets (KWIC) and repetition_ratios (Gopher A1) — each a
-    # round-4 family that previously had only a pytest oracle.
+    # round-4 family that previously had only a pytest oracle.  Late r5
+    # retired fingerprints (exact_dedup drives the identical
+    # _fingerprint_batch kernel through its groupby) to fund
+    # boolean_search (the new must/must_not retrieval route).
     return {
+        "boolean_search": boolean_search_q,
         "near_search": near_search_q,
         "keyword_snippets": keyword_snippets_q,
         "repetition_ratios": repetition_ratios_q,
@@ -1367,7 +1407,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_corpus": export_corpus_q,
         "jaccard_pairs": jaccard_pairs_q,
         "quality_scores": quality_q,
-        "fingerprints": fingerprints_q,
         "vocab_prune": vocab_prune_q,
         "phrase_scores": phrase_scores_q,
         "phrase_apply": phrase_apply_q,
@@ -1453,6 +1492,27 @@ def oracle_sql() -> dict[str, str]:
             ),
         )
         for qid, terms in NEAR_QUERY_SET
+    )
+    # boolean replay: scoring VALUES carry the should+must OCCURRENCES
+    # (duplicates kept, the engine-wide parity rule); the per-query
+    # candidate set is every doc passing EXISTS for each distinct must term
+    # and NOT EXISTS for each distinct must_not term (an absent must term's
+    # EXISTS is never true -> zero rows, matching boolean_topk)
+    bool_score_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, should, must, _ in BOOLEAN_QUERY_SET for t in should + must
+    )
+    bool_match_union = " UNION ALL ".join(
+        "SELECT {qid} AS query_id, doc_id FROM dl d{where}".format(
+            qid=qid,
+            where=(" WHERE " + " AND ".join(
+                [f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
+                 f"AND tf.term = '{t}')" for t in sorted(set(must))]
+                + [f"NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
+                   f"AND tf.term = '{t}')" for t in sorted(set(must_not))]
+            )) if (must or must_not) else "",
+        )
+        for qid, _, must, must_not in BOOLEAN_QUERY_SET
     )
     snip_terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
 
@@ -2199,6 +2259,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM filt WHERE round(score, 9) > 0
             ) WHERE rn <= {NEAR_K}
         """,
+        "boolean_search": f"""
+            WITH {_BM25_CORE},
+            bd AS ({bool_match_union}),
+            q(query_id, term) AS (VALUES {bool_score_vals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            filt AS (
+                SELECT s.query_id, s.doc_id, s.score FROM scored s
+                JOIN bd ON bd.query_id = s.query_id AND bd.doc_id = s.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM filt WHERE round(score, 9) > 0
+            ) WHERE rn <= {BOOLEAN_K}
+        """,
         "keyword_snippets": f"""
             WITH t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
             h AS (SELECT doc_id, i, toks FROM t,
@@ -2336,9 +2420,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(list_distinct(toks))::DOUBLE
                          / GREATEST(len(toks), 1), 6) AS uniq_ratio
             FROM t
-        """,
-        "fingerprints": """
-            SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "vocab_prune": f"""
             WITH tok AS ({_TOK}),

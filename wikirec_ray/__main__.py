@@ -17,7 +17,8 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray stats  --index DIR
 
 Query strings use the ``search()`` mini-language: ``"quoted"`` = exact
-phrase, ``NEAR/n(terms)`` = proximity, anything else = BM25 (WAND).
+phrase, ``NEAR/n(terms)`` = proximity, ``+term``/``-term`` chunk prefixes
+= boolean required/excluded, anything else = BM25 (WAND).
 
 This module (not the library) owns the Ray session, per the repo rule
 that only CLI scripts, bench.py and the test fixture call ``ray.init``.

@@ -195,6 +195,54 @@ class IndexReader:
         scores = self.score_exact(terms)
         return topk_from_dense(scores, k)
 
+    # ---------------- boolean retrieval ----------------------------------
+    def boolean_topk(
+        self,
+        should: list[str],
+        must: list[str] | tuple = (),
+        must_not: list[str] | tuple = (),
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Lucene-style boolean retrieval: a hit must contain EVERY ``must``
+        term and NO ``must_not`` term; ``should`` terms only affect
+        ranking.  The boolean clauses are FILTERS and the score is the
+        plain BM25 sum over the ``should`` + ``must`` occurrences (the
+        same filter-vs-score contract as ``phrase_topk`` / ``near_topk``,
+        keeping results SQL-replayable; ``must_not`` never contributes).
+        With no ``must`` clause the candidate set is the usual
+        OR-of-``should``; with neither clause the result is empty.
+        Duplicate occurrences score once per occurrence, like every other
+        route (candidacy uses the distinct term set).  A ``must`` term
+        absent from the corpus empties the conjunction; a term that is
+        both required and excluded excludes (production boolean-query
+        semantics: MUST_NOT dominates)."""
+        should, must, must_not = list(should), list(must), list(must_not)
+        if not should and not must:
+            return []
+        must_set = sorted(set(must))
+        for t in must_set:
+            if self.df.get(t, 0) == 0:
+                return []
+        scores = self.score_exact(should + must)
+        if must_set:
+            allowed = None
+            for t in sorted(must_set, key=lambda t: (self.df[t], t)):
+                d = self.postings(t)[0]
+                allowed = d if allowed is None else allowed[
+                    np.isin(allowed, d, assume_unique=True)
+                ]
+                if not len(allowed):
+                    return []
+            masked = np.zeros_like(scores)
+            idx = allowed.astype(np.int64)
+            masked[idx] = scores[idx]
+            scores = masked
+        for t in sorted(set(must_not)):
+            if self.df.get(t, 0) == 0:
+                continue
+            scores[self.postings(t)[0].astype(np.int64)] = 0.0
+        return topk_from_dense(scores, k)
+
     # ---------------- positional filter retrieval ------------------------
     # phrase_topk and near_topk share one shape: AND-intersect the terms'
     # posting lists, test a positional predicate over composite
@@ -885,7 +933,14 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
 
     - ``"exact phrase"``       -> ("phrase", terms, None)
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
+    - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
     - anything else            -> ("bm25", terms, None)
+
+    ``+``/``-`` are boolean operators ONLY at the start of a
+    whitespace-delimited chunk with content after them (the standard
+    search-box convention), so hyphenated words like ``Spark-JOIN`` stay
+    plain BM25 queries; a chunk's tokens all inherit its clause
+    (``+new-york`` requires both tokens).
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -911,15 +966,27 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
         return "near", toks(m.group(2)), w
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
         return "phrase", toks(q[1:-1]), None
+    chunks = q.split()
+    if any(c[0] in "+-" and toks(c[1:]) for c in chunks):
+        should: list[str] = []
+        must: list[str] = []
+        must_not: list[str] = []
+        for c in chunks:
+            if c[0] in "+-" and toks(c[1:]):
+                (must if c[0] == "+" else must_not).extend(toks(c[1:]))
+            else:
+                should.extend(toks(c))
+        return "boolean", (should, must, must_not), None
     return "bm25", toks(q), None
 
 
 def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     """Route a query STRING to the right retrieval path of ``engine`` —
     an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
-    ``topk`` / ``phrase_topk`` / ``near_topk``): quoted strings run exact
-    phrase, ``NEAR/n(...)`` runs proximity, plain terms run BM25 (via the
-    rank-safe WAND router when the engine has one).  The user-facing
+    ``topk`` / ``phrase_topk`` / ``near_topk`` / ``boolean_topk``): quoted
+    strings run exact phrase, ``NEAR/n(...)`` runs proximity, ``+``/``-``
+    chunk prefixes run boolean (required / excluded), plain terms run BM25
+    (via the rank-safe WAND router when the engine has one).  The user-facing
     analog of the reference's title-based ``recommend`` surface
     (``/root/reference/src/wikirec/model.py:294-383``), for engines whose
     input is text queries rather than seed articles."""
@@ -930,5 +997,10 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         return engine.phrase_topk(terms, k)
     if mode == "near":
         return engine.near_topk(terms, k, window)
+    if mode == "boolean":
+        should, must, must_not = terms
+        if not should and not must:
+            return []
+        return engine.boolean_topk(should, must, must_not, k)
     bm25 = getattr(engine, "topk_wand", None) or engine.topk
     return bm25(terms, k)

@@ -277,6 +277,77 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def boolean_topk(
+        self,
+        score_twi: list[tuple[str, int, float]],
+        must_twi: list[tuple[str, int, float]],
+        not_twi: list[tuple[str, int, float]],
+        k: int,
+    ):
+        """This shard's boolean top-k: the dense per-range scoring of
+        ``topk`` over ``score_twi`` (should + must occurrences), masked to
+        the AND-intersection of the ``must`` terms' postings and zeroed on
+        any ``must_not`` posting — the served twin of
+        ``IndexReader.boolean_topk`` (boolean clauses filter, BM25
+        scores)."""
+        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
+
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            allowed = None
+            if must_twi:
+                for term, tpart, _ in must_twi:
+                    chunk = self._chunk(tpart, r)
+                    if chunk is None or not chunk.has(term):
+                        allowed = np.empty(0, np.uint64)
+                        break
+                    d, _ = chunk.postings(term)
+                    allowed = d if allowed is None else allowed[
+                        np.isin(allowed, d, assume_unique=True)
+                    ]
+                    if not len(allowed):
+                        break
+                if not len(allowed):
+                    continue
+            local = np.zeros(self.range_size, dtype=np.float64)
+            hit = False
+            for term, tpart, idf in score_twi:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                doc_ids, tfs = chunk.postings(term)
+                if not len(doc_ids):
+                    continue
+                hit = True
+                d = doc_ids.astype(np.int64)
+                tf = tfs.astype(np.float64)
+                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
+                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
+            if not hit:
+                continue
+            if allowed is not None:
+                masked = np.zeros_like(local)
+                sel = allowed.astype(np.int64) - base
+                masked[sel] = local[sel]
+                local = masked
+            for term, tpart, _ in not_twi:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                d, _ = chunk.postings(term)
+                local[d.astype(np.int64) - base] = 0.0
+            tr = self.tombs.get(r)
+            if tr is not None:
+                local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
+            out.extend((d + base, s) for d, s in topk_from_dense(local, k))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def _gather_items(self, r: int, terms_with_idf):
         """(items, cand) for one range: per-term chunk postings in QUERY
         order (duplicates kept, matching the scoring contract) plus their
@@ -554,6 +625,46 @@ class RangeShardedQueryEngine:
             return []
         # phase 2: fan out to every range shard, merge partial top-k
         partials = ray.get([s.topk.remote(twi, k) for s in self.servers])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def boolean_topk(
+        self,
+        should: list[str],
+        must: list[str] | tuple = (),
+        must_not: list[str] | tuple = (),
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Distributed boolean retrieval (== ``IndexReader.boolean_topk``):
+        every doc lives in exactly one range shard, so must/must_not
+        filtering and scoring are shard-local and the global top-k is the
+        merge of per-shard partials.  (The term-sharded engine cannot
+        filter conjunctively without shipping doc sets between shards —
+        same limitation as phrase/NEAR, documented there.)"""
+        should, must, must_not = list(should), list(must), list(must_not)
+        if not should and not must:
+            return []
+        resolved = self._resolve_idfs(should + must + must_not)
+        must_set = sorted(set(must))
+        if any(resolved[t][1] == 0.0 for t in must_set):
+            return []  # absent must term -> empty conjunction
+        # scoring terms in QUERY order with duplicates kept (engine-wide
+        # duplicate-occurrence contract); filters use the distinct sets
+        score_twi = [
+            (t, *resolved[t]) for t in should + must if resolved[t][1] != 0.0
+        ]
+        if not score_twi:
+            return []
+        must_twi = [(t, *resolved[t]) for t in must_set]
+        not_twi = [
+            (t, *resolved[t])
+            for t in sorted(set(must_not)) if resolved[t][1] != 0.0
+        ]
+        partials = ray.get([
+            s.boolean_topk.remote(score_twi, must_twi, not_twi, k)
+            for s in self.servers
+        ])
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
