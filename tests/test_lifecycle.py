@@ -328,3 +328,170 @@ def test_cli_delete_compact(lc, capsys):
     assert out["n_docs"] == N_DOCS - 2
     rc, res = run_cli(capsys, ["query", "--index", idx, "w0", "-k", "5"])
     assert rc == 0 and res["hits"]
+
+
+# ------------------- crash reconciliation + guards (round-5 review) --------
+
+
+def test_crashed_delete_reconciles_not_discards(lc):
+    """A crash between delete_docs' atomic tombstone write and its manifest
+    save leaves the file a NEWER SUPERSET of the manifest.  Every entry
+    point must trust the file (it holds acknowledged deletes) instead of
+    raising / healing-by-removal, which silently resurrected deleted docs."""
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.stages.lifecycle import compact_index, delete_docs
+    from wikirec_ray.state.segments import load_tombstones, write_tombstones
+
+    a, b, c = lc["ids"][3], lc["ids"][9], lc["ids"][11]
+
+    idx = _copy(lc, "crashed_delete")
+    delete_docs(idx, [a])  # acked
+    # simulate the crash: file updated to {a, b}, manifest still says {a}
+    write_tombstones(idx, np.array([a, b], np.uint64))
+
+    # (1) a later delete reconciles and unions on top of the file
+    out = delete_docs(idx, [c])
+    assert out["n_tombstones"] == 3
+    assert sorted(load_tombstones(idx).tolist()) == sorted([a, b, c])
+    rd = IndexReader(idx)
+    assert not any(d in (a, b, c) for d, _ in rd.topk(["w0"], N_DOCS))
+
+    # (2) compaction over the mismatched overlay purges the file's full set
+    idx2 = _copy(lc, "crashed_delete_compact")
+    delete_docs(idx2, [a])
+    write_tombstones(idx2, np.array([a, b], np.uint64))
+    m = compact_index(idx2)
+    assert m["stats"]["n_docs"] == N_DOCS - 2
+    assert not os.path.exists(os.path.join(idx2, "tombstones.parquet"))
+
+    # (3) the resume heal carries the file forward, never removes it
+    idx3 = _copy(lc, "crashed_delete_heal")
+    delete_docs(idx3, [a])
+    write_tombstones(idx3, np.array([a, b], np.uint64))
+    m = build_index(_ds(lc["ids"], lc["texts"]), idx3, resume=True,
+                    store_positions=True)
+    assert m["stats"]["n_tombstones"] == 2
+    rd3 = IndexReader(idx3)
+    hits = dict(rd3.topk(["w0"], N_DOCS))
+    assert a not in hits and b not in hits
+
+
+def test_stale_overlay_after_crashed_compact_is_cheap_noop(lc):
+    """A compact_index crash between its manifest save and its tombstone
+    removal leaves a stale file listing already-purged ids.  The next
+    compact must self-heal: every touched file hits the unchanged
+    short-circuit (no rewrite), stats are unchanged, the file goes away."""
+    from wikirec_ray.stages.lifecycle import compact_index, delete_docs
+    from wikirec_ray.state.segments import write_tombstones
+
+    idx = _copy(lc, "stale_overlay")
+    victims = lc["ids"][:2]
+    delete_docs(idx, victims)
+    m1 = compact_index(idx)
+    mtimes = {
+        k: os.stat(os.path.join(idx, k)).st_mtime_ns
+        for k in m1["partitions"]
+        if m1["partitions"][k]["kind"] in ("norms", "postings")
+    }
+    # simulate the crash tail: stale overlay reappears, no manifest entry
+    write_tombstones(idx, np.array(victims, np.uint64))
+    import json as _json
+    man = _json.load(open(os.path.join(idx, "manifest.json")))
+    man["partitions"].pop("tombstones.parquet", None)
+    from wikirec_ray.state.segments import save_manifest
+    save_manifest(idx, man)
+
+    m2 = compact_index(idx)
+    assert m2["stats"]["n_docs"] == m1["stats"]["n_docs"]
+    assert not os.path.exists(os.path.join(idx, "tombstones.parquet"))
+    for k, t in mtimes.items():  # nothing was rewritten
+        assert os.stat(os.path.join(idx, k)).st_mtime_ns == t
+
+
+def test_compact_skips_untouched_tparts(lc, ray_session):
+    """A delete's rewrite cost is bounded by the deleted docs' OWN
+    vocabulary: (tpart, range) files of a touched range that hold none of
+    the victim's terms are carried forward unrewritten (and their tpart's
+    segment is not re-merged)."""
+    import zlib
+
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.stages.lifecycle import compact_index, delete_docs
+
+    root = lc["root"]
+    idx = str(root / "narrow_victim")
+    ids = list(range(40))
+    texts = [("zebra zebra zebra" if i == 17 else
+              " ".join(f"w{j}" for j in range(i % 7, i % 7 + 5)))
+             for i in ids]
+    build_index(_ds(ids, texts), idx, resume=False)
+    rd = IndexReader(idx)
+    zebra_tpart = zlib.crc32(b"zebra") % rd.n_tparts
+    before = json.load(open(os.path.join(idx, "manifest.json")))
+    mtimes = {
+        k: os.stat(os.path.join(idx, k)).st_mtime_ns
+        for k, v in before["partitions"].items() if v["kind"] == "postings"
+    }
+
+    delete_docs(idx, [17])
+    m = compact_index(idx)
+    post = {k: v for k, v in m["partitions"].items()
+            if v["kind"] == "postings"}
+    changed = {k for k, v in post.items() if not v.get("skipped")}
+    # zebra's file was emptied (17 was its only doc) -> removed entirely
+    assert all(f"tpart-{zebra_tpart:03d}" in k for k in changed)
+    untouched = [k for k in post if f"tpart-{zebra_tpart:03d}" not in k]
+    assert untouched, "corpus must exercise the unchanged short-circuit"
+    for k in untouched:
+        assert post[k].get("skipped") is True
+        assert os.stat(os.path.join(idx, k)).st_mtime_ns == mtimes[k]
+    # and the results still match a reader over the compacted index
+    rd2 = IndexReader(idx)
+    assert 17 not in dict(rd2.topk(["zebra"], 40))
+    assert len(rd2.topk(["w3"], 40)) > 0
+
+
+def test_live_reader_fails_loudly_after_inplace_rewrite(lc):
+    """IndexReader/RangeServer lazily open files; a compaction under a live
+    handle must raise, not silently mix pre-/post-compact state."""
+    import zlib
+
+    import ray
+
+    from wikirec_ray.state.server import RangeServer
+
+    idx = _copy(lc, "live_reader_guard")
+    rd = IndexReader(idx)
+    srv = RangeServer.remote(idx, [0])
+    ray.get(srv.topk.remote([], 5))  # force construction BEFORE tampering
+    tpart = zlib.crc32(b"w0") % rd.n_tparts
+    seg = os.path.join(idx, "segments", f"seg-{tpart:03d}.parquet")
+    chunk = os.path.join(idx, "postings", f"tpart-{tpart:03d}",
+                         "range-000000.parquet")
+    with open(seg, "ab") as f:
+        f.write(b"\0")  # simulate an in-place rewrite (size changed)
+    os.remove(chunk)  # simulate an emptied-partition removal
+    with pytest.raises(RuntimeError, match="re-open the IndexReader"):
+        rd.topk(["w0"], 5)
+    with pytest.raises(RuntimeError, match="rebuild the pool"):
+        ray.get(srv.topk.remote([("w0", tpart, 1.0)], 5))
+    # a FRESH reader over an intact copy is unaffected
+    rd2 = IndexReader(lc["base"])
+    assert rd2.topk(["w0"], 5)
+
+
+def test_cli_owns_ray_flag_resets(lc, monkeypatch):
+    """main() must not shut down a session the CALLER started between two
+    invocations: _OWNS_RAY resets after the owned shutdown."""
+    import ray
+
+    import wikirec_ray.__main__ as cli
+
+    idx = lc["base"]
+    calls = []
+    monkeypatch.setattr(ray, "shutdown", lambda: calls.append(1))
+    monkeypatch.setattr(cli, "_OWNS_RAY", True)
+    assert cli.main(["stats", "--index", idx]) == 0
+    assert calls == [1] and cli._OWNS_RAY is False
+    assert cli.main(["stats", "--index", idx]) == 0
+    assert calls == [1]  # second run owns nothing -> no shutdown

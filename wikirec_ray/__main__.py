@@ -290,17 +290,21 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    global _OWNS_RAY
     args = make_parser().parse_args(argv)
     try:
         return args.fn(args)
     finally:
         # end only a session THIS run started (repo rule: CLI scripts own
-        # their session; a caller's — e.g. pytest's — must survive)
+        # their session; a caller's — e.g. pytest's — must survive).  Reset
+        # the flag: a later main() call in the same process must not shut
+        # down a session the CALLER started in between.
         if _OWNS_RAY:
             import ray
 
             if ray.is_initialized():
                 ray.shutdown()
+            _OWNS_RAY = False
 
 
 if __name__ == "__main__":

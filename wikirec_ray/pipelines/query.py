@@ -58,6 +58,7 @@ from wikirec_ray.state.segments import (
     SegmentReader,
     filter_tombstoned,
     load_df,
+    load_manifest,
     load_norms,
     load_stats,
     load_tombstones,
@@ -121,6 +122,16 @@ class IndexReader:
         # until compact_index, so surviving docs' scores are unchanged.
         self.tombstones = load_tombstones(index_dir)
         self._segments: dict[int, SegmentReader] = {}
+        # byte sizes of this snapshot's segment files: compact_index /
+        # append_index rewrite files IN PLACE, so a reader that outlives
+        # one must fail loudly at the next lazy open instead of silently
+        # mixing post-compact postings with pre-compact stats/norms
+        m = load_manifest(index_dir) or {}
+        self._seg_bytes = {
+            k: int(v["bytes"])
+            for k, v in (m.get("partitions") or {}).items()
+            if v.get("kind") == "segment"
+        }
         self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
 
     @property
@@ -146,9 +157,18 @@ class IndexReader:
     def segment(self, tpart: int) -> SegmentReader:
         seg = self._segments.get(tpart)
         if seg is None:
-            seg = SegmentReader(
-                os.path.join(self.index_dir, "segments", f"seg-{tpart:03d}.parquet")
-            )
+            key = f"segments/seg-{tpart:03d}.parquet"
+            p = os.path.join(self.index_dir, key)
+            expect = self._seg_bytes.get(key)
+            if expect is not None and (
+                not os.path.exists(p) or os.path.getsize(p) != expect
+            ):
+                raise RuntimeError(
+                    f"{key} no longer matches the manifest snapshot this "
+                    f"reader was opened on (compact_index/append_index ran "
+                    f"under a live reader?) — re-open the IndexReader"
+                )
+            seg = SegmentReader(p)
             self._segments[tpart] = seg
         return seg
 

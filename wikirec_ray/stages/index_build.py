@@ -1310,8 +1310,25 @@ def _build_index_inner(
     tomb_entries: list[dict] = []
     if prior_tomb is not None and partition_is_valid(tomb_path, prior_tomb):
         tomb_entries = [dict(prior_tomb, key="tombstones.parquet", skipped=True)]
+    elif resume and os.path.exists(tomb_path):
+        # overlay out of step with the manifest: a crash between
+        # delete_docs' atomic file rename and its manifest save.  The file
+        # is a complete superset of every ACKNOWLEDGED delete (it only ever
+        # grows between compactions), so the heal must carry it forward —
+        # rewritten to refresh the entry — not discard it.  Only an
+        # unreadable overlay (real corruption) is dropped.
+        from wikirec_ray.state.segments import load_tombstones, write_tombstones
+
+        try:
+            pending = load_tombstones(index_dir)
+        except Exception:
+            pending = None
+        if pending is not None and len(pending):
+            tomb_entries = [write_tombstones(index_dir, pending)]
+        else:
+            os.remove(tomb_path)
     elif os.path.exists(tomb_path):
-        os.remove(tomb_path)
+        os.remove(tomb_path)  # fresh build (resume=False) resets the overlay
 
     stats = {
         "n_docs": n_docs,

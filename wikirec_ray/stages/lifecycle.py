@@ -37,6 +37,22 @@ Composition rules (enforced, each with a loud error):
   ``build_index(resume=True)`` like any other torn state — the
   tombstones file survives (the manifest was never saved), so the heal
   preserves pending deletes.
+- tombstone overlay reconciliation: the overlay file is written
+  atomically and only ever GROWS between compactions, so when it
+  mismatches the manifest it is never torn — it is a complete, NEWER
+  superset (a ``delete_docs`` crash between the file rename and the
+  manifest save) or a stale already-purged set (a ``compact_index``
+  crash between its manifest save and its file removal).  Either way
+  the FILE is authoritative: every entry point here, plus the
+  ``build_index(resume=True)`` heal, trusts a parseable overlay and
+  repairs the manifest entry, rather than discarding acknowledged
+  deletes.  Only an unreadable overlay (real disk corruption) raises.
+- compaction requires exclusive access (Lucene's merge-under-writer-lock
+  contract): files are rewritten/removed in place, so readers and
+  serving pools constructed BEFORE a compaction must be re-opened after
+  it.  Their lazily-opened files are size-checked against the manifest
+  snapshot they were constructed on, so a violation fails loudly
+  instead of mixing pre- and post-compact state.
 """
 
 from __future__ import annotations
@@ -55,17 +71,26 @@ from wikirec_ray.state.segments import (
     load_tombstones,
     partition_is_valid,
     save_manifest,
+    unpack_i64,
+    write_tombstones,
 )
 
 TOMBSTONES_KEY = "tombstones.parquet"
 
 
-def _write_tombstones(index_dir: str, ids: np.ndarray) -> dict:
-    tbl = pa.table({"doc_id": pa.array(np.sort(ids).astype(np.int64))})
-    entry = atomic_write_table(tbl, os.path.join(index_dir, TOMBSTONES_KEY))
-    entry.update(key=TOMBSTONES_KEY, kind="tombstones",
-                 n_tombstones=int(len(ids)), skipped=False)
-    return entry
+def _load_overlay(index_dir: str, op: str) -> np.ndarray:
+    """Pending tombstones, trusting the FILE over the manifest (see module
+    docstring: a mismatching overlay is a complete superset from a crashed
+    delete, or a stale purged set from a crashed compact tail — never torn).
+    Raises only when the file exists but is unreadable."""
+    try:
+        return load_tombstones(index_dir)
+    except Exception as exc:
+        raise ValueError(
+            f"{op}: {TOMBSTONES_KEY} is unreadable (disk corruption?) — "
+            f"pending deletes cannot be recovered; remove the file to reset "
+            f"the overlay"
+        ) from exc
 
 
 def _save_stats(index_dir: str, stats: dict) -> None:
@@ -99,12 +124,15 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
 
     prior_entry = manifest["partitions"].get(TOMBSTONES_KEY)
     tomb_path = os.path.join(index_dir, TOMBSTONES_KEY)
-    if prior_entry is not None and not partition_is_valid(tomb_path, prior_entry):
-        raise ValueError(
-            "delete_docs: tombstones.parquet does not match the manifest "
-            "(torn file?) — heal with build_index(resume=True) first"
-        )
-    prior = load_tombstones(index_dir) if prior_entry is not None else np.empty(0, np.uint64)
+    prior = _load_overlay(index_dir, "delete_docs")
+    # entry out of step with the file (crashed prior delete/compact, or an
+    # entry whose file is gone): repair the manifest even when this call
+    # adds nothing new
+    reconcile = (
+        (prior_entry is None) != (len(prior) == 0)
+        or (prior_entry is not None
+            and not partition_is_valid(tomb_path, prior_entry))
+    )
 
     # match against the index: only ids with a norms row exist (driver-side
     # read bounded by the RANGES the requested ids touch, never the corpus)
@@ -127,58 +155,94 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
         "n_ignored": int(len(ids) - len(matched)),
         "n_tombstones": int(len(merged)),
     }
-    if len(merged) == len(prior):
+    if len(merged) == len(prior) and not reconcile:
         return out  # nothing new — leave manifest untouched
-    entry = _write_tombstones(index_dir, merged)
-    manifest["partitions"][TOMBSTONES_KEY] = {
-        k: v for k, v in entry.items() if k != "key"
-    }
+    if len(merged) == 0:  # reconcile-only: entry without any pending delete
+        manifest["partitions"].pop(TOMBSTONES_KEY, None)
+        if os.path.exists(tomb_path):
+            os.remove(tomb_path)
+    else:
+        entry = write_tombstones(index_dir, merged)
+        manifest["partitions"][TOMBSTONES_KEY] = {
+            k: v for k, v in entry.items() if k != "key"
+        }
     stats["n_tombstones"] = int(len(merged))
     _save_stats(index_dir, stats)
     save_manifest(index_dir, manifest)
     return out
 
 
-def _compact_norms(path: str, tombs: np.ndarray) -> tuple[pa.Table | None, dict]:
-    """Filtered norms table (None = range emptied) + (n_docs, sum_dl)."""
+_UNCHANGED = "unchanged"  # sentinel: file holds no tombstoned rows — skip it
+
+
+def _compact_norms(path: str, tombs: np.ndarray):
+    """Filtered norms table + (n_docs, sum_dl); ``None`` table = range
+    emptied; ``_UNCHANGED`` = no row tombstoned (leave the file alone)."""
     from wikirec_ray.state.segments import alive_mask
 
     t = pq.read_table(path)
     ids = t["doc_id"].to_numpy().astype(np.uint64)
     mask = alive_mask(ids, tombs)
+    if mask.all():
+        return _UNCHANGED, {}
     if not mask.any():
         return None, {"n_docs": 0, "sum_dl": 0}
-    kept = t if mask.all() else t.filter(pa.array(mask))
+    kept = t.filter(pa.array(mask))
     dls = kept["doc_len"].to_numpy()
     return kept, {"n_docs": int(kept.num_rows), "sum_dl": int(dls.sum())}
 
 
 def _compact_postings(
     path: str, norms_path: str, tombs: np.ndarray, store_positions: bool,
-) -> tuple[pa.Table | None, str, int]:
-    """Filtered SEGMENT_SCHEMA table (None = partition emptied) + the
-    recomputed logical input fingerprint + surviving posting count.  The
-    fingerprint uses the same record hash as ``make_group_encoder``, so a
-    later ``build_index(resume=True)`` over the filtered corpus skips this
-    partition."""
-    from wikirec_ray.functions.compress import gather_segments
+):
+    """Filtered SEGMENT_SCHEMA table (None = partition emptied,
+    ``_UNCHANGED`` table = no posting tombstoned) + the recomputed logical
+    input fingerprint + surviving posting count.  The fingerprint uses the
+    same record hash as ``make_group_encoder``, so a later
+    ``build_index(resume=True)`` over the filtered corpus skips this
+    partition.  The doc stream is decoded FIRST and the tf/position streams
+    only when a posting is actually deleted: a doc's postings live only in
+    the tparts its terms hash to, so for a localized delete most (tpart,
+    range) files of a touched range are untouched — skipping their rewrite
+    (and their tpart's segment re-merge) keeps a delete's cost proportional
+    to the deleted docs' own vocabulary, not to every tpart."""
+    from wikirec_ray.functions.compress import (
+        decode_restarted,
+        gather_segments,
+        varint_decode,
+    )
     from wikirec_ray.functions.hashing import token_hashes_arrow
     from wikirec_ray.stages.index_build import (
-        _decode_range_table,
         _encode_terms_table,
         _logical_fingerprint,
         _positions_hash,
     )
-
     from wikirec_ray.state.segments import alive_mask
 
-    terms, starts, doc_ids, tfs, pos = _decode_range_table(pq.read_table(path))
-    n_total = len(doc_ids)
+    t = pq.read_table(path)
+    terms = t["term"].to_pylist()
+    starts = np.zeros(len(terms) + 1, np.int64)
+    np.cumsum(t["n"].to_numpy(), out=starts[1:])
+    n_total = int(starts[-1])
     if n_total == 0:
         return None, "0", 0
+    blk_counts = np.concatenate(
+        [unpack_i64(b) for b in t["blk_counts"].to_pylist()]
+    ).astype(np.int64)
+    doc_ids = decode_restarted(b"".join(t["doc_blob"].to_pylist()), blk_counts)
     keep = alive_mask(doc_ids, tombs)
+    if keep.all():
+        return _UNCHANGED, "", 0
     if not keep.any():
         return None, "0", 0
+    tfs = varint_decode(b"".join(t["tf_blob"].to_pylist()), n_total)
+    pos = None
+    pos_concat = (
+        b"".join(t["pos_blob"].to_pylist())
+        if "pos_blob" in t.schema.names else b""
+    )
+    if pos_concat:
+        pos = decode_restarted(pos_concat, tfs)
     counts_kept = np.add.reduceat(keep.astype(np.int64), starts[:-1])
     term_alive = counts_kept > 0
     new_terms = [t for t, a in zip(terms, term_alive) if a]
@@ -232,6 +296,8 @@ def _compact_item(index_dir: str, item: dict, tombs: np.ndarray,
         )
     if item["kind"] == "norms":
         kept, agg = _compact_norms(path, tombs)
+        if isinstance(kept, str):  # _UNCHANGED: carry the prior entry
+            return {"key": key, "unchanged": True}
         if kept is None:
             os.remove(path)
             return {"key": key, "removed": True}
@@ -252,6 +318,8 @@ def _compact_item(index_dir: str, item: dict, tombs: np.ndarray,
     )
     table, fp, n_post = _compact_postings(path, norms_path, tombs,
                                           store_positions)
+    if isinstance(table, str):  # _UNCHANGED: no tombstoned posting here
+        return {"key": key, "unchanged": True}
     if table is None:
         os.remove(path)
         return {"key": key, "removed": True}
@@ -295,26 +363,21 @@ def compact_index(index_dir: str) -> dict:
         )
     tomb_path = os.path.join(index_dir, TOMBSTONES_KEY)
     tomb_entry = manifest["partitions"].get(TOMBSTONES_KEY)
-    if tomb_entry is None:
-        # a crashed prior compaction's very last step (file removal) may
-        # leave a stale file the manifest no longer describes — readers
-        # filtering already-purged ids is a no-op, but clean it up here
+    # the FILE is authoritative (see module docstring): a mismatch vs the
+    # manifest is a crashed delete (newer superset — compact it) or a
+    # crashed compact tail (stale, already-purged ids — every touched file
+    # then hits the unchanged short-circuit and this call reduces to
+    # removing the stale file); an entry whose file is gone is repaired
+    tombs = _load_overlay(index_dir, "compact_index")
+    if len(tombs) == 0:
+        if tomb_entry is not None:  # repair: entry without pending deletes
+            manifest["partitions"].pop(TOMBSTONES_KEY, None)
+            manifest["stats"]["n_tombstones"] = 0
+            _save_stats(index_dir, manifest["stats"])
+            save_manifest(index_dir, manifest)
         if os.path.exists(tomb_path):
             os.remove(tomb_path)
         return manifest  # nothing pending — no-op
-    if not partition_is_valid(tomb_path, tomb_entry):
-        raise ValueError(
-            "compact_index: tombstones.parquet does not match the manifest "
-            "(torn file?) — heal with build_index(resume=True) first"
-        )
-    tombs = load_tombstones(index_dir)
-    if len(tombs) == 0:  # defensive: delete_docs never writes an empty set
-        manifest["partitions"].pop(TOMBSTONES_KEY, None)
-        manifest["stats"]["n_tombstones"] = 0
-        _save_stats(index_dir, manifest["stats"])
-        save_manifest(index_dir, manifest)
-        os.remove(tomb_path)
-        return manifest
     t_start = time.monotonic()
     stats0 = manifest["stats"]
     store_positions = bool(stats0.get("store_positions", False))
@@ -343,14 +406,35 @@ def compact_index(index_dir: str) -> dict:
             for s in batch["item"].to_pylist()
         ])
 
-    rewritten = [
-        json.loads(r["entry"])
-        for r in ray.data.from_items([{"item": json.dumps(i)} for i in items])
-        .map_batches(run_items, batch_format="pyarrow", batch_size=1)
-        .take_all()
-    ]
+    def _run(phase_items: list[dict]) -> list[dict]:
+        if not phase_items:
+            return []
+        return [
+            json.loads(r["entry"])
+            for r in ray.data.from_items(
+                [{"item": json.dumps(i)} for i in phase_items]
+            )
+            .map_batches(run_items, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        ]
+
+    # norms FIRST, postings after the barrier: a postings rewrite reads its
+    # range's norms file for per-posting doc lengths, and although old and
+    # new norms agree on every alive doc, reading a file that a concurrent
+    # norms task is atomically REPLACING can straddle the rename (pyarrow
+    # stats then opens) and fail mid-read.  Norms items are few and cheap;
+    # the barrier removes the race class outright.  (A fully-emptied
+    # range's norms file is removed here, and its postings items never
+    # read it — they early-return on an all-deleted keep mask.)
+    rewritten = _run([i for i in items if i["kind"] == "norms"])
+    rewritten += _run([i for i in items if i["kind"] == "postings"])
     removed_keys = {e["key"] for e in rewritten if e.get("removed")}
-    new_entries = [e for e in rewritten if not e.get("removed")]
+    # "unchanged" files (no tombstoned row/posting) fall through to `kept`:
+    # prior entry carried forward, no rewrite, no segment re-merge
+    new_entries = [
+        e for e in rewritten
+        if not e.get("removed") and not e.get("unchanged")
+    ]
     new_keys = {e["key"] for e in new_entries}
     kept = [
         dict(v, key=k, skipped=True)
@@ -398,13 +482,11 @@ def compact_index(index_dir: str) -> dict:
         )
         .take_all()
     ] if live_tparts else []
-    empty_meta_keys = set()
     for t in empty_tparts:
         for key in (f"segments/seg-{t:03d}.parquet", f"df/df-{t:03d}.parquet"):
             p = os.path.join(index_dir, key)
             if os.path.exists(p):
                 os.remove(p)
-            empty_meta_keys.add(key)
     kept_meta = [
         dict(v, key=k, skipped=True)
         for k, v in prior_parts.items()

@@ -405,6 +405,21 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return pq.read_table(p)["doc_id"].to_numpy().astype(np.uint64)
 
 
+def write_tombstones(index_dir: str, ids: np.ndarray) -> dict:
+    """Atomically (re)write the tombstone overlay; returns its manifest
+    entry.  The overlay only ever GROWS between compactions (``delete_docs``
+    unions, ``compact_index`` removes the whole file last), which is what
+    makes crash reconciliation safe: a file that mismatches the manifest is
+    a complete, newer superset of every acknowledged delete — never torn
+    (the rename is atomic), never a subset."""
+    ids = np.unique(np.asarray(ids, dtype=np.uint64))
+    tbl = pa.table({"doc_id": pa.array(ids.astype(np.int64))})
+    entry = atomic_write_table(tbl, os.path.join(index_dir, "tombstones.parquet"))
+    entry.update(key="tombstones.parquet", kind="tombstones",
+                 n_tombstones=int(len(ids)), skipped=False)
+    return entry
+
+
 def alive_mask(docs: np.ndarray, tombs: np.ndarray) -> np.ndarray:
     """Boolean mask: True where ``docs[i]`` is NOT tombstoned — one
     vectorized membership probe (``docs`` need not be sorted; ``tombs``

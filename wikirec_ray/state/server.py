@@ -225,6 +225,20 @@ class RangeServer:
                 if len(tr):
                     self.tombs[r] = tr
         self._chunks: dict[tuple[int, int], object] = {}
+        # byte sizes of THIS shard's posting chunks in the manifest snapshot
+        # the shard was constructed on: compact_index rewrites chunks in
+        # place, so a lazy open after one must fail loudly (see
+        # IndexReader.segment) instead of mixing pre-/post-compact state
+        from wikirec_ray.state.segments import load_manifest
+
+        m = load_manifest(index_dir) or {}
+        mine = set(self.range_ids)
+        self._chunk_bytes = {
+            k: int(v["bytes"])
+            for k, v in (m.get("partitions") or {}).items()
+            if v.get("kind") == "postings"
+            and int(v.get("range_id", -1)) in mine
+        }
 
     def _chunk(self, tpart: int, range_id: int):
         """Lazy per-(tpart, range) posting chunk reader; missing file = no
@@ -235,10 +249,17 @@ class RangeServer:
 
         key = (tpart, range_id)
         if key not in self._chunks:
-            p = os.path.join(
-                self.index_dir, "postings", f"tpart-{tpart:03d}",
-                f"range-{range_id:06d}.parquet",
-            )
+            rel = f"postings/tpart-{tpart:03d}/range-{range_id:06d}.parquet"
+            p = os.path.join(self.index_dir, rel)
+            expect = self._chunk_bytes.get(rel)
+            if expect is not None and (
+                not os.path.exists(p) or os.path.getsize(p) != expect
+            ):
+                raise RuntimeError(
+                    f"{rel} no longer matches the manifest snapshot this "
+                    f"shard was opened on (compact_index ran under a live "
+                    f"serving pool?) — rebuild the pool"
+                )
             self._chunks[key] = SegmentReader(p) if os.path.exists(p) else None
         return self._chunks[key]
 
