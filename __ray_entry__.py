@@ -134,23 +134,6 @@ COHERENCE_TOPICS = [
     ["spark", "stream", "batch"],
     ["hash", "merge", "sort", "filter"],
 ]
-# clean_ru: the closed generator vocabulary mapped to Russian — 9 words to
-# genuine ru stopwords (must be REMOVED by the cleaner), the rest to
-# Cyrillic content words (must SURVIVE tokenize+min-len) — exercising the
-# non-Latin-script path of the cleaning chain end-to-end (VERDICT r03
-# item 5).  SQL replays the same token map.
-RU_TOKEN_MAP: dict[str, str] = {
-    "a": "и", "the": "в", "big": "на", "key": "не", "row": "он",
-    "slow": "так", "part": "как", "sort": "то", "small": "все",
-    "agg": "агрегат", "batch": "пакет", "column": "колонка",
-    "customer": "клиент", "data": "данные", "dup": "дубликат",
-    "fast": "быстро", "filter": "фильтр", "group": "группа",
-    "hash": "хеш", "join": "соединение", "line": "строка",
-    "merge": "слияние", "order": "порядок", "query": "запрос",
-    "scan": "скан", "spark": "искра", "stream": "поток",
-    "table": "таблица", "value": "значение", "vector": "вектор",
-    "window": "окно",
-}
 # 64 permutations for the ENTRY (pipeline default stays 128): the oracle
 # simulates every permutation in SQL, and 64 halves the driver-side check
 # cost while exercising the identical pipeline path
@@ -159,6 +142,23 @@ MINHASH_THRESHOLD = 0.8
 LSH_ANN_N_BITS, LSH_SEED = 6, 11
 EMB_BUCKET_N_BITS = 3
 IVF_N_CENTROIDS, IVF_NPROBE = 16, 6
+# facet / filtered retrieval (doc-meta sidecar over documents.lang/source):
+# facets = top-K (source, match count) per query; filters = BM25 top-k
+# restricted to one lang value.  One query repeats a term (duplicate-
+# occurrence parity: Ray scores per occurrence, the SQL VALUES join
+# double-counts identically).
+FACET_QUERY_SET = [
+    (1, ["spark", "join"]),
+    (2, ["window", "merge", "sort"]),
+    (3, ["the", "vector"]),
+]
+FACET_COL, FACET_K = "source", 12
+FILTERED_QUERY_SET = [
+    (1, ["spark", "spark", "join"], "de"),
+    (2, ["window", "data", "stream"], "en"),
+    (3, ["merge", "sort", "fast"], "zh"),
+]
+FILTER_COL, FILTERED_K = "lang", 10
 CLEAN_SUB_N = 20  # wikirec_clean entries also emit the first-N joined tokens
 STEM_SUB_N = 40
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
@@ -396,6 +396,22 @@ def _ensure_pos_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _ensure_meta(sf_dir: str) -> str:
+    """Attribute sidecar (lang, source) over the PLAIN index — input-aware
+    resumable like the index build, so repeated queries() calls skip every
+    unchanged range write."""
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    index_dir = _ensure_index(sf_dir)
+    build_doc_meta(
+        _documents(sf_dir, columns=("doc_id", FILTER_COL, FACET_COL)),
+        index_dir,
+        cols=[FILTER_COL, FACET_COL],
+        lineage={"input": os.path.join(sf_dir, "documents.parquet")},
+    )
+    return index_dir
+
+
 def _webtext(sf_dir):
     """Deterministic web-shaped view of documents (see LINEIFY_PAT note):
     lineify -> bullet -> symbol-suffix, in that order on both sides."""
@@ -537,6 +553,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for qid, should, must, must_not in BOOLEAN_QUERY_SET:
             for rank, (doc, score) in enumerate(
                 reader.boolean_topk(should, must, must_not, BOOLEAN_K), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
+    def facet_search_q(sf_dir):
+        """Facet counts (the Elasticsearch terms-aggregation): top-FACET_K
+        (source, n_docs) pairs over docs matching ANY query term, via the
+        doc-meta attribute sidecar — SQL-replayable as a distinct OR-match
+        join + GROUP BY.  Order: count desc, value asc (total, so the
+        k-cut is deterministic)."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_meta(sf_dir))
+        rows = []
+        for qid, terms in FACET_QUERY_SET:
+            for rank, (value, n) in enumerate(
+                reader.facet_counts(terms, FACET_COL, FACET_K), 1
+            ):
+                rows.append((qid, rank, value, n))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "value", "n_docs"]
+        ).astype({"query_id": "int64", "rank": "int64", "n_docs": "int64"})
+
+    def filtered_search_q(sf_dir):
+        """Metadata-FILTERED BM25 top-k (lang=value): the attribute is a
+        pure filter — df/avgdl stay corpus-global, exactly like tombstone
+        and boolean-clause overlays — so the replay is the shared bm25 CTEs
+        + one attribute predicate.  Query 1 repeats a term on purpose
+        (duplicate-occurrence parity: the engine scores per occurrence, the
+        SQL VALUES join double-counts identically)."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_meta(sf_dir))
+        rows = []
+        for qid, terms, value in FILTERED_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.filtered_topk(terms, FILTERED_K, FILTER_COL, value), 1
             ):
                 rows.append((qid, rank, doc, round(score, 6)))
         return pd.DataFrame(
@@ -970,16 +1029,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "event_type", "value", k=TOPK_PER_TYPE, tiebreak_col="event_id"
         )
 
-    def props_k_hist_q(sf_dir):
-        import ray.data
-
-        from wikirec_ray.pipelines.textstats import props_k_histogram
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"), columns=["props"]
-        )
-        return props_k_histogram(ds)
-
     def approx_distinct_users_q(sf_dir):
         # HyperLogLog sketch — approximate, so rows-only; error bound vs the
         # exact count is asserted in pytest
@@ -1167,44 +1216,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
-    def clean_ru_q(sf_dir):
-        # non-Latin-script analyzer path (VERDICT r03 item 5): the closed
-        # vocabulary deterministically mapped to Russian (RU_TOKEN_MAP) over
-        # the lang='zh' slice, cleaned with the embedded ru stopword list —
-        # Cyrillic must survive the clean chain, ru stopwords must not
-        from wikirec_ray.functions.languages import stopwords_for
-        from wikirec_ray.stages.analyze import WikirecCleaner
-
-        keys = pa.array(list(RU_TOKEN_MAP.keys()), pa.string())
-        vals = pa.array(list(RU_TOKEN_MAP.values()), pa.string())
-
-        def translit(b: pa.Table) -> pa.Table:
-            toks = pc.split_pattern(
-                b["text"].combine_chunks().fill_null(""), pattern=" "
-            )
-            flat = pc.list_flatten(toks)
-            idx = pc.index_in(flat, value_set=keys)
-            mapped = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), flat)
-            if isinstance(mapped, pa.ChunkedArray):
-                mapped = mapped.combine_chunks()
-            lists = pa.ListArray.from_arrays(toks.offsets, mapped)
-            return pa.table(
-                {"doc_id": b["doc_id"], "text": pc.binary_join(lists, " ")}
-            )
-
-        docs = _documents(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
-            lambda b: b.filter(pc.equal(b["lang"], "zh")).drop_columns(["lang"]),
-            batch_format="pyarrow",
-        ).map_batches(translit, batch_format="pyarrow")
-        return _clean_out(
-            docs.map_batches(
-                WikirecCleaner,
-                fn_constructor_kwargs=dict(stopwords=stopwords_for("ru")),
-                batch_format="pyarrow",
-                concurrency=2,
-            )
-        )
-
     def domain_caps_q(sf_dir):
         # eTLD+1 capping over a deterministic multi-suffix url column:
         # blogspot.com subdomains share ONE quota (ICANN view), co.uk
@@ -1371,8 +1382,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-4 family that previously had only a pytest oracle.  Late r5
     # retired fingerprints (exact_dedup drives the identical
     # _fingerprint_batch kernel through its groupby) to fund
-    # boolean_search (the new must/must_not retrieval route).
+    # boolean_search (the new must/must_not retrieval route), then clean_ru
+    # (clean_multi keeps the embedded-stopword path checked; the Cyrillic
+    # analyzer path moved to a pytest in test_analyze.py) and props_k_hist
+    # (a plain regex-extract histogram, the least informative green slot)
+    # to fund facet_search + filtered_search (the doc-meta attribute
+    # sidecar: terms-aggregation and metadata-filtered retrieval).
     return {
+        "facet_search": facet_search_q,
+        "filtered_search": filtered_search_q,
         "boolean_search": boolean_search_q,
         "near_search": near_search_q,
         "keyword_snippets": keyword_snippets_q,
@@ -1381,7 +1399,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neg_samples": neg_samples_q,
         "topic_coherence": topic_coherence_q,
         "line_dedup_global": line_dedup_global_q,
-        "clean_ru": clean_ru_q,
         "domain_caps": domain_caps_q,
         "gopher_quality": gopher_quality_q,
         "line_dup_ratio": line_dup_ratio_q,
@@ -1415,7 +1432,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk_q,
         "events_window": events_window_q,
         "sessions": sessions_q,
-        "props_k_hist": props_k_hist_q,
         "lm_scores": lm_scores_q,
         "value_quantiles": value_quantiles_q,
         "top_events_per_type": top_events_per_type_q,
@@ -1570,13 +1586,21 @@ def oracle_sql() -> dict[str, str]:
     # ---- wikirec_clean / clean_multi: the full cleaning chain in SQL -----
     clean_toks = _wikirec_tokens_expr("text", DEFAULT_STOPWORDS, remove_names=False)
     clean_toks_de = _wikirec_tokens_expr("text", stopwords_for("de"), remove_names=True)
-    clean_toks_ru = _wikirec_tokens_expr("text", stopwords_for("ru"), remove_names=False)
-    ru_whens = " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in RU_TOKEN_MAP.items()
+    # ---- facet / filtered retrieval over the doc-meta sidecar -------------
+    # facet match set = docs containing ANY distinct query term (alive);
+    # filtered scoring VALUES keep duplicate occurrences (parity rule)
+    facet_qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in FACET_QUERY_SET for t in sorted(set(terms))
     )
-    ru_map_expr = (
-        f"array_to_string(list_transform(string_split(text, ' '), "
-        f"x -> CASE x {ru_whens} ELSE x END), ' ')"
+    filt_score_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms, _ in FILTERED_QUERY_SET for t in terms
+    )
+    filt_pred_union = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM documents "
+        f"WHERE {FILTER_COL} = '{val}'"
+        for qid, _, val in FILTERED_QUERY_SET
     )
 
     # ---- web-curation entries: the deterministic webtext reshape ---------
@@ -1785,16 +1809,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE keep)::BIGINT AS n_kept,
                    COUNT(*) FILTER (WHERE NOT keep)::BIGINT AS n_removed
             FROM k GROUP BY doc_id
-        """,
-        "clean_ru": f"""
-            WITH src AS (
-                SELECT doc_id, {ru_map_expr} AS text FROM documents
-                WHERE lang = 'zh'
-            ),
-            t AS (SELECT doc_id, {clean_toks_ru} AS toks FROM src)
-            SELECT doc_id, len(toks)::BIGINT AS n_clean_tokens,
-                   array_to_string(toks[1:{CLEAN_SUB_N}], ' ') AS clean_sub
-            FROM t
         """,
         "domain_caps": f"""
             WITH u AS (
@@ -2259,6 +2273,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM filt WHERE round(score, 9) > 0
             ) WHERE rn <= {NEAR_K}
         """,
+        "facet_search": f"""
+            WITH tok AS ({_TOK}),
+            q(query_id, term) AS (VALUES {facet_qvals}),
+            m AS (SELECT DISTINCT q.query_id, tok.doc_id
+                  FROM tok JOIN q USING (term))
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, value, n_docs FROM (
+                SELECT m.query_id, d.{FACET_COL} AS value,
+                       COUNT(*)::BIGINT AS n_docs,
+                       row_number() OVER (
+                           PARTITION BY m.query_id
+                           ORDER BY COUNT(*) DESC, d.{FACET_COL}
+                       ) AS rn
+                FROM m JOIN documents d USING (doc_id)
+                GROUP BY m.query_id, d.{FACET_COL}
+            ) WHERE rn <= {FACET_K}
+        """,
+        "filtered_search": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {filt_score_vals}),
+            fp AS ({filt_pred_union}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            filt AS (
+                SELECT s.query_id, s.doc_id, s.score FROM scored s
+                JOIN fp ON fp.query_id = s.query_id AND fp.doc_id = s.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+                   ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM filt WHERE round(score, 9) > 0
+            ) WHERE rn <= {FILTERED_K}
+        """,
         "boolean_search": f"""
             WITH {_BM25_CORE},
             bd AS ({bool_match_union}),
@@ -2535,13 +2590,6 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn <= {TOPK_PER_TYPE}
-        """,
-        "props_k_hist": """
-            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
-                   COUNT(*)::BIGINT AS n_events
-            FROM events
-            WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
-            GROUP BY 1
         """,
         "nation_revenue": """
             SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_revenue,

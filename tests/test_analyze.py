@@ -117,6 +117,30 @@ def test_wikirec_cleaner_batch_matches_single():
     assert out["tokens"].to_pylist() == [wikirec_tokenize_single(t) for t in texts]
 
 
+def test_wikirec_cleaner_cyrillic_stopwords():
+    """Non-Latin-script analyzer path (was the driver's clean_ru slot,
+    retired r5 for facet/filtered search): Cyrillic content words survive
+    tokenize + min-len, embedded ru stopwords are removed, and the batch
+    chain equals the per-row reference path."""
+    from wikirec_ray.functions.languages import stopwords_for
+
+    sw = stopwords_for("ru")
+    assert {"и", "в", "на", "не", "как", "все"} <= set(sw)
+    texts = [
+        "Искра и поток — данные в таблице",
+        "не так как все: агрегат дубликат",
+        "Хеш соединение на колонка",
+    ]
+    out = WikirecCleaner(stopwords=sw)(_tbl(texts))
+    got = out["tokens"].to_pylist()
+    assert got == [
+        wikirec_tokenize_single(t, stopwords=sw) for t in texts
+    ]
+    flat = [w for doc in got for w in doc]
+    assert "искра" in flat and "данные" in flat and "колонка" in flat
+    assert not set(flat) & set(sw)
+
+
 def test_wikirec_cleaner_property_equivalence():
     """Hypothesis: the vectorized Arrow chain is token-for-token equal to
     the per-row reference-faithful path on adversarial inputs."""

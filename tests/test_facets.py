@@ -1,0 +1,245 @@
+"""Metadata-filtered retrieval + facet counts (the Elasticsearch
+filter / terms-aggregation pair over the doc-meta sidecar).
+
+Contracts pinned here (see ``stages/doc_meta.py``):
+- the sidecar build is input-aware-resumable (unchanged ranges skip,
+  a changed range rewrites only itself);
+- ``facet_counts`` = exact (value, count) over docs matching ANY query
+  term, alive only, ordered (count desc, value asc) — local, served, and
+  a DuckDB replay all agree;
+- ``filtered_topk`` = plain BM25 with the attribute as a pure filter
+  (corpus-global df/avgdl, like tombstones/boolean clauses) — local ==
+  served == DuckDB;
+- a matched doc missing from the sidecar fails LOUDLY (stale sidecar),
+  never silently miscounts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from wikirec_ray.pipelines.query import IndexReader
+
+N_DOCS = 300
+ID_STRIDE = 37  # span 2 doc ranges
+LANGS = ["en", "de", "ru"]
+SOURCES = ["crawl", "news", "wiki", "forum", "docs"]
+
+
+def _mk_corpus():
+    vocab = np.array([f"w{i}" for i in range(18)])
+    probs = 1.0 / np.arange(1, 19)
+    probs /= probs.sum()
+    rows = []
+    for i in range(N_DOCS):
+        rng = np.random.default_rng(9100 + i)  # per-id rng (memory lesson)
+        ln = int(rng.integers(5, 40))
+        rows.append({
+            "doc_id": i * ID_STRIDE,
+            "text": " ".join(rng.choice(vocab, size=ln, p=probs)),
+            "lang": LANGS[i % 3],
+            "source": SOURCES[i % 5],
+        })
+    return rows
+
+
+def _ds(rows, cols=("doc_id", "text", "lang", "source")):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({c: [r[c] for r in rows] for c in cols})
+    )
+
+
+@pytest.fixture(scope="module")
+def fx(ray_session, tmp_path_factory):
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+    from wikirec_ray.stages.index_build import build_index
+
+    rows = _mk_corpus()
+    idx = str(tmp_path_factory.mktemp("facets") / "idx")
+    build_index(_ds(rows, ("doc_id", "text")), idx, resume=False)
+    build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), idx,
+                   cols=["lang", "source"])
+    return {"rows": rows, "idx": idx,
+            "attr": {r["doc_id"]: r for r in rows}}
+
+
+def _brute_matched(rows, terms):
+    ts = set(terms)
+    return sorted(r["doc_id"] for r in rows if ts & set(r["text"].split()))
+
+
+def _brute_facets(rows, terms, col, k):
+    from collections import Counter
+
+    c = Counter()
+    attr = {r["doc_id"]: r[col] for r in rows}
+    for d in _brute_matched(rows, terms):
+        c[attr[d]] += 1
+    return sorted(c.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+
+QUERY = ["w0", "w7", "w15"]
+
+
+def test_facet_counts_match_brute(fx):
+    rd = IndexReader(fx["idx"])
+    for col in ("lang", "source"):
+        got = rd.facet_counts(QUERY, col, k=10)
+        assert got == _brute_facets(fx["rows"], QUERY, col, 10)
+    # k cuts deterministically; absent terms contribute nothing
+    assert rd.facet_counts(QUERY, "source", k=2) == _brute_facets(
+        fx["rows"], QUERY, "source", 2)
+    assert rd.facet_counts(["zzz"], "lang", 5) == []
+
+
+def test_filtered_topk_matches_brute_filter(fx):
+    rd = IndexReader(fx["idx"])
+    full = rd.topk(QUERY, N_DOCS)  # engine-order full ranking
+    for col, val in (("lang", "de"), ("source", "wiki")):
+        want = [(d, s) for d, s in full
+                if fx["attr"][d][col] == val][:7]
+        assert rd.filtered_topk(QUERY, 7, col, val) == want
+    assert rd.filtered_topk(QUERY, 7, "lang", "xx") == []  # unknown value
+
+
+def test_served_equals_local(fx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(fx["idx"])
+    eng = RangeShardedQueryEngine(fx["idx"], pool_size=3)
+    try:
+        for col in ("lang", "source"):
+            assert eng.facet_counts(QUERY, col, 10) == \
+                rd.facet_counts(QUERY, col, 10)
+        assert eng.filtered_topk(QUERY, 7, "source", "news") == \
+            rd.filtered_topk(QUERY, 7, "source", "news")
+        assert eng.filtered_topk(["zzz"], 7, "lang", "en") == []
+    finally:
+        eng.shutdown()
+
+
+def test_deleted_docs_drop_from_facets_and_filter(fx, tmp_path):
+    import shutil
+
+    from wikirec_ray.stages.lifecycle import delete_docs
+
+    idx = str(tmp_path / "del")
+    shutil.copytree(fx["idx"], idx)
+    rd0 = IndexReader(idx)
+    victims = [d for d, _ in rd0.filtered_topk(QUERY, 3, "lang", "en")]
+    before = dict(rd0.facet_counts(QUERY, "lang", 10))
+    delete_docs(idx, victims)
+    rd = IndexReader(idx)
+    after = dict(rd.facet_counts(QUERY, "lang", 10))
+    assert after["en"] == before["en"] - len(victims)
+    assert all(d not in [h[0] for h in rd.filtered_topk(QUERY, 50, "lang", "en")]
+               for d in victims)
+
+
+def test_sidecar_resume_and_input_awareness(fx, ray_session):
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    rows = fx["rows"]
+    # unchanged input: every range skips
+    m = build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), fx["idx"],
+                       cols=["lang", "source"])
+    assert all(e["skipped"] for e in m["partitions"].values())
+    # one changed value: ONLY its range rewrites
+    rows2 = [dict(r) for r in rows]
+    rows2[-1]["lang"] = "fr"
+    m2 = build_doc_meta(_ds(rows2, ("doc_id", "lang", "source")), fx["idx"],
+                        cols=["lang", "source"])
+    changed = [k for k, e in m2["partitions"].items() if not e["skipped"]]
+    assert changed == [f"range-{(rows2[-1]['doc_id'] // 8192):06d}.parquet"]
+    rd = IndexReader(fx["idx"])
+    assert ("fr", 0) not in rd.facet_counts(QUERY, "lang", 10)  # sanity
+    # restore for the other module-scoped tests
+    build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), fx["idx"],
+                   cols=["lang", "source"])
+
+
+def test_stale_sidecar_fails_loudly(fx, tmp_path, ray_session):
+    import shutil
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    idx = str(tmp_path / "stale")
+    shutil.copytree(fx["idx"], idx)
+    shutil.rmtree(os.path.join(idx, "meta"))
+    # sidecar over a SUBSET of the corpus: matched docs missing from it
+    build_doc_meta(_ds(fx["rows"][:10], ("doc_id", "lang", "source")), idx,
+                   cols=["lang", "source"])
+    rd = IndexReader(idx)
+    with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
+        rd.facet_counts(QUERY, "lang", 5)
+    # missing sidecar / unknown column are loud too
+    with pytest.raises(KeyError, match="rebuild with build_doc_meta"):
+        rd._meta = {}
+        rd._meta_codes("domain")
+    shutil.rmtree(os.path.join(idx, "meta"))
+    rd2 = IndexReader(idx)
+    with pytest.raises(FileNotFoundError, match="no metadata sidecar"):
+        rd2.facet_counts(QUERY, "lang", 5)
+
+
+def test_facets_and_filter_match_duckdb(fx):
+    """DuckDB replay: OR-match facet counts and the filtered BM25 ranking
+    (same tokenizer, same rounding conventions as the driver oracles)."""
+    import duckdb
+
+    rd = IndexReader(fx["idx"])
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in fx["rows"]],
+        "text": [r["text"] for r in fx["rows"]],
+        "lang": [r["lang"] for r in fx["rows"]],
+        "source": [r["source"] for r in fx["rows"]],
+    }))
+    terms = ", ".join(f"('{t}')" for t in QUERY)
+    got = rd.facet_counts(QUERY, "source", 10)
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                '[^a-z0-9]+')) AS term FROM documents
+        ), q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT d.source, COUNT(*) AS n FROM m JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY n DESC, d.source LIMIT 10
+    """).fetchall()
+    assert [(v, int(n)) for v, n in want] == got
+
+    k1, b = 1.5, 0.75
+    got_f = rd.filtered_topk(QUERY, 7, "lang", "ru")
+    want_f = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
+        dfv AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+        q(term) AS (VALUES {terms}),
+        scored AS (
+            SELECT tf.doc_id, SUM(
+                ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf *
+                ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+            ) AS score
+            FROM q JOIN tf USING (term) JOIN dfv USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+            GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, ROUND(s.score, 9) FROM scored s
+        JOIN documents d USING (doc_id)
+        WHERE d.lang = 'ru' AND round(s.score, 9) > 0
+        ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 7
+    """).fetchall()
+    assert [(int(d), float(s)) for d, s in want_f] == got_f

@@ -328,6 +328,20 @@ def test_textstats(ray_session):
     assert 0 < q[0]["stop_ratio"] < 1
 
 
+def test_props_k_histogram(ray_session):
+    """JSON-props histogram (was the driver's props_k_hist slot, retired r5
+    for facet/filtered search): regex extraction + combiner aggregation."""
+    import ray.data
+
+    from wikirec_ray.pipelines.textstats import props_k_histogram
+
+    ds = ray.data.from_arrow(pa.table({"props": pa.array(
+        [f'{{"k": {i % 3}, "x": 9}}' for i in range(20)]
+        + ["no match", None], pa.string())}))
+    got = {r["k"]: r["n_events"] for r in props_k_histogram(ds).take_all()}
+    assert got == {0: 7, 1: 7, 2: 6}
+
+
 def test_multimodal_plumbing(ray_session):
     from wikirec_ray.pipelines.multimodal import DecodeStage, _try_pil, media_features
 

@@ -133,6 +133,7 @@ class IndexReader:
             if v.get("kind") == "segment"
         }
         self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
+        self._meta: dict[str, tuple[np.ndarray, list[str]]] = {}  # per col
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -261,6 +262,82 @@ class IndexReader:
             if self.df.get(t, 0) == 0:
                 continue
             scores[self.postings(t)[0].astype(np.int64)] = 0.0
+        return topk_from_dense(scores, k)
+
+    # ---------------- metadata filters + facets ---------------------------
+    def _meta_codes(self, col: str):
+        """(dense doc_id -> dictionary code int32 array sized like norms,
+        -1 = doc absent from the sidecar; values list[str]) — cached per
+        column (the local O(n_docs) shape, like ``self.norms``)."""
+        cached = self._meta.get(col)
+        if cached is None:
+            from wikirec_ray.stages.doc_meta import load_meta_column
+
+            ids, values = load_meta_column(self.index_dir, col)
+            enc = values.dictionary_encode()
+            dense = np.full(len(self.norms), -1, np.int32)
+            dense[ids.astype(np.int64)] = enc.indices.to_numpy().astype(np.int32)
+            cached = (dense, enc.dictionary.to_pylist())
+            self._meta[col] = cached
+        return cached
+
+    def _matched_docs(self, terms: list[str]) -> np.ndarray:
+        """Sorted ALIVE doc_ids containing at least one query term — the
+        OR-match set facets aggregate over (same candidacy rule as
+        ``score_exact``: distinct terms, tombstones dropped)."""
+        parts = []
+        for t in sorted(set(terms)):
+            if self.df.get(t, 0) == 0:
+                continue
+            parts.append(self.postings(t)[0])
+        if not parts:
+            return np.empty(0, np.uint64)
+        return self.alive(
+            np.unique(np.concatenate(parts)).astype(np.uint64)
+        )
+
+    def facet_counts(
+        self, terms: list[str], col: str, k: int = 10
+    ) -> list[tuple[str, int]]:
+        """Top-k (value, match count) of metadata column ``col`` over the
+        docs matching ANY query term — the terms-aggregation a user runs
+        next to every search ("which languages / sites does this query hit
+        in?").  Deterministic order: count desc, value asc.  A matched doc
+        missing from the sidecar raises (stale sidecar: the corpus changed
+        after ``build_doc_meta`` — rebuild it)."""
+        docs = self._matched_docs(terms)
+        if not len(docs):
+            return []
+        dense, values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        counts = np.bincount(codes, minlength=len(values))
+        order = sorted(
+            np.flatnonzero(counts).tolist(),
+            key=lambda c: (-int(counts[c]), values[c]),
+        )[:k]
+        return [(values[c], int(counts[c])) for c in order]
+
+    def filtered_topk(
+        self, terms: list[str], k: int, col: str, value: str
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs whose ``col`` equals ``value`` —
+        the metadata filter is a pure FILTER (scores/df/avgdl computed over
+        the WHOLE corpus, exactly like the tombstone overlay and the
+        boolean clauses), so results are SQL-replayable as the shared bm25
+        CTEs + one attribute predicate."""
+        dense, values = self._meta_codes(col)
+        try:
+            code = values.index(value)
+        except ValueError:
+            return []
+        scores = self.score_exact(terms)
+        scores[dense != code] = 0.0
         return topk_from_dense(scores, k)
 
     # ---------------- positional filter retrieval ------------------------

@@ -225,6 +225,7 @@ class RangeServer:
                 if len(tr):
                     self.tombs[r] = tr
         self._chunks: dict[tuple[int, int], object] = {}
+        self._meta_cols: dict[str, dict] = {}  # lazy attribute sidecar
         # byte sizes of THIS shard's posting chunks in the manifest snapshot
         # the shard was constructed on: compact_index rewrites chunks in
         # place, so a lazy open after one must fail loudly (see
@@ -362,6 +363,119 @@ class RangeServer:
                     continue
                 d, _ = chunk.postings(term)
                 local[d.astype(np.int64) - base] = 0.0
+            tr = self.tombs.get(r)
+            if tr is not None:
+                local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
+            out.extend((d + base, s) for d, s in topk_from_dense(local, k))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def _meta(self, col: str):
+        """Lazy per-range metadata for THIS shard's ranges: {range_id:
+        (sorted doc_ids, dictionary codes, values)} — O(shard docs), the
+        same locality contract as the shard's norms/tombstones."""
+        cached = self._meta_cols.get(col)
+        if cached is None:
+            from wikirec_ray.stages.doc_meta import load_meta_range
+
+            cached = {}
+            for r in self.range_ids:
+                m = load_meta_range(self.index_dir, col, r)
+                if m is not None:
+                    cached[r] = m
+            self._meta_cols[col] = cached
+        return cached
+
+    def facet_counts(
+        self, terms_with_tpart: list[tuple[str, int]], col: str
+    ) -> dict[str, int]:
+        """This shard's {value: match count} of ``col`` over docs matching
+        ANY term (alive only) — the coordinator sums shard dicts; every doc
+        lives in exactly one shard, so the sum is exact."""
+        meta = self._meta(col)
+        out: dict[str, int] = {}
+        for r in self.range_ids:
+            parts = []
+            for term, tpart in terms_with_tpart:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                parts.append(chunk.postings(term)[0])
+            if not parts:
+                continue
+            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
+            tr = self.tombs.get(r)
+            if tr is not None:
+                from wikirec_ray.state.segments import filter_tombstoned
+
+                docs = filter_tombstoned(docs, tr)
+            if not len(docs):
+                continue
+            mr = meta.get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has matches but no metadata sidecar file — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
+            ids, codes, values = mr
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"matched doc missing from metadata range {r} — stale "
+                    f"meta/: re-run build_doc_meta"
+                )
+            counts = np.bincount(codes[sel], minlength=len(values))
+            for c in np.flatnonzero(counts):
+                v = values[c]
+                out[v] = out.get(v, 0) + int(counts[c])
+        return out
+
+    def filtered_topk(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        k: int,
+        col: str,
+        value: str,
+    ):
+        """``topk`` restricted to docs whose ``col`` equals ``value`` —
+        the attribute is a pure filter (identical scoring), applied on the
+        shard's dense per-range accumulator before tombstones."""
+        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
+
+        meta = self._meta(col)
+        avgdl = self.stats["avgdl"]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            mr = meta.get(r)
+            if nr is None or mr is None:
+                continue
+            ids, codes, values = mr
+            try:
+                code = values.index(value)
+            except ValueError:
+                continue  # no doc in this range carries the value
+            base = r * self.range_size
+            local = np.zeros(self.range_size, dtype=np.float64)
+            hit = False
+            for term, tpart, idf in terms_with_idf:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                doc_ids, tfs = chunk.postings(term)
+                if not len(doc_ids):
+                    continue
+                hit = True
+                d = doc_ids.astype(np.int64)
+                tf = tfs.astype(np.float64)
+                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
+                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
+            if not hit:
+                continue
+            keep = np.zeros(self.range_size, bool)
+            keep[(ids[codes == code] - np.uint64(base)).astype(np.int64)] = True
+            local[~keep] = 0.0
             tr = self.tombs.get(r)
             if tr is not None:
                 local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
@@ -685,6 +799,50 @@ class RangeShardedQueryEngine:
         partials = ray.get([
             s.boolean_topk.remote(score_twi, must_twi, not_twi, k)
             for s in self.servers
+        ])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def facet_counts(
+        self, terms: list[str], col: str, k: int = 10
+    ) -> list[tuple[str, int]]:
+        """Distributed facet counts (== ``IndexReader.facet_counts``):
+        each shard counts ``col`` values over its own OR-matched alive
+        docs; the coordinator sums the dicts and keeps the global top-k
+        under (count desc, value asc).  Exact, not approximate — every doc
+        lives in exactly one shard."""
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        partials = ray.get(
+            [s.facet_counts.remote(twt, col) for s in self.servers]
+        )
+        merged: dict[str, int] = {}
+        for p in partials:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def filtered_topk(
+        self, terms: list[str], k: int, col: str, value: str
+    ) -> list[tuple[int, float]]:
+        """Distributed metadata-filtered top-k (==
+        ``IndexReader.filtered_topk``): the attribute predicate is shard-
+        local (each shard holds its ranges' sidecar), scoring is the plain
+        ``topk`` contract."""
+        resolved = self._resolve_idfs(terms)
+        twi = [
+            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
+        ]
+        if not twi:
+            return []
+        partials = ray.get([
+            s.filtered_topk.remote(twi, k, col, value) for s in self.servers
         ])
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
