@@ -120,6 +120,15 @@ def test_served_equals_local(fx, ray_session):
         assert eng.filtered_topk(QUERY, 7, "source", "news") == \
             rd.filtered_topk(QUERY, 7, "source", "news")
         assert eng.filtered_topk(["zzz"], 7, "lang", "en") == []
+        # duplicate-terms parity (CLAUDE.md rule: every scoring route
+        # scores once per OCCURRENCE — a sorted(set()) regression in the
+        # served twi construction must fail here)
+        dup = ["w0", "w0", "w7"]
+        got = eng.filtered_topk(dup, 7, "lang", "en")
+        assert got == rd.filtered_topk(dup, 7, "lang", "en")
+        assert got != rd.filtered_topk(["w0", "w7"], 7, "lang", "en")
+        assert eng.facet_counts(dup, "source", 10) == \
+            rd.facet_counts(dup, "source", 10)
     finally:
         eng.shutdown()
 
@@ -150,18 +159,20 @@ def test_sidecar_resume_and_input_awareness(fx, ray_session):
     m = build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), fx["idx"],
                        cols=["lang", "source"])
     assert all(e["skipped"] for e in m["partitions"].values())
-    # one changed value: ONLY its range rewrites
-    rows2 = [dict(r) for r in rows]
-    rows2[-1]["lang"] = "fr"
-    m2 = build_doc_meta(_ds(rows2, ("doc_id", "lang", "source")), fx["idx"],
-                        cols=["lang", "source"])
-    changed = [k for k, e in m2["partitions"].items() if not e["skipped"]]
-    assert changed == [f"range-{(rows2[-1]['doc_id'] // 8192):06d}.parquet"]
-    rd = IndexReader(fx["idx"])
-    assert ("fr", 0) not in rd.facet_counts(QUERY, "lang", 10)  # sanity
-    # restore for the other module-scoped tests
-    build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), fx["idx"],
-                   cols=["lang", "source"])
+    # one changed value: ONLY its range rewrites (restore in finally so a
+    # failure can't poison the other module-scoped tests)
+    try:
+        rows2 = [dict(r) for r in rows]
+        rows2[-1]["lang"] = "fr"
+        m2 = build_doc_meta(_ds(rows2, ("doc_id", "lang", "source")),
+                            fx["idx"], cols=["lang", "source"])
+        changed = [k for k, e in m2["partitions"].items() if not e["skipped"]]
+        assert changed == [f"range-{(rows2[-1]['doc_id'] // 8192):06d}.parquet"]
+        rd = IndexReader(fx["idx"])
+        assert ("fr", 0) not in rd.facet_counts(QUERY, "lang", 10)  # sanity
+    finally:
+        build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), fx["idx"],
+                       cols=["lang", "source"])
 
 
 def test_stale_sidecar_fails_loudly(fx, tmp_path, ray_session):
@@ -178,6 +189,20 @@ def test_stale_sidecar_fails_loudly(fx, tmp_path, ray_session):
     rd = IndexReader(idx)
     with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
         rd.facet_counts(QUERY, "lang", 5)
+    # the filtered route is equally loud (no silent drop of index docs)
+    with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
+        rd.filtered_topk(QUERY, 5, "lang", "en")
+    # ... and so are both served twins
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(idx, pool_size=2)
+    try:
+        with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
+            eng.facet_counts(QUERY, "lang", 5)
+        with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
+            eng.filtered_topk(QUERY, 5, "lang", "en")
+    finally:
+        eng.shutdown()
     # missing sidecar / unknown column are loud too
     with pytest.raises(KeyError, match="rebuild with build_doc_meta"):
         rd._meta = {}
@@ -186,6 +211,53 @@ def test_stale_sidecar_fails_loudly(fx, tmp_path, ray_session):
     rd2 = IndexReader(idx)
     with pytest.raises(FileNotFoundError, match="no metadata sidecar"):
         rd2.facet_counts(QUERY, "lang", 5)
+
+
+def test_sidecar_rewrite_under_live_reader_fails_loudly(fx, tmp_path,
+                                                        ray_session):
+    """A reader pins the meta-manifest snapshot at first use: a
+    build_doc_meta rewrite underneath it must raise on the next column
+    load, never serve mixed sidecar generations (the concurrent-replace
+    read footgun)."""
+    import shutil
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    idx = str(tmp_path / "live")
+    shutil.copytree(fx["idx"], idx)
+    rd = IndexReader(idx)
+    rd.facet_counts(QUERY, "lang", 5)  # snapshot taken, lang cached
+    rows2 = [dict(r) for r in fx["rows"]]
+    for r in rows2:  # guarantee a different file size
+        r["source"] = r["source"] + "-rewritten-with-much-longer-values"
+    build_doc_meta(_ds(rows2, ("doc_id", "lang", "source")), idx,
+                   cols=["lang", "source"])
+    with pytest.raises(RuntimeError, match="manifest snapshot"):
+        rd.facet_counts(QUERY, "source", 5)
+    # a FRESH reader sees the new generation cleanly
+    assert IndexReader(idx).facet_counts(QUERY, "source", 5)[0][0].endswith(
+        "longer-values")
+
+
+def test_custom_id_col_normalized_on_disk(fx, tmp_path, ray_session):
+    """build_doc_meta(id_col='page_id') writes doc_id-named files —
+    readers never need the input's column name."""
+    import shutil
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    idx = str(tmp_path / "idcol")
+    shutil.copytree(fx["idx"], idx)
+    shutil.rmtree(os.path.join(idx, "meta"))
+    rows = [
+        {"page_id": r["doc_id"], "lang": r["lang"], "source": r["source"]}
+        for r in fx["rows"]
+    ]
+    build_doc_meta(_ds(rows, ("page_id", "lang", "source")), idx,
+                   cols=["lang", "source"], id_col="page_id")
+    rd = IndexReader(idx)
+    assert rd.facet_counts(QUERY, "lang", 10) == \
+        _brute_facets(fx["rows"], QUERY, "lang", 10)
 
 
 def test_facets_and_filter_match_duckdb(fx):

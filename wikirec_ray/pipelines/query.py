@@ -134,6 +134,7 @@ class IndexReader:
         }
         self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
         self._meta: dict[str, tuple[np.ndarray, list[str]]] = {}  # per col
+        self._meta_manifest: dict | None = None  # one snapshot per reader
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -268,12 +269,22 @@ class IndexReader:
     def _meta_codes(self, col: str):
         """(dense doc_id -> dictionary code int32 array sized like norms,
         -1 = doc absent from the sidecar; values list[str]) — cached per
-        column (the local O(n_docs) shape, like ``self.norms``)."""
+        column (the local O(n_docs) shape, like ``self.norms``).  All
+        columns load against ONE manifest snapshot taken at first use, so
+        a concurrent ``build_doc_meta`` rewrite fails loudly instead of
+        mixing sidecar generations."""
         cached = self._meta.get(col)
         if cached is None:
-            from wikirec_ray.stages.doc_meta import load_meta_column
+            from wikirec_ray.stages.doc_meta import (
+                load_meta_column,
+                meta_manifest,
+            )
 
-            ids, values = load_meta_column(self.index_dir, col)
+            if self._meta_manifest is None:
+                self._meta_manifest = meta_manifest(self.index_dir)
+            ids, values = load_meta_column(
+                self.index_dir, col, manifest=self._meta_manifest
+            )
             enc = values.dictionary_encode()
             dense = np.full(len(self.norms), -1, np.int32)
             dense[ids.astype(np.int64)] = enc.indices.to_numpy().astype(np.int32)
@@ -330,13 +341,22 @@ class IndexReader:
         the metadata filter is a pure FILTER (scores/df/avgdl computed over
         the WHOLE corpus, exactly like the tombstone overlay and the
         boolean clauses), so results are SQL-replayable as the shared bm25
-        CTEs + one attribute predicate."""
+        CTEs + one attribute predicate.  A scoring doc missing from the
+        sidecar raises (stale sidecar — same loud contract as
+        ``facet_counts``), never silently drops."""
         dense, values = self._meta_codes(col)
+        scores = self.score_exact(terms)  # tombstones already zeroed
+        live = np.flatnonzero(scores > 0)
+        if (dense[live] < 0).any():
+            missing = int(live[dense[live] < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
         try:
             code = values.index(value)
         except ValueError:
             return []
-        scores = self.score_exact(terms)
         scores[dense != code] = 0.0
         return topk_from_dense(scores, k)
 

@@ -70,7 +70,8 @@ def build_doc_meta(
     manifest.  ``ds`` rows are (id_col, *cols) — string attribute columns
     (nulls stored as ``""``); every id must be unique.  Ranges follow the
     index's ``doc_range_size`` so serving shards can load exactly their
-    ranges' attributes.
+    ranges' attributes.  On disk the id column is always named ``doc_id``
+    regardless of ``id_col`` (readers never need the input's name).
 
     Resume is input-aware: each range records a logical fingerprint over
     (doc_id, value-hashes); a re-run with identical input skips every
@@ -97,7 +98,7 @@ def build_doc_meta(
     def project(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
         out = {"range_id": pa.array((ids // range_size).astype(np.int64)),
-               id_col: pa.array(ids.astype(np.int64))}
+               "doc_id": pa.array(ids.astype(np.int64))}
         for c in cols:
             out[c] = pc.cast(b[c].combine_chunks().fill_null(""), pa.string())
         return pa.table(out)
@@ -106,8 +107,8 @@ def build_doc_meta(
         range_id = int(g["range_id"][0].as_py())
         key = f"range-{range_id:06d}.parquet"
         path = os.path.join(meta_dir, key)
-        g = g.sort_by(id_col)
-        ids = g[id_col].to_numpy().astype(np.uint64)
+        g = g.sort_by("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.uint64)
         if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
             dup = int(ids[np.flatnonzero(ids[1:] == ids[:-1])[0]])
             raise ValueError(
@@ -128,13 +129,29 @@ def build_doc_meta(
                      n_docs=g.num_rows, input_fp=fp, skipped=False)
         return pa.table({"entry": pa.array([json.dumps(entry)])})
 
-    entries = [
-        json.loads(r["entry"])
-        for r in ds.map_batches(project, batch_format="pyarrow")
-        .groupby("range_id")
-        .map_groups(write_range, batch_format="pyarrow")
-        .take_all()
-    ]
+    # size the one groupby shuffle to the cluster (the min_parallelism=200
+    # default costs ~200 reduce tasks of fixed overhead; same pin as
+    # build_index) — restored on exit so callers' sessions are untouched
+    import ray as _ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_min_parallelism = ctx.min_parallelism
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ctx.min_parallelism = max(ncpu, 16)
+    except Exception:
+        pass
+    try:
+        entries = [
+            json.loads(r["entry"])
+            for r in ds.map_batches(project, batch_format="pyarrow")
+            .groupby("range_id")
+            .map_groups(write_range, batch_format="pyarrow")
+            .take_all()
+        ]
+    finally:
+        ctx.min_parallelism = prev_min_parallelism
     manifest = {
         "version": META_MANIFEST_VERSION,
         "cols": list(cols),
@@ -169,16 +186,33 @@ def _check_col(m: dict, col: str) -> None:
         )
 
 
-def load_meta_column(index_dir: str, col: str):
+def _checked_read(path: str, entry: dict, columns: list[str]) -> pa.Table:
+    """Read a sidecar file, failing LOUDLY if its on-disk size no longer
+    matches the manifest (snapshot) entry — a concurrent ``build_doc_meta``
+    rewrote it under a live reader (atomic rename protects a single open(),
+    not a read protocol; see the compact_index norms-then-postings
+    barrier)."""
+    if not os.path.exists(path) or os.path.getsize(path) != entry["bytes"]:
+        raise RuntimeError(
+            f"{path} no longer matches the metadata manifest snapshot this "
+            f"reader was opened on (build_doc_meta re-ran under a live "
+            f"reader?) — re-open the reader / rebuild the pool"
+        )
+    return pq.read_table(path, columns=columns)
+
+
+def load_meta_column(index_dir: str, col: str, manifest: dict | None = None):
     """(sorted doc_ids uint64, values StringArray) across every
     manifest-listed range — the LOCAL reader shape (O(n_docs), like
-    ``load_norms``); serving shards use ``load_meta_range``."""
-    m = meta_manifest(index_dir)
+    ``load_norms``); serving shards use ``load_meta_range``.  Pass a
+    ``manifest`` snapshot to pin all loads of a long-lived reader to one
+    coherent sidecar generation (file-size mismatches fail loudly)."""
+    m = manifest if manifest is not None else meta_manifest(index_dir)
     _check_col(m, col)
     d = _meta_dir(index_dir)
     tables = [
-        pq.read_table(os.path.join(d, k), columns=["doc_id", col])
-        for k in sorted(m["partitions"])
+        _checked_read(os.path.join(d, k), e, ["doc_id", col])
+        for k, e in sorted(m["partitions"].items())
     ]
     if not tables:
         return np.empty(0, np.uint64), pa.array([], pa.string())
@@ -187,17 +221,21 @@ def load_meta_column(index_dir: str, col: str):
             t[col].combine_chunks())
 
 
-def load_meta_range(index_dir: str, col: str, range_id: int):
+def load_meta_range(
+    index_dir: str, col: str, range_id: int, manifest: dict | None = None
+):
     """One range's (sorted doc_ids uint64, codes int32, values list[str])
     — dictionary-encoded for vectorized equality; None when the range has
-    no docs (no sidecar file)."""
-    m = meta_manifest(index_dir)
+    no docs (no sidecar file).  ``manifest`` as in ``load_meta_column``."""
+    m = manifest if manifest is not None else meta_manifest(index_dir)
     _check_col(m, col)
     key = f"range-{range_id:06d}.parquet"
     if key not in m["partitions"]:
         return None
-    t = pq.read_table(os.path.join(_meta_dir(index_dir), key),
-                      columns=["doc_id", col])
+    t = _checked_read(
+        os.path.join(_meta_dir(index_dir), key), m["partitions"][key],
+        ["doc_id", col],
+    )
     enc = t[col].combine_chunks().dictionary_encode()
     return (
         t["doc_id"].to_numpy().astype(np.uint64),

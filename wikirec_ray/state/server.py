@@ -226,6 +226,7 @@ class RangeServer:
                     self.tombs[r] = tr
         self._chunks: dict[tuple[int, int], object] = {}
         self._meta_cols: dict[str, dict] = {}  # lazy attribute sidecar
+        self._meta_manifest: dict | None = None  # one snapshot per shard
         # byte sizes of THIS shard's posting chunks in the manifest snapshot
         # the shard was constructed on: compact_index rewrites chunks in
         # place, so a lazy open after one must fail loudly (see
@@ -264,37 +265,52 @@ class RangeServer:
             self._chunks[key] = SegmentReader(p) if os.path.exists(p) else None
         return self._chunks[key]
 
+    def _score_range(self, r: int, nr, terms_with_idf):
+        """Dense per-range BM25 accumulator — THE scoring kernel behind
+        ``topk`` / ``boolean_topk`` / ``filtered_topk`` (one place to
+        change the served scoring contract).  Returns None when no term
+        posts in this range."""
+        from wikirec_ray.pipelines.query import bm25_contrib
+
+        avgdl = self.stats["avgdl"]
+        base = r * self.range_size
+        local = np.zeros(self.range_size, dtype=np.float64)
+        hit = False
+        for term, tpart, idf in terms_with_idf:
+            chunk = self._chunk(tpart, r)
+            if chunk is None or not chunk.has(term):
+                continue
+            doc_ids, tfs = chunk.postings(term)
+            if not len(doc_ids):
+                continue
+            hit = True
+            d = doc_ids.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
+            local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
+        return local if hit else None
+
+    def _zero_tombs(self, r: int, local: np.ndarray) -> None:
+        """Zero this range's tombstoned slots in a dense accumulator."""
+        tr = self.tombs.get(r)
+        if tr is not None:
+            local[(tr - np.uint64(r * self.range_size)).astype(np.int64)] = 0.0
+
     def topk(self, terms_with_idf: list[tuple[str, int, float]], k: int):
         """This shard's top-k [(doc_id, rounded_score)] over its ranges —
         each doc lives in exactly one shard, so the global top-k is the
         top-k of the per-shard unions."""
-        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
+        from wikirec_ray.pipelines.query import topk_from_dense
 
-        avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
             if nr is None:
                 continue
             base = r * self.range_size
-            local = np.zeros(self.range_size, dtype=np.float64)
-            hit = False
-            for term, tpart, idf in terms_with_idf:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                doc_ids, tfs = chunk.postings(term)
-                if not len(doc_ids):
-                    continue
-                hit = True
-                d = doc_ids.astype(np.int64)
-                tf = tfs.astype(np.float64)
-                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
-                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
-            if hit:
-                tr = self.tombs.get(r)
-                if tr is not None:
-                    local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is not None:
+                self._zero_tombs(r, local)
                 out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
@@ -312,9 +328,8 @@ class RangeServer:
         any ``must_not`` posting — the served twin of
         ``IndexReader.boolean_topk`` (boolean clauses filter, BM25
         scores)."""
-        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
+        from wikirec_ray.pipelines.query import topk_from_dense
 
-        avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
@@ -336,21 +351,8 @@ class RangeServer:
                         break
                 if not len(allowed):
                     continue
-            local = np.zeros(self.range_size, dtype=np.float64)
-            hit = False
-            for term, tpart, idf in score_twi:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                doc_ids, tfs = chunk.postings(term)
-                if not len(doc_ids):
-                    continue
-                hit = True
-                d = doc_ids.astype(np.int64)
-                tf = tfs.astype(np.float64)
-                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
-                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
-            if not hit:
+            local = self._score_range(r, nr, score_twi)
+            if local is None:
                 continue
             if allowed is not None:
                 masked = np.zeros_like(local)
@@ -363,9 +365,7 @@ class RangeServer:
                     continue
                 d, _ = chunk.postings(term)
                 local[d.astype(np.int64) - base] = 0.0
-            tr = self.tombs.get(r)
-            if tr is not None:
-                local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
+            self._zero_tombs(r, local)
             out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
@@ -373,14 +373,26 @@ class RangeServer:
     def _meta(self, col: str):
         """Lazy per-range metadata for THIS shard's ranges: {range_id:
         (sorted doc_ids, dictionary codes, values)} — O(shard docs), the
-        same locality contract as the shard's norms/tombstones."""
+        same locality contract as the shard's norms/tombstones.  Every
+        column loads against ONE meta-manifest snapshot taken at first
+        use; a ``build_doc_meta`` rewrite under a live shard fails loudly
+        (file-size mismatch) instead of serving mixed sidecar
+        generations — the same guard the posting chunks get via
+        ``_chunk_bytes``."""
         cached = self._meta_cols.get(col)
         if cached is None:
-            from wikirec_ray.stages.doc_meta import load_meta_range
+            from wikirec_ray.stages.doc_meta import (
+                load_meta_range,
+                meta_manifest,
+            )
 
+            if self._meta_manifest is None:
+                self._meta_manifest = meta_manifest(self.index_dir)
             cached = {}
             for r in self.range_ids:
-                m = load_meta_range(self.index_dir, col, r)
+                m = load_meta_range(
+                    self.index_dir, col, r, manifest=self._meta_manifest
+                )
                 if m is not None:
                     cached[r] = m
             self._meta_cols[col] = cached
@@ -439,46 +451,48 @@ class RangeServer:
         value: str,
     ):
         """``topk`` restricted to docs whose ``col`` equals ``value`` —
-        the attribute is a pure filter (identical scoring), applied on the
-        shard's dense per-range accumulator before tombstones."""
-        from wikirec_ray.pipelines.query import bm25_contrib, topk_from_dense
+        the attribute is a pure filter (identical scoring via
+        ``_score_range``).  A live scoring doc missing from the sidecar
+        raises (stale sidecar — same loud contract as ``facet_counts``),
+        never silently drops."""
+        from wikirec_ray.pipelines.query import topk_from_dense
 
         meta = self._meta(col)
-        avgdl = self.stats["avgdl"]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
             nr = self.norms.get(r)
-            mr = meta.get(r)
-            if nr is None or mr is None:
+            if nr is None:
                 continue
+            base = r * self.range_size
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is None:
+                continue
+            self._zero_tombs(r, local)  # tombstoned docs aren't "missing"
+            scoring = np.flatnonzero(local > 0)
+            if not len(scoring):
+                continue
+            mr = meta.get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has live scoring docs but no metadata "
+                    f"sidecar file — stale meta/: re-run build_doc_meta"
+                )
             ids, codes, values = mr
+            docs = (scoring + base).astype(np.uint64)
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"live scoring doc missing from metadata range {r} — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
             try:
                 code = values.index(value)
             except ValueError:
                 continue  # no doc in this range carries the value
-            base = r * self.range_size
-            local = np.zeros(self.range_size, dtype=np.float64)
-            hit = False
-            for term, tpart, idf in terms_with_idf:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                doc_ids, tfs = chunk.postings(term)
-                if not len(doc_ids):
-                    continue
-                hit = True
-                d = doc_ids.astype(np.int64)
-                tf = tfs.astype(np.float64)
-                dl = nr[1][np.searchsorted(nr[0], d)].astype(np.float64)
-                local[d - base] += bm25_contrib(idf, tf, dl, avgdl)
-            if not hit:
-                continue
             keep = np.zeros(self.range_size, bool)
             keep[(ids[codes == code] - np.uint64(base)).astype(np.int64)] = True
             local[~keep] = 0.0
-            tr = self.tombs.get(r)
-            if tr is not None:
-                local[(tr - np.uint64(base)).astype(np.int64)] = 0.0
             out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
