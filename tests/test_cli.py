@@ -77,6 +77,43 @@ def test_cli_build_stats_query_append(ray_session, tmp_path, capsys, sf_dir):
     assert rc == 0 and appended["n_docs"] == built["n_docs"] + 20
 
 
+def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
+    """meta builds the attribute sidecar; query then honors col:value
+    filter chunks and --facets reports per-value match counts — all equal
+    to the library surface."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    idx = str(tmp_path / "meta_idx")
+    rc, _ = run_cli(capsys, [
+        "build", "--input", docs, "--format", "documents", "--index", idx,
+        "--no-resume",
+    ])
+    assert rc == 0
+    rc, meta = run_cli(capsys, [
+        "meta", "--index", idx, "--input", docs, "--cols", "lang,source",
+    ])
+    assert rc == 0 and meta["cols"] == ["lang", "source"]
+    assert meta["n_docs"] > 0 and meta["skipped"] == 0
+    # resumed run: every range skips
+    rc, meta2 = run_cli(capsys, [
+        "meta", "--index", idx, "--input", docs, "--cols", "lang,source",
+    ])
+    assert meta2["skipped"] == meta2["partitions"]
+
+    from wikirec_ray.pipelines.query import IndexReader, search
+
+    rd = IndexReader(idx)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "lang:en the table", "-k", "5",
+        "--facets", "lang,source",
+    ])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        search(rd, "lang:en the table", 5)
+    for col in ("lang", "source"):
+        assert [(f["value"], f["n_docs"]) for f in res["facets"][col]] == \
+            rd.facet_counts(["the", "table"], col, 5)
+
+
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):
     rc, out = run_cli(capsys, ["stats", "--index", str(tmp_path / "nope")])
     assert rc == 1 and "error" in out

@@ -62,7 +62,10 @@ def fx(ray_session, tmp_path_factory):
 
     rows = _mk_corpus()
     idx = str(tmp_path_factory.mktemp("facets") / "idx")
-    build_index(_ds(rows, ("doc_id", "text")), idx, resume=False)
+    # positional + precomputed bigrams so the col:value filter tests cover
+    # the phrase/NEAR/precomputed routes too (BM25 scoring is unchanged)
+    build_index(_ds(rows, ("doc_id", "text")), idx, resume=False,
+                store_positions=True, precompute_bigrams=16)
     build_doc_meta(_ds(rows, ("doc_id", "lang", "source")), idx,
                    cols=["lang", "source"])
     return {"rows": rows, "idx": idx,
@@ -258,6 +261,91 @@ def test_custom_id_col_normalized_on_disk(fx, tmp_path, ray_session):
     rd = IndexReader(idx)
     assert rd.facet_counts(QUERY, "lang", 10) == \
         _brute_facets(fx["rows"], QUERY, "lang", 10)
+
+
+def _post_filter(hits, attr_map, col, value, k):
+    """Reference semantics: a metadata filter composed with any route is a
+    pure post-filter on the full (unbounded-k) ranking."""
+    return [(d, s) for d, s in hits if attr_map[d][col] == value][:k]
+
+
+def test_split_filters():
+    from wikirec_ray.pipelines.query import split_filters
+
+    cols = ["lang", "source"]
+    assert split_filters("lang:en w0 w1", cols) == \
+        ([("lang", "en")], "w0 w1")
+    assert split_filters("w0 lang:en source:wiki w1", cols) == \
+        ([("lang", "en"), ("source", "wiki")], "w0   w1")  # ws is harmless
+    # unknown column stays query text; no sidecar -> nothing is a filter
+    assert split_filters("time:10 w0", cols) == ([], "time:10 w0")
+    assert split_filters("lang:en w0", []) == ([], "lang:en w0")
+    # chunks inside quotes / NEAR(...) are protected
+    assert split_filters('lang:de "lang:en w0"', cols) == \
+        ([("lang", "de")], '"lang:en w0"')
+    assert split_filters("source:news NEAR/4(lang:en w0)", cols) == \
+        ([("source", "news")], "NEAR/4(lang:en w0)")
+
+
+def test_attr_filters_on_every_route(fx):
+    """col:value filters compose with BM25 / phrase / NEAR / boolean as
+    pure post-filters of the unfiltered ranking (scoring corpus-global),
+    locally and via the search() string surface."""
+    from wikirec_ray.pipelines.query import search
+
+    rd = IndexReader(fx["idx"])
+    attr = fx["attr"]
+    # bm25
+    want = _post_filter(rd.topk(QUERY, N_DOCS), attr, "lang", "de", 7)
+    assert rd.topk(QUERY, 7, attrs=[("lang", "de")]) == want
+    assert search(rd, "lang:de w0 w7 w15", 7) == want
+    # phrase — both the precomputed fast path and the positional path
+    for pair in (["w0", "w1"], ["w15", "w16"]):
+        route = "precomputed" if " ".join(pair) in rd.bigrams else "positional"
+        wantp = _post_filter(rd.phrase_topk(pair, N_DOCS), attr,
+                             "source", "wiki", 5)
+        got = rd.phrase_topk(pair, 5, attrs=[("source", "wiki")])
+        assert got == wantp, route
+        assert search(rd, f'source:wiki "{pair[0]} {pair[1]}"', 5) == wantp
+    # NEAR
+    wantn = _post_filter(rd.near_topk(["w0", "w7"], N_DOCS, 4), attr,
+                         "lang", "en", 5)
+    assert rd.near_topk(["w0", "w7"], 5, 4, attrs=[("lang", "en")]) == wantn
+    assert search(rd, "lang:en NEAR/4(w0 w7)", 5) == wantn
+    # boolean
+    wantb = _post_filter(rd.boolean_topk(["w0"], ["w7"], ["w17"], N_DOCS),
+                         attr, "lang", "ru", 5)
+    assert rd.boolean_topk(["w0"], ["w7"], ["w17"], 5,
+                           attrs=[("lang", "ru")]) == wantb
+    assert search(rd, "lang:ru w0 +w7 -w17", 5) == wantb
+    # conjunctive multi-filter
+    want2 = [(d, s) for d, s in rd.topk(QUERY, N_DOCS)
+             if attr[d]["lang"] == "de" and attr[d]["source"] == "wiki"][:5]
+    assert rd.topk(QUERY, 5,
+                   attrs=[("lang", "de"), ("source", "wiki")]) == want2
+    assert search(rd, "lang:de source:wiki w0 w7 w15", 5) == want2
+    # unknown value matches nothing; filters with no terms return []
+    assert rd.topk(QUERY, 5, attrs=[("lang", "xx")]) == []
+    assert search(rd, "lang:de", 5) == []
+
+
+def test_attr_filters_served_equals_local(fx, ray_session):
+    from wikirec_ray.pipelines.query import search
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(fx["idx"])
+    eng = RangeShardedQueryEngine(fx["idx"], pool_size=3)
+    try:
+        assert eng.meta_cols() == ["lang", "source"]
+        for q in ("lang:de w0 w7 w15",
+                  'source:wiki "w0 w1"',      # precomputed or positional
+                  'lang:en "w15 w16"',
+                  "lang:en NEAR/4(w0 w7)",
+                  "lang:ru w0 +w7 -w17",
+                  "lang:de source:wiki w0 w7 w15"):
+            assert search(eng, q, 5) == search(rd, q, 5), q
+    finally:
+        eng.shutdown()
 
 
 def test_facets_and_filter_match_duckdb(fx):

@@ -11,14 +11,17 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray append --input DIR --index DIR [--format ...]
     python -m wikirec_ray delete --index DIR --ids 3,17,42 | --ids-file F
     python -m wikirec_ray compact --index DIR
-    python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL]
+    python -m wikirec_ray meta   --index DIR --input F --cols lang,source
+    python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
+        [--facets COLS]
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
         [--pool-replicas R]      # stdin query lines -> stdout JSON lines
     python -m wikirec_ray stats  --index DIR
 
 Query strings use the ``search()`` mini-language: ``"quoted"`` = exact
 phrase, ``NEAR/n(terms)`` = proximity, ``+term``/``-term`` chunk prefixes
-= boolean required/excluded, anything else = BM25 (WAND).
+= boolean required/excluded, ``col:value`` chunks = metadata filters over
+the ``meta`` sidecar's columns, anything else = BM25 (WAND).
 
 This module (not the library) owns the Ray session, per the repo rule
 that only CLI scripts, bench.py and the test fixture call ``ray.init``.
@@ -143,8 +146,38 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_meta(args) -> int:
+    """Build/refresh the document-attribute sidecar (``meta/``) powering
+    ``col:value`` filters and ``--facets`` — input-aware-resumable like the
+    index build (unchanged ranges skip their write)."""
+    _ensure_ray()
+    import ray.data
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    cols = [c for c in args.cols.split(",") if c.strip()]
+    manifest = build_doc_meta(
+        ray.data.read_parquet(args.input, columns=["doc_id"] + cols),
+        args.index,
+        cols=cols,
+        lineage={"input": args.input},
+    )
+    print(json.dumps({
+        "index": args.index, "cols": cols,
+        "n_docs": manifest.get("n_docs"),
+        "partitions": len(manifest.get("partitions", {})),
+        "skipped": sum(bool(e.get("skipped"))
+                       for e in manifest["partitions"].values()),
+    }))
+    return 0
+
+
 def cmd_query(args) -> int:
-    from wikirec_ray.pipelines.query import IndexReader, search
+    from wikirec_ray.pipelines.query import (
+        IndexReader,
+        search,
+        split_filters,
+    )
 
     if args.serve:
         _ensure_ray()  # the served engine needs a Ray session for actors
@@ -154,11 +187,26 @@ def cmd_query(args) -> int:
     else:
         engine = IndexReader(args.index)  # pure local read, no Ray needed
     try:
+        out = {"query": args.query}
         hits = search(engine, args.query, args.k)
-        print(json.dumps({
-            "query": args.query,
-            "hits": [{"doc_id": d, "score": s} for d, s in hits],
-        }))
+        out["hits"] = [{"doc_id": d, "score": s} for d, s in hits]
+        if args.facets:
+            # facet counts run over docs matching ANY query term (the
+            # driver-checked facet_counts contract) — filter chunks are
+            # lifted out first, then the remaining text is tokenized
+            import re as _re
+
+            from wikirec_ray.schema import TOKEN_SPLIT_REGEX
+
+            _, rest = split_filters(args.query, engine.meta_cols())
+            terms = [t for t in _re.split(TOKEN_SPLIT_REGEX, rest.lower())
+                     if t]
+            out["facets"] = {
+                col: [{"value": v, "n_docs": n}
+                      for v, n in engine.facet_counts(terms, col, args.k)]
+                for col in args.facets.split(",") if col.strip()
+            }
+        print(json.dumps(out))
     finally:
         if args.serve:
             engine.shutdown()
@@ -264,13 +312,26 @@ def make_parser() -> argparse.ArgumentParser:
     io(c, needs_input=False)
     c.set_defaults(fn=cmd_compact)
 
+    m = sub.add_parser(
+        "meta", help="build the doc-attribute sidecar (filters + facets)")
+    io(m, needs_input=False)
+    m.add_argument("--input", required=True,
+                   help="parquet with doc_id + attribute columns")
+    m.add_argument("--cols", required=True,
+                   help="comma-separated attribute columns, e.g. lang,source")
+    m.set_defaults(fn=cmd_meta)
+
     q = sub.add_parser("query", help="run one query string")
     io(q, needs_input=False)
-    q.add_argument("query", help='BM25 terms, "exact phrase", or NEAR/n(...)')
+    q.add_argument("query", help='BM25 terms, "exact phrase", NEAR/n(...), '
+                                 '+/-boolean, col:value filters')
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--serve", type=int, default=0, metavar="POOL",
                    help="query through a range-sharded actor pool of this "
                         "size instead of the local reader")
+    q.add_argument("--facets", default="", metavar="COLS",
+                   help="also report per-value match counts for these "
+                        "comma-separated sidecar columns")
     q.set_defaults(fn=cmd_query)
 
     sv = sub.add_parser(

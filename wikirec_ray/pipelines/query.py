@@ -212,9 +212,16 @@ class IndexReader:
             scores[self.tombstones.astype(np.int64)] = 0.0
         return scores
 
-    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        """[(doc_id, score)] best-first; ties → doc_id ascending."""
+    def topk(
+        self, terms: list[str], k: int,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[int, float]]:
+        """[(doc_id, score)] best-first; ties → doc_id ascending.
+        ``attrs`` = optional [(col, value)] metadata filters (conjunctive,
+        pure filters — scoring stays corpus-global)."""
         scores = self.score_exact(terms)
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
         return topk_from_dense(scores, k)
 
     # ---------------- boolean retrieval ----------------------------------
@@ -224,6 +231,7 @@ class IndexReader:
         must: list[str] | tuple = (),
         must_not: list[str] | tuple = (),
         k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Lucene-style boolean retrieval: a hit must contain EVERY ``must``
         term and NO ``must_not`` term; ``should`` terms only affect
@@ -263,6 +271,8 @@ class IndexReader:
             if self.df.get(t, 0) == 0:
                 continue
             scores[self.postings(t)[0].astype(np.int64)] = 0.0
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
         return topk_from_dense(scores, k)
 
     # ---------------- metadata filters + facets ---------------------------
@@ -291,6 +301,59 @@ class IndexReader:
             cached = (dense, enc.dictionary.to_pylist())
             self._meta[col] = cached
         return cached
+
+    def meta_cols(self) -> list[str]:
+        """Attribute columns available for ``col:value`` filters — [] when
+        the index has no metadata sidecar (the ``search()`` surface uses
+        this to decide which ``a:b`` chunks are filters vs plain text)."""
+        if self._meta_manifest is None:
+            from wikirec_ray.stages.doc_meta import meta_manifest
+
+            try:
+                self._meta_manifest = meta_manifest(self.index_dir)
+            except FileNotFoundError:
+                return []
+        return list(self._meta_manifest.get("cols", []))
+
+    def _attr_keep_sorted(
+        self, docs: np.ndarray, attrs: list[tuple[str, str]]
+    ) -> np.ndarray:
+        """Subset of alive ``docs`` matching EVERY (col, value) attribute —
+        the one attribute-filter kernel behind every filtered route.  A doc
+        missing from the sidecar raises (stale sidecar), an unknown value
+        just matches nothing."""
+        for col, value in attrs:
+            if not len(docs):
+                return docs
+            dense, values = self._meta_codes(col)
+            codes = dense[docs.astype(np.int64)]
+            if (codes < 0).any():
+                missing = int(docs[codes < 0][0])
+                raise RuntimeError(
+                    f"doc {missing} is in the index but not in the metadata "
+                    f"sidecar — stale meta/: re-run build_doc_meta"
+                )
+            try:
+                code = values.index(value)
+            except ValueError:
+                return docs[:0]
+            docs = docs[codes == code]
+        return docs
+
+    def _apply_attrs_dense(
+        self, scores: np.ndarray, attrs: list[tuple[str, str]]
+    ) -> np.ndarray:
+        """Zero every scoring slot whose doc fails any attribute — the
+        dense-path twin of ``_attr_keep_sorted`` (same loud-stale
+        contract; ``scores`` must already have tombstones zeroed)."""
+        live = np.flatnonzero(scores > 0)
+        if not len(live):
+            return scores
+        kept = self._attr_keep_sorted(live.astype(np.uint64), attrs)
+        keep = np.zeros(len(scores), dtype=bool)
+        keep[kept.astype(np.int64)] = True
+        scores[~keep] = 0.0
+        return scores
 
     def _matched_docs(self, terms: list[str]) -> np.ndarray:
         """Sorted ALIVE doc_ids containing at least one query term — the
@@ -343,22 +406,9 @@ class IndexReader:
         boolean clauses), so results are SQL-replayable as the shared bm25
         CTEs + one attribute predicate.  A scoring doc missing from the
         sidecar raises (stale sidecar — same loud contract as
-        ``facet_counts``), never silently drops."""
-        dense, values = self._meta_codes(col)
-        scores = self.score_exact(terms)  # tombstones already zeroed
-        live = np.flatnonzero(scores > 0)
-        if (dense[live] < 0).any():
-            missing = int(live[dense[live] < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
-        try:
-            code = values.index(value)
-        except ValueError:
-            return []
-        scores[dense != code] = 0.0
-        return topk_from_dense(scores, k)
+        ``facet_counts``), never silently drops.  Shorthand for
+        ``topk(terms, k, attrs=[(col, value)])``."""
+        return self.topk(terms, k, attrs=[(col, value)])
 
     # ---------------- positional filter retrieval ------------------------
     # phrase_topk and near_topk share one shape: AND-intersect the terms'
@@ -453,7 +503,10 @@ class IndexReader:
                 return cand[:0]
         return cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
 
-    def phrase_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def phrase_topk(
+        self, terms: list[str], k: int,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing ``terms`` as an EXACT
         phrase (adjacent tokens, in order, in the indexed token stream).
         Needs a positional index (``build_index(store_positions=True)``).
@@ -487,7 +540,7 @@ class IndexReader:
         if len(terms) == 2:
             comp = f"{terms[0]} {terms[1]}"
             if comp in self.bigrams:
-                return self._precomputed_phrase_topk(terms, comp, k)
+                return self._precomputed_phrase_topk(terms, comp, k, attrs)
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
@@ -508,10 +561,13 @@ class IndexReader:
         phrase_docs = self.phrase_match_docs(
             cand, [(t, d, seg) for t, d, _, seg in postings]
         )
+        if attrs:
+            phrase_docs = self._attr_keep_sorted(phrase_docs, attrs)
         return self._filtered_topk(postings, phrase_docs, k)
 
     def _precomputed_phrase_topk(
-        self, terms: list[str], comp: str, k: int
+        self, terms: list[str], comp: str, k: int,
+        attrs: list[tuple[str, str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Precomputed-pair phrase: the composite term's doc list is exactly
         the adjacency-filtered candidate set; score with the plain per-term
@@ -520,6 +576,8 @@ class IndexReader:
             return []  # pair precomputed but occurs nowhere
         phrase_docs, _ = self.postings(comp)
         phrase_docs = self.alive(phrase_docs)
+        if attrs:
+            phrase_docs = self._attr_keep_sorted(phrase_docs, attrs)
         postings = []
         for t in terms:
             if self.df.get(t, 0) == 0:
@@ -531,7 +589,8 @@ class IndexReader:
 
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
-        self, terms: list[str], k: int, window: int = 8
+        self, terms: list[str], k: int, window: int = 8,
+        attrs: list[tuple[str, str]] | None = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing at least one anchor
         occurrence such that every query term occurs within ``window``
@@ -570,6 +629,8 @@ class IndexReader:
             (terms[anchor], postings[anchor][1], postings[anchor][3]),
             others, window,
         )
+        if attrs:
+            near_docs = self._attr_keep_sorted(near_docs, attrs)
         return self._filtered_topk(postings, near_docs, k)
 
     @staticmethod
@@ -1043,6 +1104,42 @@ def recommend(
 _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
+# col:value filter chunks: a word-shaped column name, a non-space value,
+# both flanked by chunk boundaries.  Values are RAW attribute strings (the
+# sidecar stores them untokenized), so no normalization here.
+_FILTER_CHUNK_RE = re.compile(r"(?<!\S)([A-Za-z_][A-Za-z0-9_]*):(\S+)")
+# regions a filter chunk must NOT be lifted out of: quoted phrases and the
+# NEAR(...) term list (a colon inside them is query text, not a filter)
+_PROTECTED_SPAN_RE = re.compile(
+    r'"[^"]*"|NEAR\s*/\s*\d+\s*\([^)]*\)', re.IGNORECASE
+)
+
+
+def split_filters(
+    query: str, allowed_cols
+) -> tuple[list[tuple[str, str]], str]:
+    """Lift top-level ``col:value`` chunks out of a query string ->
+    ([(col, value)...] in query order, the remaining query).  Only columns
+    in ``allowed_cols`` (the engine's sidecar columns) are filters —
+    anything else stays query text, so ``time:10`` on an index without a
+    ``time`` attribute still tokenizes as plain BM25 terms.  Chunks inside
+    quoted phrases or NEAR(...) parentheses are never lifted."""
+    allowed = set(allowed_cols or ())
+    if not allowed:
+        return [], query
+    spans = [m.span() for m in _PROTECTED_SPAN_RE.finditer(query)]
+    filters: list[tuple[str, str]] = []
+    out = query
+    # right-to-left so earlier match offsets stay valid while slicing
+    for m in reversed(list(_FILTER_CHUNK_RE.finditer(query))):
+        if m.group(1) not in allowed or any(
+            a <= m.start() < b for a, b in spans
+        ):
+            continue
+        filters.append((m.group(1), m.group(2)))
+        out = out[: m.start()] + out[m.end():]
+    filters.reverse()
+    return filters, out.strip()
 
 
 def parse_query(query: str) -> tuple[str, list[str], int | None]:
@@ -1106,18 +1203,30 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     (via the rank-safe WAND router when the engine has one).  The user-facing
     analog of the reference's title-based ``recommend`` surface
     (``/root/reference/src/wikirec/model.py:294-383``), for engines whose
-    input is text queries rather than seed articles."""
-    mode, terms, window = parse_query(query)
+    input is text queries rather than seed articles.
+
+    ``col:value`` chunks (column = one of the engine's sidecar attribute
+    columns, per ``meta_cols()``) become conjunctive metadata FILTERS on
+    any mode — ``lang:en "data stream"``, ``source:news +spark -slow`` —
+    while unknown ``a:b`` chunks stay query text.  Filtered plain-BM25
+    routes through the exact dense path (WAND's threshold admission
+    assumes unfiltered scores)."""
+    cols = engine.meta_cols() if hasattr(engine, "meta_cols") else []
+    attrs, rest = split_filters(query, cols)
+    attrs = attrs or None
+    mode, terms, window = parse_query(rest)
     if not terms:
         return []
     if mode == "phrase":
-        return engine.phrase_topk(terms, k)
+        return engine.phrase_topk(terms, k, attrs=attrs)
     if mode == "near":
-        return engine.near_topk(terms, k, window)
+        return engine.near_topk(terms, k, window, attrs=attrs)
     if mode == "boolean":
         should, must, must_not = terms
         if not should and not must:
             return []
-        return engine.boolean_topk(should, must, must_not, k)
+        return engine.boolean_topk(should, must, must_not, k, attrs=attrs)
+    if attrs:
+        return engine.topk(terms, k, attrs=attrs)
     bm25 = getattr(engine, "topk_wand", None) or engine.topk
     return bm25(terms, k)

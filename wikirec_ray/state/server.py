@@ -296,10 +296,12 @@ class RangeServer:
         if tr is not None:
             local[(tr - np.uint64(r * self.range_size)).astype(np.int64)] = 0.0
 
-    def topk(self, terms_with_idf: list[tuple[str, int, float]], k: int):
+    def topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
+             attrs: list[tuple[str, str]] | None = None):
         """This shard's top-k [(doc_id, rounded_score)] over its ranges —
         each doc lives in exactly one shard, so the global top-k is the
-        top-k of the per-shard unions."""
+        top-k of the per-shard unions.  ``attrs`` = optional [(col, value)]
+        metadata filters (pure filters — scoring stays corpus-global)."""
         from wikirec_ray.pipelines.query import topk_from_dense
 
         out: list[tuple[int, float]] = []
@@ -311,6 +313,8 @@ class RangeServer:
             local = self._score_range(r, nr, terms_with_idf)
             if local is not None:
                 self._zero_tombs(r, local)
+                if attrs:
+                    self._apply_attrs_dense(r, local, attrs)
                 out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
@@ -321,6 +325,7 @@ class RangeServer:
         must_twi: list[tuple[str, int, float]],
         not_twi: list[tuple[str, int, float]],
         k: int,
+        attrs: list[tuple[str, str]] | None = None,
     ):
         """This shard's boolean top-k: the dense per-range scoring of
         ``topk`` over ``score_twi`` (should + must occurrences), masked to
@@ -366,6 +371,8 @@ class RangeServer:
                 d, _ = chunk.postings(term)
                 local[d.astype(np.int64) - base] = 0.0
             self._zero_tombs(r, local)
+            if attrs:
+                self._apply_attrs_dense(r, local, attrs)
             out.extend((d + base, s) for d, s in topk_from_dense(local, k))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
@@ -397,6 +404,53 @@ class RangeServer:
                     cached[r] = m
             self._meta_cols[col] = cached
         return cached
+
+    def _attr_keep_sorted(
+        self, r: int, docs: np.ndarray, attrs: list[tuple[str, str]]
+    ) -> np.ndarray:
+        """Subset of range ``r``'s sorted alive ``docs`` matching EVERY
+        (col, value) attribute — the shard twin of
+        ``IndexReader._attr_keep_sorted`` (loud on a stale sidecar, an
+        unknown value matches nothing)."""
+        for col, value in attrs:
+            if not len(docs):
+                return docs
+            mr = self._meta(col).get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has live matching docs but no metadata "
+                    f"sidecar file — stale meta/: re-run build_doc_meta"
+                )
+            ids, codes, values = mr
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"live matching doc missing from metadata range {r} — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
+            try:
+                code = values.index(value)
+            except ValueError:
+                return docs[:0]
+            docs = docs[codes[sel] == code]
+        return docs
+
+    def _apply_attrs_dense(
+        self, r: int, local: np.ndarray, attrs: list[tuple[str, str]]
+    ) -> None:
+        """Zero every scoring slot of range ``r``'s dense accumulator whose
+        doc fails any attribute (tombstones must already be zeroed — a
+        tombstoned doc is not 'missing from the sidecar')."""
+        base = r * self.range_size
+        scoring = np.flatnonzero(local > 0)
+        if not len(scoring):
+            return
+        docs = (scoring + base).astype(np.uint64)
+        kept = self._attr_keep_sorted(r, docs, attrs)
+        keep = np.zeros(self.range_size, dtype=bool)
+        keep[(kept - np.uint64(base)).astype(np.int64)] = True
+        local[~keep] = 0.0
 
     def facet_counts(
         self, terms_with_tpart: list[tuple[str, int]], col: str
@@ -451,51 +505,11 @@ class RangeServer:
         value: str,
     ):
         """``topk`` restricted to docs whose ``col`` equals ``value`` —
-        the attribute is a pure filter (identical scoring via
-        ``_score_range``).  A live scoring doc missing from the sidecar
-        raises (stale sidecar — same loud contract as ``facet_counts``),
-        never silently drops."""
-        from wikirec_ray.pipelines.query import topk_from_dense
-
-        meta = self._meta(col)
-        out: list[tuple[int, float]] = []
-        for r in self.range_ids:
-            nr = self.norms.get(r)
-            if nr is None:
-                continue
-            base = r * self.range_size
-            local = self._score_range(r, nr, terms_with_idf)
-            if local is None:
-                continue
-            self._zero_tombs(r, local)  # tombstoned docs aren't "missing"
-            scoring = np.flatnonzero(local > 0)
-            if not len(scoring):
-                continue
-            mr = meta.get(r)
-            if mr is None:
-                raise RuntimeError(
-                    f"range {r} has live scoring docs but no metadata "
-                    f"sidecar file — stale meta/: re-run build_doc_meta"
-                )
-            ids, codes, values = mr
-            docs = (scoring + base).astype(np.uint64)
-            sel = np.searchsorted(ids, docs)
-            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
-                                           != docs).any():
-                raise RuntimeError(
-                    f"live scoring doc missing from metadata range {r} — "
-                    f"stale meta/: re-run build_doc_meta"
-                )
-            try:
-                code = values.index(value)
-            except ValueError:
-                continue  # no doc in this range carries the value
-            keep = np.zeros(self.range_size, bool)
-            keep[(ids[codes == code] - np.uint64(base)).astype(np.int64)] = True
-            local[~keep] = 0.0
-            out.extend((d + base, s) for d, s in topk_from_dense(local, k))
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out[:k]
+        the attribute is a pure filter (identical scoring).  A live scoring
+        doc missing from the sidecar raises (stale sidecar — same loud
+        contract as ``facet_counts``), never silently drops.  Shorthand for
+        ``topk(terms_with_idf, k, attrs=[(col, value)])``."""
+        return self.topk(terms_with_idf, k, attrs=[(col, value)])
 
     def _gather_items(self, r: int, terms_with_idf):
         """(items, cand) for one range: per-term chunk postings in QUERY
@@ -546,7 +560,8 @@ class RangeServer:
         )
 
     def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
-                    sub_comps: list[tuple[str, int]] | None = None):
+                    sub_comps: list[tuple[str, int]] | None = None,
+                    attrs: list[tuple[str, str]] | None = None):
         """This shard's exact-phrase top-k over its ranges.  ``terms_with_idf``
         is in PHRASE ORDER (duplicates kept).  Adjacency is per-doc and every
         doc lives wholly inside one range, so each range resolves its own
@@ -589,6 +604,8 @@ class RangeServer:
             pdocs = IndexReader.phrase_match_docs(
                 cand, [(t, d, c) for t, d, _, c in items]
             )
+            if attrs and len(pdocs):
+                pdocs = self._attr_keep_sorted(r, pdocs, attrs)
             if len(pdocs):
                 out.extend(self._score_filtered(nr, items, terms_with_idf,
                                                 pdocs, k))
@@ -596,7 +613,8 @@ class RangeServer:
         return out[:k]
 
     def near_topk(self, terms_with_idf: list[tuple[str, int, float]],
-                  anchor_term: str, window: int, k: int):
+                  anchor_term: str, window: int, k: int,
+                  attrs: list[tuple[str, str]] | None = None):
         """This shard's proximity (NEAR) top-k over its ranges: docs with an
         ``anchor_term`` occurrence whose ±window covers every query term,
         via the shared ``IndexReader.near_match_docs`` kernel.  The anchor
@@ -627,6 +645,8 @@ class RangeServer:
                 else:
                     others.append((term, d, chunk))
             ndocs = IndexReader.near_match_docs(cand, anchor_item, others, window)
+            if attrs and len(ndocs):
+                ndocs = self._attr_keep_sorted(r, ndocs, attrs)
             if len(ndocs):
                 out.extend(self._score_filtered(nr, items, terms_with_idf,
                                                 ndocs, k))
@@ -636,6 +656,7 @@ class RangeServer:
     def precomputed_phrase_topk(
         self, comp: str, comp_tpart: int,
         terms_with_idf: list[tuple[str, int, float]], k: int,
+        attrs: list[tuple[str, str]] | None = None,
     ):
         """Precomputed-bigram phrase: this shard's top-k using the composite
         term's posting chunks as the phrase-doc filter — no position streams
@@ -658,6 +679,8 @@ class RangeServer:
                 from wikirec_ray.state.segments import filter_tombstoned
 
                 pdocs = filter_tombstoned(pdocs, tr)
+            if attrs and len(pdocs):
+                pdocs = self._attr_keep_sorted(r, pdocs, attrs)
             if not len(pdocs):
                 continue
             items, _cand = self._gather_items(r, terms_with_idf)
@@ -688,6 +711,8 @@ class RangeShardedQueryEngine:
         # coordinator state: stats only.  Vocabulary (df) state lives in a
         # tpart-sharded DfResolver pool; per-doc state in the range shards.
         self.stats = load_stats(index_dir)
+        self.index_dir = index_dir
+        self._meta_cols_cache: list[str] | None = None
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.n_docs = self.stats["n_docs"]
         # precomputed composite terms (O(K) coordinator state, K = the
@@ -761,7 +786,24 @@ class RangeShardedQueryEngine:
                 out[t] = (tparts[t], v)
         return out
 
-    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def meta_cols(self) -> list[str]:
+        """Attribute columns available for ``col:value`` filters — [] when
+        the index has no metadata sidecar (cached; the coordinator only
+        needs the O(1) column list, per-range data lives in the shards)."""
+        if self._meta_cols_cache is None:
+            from wikirec_ray.stages.doc_meta import meta_manifest
+
+            try:
+                self._meta_cols_cache = list(
+                    meta_manifest(self.index_dir).get("cols", [])
+                )
+            except FileNotFoundError:
+                self._meta_cols_cache = []
+        return list(self._meta_cols_cache)
+
+    def topk(self, terms: list[str], k: int,
+             attrs: list[tuple[str, str]] | None = None
+             ) -> list[tuple[int, float]]:
         resolved = self._resolve_idfs(terms)
         # QUERY order with duplicates kept: a repeated query term contributes
         # once per occurrence, like the local reader, the term-sharded
@@ -773,7 +815,9 @@ class RangeShardedQueryEngine:
         if not twi:
             return []
         # phase 2: fan out to every range shard, merge partial top-k
-        partials = ray.get([s.topk.remote(twi, k) for s in self.servers])
+        partials = ray.get(
+            [s.topk.remote(twi, k, attrs) for s in self.servers]
+        )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
@@ -784,6 +828,7 @@ class RangeShardedQueryEngine:
         must: list[str] | tuple = (),
         must_not: list[str] | tuple = (),
         k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Distributed boolean retrieval (== ``IndexReader.boolean_topk``):
         every doc lives in exactly one range shard, so must/must_not
@@ -811,7 +856,7 @@ class RangeShardedQueryEngine:
             for t in sorted(set(must_not)) if resolved[t][1] != 0.0
         ]
         partials = ray.get([
-            s.boolean_topk.remote(score_twi, must_twi, not_twi, k)
+            s.boolean_topk.remote(score_twi, must_twi, not_twi, k, attrs)
             for s in self.servers
         ])
         merged = [hit for p in partials for hit in p]
@@ -848,21 +893,13 @@ class RangeShardedQueryEngine:
         """Distributed metadata-filtered top-k (==
         ``IndexReader.filtered_topk``): the attribute predicate is shard-
         local (each shard holds its ranges' sidecar), scoring is the plain
-        ``topk`` contract."""
-        resolved = self._resolve_idfs(terms)
-        twi = [
-            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
-        ]
-        if not twi:
-            return []
-        partials = ray.get([
-            s.filtered_topk.remote(twi, k, col, value) for s in self.servers
-        ])
-        merged = [hit for p in partials for hit in p]
-        merged.sort(key=lambda x: (-x[1], x[0]))
-        return merged[:k]
+        ``topk`` contract.  Shorthand for
+        ``topk(terms, k, attrs=[(col, value)])``."""
+        return self.topk(terms, k, attrs=[(col, value)])
 
-    def phrase_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def phrase_topk(self, terms: list[str], k: int,
+                    attrs: list[tuple[str, str]] | None = None
+                    ) -> list[tuple[int, float]]:
         """Distributed exact-phrase top-k (positional index required) —
         must equal ``IndexReader.phrase_topk``.  Same two phases as ``topk``;
         shards check adjacency locally because every doc lives wholly inside
@@ -878,7 +915,9 @@ class RangeShardedQueryEngine:
             if comp in self.bigrams:
                 comp_tpart = zlib.crc32(comp.encode("utf-8")) % self.n_tparts
                 partials = ray.get([
-                    s.precomputed_phrase_topk.remote(comp, comp_tpart, twi, k)
+                    s.precomputed_phrase_topk.remote(
+                        comp, comp_tpart, twi, k, attrs
+                    )
                     for s in self.servers
                 ])
                 merged = [hit for p in partials for hit in p]
@@ -896,14 +935,16 @@ class RangeShardedQueryEngine:
                 for comp in precomputed_subpairs(terms, self.bigrams)
             ]
         partials = ray.get(
-            [s.phrase_topk.remote(twi, k, sub_comps) for s in self.servers]
+            [s.phrase_topk.remote(twi, k, sub_comps, attrs)
+             for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
 
-    def near_topk(self, terms: list[str], k: int,
-                  window: int = 8) -> list[tuple[int, float]]:
+    def near_topk(self, terms: list[str], k: int, window: int = 8,
+                  attrs: list[tuple[str, str]] | None = None
+                  ) -> list[tuple[int, float]]:
         """Distributed proximity (NEAR) top-k — must equal
         ``IndexReader.near_topk``.  The coordinator fixes the anchor from
         GLOBAL dfs: idf is strictly decreasing in df, so max idf (ties →
@@ -921,7 +962,8 @@ class RangeShardedQueryEngine:
                      key=lambda t: (-resolved[t][1], t))
         twi = [(t, *resolved[t]) for t in terms]  # query order, dups kept
         partials = ray.get(
-            [s.near_topk.remote(twi, anchor, window, k) for s in self.servers]
+            [s.near_topk.remote(twi, anchor, window, k, attrs)
+             for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
