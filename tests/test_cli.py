@@ -93,10 +93,11 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     ])
     assert rc == 0 and meta["cols"] == ["lang", "source"]
     assert meta["n_docs"] > 0 and meta["skipped"] == 0
-    # resumed run: every range skips
+    # resumed run: every range skips; whitespace after commas is stripped
     rc, meta2 = run_cli(capsys, [
-        "meta", "--index", idx, "--input", docs, "--cols", "lang,source",
+        "meta", "--index", idx, "--input", docs, "--cols", "lang, source",
     ])
+    assert meta2["cols"] == ["lang", "source"]
     assert meta2["skipped"] == meta2["partitions"]
 
     from wikirec_ray.pipelines.query import IndexReader, search
@@ -112,6 +113,18 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     for col in ("lang", "source"):
         assert [(f["value"], f["n_docs"]) for f in res["facets"][col]] == \
             rd.facet_counts(["the", "table"], col, 5)
+
+    # facet terms come from the query PARSER, not raw tokenization:
+    # boolean operators / filter chunks never become facet query terms,
+    # and --facets strips whitespace after commas
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "lang:en +the table", "-k", "5",
+        "--facets", "lang, source",
+    ])
+    assert rc == 0
+    for col in ("lang", "source"):
+        assert [(f["value"], f["n_docs"]) for f in res["facets"][col]] == \
+            rd.facet_counts(["table", "the"], col, 5)
 
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):

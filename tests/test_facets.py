@@ -285,6 +285,16 @@ def test_split_filters():
         ([("lang", "de")], '"lang:en w0"')
     assert split_filters("source:news NEAR/4(lang:en w0)", cols) == \
         ([("source", "news")], "NEAR/4(lang:en w0)")
+    # a chunk STRADDLING a protected span is never lifted (would mangle
+    # the NEAR expression / leave a dangling paren)
+    assert split_filters("source:NEAR/4(w0 w1)", cols) == \
+        ([], "source:NEAR/4(w0 w1)")
+    # the chunk's own quoted value is liftable, quotes stripped
+    assert split_filters('lang:"de" w0', cols) == ([("lang", "de")], "w0")
+    assert split_filters('source:"a b" w0', cols) == \
+        ([("source", "a b")], "w0")
+    # column names match case-insensitively, canonical name emitted
+    assert split_filters("LANG:en w0", cols) == ([("lang", "en")], "w0")
 
 
 def test_attr_filters_on_every_route(fx):

@@ -155,7 +155,7 @@ def cmd_meta(args) -> int:
 
     from wikirec_ray.stages.doc_meta import build_doc_meta
 
-    cols = [c for c in args.cols.split(",") if c.strip()]
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
     manifest = build_doc_meta(
         ray.data.read_parquet(args.input, columns=["doc_id"] + cols),
         args.index,
@@ -193,18 +193,21 @@ def cmd_query(args) -> int:
         if args.facets:
             # facet counts run over docs matching ANY query term (the
             # driver-checked facet_counts contract) — filter chunks are
-            # lifted out first, then the remaining text is tokenized
-            import re as _re
-
-            from wikirec_ray.schema import TOKEN_SPLIT_REGEX
+            # lifted out first, then the remaining text goes through the
+            # SAME parser as retrieval, so NEAR/phrase/boolean syntax
+            # yields the actual query terms, not operator text
+            from wikirec_ray.pipelines.query import parse_query
 
             _, rest = split_filters(args.query, engine.meta_cols())
-            terms = [t for t in _re.split(TOKEN_SPLIT_REGEX, rest.lower())
-                     if t]
+            mode, terms, _w = parse_query(rest)
+            if mode == "boolean":
+                should, must, _must_not = terms
+                terms = should + must
             out["facets"] = {
                 col: [{"value": v, "n_docs": n}
                       for v, n in engine.facet_counts(terms, col, args.k)]
-                for col in args.facets.split(",") if col.strip()
+                for col in (c.strip() for c in args.facets.split(","))
+                if col
             }
         print(json.dumps(out))
     finally:

@@ -135,6 +135,7 @@ class IndexReader:
         self._bigrams: frozenset[str] | None = None  # lazy (composite terms)
         self._meta: dict[str, tuple[np.ndarray, list[str]]] = {}  # per col
         self._meta_manifest: dict | None = None  # one snapshot per reader
+        self._meta_cols: list[str] | None = None  # cached (incl. no-sidecar)
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -305,15 +306,22 @@ class IndexReader:
     def meta_cols(self) -> list[str]:
         """Attribute columns available for ``col:value`` filters — [] when
         the index has no metadata sidecar (the ``search()`` surface uses
-        this to decide which ``a:b`` chunks are filters vs plain text)."""
-        if self._meta_manifest is None:
-            from wikirec_ray.stages.doc_meta import meta_manifest
+        this to decide which ``a:b`` chunks are filters vs plain text).
+        The no-sidecar answer is cached too — ``search()`` asks per query
+        and the common no-sidecar reader must not pay a filesystem probe
+        each time (same snapshot-pinned contract as the served engine's
+        permanent cache)."""
+        if self._meta_cols is None:
+            if self._meta_manifest is None:
+                from wikirec_ray.stages.doc_meta import meta_manifest
 
-            try:
-                self._meta_manifest = meta_manifest(self.index_dir)
-            except FileNotFoundError:
-                return []
-        return list(self._meta_manifest.get("cols", []))
+                try:
+                    self._meta_manifest = meta_manifest(self.index_dir)
+                except FileNotFoundError:
+                    self._meta_cols = []
+                    return []
+            self._meta_cols = list(self._meta_manifest.get("cols", []))
+        return list(self._meta_cols)
 
     def _attr_keep_sorted(
         self, docs: np.ndarray, attrs: list[tuple[str, str]]
@@ -1104,10 +1112,14 @@ def recommend(
 _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
-# col:value filter chunks: a word-shaped column name, a non-space value,
-# both flanked by chunk boundaries.  Values are RAW attribute strings (the
-# sidecar stores them untokenized), so no normalization here.
-_FILTER_CHUNK_RE = re.compile(r"(?<!\S)([A-Za-z_][A-Za-z0-9_]*):(\S+)")
+# col:value filter chunks: a word-shaped column name, then either a
+# quoted value (``lang:"de"`` — the standard search-box habit) or a
+# non-space value, flanked by chunk boundaries.  Values are RAW attribute
+# strings (the sidecar stores them untokenized), so no normalization here
+# beyond stripping the value's own quotes.
+_FILTER_CHUNK_RE = re.compile(
+    r'(?<!\S)([A-Za-z_][A-Za-z0-9_]*):("[^"]*"|\S+)'
+)
 # regions a filter chunk must NOT be lifted out of: quoted phrases and the
 # NEAR(...) term list (a colon inside them is query text, not a filter)
 _PROTECTED_SPAN_RE = re.compile(
@@ -1122,21 +1134,34 @@ def split_filters(
     ([(col, value)...] in query order, the remaining query).  Only columns
     in ``allowed_cols`` (the engine's sidecar columns) are filters —
     anything else stays query text, so ``time:10`` on an index without a
-    ``time`` attribute still tokenizes as plain BM25 terms.  Chunks inside
-    quoted phrases or NEAR(...) parentheses are never lifted."""
-    allowed = set(allowed_cols or ())
-    if not allowed:
+    ``time`` attribute still tokenizes as plain BM25 terms.  Column names
+    match case-insensitively (the rest of the query surface is
+    case-normalized; the emitted filter carries the sidecar's canonical
+    name).  Chunks OVERLAPPING quoted phrases or NEAR(...) parentheses are
+    never lifted — except a chunk's own quoted value (``lang:"de"``),
+    whose quotes are stripped."""
+    canon = {c.lower(): c for c in (allowed_cols or ())}
+    if not canon:
         return [], query
     spans = [m.span() for m in _PROTECTED_SPAN_RE.finditer(query)]
     filters: list[tuple[str, str]] = []
     out = query
     # right-to-left so earlier match offsets stay valid while slicing
     for m in reversed(list(_FILTER_CHUNK_RE.finditer(query))):
-        if m.group(1) not in allowed or any(
-            a <= m.start() < b for a, b in spans
+        col = canon.get(m.group(1).lower())
+        # a protected span fully INSIDE the chunk is the chunk's own
+        # quoted value; any partial overlap means the chunk straddles a
+        # phrase/NEAR region and lifting it would mangle the query
+        if col is None or any(
+            m.start() < b and m.end() > a
+            and not (m.start() <= a and b <= m.end())
+            for a, b in spans
         ):
             continue
-        filters.append((m.group(1), m.group(2)))
+        value = m.group(2)
+        if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+            value = value[1:-1]
+        filters.append((col, value))
         out = out[: m.start()] + out[m.end():]
     filters.reverse()
     return filters, out.strip()
