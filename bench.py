@@ -240,6 +240,31 @@ def run_bench() -> dict:
     n_docs = manifest["stats"]["n_docs"]
     log(f"build: {n_docs} docs in {build_sec:.2f}s = {n_docs/build_sec:.0f} docs/s")
 
+    # -- timed: attribute sidecar build (lang/source parsed from the url —
+    # both live in the synth url path, so the meta input is one pruned
+    # column read + two vectorized regex kernels) ------------------------
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    def meta_of(b: pa.Table) -> pa.Table:
+        u = b["url"]
+        return pa.table({
+            "doc_id": pc.cast(
+                pc.replace_substring_regex(u, r"^.*/", ""), pa.int64()),
+            "source": pc.replace_substring_regex(
+                u, r"^https://[^/]+/([^/]+)/.*$", "\\1"),
+            "lang": pc.replace_substring_regex(
+                u, r"^.*/([^/]+)/\d+$", "\\1"),
+        })
+
+    t_meta = time.monotonic()
+    build_doc_meta(
+        ray.data.read_parquet(pages_dir, columns=["url"]).map_batches(
+            meta_of, batch_format="pyarrow"),
+        index_dir, ["lang", "source"], resume=False,
+    )
+    meta_build_sec = time.monotonic() - t_meta
+    log(f"doc-meta sidecar: built in {meta_build_sec:.2f}s")
+
     # -- timed: query latency (single-client, per-query wall) ------------
     queries = make_queries()
     reader = IndexReader(index_dir)
@@ -273,6 +298,36 @@ def run_bench() -> dict:
         f"wand p50={np.percentile(lw,50):.1f}ms p99={np.percentile(lw,99):.1f}ms"
     )
 
+    # -- timed: filtered / facet / boolean retrieval (local reader) -------
+    # filter values cycle through the corpus' real lang set; the boolean
+    # mix requires the first term and (on 3+-term queries) excludes the
+    # last — the MUST/MUST_NOT shape a search box actually produces
+    langs = reader.facet_counts(queries[0][1], "lang", 16)
+    langs = [v for v, _ in langs] or ["en"]
+    lat_filtered, lat_facet, lat_bool = [], [], []
+    for i, terms in queries:
+        q0 = time.monotonic()
+        reader.filtered_topk(terms, TOP_K, "lang", langs[i % len(langs)])
+        q1 = time.monotonic()
+        reader.facet_counts(terms, "source", TOP_K)
+        q2 = time.monotonic()
+        reader.boolean_topk(
+            terms, must=terms[:1],
+            must_not=terms[-1:] if len(terms) >= 3 else (), k=TOP_K)
+        q3 = time.monotonic()
+        lat_filtered.append(q1 - q0)
+        lat_facet.append(q2 - q1)
+        lat_bool.append(q3 - q2)
+    lf = np.array(lat_filtered) * 1000
+    lfc = np.array(lat_facet) * 1000
+    lb = np.array(lat_bool) * 1000
+    log(
+        f"attrs/boolean: filtered p50={np.percentile(lf,50):.1f}ms "
+        f"p99={np.percentile(lf,99):.1f}ms; facet p50={np.percentile(lfc,50):.1f}ms "
+        f"p99={np.percentile(lfc,99):.1f}ms; boolean p50={np.percentile(lb,50):.1f}ms "
+        f"p99={np.percentile(lb,99):.1f}ms"
+    )
+
     # -- timed: distributed serving (range-sharded engine — the default
     # scale-safe layout: per-shard O(range) accumulators, per-shard top-k,
     # k-way coordinator merge; VERDICT r02 item 4) ----------------------
@@ -286,11 +341,33 @@ def run_bench() -> dict:
         q0 = time.monotonic()
         eng.topk(terms, TOP_K)
         lat_serve.append(time.monotonic() - q0)
+    # served filtered/facet/boolean over the same sample (each doc lives in
+    # exactly one shard, so the coordinator's summed facet dicts are exact)
+    lat_sfil, lat_sfac, lat_sbool = [], [], []
+    for i, terms in serve_queries:
+        q0 = time.monotonic()
+        eng.filtered_topk(terms, TOP_K, "lang", langs[i % len(langs)])
+        q1 = time.monotonic()
+        eng.facet_counts(terms, "source", TOP_K)
+        q2 = time.monotonic()
+        eng.boolean_topk(
+            terms, must=terms[:1],
+            must_not=terms[-1:] if len(terms) >= 3 else (), k=TOP_K)
+        q3 = time.monotonic()
+        lat_sfil.append(q1 - q0)
+        lat_sfac.append(q2 - q1)
+        lat_sbool.append(q3 - q2)
     eng.shutdown()
     ls = np.array(lat_serve) * 1000
+    lsf = np.array(lat_sfil) * 1000
+    lsfc = np.array(lat_sfac) * 1000
+    lsb = np.array(lat_sbool) * 1000
     log(
         f"serving (range-sharded): p50={np.percentile(ls,50):.1f}ms "
-        f"p99={np.percentile(ls,99):.1f}ms over {len(ls)} queries"
+        f"p99={np.percentile(ls,99):.1f}ms over {len(ls)} queries; "
+        f"filtered p50={np.percentile(lsf,50):.1f}ms; "
+        f"facet p50={np.percentile(lsfc,50):.1f}ms; "
+        f"boolean p50={np.percentile(lsb,50):.1f}ms"
     )
 
     # -- timed: dedup operators over the corpus --------------------------
@@ -413,6 +490,7 @@ def run_bench() -> dict:
             "line_dedup": round(line_dedup_sec, 3),
             "export_sink": round(export_sec, 3),
             "index_build_positional": round(pos_build_sec, 3),
+            "meta_sidecar_build": round(meta_build_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
@@ -428,6 +506,15 @@ def run_bench() -> dict:
         "phrase_p99_ms": round(float(np.percentile(lp, 99)), 3),
         "serve_phrase_p50_ms": round(float(np.percentile(lsp, 50)), 3),
         "serve_phrase_p99_ms": round(float(np.percentile(lsp, 99)), 3),
+        "filtered_p50_ms": round(float(np.percentile(lf, 50)), 3),
+        "filtered_p99_ms": round(float(np.percentile(lf, 99)), 3),
+        "facet_p50_ms": round(float(np.percentile(lfc, 50)), 3),
+        "facet_p99_ms": round(float(np.percentile(lfc, 99)), 3),
+        "boolean_p50_ms": round(float(np.percentile(lb, 50)), 3),
+        "boolean_p99_ms": round(float(np.percentile(lb, 99)), 3),
+        "serve_filtered_p50_ms": round(float(np.percentile(lsf, 50)), 3),
+        "serve_facet_p50_ms": round(float(np.percentile(lsfc, 50)), 3),
+        "serve_boolean_p50_ms": round(float(np.percentile(lsb, 50)), 3),
         "cpu_probe_loss_pct": probe_loss,
     }
     ray.shutdown()
