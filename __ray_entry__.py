@@ -18,7 +18,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-from wikirec_ray.schema import BM25_B, BM25_K1
+from wikirec_ray.schema import BM25_B, BM25_K1, DOC_RANGE_SIZE
 from wikirec_ray.stages.analyze import DEFAULT_STOPWORDS
 
 # ---------------------------------------------------------------------------
@@ -36,6 +36,14 @@ BM25_QUERY_SET: list[tuple[int, list[str]]] = [
     (7, ["stream", "dup"]),
 ]
 BM25_K = 10
+# merged-index retrieval (stages/merge.py): documents split by id parity
+# into two "crawls" — odd ids relabeled into the next doc-range block so
+# the two indexes occupy disjoint range sets (the merge precondition) —
+# indexed independently, then combined by merge_indexes() file reuse.
+# Relabeling changes doc_id LABELS only: texts/df/avgdl are identical, so
+# the oracle is the plain BM25 SQL with the same CASE relabel applied to
+# doc_id (both for output and for the deterministic tie-break order).
+MERGE_SHIFT = DOC_RANGE_SIZE  # every sf's max doc_id < one range (8192)
 # exact-phrase retrieval (positional index): mixed shapes — common bigrams,
 # a trigram, and an absent term (must yield zero rows for that query)
 PHRASE_QUERY_SET: list[tuple[int, list[str]]] = [
@@ -394,6 +402,46 @@ def _ensure_pos_index(sf_dir: str) -> str:
         precompute_bigrams=PHRASE_PRECOMPUTE_K,
     )
     return index_dir
+
+
+def _ensure_merged_index(sf_dir: str) -> str:
+    """Two parity "crawls" over documents (odd ids relabeled by MERGE_SHIFT
+    into a disjoint doc-range block), each indexed independently with the
+    usual resume caching, then combined by ``merge_indexes`` — the merge
+    itself re-reads no corpus text (hardlinked range files + per-tpart
+    segment re-merge)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.stages.merge import merge_indexes
+
+    base = _index_dir_for(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def crawl(parity: int, shift: int):
+        def f(b: pa.Table) -> pa.Table:
+            keep = b.filter(
+                pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity)
+            )
+            ids = pc.add(keep["doc_id"], shift) if shift else keep["doc_id"]
+            return pa.table({"doc_id": ids, "text": keep["text"]})
+
+        return _documents(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    dirs = []
+    for name, parity, shift in (("even", 0, 0), ("odd", 1, MERGE_SHIFT)):
+        d = f"{base}-crawl-{name}"
+        os.makedirs(d, exist_ok=True)
+        build_index(crawl(parity, shift), d, resume=True,
+                    lineage={"input": src, "crawl": name})
+        dirs.append(d)
+    out = base + "-merged"
+    shutil.rmtree(out, ignore_errors=True)  # the merge itself is cheap
+    merge_indexes(dirs, out)
+    return out
 
 
 def _ensure_meta(sf_dir: str) -> str:
@@ -911,68 +959,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
-    def priority_lineitem_q(sf_dir):
-        # lineitem ⋈ orders with derived revenue, grouped by order priority
+    def merged_search_q(sf_dir):
+        """BM25 top-k over a MERGED index (stages/merge.py): documents
+        split by id parity into two independently built "crawls" (odd ids
+        relabeled into the next doc-range block), combined by file-reuse
+        merge.  The oracle is the plain BM25 SQL over documents with the
+        same CASE relabel — an external check that merged(build(A),
+        build(B)) == one logical index over A ∪ B."""
         import ray.data
 
-        from wikirec_ray.pipelines.joins import hash_join
+        from wikirec_ray.pipelines.query import score_queries_dataset
 
-        li = ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+        index_dir = _ensure_merged_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "terms": t, "k": BM25_K} for q, t in BM25_QUERY_SET]
         )
-        orders = ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_orderpriority"],
-        )
-        j = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
-
-        def partial(b: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
-            )
-            g = (
-                pa.table(
-                    {
-                        "o_orderpriority": b["o_orderpriority"],
-                        "qty": b["l_quantity"],
-                        "rev": rev,
-                    }
-                )
-                .group_by("o_orderpriority")
-                .aggregate([("qty", "sum"), ("rev", "sum"), ("qty", "count")])
-            )
-            return pa.table(
-                {
-                    "o_orderpriority": g["o_orderpriority"],
-                    "qty": g["qty_sum"],
-                    "rev": g["rev_sum"],
-                    "cnt": pc.cast(g["qty_count"], pa.int64()),
-                }
-            )
-
-        from ray.data.aggregate import Sum
-
-        out = (
-            j.map_batches(partial, batch_format="pyarrow")
-            .groupby("o_orderpriority")
-            .aggregate(
-                Sum("qty", alias_name="qty"),
-                Sum("rev", alias_name="rev"),
-                Sum("cnt", alias_name="n_lines"),
-            )
-        )
-        return out.map_batches(
-            lambda b: pa.table(
-                {
-                    "o_orderpriority": b["o_orderpriority"],
-                    "sum_qty": pc.round(b["qty"], ndigits=2),
-                    "revenue0": pc.round(b["rev"], ndigits=0),
-                    "n_lines": b["n_lines"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        return score_queries_dataset(qds, index_dir, k=BM25_K)
 
     def asof_join_q(sf_dir):
         import ray.data
@@ -1436,7 +1438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": value_quantiles_q,
         "top_events_per_type": top_events_per_type_q,
         "nation_revenue": nation_revenue_q,
-        "priority_lineitem": priority_lineitem_q,
+        # priority_lineitem retired late r5 to fund merged_search (its
+        # hash_join + grouped-rollup shape stays driver-checked via
+        # nation_revenue and asof_join)
+        "merged_search": merged_search_q,
         "asof_join": asof_join_q,
         "bpe_token_counts": bpe_counts_q,
     }
@@ -2598,12 +2603,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "priority_lineitem": """
-            SELECT o_orderpriority, ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue0,
-                   COUNT(*)::BIGINT AS n_lines
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderpriority
+        "merged_search": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+                SELECT q.query_id,
+                       CASE WHEN tf.doc_id % 2 = 1
+                            THEN tf.doc_id + {MERGE_SHIFT}
+                            ELSE tf.doc_id END AS doc_id,
+                       SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {BM25_K}
         """,
         "asof_join": f"""
             WITH l AS (

@@ -77,6 +77,53 @@ def test_cli_build_stats_query_append(ray_session, tmp_path, capsys, sf_dir):
     assert rc == 0 and appended["n_docs"] == built["n_docs"] + 20
 
 
+def test_cli_merge(ray_session, tmp_path, capsys, sf_dir):
+    """merge combines two CLI-built indexes (disjoint id blocks) and the
+    result answers queries like one full build over the union."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from wikirec_ray.schema import DOC_RANGE_SIZE
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(docs, columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    a, b = t.slice(0, half), t.slice(half)
+    b = pa.table({
+        "doc_id": pc.add(b["doc_id"], 2 * DOC_RANGE_SIZE),
+        "text": b["text"],
+    })
+    parts = {}
+    for name, tbl in (("a", a), ("b", b)):
+        d = tmp_path / f"corpus_{name}"
+        d.mkdir()
+        pq.write_table(tbl, d / "part-0.parquet")
+        idx = str(tmp_path / f"idx_{name}")
+        rc, built = run_cli(capsys, [
+            "build", "--input", str(d), "--format", "documents",
+            "--index", idx, "--no-resume",
+        ])
+        assert rc == 0 and built["n_docs"] == tbl.num_rows
+        parts[name] = idx
+    merged = str(tmp_path / "idx_merged")
+    rc, out = run_cli(capsys, [
+        "merge", "--index", merged, parts["a"], parts["b"],
+    ])
+    assert rc == 0 and out["n_docs"] == t.num_rows
+    assert out["merged_from"] == [parts["a"], parts["b"]]
+
+    from wikirec_ray.pipelines.query import IndexReader
+
+    rm = IndexReader(merged)
+    # hits span both input id blocks
+    hits = rm.topk(["the", "table"], 50)
+    owners = {d >= 2 * DOC_RANGE_SIZE for d, _ in hits}
+    assert owners == {True, False}
+    rc, res = run_cli(capsys, ["query", "--index", merged, "the", "-k", "5"])
+    assert rc == 0 and len(res["hits"]) == 5
+
+
 def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     """meta builds the attribute sidecar; query then honors col:value
     filter chunks and --facets reports per-value match counts — all equal

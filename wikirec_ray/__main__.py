@@ -146,6 +146,22 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge independently built indexes (disjoint doc-id blocks) by file
+    reuse — the per-crawl ingest path: no corpus re-read, no shuffle."""
+    _ensure_ray()
+    from wikirec_ray.stages.merge import merge_indexes
+
+    manifest = merge_indexes(args.inputs, args.index)
+    print(json.dumps({
+        "index": args.index,
+        "merged_from": manifest["lineage"]["merged_from"],
+        "n_docs": manifest.get("stats", {}).get("n_docs"),
+        "partitions": len(manifest.get("partitions", [])),
+    }))
+    return 0
+
+
 def cmd_meta(args) -> int:
     """Build/refresh the document-attribute sidecar (``meta/``) powering
     ``col:value`` filters and ``--facets`` — input-aware-resumable like the
@@ -314,6 +330,13 @@ def make_parser() -> argparse.ArgumentParser:
                        help="purge tombstoned docs, recompute stats")
     io(c, needs_input=False)
     c.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser(
+        "merge", help="merge independently built indexes (file reuse)")
+    mg.add_argument("--index", required=True, help="output index dir")
+    mg.add_argument("inputs", nargs="+",
+                    help="two or more input index dirs (disjoint id blocks)")
+    mg.set_defaults(fn=cmd_merge)
 
     m = sub.add_parser(
         "meta", help="build the doc-attribute sidecar (filters + facets)")

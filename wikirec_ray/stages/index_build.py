@@ -1150,7 +1150,7 @@ def build_index(
     lineage: dict | None = None,
     n_term_partitions: int | None = None,
     store_positions: bool = False,
-    precompute_bigrams: int = 0,
+    precompute_bigrams: int | list[tuple[str, str]] = 0,
 ) -> dict:
     """Build the full index from a Dataset(id, text, …); returns the manifest.
 
@@ -1178,7 +1178,18 @@ def build_index(
     two df≈N position streams.  Doc lengths/norms count unigrams only, so
     BM25 scores are unchanged.  Recorded in the manifest — resuming with a
     different value triggers a full rebuild.
+
+    ``precompute_bigrams`` also accepts an EXPLICIT pair list: the
+    selection pre-pass is skipped and exactly those pairs are indexed as
+    composite terms.  This is the frozen-set pattern for multi-index
+    workflows (``merge_indexes`` requires every input to share one pair
+    set; ``append_index`` reuses the build's set the same way) — select
+    once on the first crawl, pass the list to every later crawl's build.
     """
+    explicit_pairs: list[tuple[str, str]] | None = None
+    if not isinstance(precompute_bigrams, int):
+        explicit_pairs = [tuple(p) for p in precompute_bigrams]
+        precompute_bigrams = len(explicit_pairs)
     n_tparts = int(n_term_partitions or N_TERM_PARTITIONS)
     prior = load_manifest(index_dir) if resume else None
     if prior is not None and prior.get("version") != MANIFEST_VERSION:
@@ -1193,6 +1204,11 @@ def build_index(
         prior.get("stats", {}).get("precompute_bigrams", 0)
     ) != int(precompute_bigrams):
         prior = None  # composite-term set differs — postings content changes
+    if prior is not None and explicit_pairs is not None:
+        from wikirec_ray.state.segments import load_bigram_pairs
+
+        if set(load_bigram_pairs(index_dir)) != set(explicit_pairs):
+            prior = None  # same count, different pairs — content changes
     prior_parts = (prior or {}).get("partitions", {})
     t_start = time.monotonic()
 
@@ -1213,7 +1229,7 @@ def build_index(
     try:
         return _build_index_inner(
             ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-            n_tparts, store_positions, precompute_bigrams,
+            n_tparts, store_positions, precompute_bigrams, explicit_pairs,
         )
     finally:
         ctx.min_parallelism = prev_min_parallelism
@@ -1221,17 +1237,22 @@ def build_index(
 
 def _build_index_inner(
     ds, index_dir, id_col, text_col, resume, lineage, prior_parts, t_start,
-    n_tparts, store_positions=False, precompute_bigrams=0,
+    n_tparts, store_positions=False, precompute_bigrams=0, explicit_pairs=None,
 ) -> dict:
     # -- optional pre-pass: select + broadcast the frequent-bigram set ----
     # (one extra streaming read of the corpus and one pair-vocabulary-sized
-    # groupby; the pair list is ray.put once and memoized per worker)
+    # groupby; the pair list is ray.put once and memoized per worker).
+    # An explicit pair list skips the selection — the frozen-set pattern
+    # for cross-index consistency (merge_indexes / append_index).
     bigram_pairs: list[tuple[str, str]] = []
     bigram_ref = None
     if precompute_bigrams:
         from wikirec_ray.stages.phrases import top_bigrams_by_df
 
-        bigram_pairs = top_bigrams_by_df(ds, int(precompute_bigrams), text_col)
+        if explicit_pairs is not None:
+            bigram_pairs = list(explicit_pairs)
+        else:
+            bigram_pairs = top_bigrams_by_df(ds, int(precompute_bigrams), text_col)
         if bigram_pairs:
             import ray as _ray_put
 
