@@ -37,13 +37,17 @@ BM25_QUERY_SET: list[tuple[int, list[str]]] = [
 ]
 BM25_K = 10
 # merged-index retrieval (stages/merge.py): documents split by id parity
-# into two "crawls" — odd ids relabeled into the next doc-range block so
-# the two indexes occupy disjoint range sets (the merge precondition) —
-# indexed independently, then combined by merge_indexes() file reuse.
-# Relabeling changes doc_id LABELS only: texts/df/avgdl are identical, so
-# the oracle is the plain BM25 SQL with the same CASE relabel applied to
-# doc_id (both for output and for the deterministic tie-break order).
-MERGE_SHIFT = DOC_RANGE_SIZE  # every sf's max doc_id < one range (8192)
+# into two "crawls" — odd ids relabeled PAST the corpus' own doc ranges
+# (shift = next doc-range boundary above max(doc_id), derived from the
+# corpus on BOTH sides so any sf size satisfies the disjoint-range merge
+# precondition) — indexed independently, then combined by merge_indexes()
+# file reuse.  Relabeling changes doc_id LABELS only: texts/df/avgdl are
+# identical, so the oracle is the plain BM25 SQL with the same CASE
+# relabel applied to doc_id (output values AND the tie-break order).
+MERGE_SHIFT_SQL = (
+    f"(SELECT (CAST(FLOOR(MAX(doc_id) / {DOC_RANGE_SIZE}.0) AS BIGINT) + 1)"
+    f" * {DOC_RANGE_SIZE} FROM documents)"
+)
 # exact-phrase retrieval (positional index): mixed shapes — common bigrams,
 # a trigram, and an absent term (must yield zero rows for that query)
 PHRASE_QUERY_SET: list[tuple[int, list[str]]] = [
@@ -405,11 +409,12 @@ def _ensure_pos_index(sf_dir: str) -> str:
 
 
 def _ensure_merged_index(sf_dir: str) -> str:
-    """Two parity "crawls" over documents (odd ids relabeled by MERGE_SHIFT
-    into a disjoint doc-range block), each indexed independently with the
-    usual resume caching, then combined by ``merge_indexes`` — the merge
-    itself re-reads no corpus text (hardlinked range files + per-tpart
-    segment re-merge)."""
+    """Two parity "crawls" over documents (odd ids relabeled past the
+    corpus' own doc ranges — the corpus-derived shift matching
+    MERGE_SHIFT_SQL), each indexed independently with the usual resume
+    caching, then combined by ``merge_indexes`` — the merge itself
+    re-reads no corpus text (hardlinked range files + per-tpart segment
+    re-merge)."""
     import shutil
 
     import pyarrow as pa
@@ -420,6 +425,8 @@ def _ensure_merged_index(sf_dir: str) -> str:
 
     base = _index_dir_for(sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
+    max_id = int(_documents(sf_dir, columns=("doc_id",)).max("doc_id"))
+    shift = (max_id // DOC_RANGE_SIZE + 1) * DOC_RANGE_SIZE
 
     def crawl(parity: int, shift: int):
         def f(b: pa.Table) -> pa.Table:
@@ -432,10 +439,10 @@ def _ensure_merged_index(sf_dir: str) -> str:
         return _documents(sf_dir).map_batches(f, batch_format="pyarrow")
 
     dirs = []
-    for name, parity, shift in (("even", 0, 0), ("odd", 1, MERGE_SHIFT)):
+    for name, parity, sh in (("even", 0, 0), ("odd", 1, shift)):
         d = f"{base}-crawl-{name}"
         os.makedirs(d, exist_ok=True)
-        build_index(crawl(parity, shift), d, resume=True,
+        build_index(crawl(parity, sh), d, resume=True,
                     lineage={"input": src, "crawl": name})
         dirs.append(d)
     out = base + "-merged"
@@ -2609,7 +2616,7 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT q.query_id,
                        CASE WHEN tf.doc_id % 2 = 1
-                            THEN tf.doc_id + {MERGE_SHIFT}
+                            THEN tf.doc_id + {MERGE_SHIFT_SQL}
                             ELSE tf.doc_id END AS doc_id,
                        SUM({score}) AS score
                 FROM q JOIN tf USING (term) JOIN dfv USING (term)

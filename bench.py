@@ -904,43 +904,52 @@ def run_incremental() -> None:
     from wikirec_ray.stages.merge import merge_indexes
 
     bnd = ((n_total // 2) // DOC_RANGE_SIZE) * DOC_RANGE_SIZE
-    all_files = base_files + extra_files
+    merge_sec = crawl_builds_sec = None
+    merge_mismatch = -1
+    if bnd == 0:
+        # corpus smaller than two doc ranges: the split degenerates to an
+        # empty crawl A — skip rather than report a meaningless speedup
+        log("crawl-merge leg SKIPPED: corpus spans < 2 doc ranges "
+            f"({n_total} docs, range size {DOC_RANGE_SIZE})")
+    else:
+        all_files = base_files + extra_files
 
-    def idslice(lo, hi):
-        return corpus(all_files).map_batches(
-            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
-                pc.greater_equal(b["doc_id"], lo), pc.less(b["doc_id"], hi))),
-            batch_format="pyarrow",
+        def idslice(lo, hi):
+            return corpus(all_files).map_batches(
+                lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                    pc.greater_equal(b["doc_id"], lo), pc.less(b["doc_id"], hi))),
+                batch_format="pyarrow",
+            )
+
+        idx_a = os.path.join(CACHE_ROOT, f"bench-crawl-a-{NUM_CPUS}")
+        idx_b = os.path.join(CACHE_ROOT, f"bench-crawl-b-{NUM_CPUS}")
+        idx_m = os.path.join(CACHE_ROOT, f"bench-merged-{NUM_CPUS}")
+        for d in (idx_a, idx_b, idx_m):
+            shutil.rmtree(d, ignore_errors=True)
+        t_cb = time.monotonic()
+        build_index(idslice(0, bnd), idx_a, resume=False)
+        build_index(idslice(bnd, n_total), idx_b, resume=False)
+        crawl_builds_sec = time.monotonic() - t_cb
+        t_m = time.monotonic()
+        merge_indexes([idx_a, idx_b], idx_m)
+        merge_sec = time.monotonic() - t_m
+        from wikirec_ray.pipelines.query import IndexReader
+
+        rm, rf = IndexReader(idx_m), IndexReader(idx_full)
+        merge_mismatch = sum(
+            rm.topk(list(t), TOP_K) != rf.topk(list(t), TOP_K)
+            for t in (["the"], ["the", "table"], ["vector", "hash", "join"])
         )
-
-    idx_a = os.path.join(CACHE_ROOT, f"bench-crawl-a-{NUM_CPUS}")
-    idx_b = os.path.join(CACHE_ROOT, f"bench-crawl-b-{NUM_CPUS}")
-    idx_m = os.path.join(CACHE_ROOT, f"bench-merged-{NUM_CPUS}")
-    for d in (idx_a, idx_b, idx_m):
-        shutil.rmtree(d, ignore_errors=True)
-    t_cb = time.monotonic()
-    build_index(idslice(0, bnd), idx_a, resume=False)
-    build_index(idslice(bnd, n_total), idx_b, resume=False)
-    crawl_builds_sec = time.monotonic() - t_cb
-    t_m = time.monotonic()
-    merge_indexes([idx_a, idx_b], idx_m)
-    merge_sec = time.monotonic() - t_m
-    from wikirec_ray.pipelines.query import IndexReader
-
-    rm, rf = IndexReader(idx_m), IndexReader(idx_full)
-    merge_mismatch = sum(
-        rm.topk(list(t), TOP_K) != rf.topk(list(t), TOP_K)
-        for t in (["the"], ["the", "table"], ["vector", "hash", "join"])
-    )
 
     log(
         f"incremental: base(90%) {base_sec:.2f}s; resume append {incr_sec:.2f}s "
         f"({len(enc)} partitions encoded, {len(skp)} skipped); delta append "
         f"{delta_sec:.2f}s ({len(enc_d)} partitions rewritten); "
         f"full rebuild {full_sec:.2f}s; positional delta {pos_delta_sec:.2f}s "
-        f"({len(enc_pd)} rewritten) vs positional full {pos_full_sec:.2f}s; "
-        f"crawl merge {merge_sec:.2f}s (two crawl builds {crawl_builds_sec:.2f}s, "
-        f"{merge_mismatch} result mismatches vs full)"
+        f"({len(enc_pd)} rewritten) vs positional full {pos_full_sec:.2f}s"
+        + (f"; crawl merge {merge_sec:.2f}s (two crawl builds "
+           f"{crawl_builds_sec:.2f}s, {merge_mismatch} result mismatches "
+           f"vs full)" if merge_sec is not None else "")
     )
     print(json.dumps({
         "metric": "delta_append_sec",
@@ -953,11 +962,13 @@ def run_incremental() -> None:
             "full_rebuild_sec": round(full_sec, 3),
             "pos_delta_append_sec": round(pos_delta_sec, 3),
             "pos_full_rebuild_sec": round(pos_full_sec, 3),
-            "crawl_builds_sec": round(crawl_builds_sec, 3),
-            "merge_sec": round(merge_sec, 3),
+            **({"crawl_builds_sec": round(crawl_builds_sec, 3),
+                "merge_sec": round(merge_sec, 3)}
+               if merge_sec is not None else {}),
         },
-        "merge_result_mismatches": int(merge_mismatch),
-        "merge_speedup_vs_full": round(full_sec / max(merge_sec, 1e-9), 2),
+        **({"merge_result_mismatches": int(merge_mismatch),
+            "merge_speedup_vs_full": round(full_sec / max(merge_sec, 1e-9), 2)}
+           if merge_sec is not None else {}),
         "docs": int(n_total),
         "appended_docs": int(n_total - n_base),
         "resume_partitions_encoded": len(enc),

@@ -112,11 +112,14 @@ def test_merge_precomputed_bigrams(ray_session, tmp_path):
     from wikirec_ray.state.segments import load_bigram_pairs
 
     pairs = load_bigram_pairs(dir_a)
-    # diverging sets must be rejected
-    build_index(_ds(ids_b, tx_b), dir_b, precompute_bigrams=8, **kw)
-    if set(load_bigram_pairs(dir_b)) != set(pairs):
-        with pytest.raises(ValueError, match="bigram"):
-            merge_indexes([dir_a, dir_b], str(tmp_path / "pm_bad"))
+    # diverging sets must be rejected UNCONDITIONALLY: build B with an
+    # explicit pair list of the same SIZE but different content
+    build_index(_ds(ids_b, tx_b), dir_b,
+                precompute_bigrams=pairs[:-1] + [("zz", "qq")], **kw)
+    bad_out = str(tmp_path / "pm_bad")
+    with pytest.raises(ValueError, match="bigram"):
+        merge_indexes([dir_a, dir_b], bad_out)
+    assert not os.path.exists(bad_out)  # rejected before any write
     # equal sets merge, and the composite fast path serves the union
     dir_b2 = str(tmp_path / "pb2")
     build_index(_ds(ids_b, tx_b), dir_b2, precompute_bigrams=pairs, **kw)
@@ -133,9 +136,16 @@ def test_merge_precomputed_bigrams(ray_session, tmp_path):
 
 
 def test_merge_meta_sidecars(built, tmp_path):
+    import shutil
+
     from wikirec_ray.stages.doc_meta import build_doc_meta
 
     (ids_a, tx_a), (ids_b, tx_b) = _corpora()
+    # work on COPIES: the module-scoped fixture indexes must stay
+    # sidecar-free for the other tests
+    dir_a, dir_b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    shutil.copytree(built["a"], dir_a)
+    shutil.copytree(built["b"], dir_b)
 
     def attrs(ids):
         return _ds(ids, ["" for _ in ids]).map_batches(
@@ -148,15 +158,16 @@ def test_merge_meta_sidecars(built, tmp_path):
             batch_format="pyarrow",
         )
 
-    build_doc_meta(attrs(ids_a), built["a"], ["lang"], resume=False)
-    # mixed with/without sidecars must raise (silent absence would only
-    # surface at query time)
+    build_doc_meta(attrs(ids_a), dir_a, ["lang"], resume=False)
+    # mixed with/without sidecars must raise BEFORE any write (silent
+    # absence would only surface at query time)
     merged_mixed = str(tmp_path / "mixed")
     with pytest.raises(ValueError, match="sidecar"):
-        merge_indexes([built["a"], built["b"]], merged_mixed)
-    build_doc_meta(attrs(ids_b), built["b"], ["lang"], resume=False)
+        merge_indexes([dir_a, dir_b], merged_mixed)
+    assert not os.path.exists(merged_mixed)
+    build_doc_meta(attrs(ids_b), dir_b, ["lang"], resume=False)
     merged = str(tmp_path / "meta_merged")
-    merge_indexes([built["a"], built["b"]], merged)
+    merge_indexes([dir_a, dir_b], merged)
     rm = IndexReader(merged)
     assert rm.meta_cols() == ["lang"]
     full_counts = {}

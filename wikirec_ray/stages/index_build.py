@@ -1141,6 +1141,39 @@ def _merge_tpart(
     return [entry, df_entry]
 
 
+def run_tpart_merges(
+    index_dir: str,
+    inputs_by_tpart: dict[int, dict[str, str]],
+    prior_parts: dict,
+    resume: bool,
+    tparts: list[int] | None = None,
+) -> list[dict]:
+    """Drive ``_merge_tpart`` as one Ray task per tpart and return the
+    decoded manifest entries — the shared merge driver for build, append
+    and ``merge_indexes`` (three call sites, one block to change)."""
+    if tparts is None:
+        tparts = sorted(inputs_by_tpart)
+    return [
+        json.loads(r["entry"])
+        for r in ray.data.from_items([{"tpart": t} for t in tparts])
+        .map_batches(
+            lambda b: _entry_table(
+                [
+                    e
+                    for t in b["tpart"].to_pylist()
+                    for e in _merge_tpart(
+                        index_dir, int(t), prior_parts, resume,
+                        inputs_by_tpart[int(t)],
+                    )
+                ]
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .take_all()
+    ]
+
+
 def build_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -1286,24 +1319,7 @@ def _build_index_inner(
     inputs_by_tpart: dict[int, dict[str, str]] = {t: {} for t in tparts}
     for e in post_entries:
         inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
-    merge_entries = [
-        json.loads(r["entry"])
-        for r in ray.data.from_items([{"tpart": t} for t in tparts])
-        .map_batches(
-            lambda b: _entry_table(
-                [
-                    e
-                    for t in b["tpart"].to_pylist()
-                    for e in _merge_tpart(
-                        index_dir, int(t), prior_parts, resume, inputs_by_tpart[int(t)]
-                    )
-                ]
-            ),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        .take_all()
-    ]
+    merge_entries = run_tpart_merges(index_dir, inputs_by_tpart, prior_parts, resume)
 
     # -- persist the bigram pair set the postings were built with ---------
     bigram_entries: list[dict] = []
@@ -1488,24 +1504,9 @@ def append_index(
     for e in post_entries:
         if e["tpart"] in inputs_by_tpart:
             inputs_by_tpart[e["tpart"]][os.path.basename(e["key"])] = e["md5"]
-    merge_entries = [
-        json.loads(r["entry"])
-        for r in ray.data.from_items([{"tpart": t} for t in touched_tparts])
-        .map_batches(
-            lambda b: _entry_table(
-                [
-                    e
-                    for t in b["tpart"].to_pylist()
-                    for e in _merge_tpart(
-                        index_dir, int(t), prior_parts, True, inputs_by_tpart[int(t)]
-                    )
-                ]
-            ),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        .take_all()
-    ]
+    merge_entries = run_tpart_merges(
+        index_dir, inputs_by_tpart, prior_parts, True, tparts=touched_tparts
+    )
     kept_meta = [
         dict(v, key=k, skipped=True)
         for k, v in prior_parts.items()

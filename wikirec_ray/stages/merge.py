@@ -46,9 +46,6 @@ import os
 import shutil
 import time
 
-import ray
-import ray.data
-
 from wikirec_ray.state.segments import (
     load_bigram_pairs,
     load_manifest,
@@ -90,18 +87,24 @@ def merge_indexes(
     Metadata sidecars merge when EVERY input has one with the same
     columns (``merge_meta=False`` skips them); a mix of with/without
     raises — a merged index silently missing some docs' attributes would
-    fail at query time instead of merge time."""
+    fail at query time instead of merge time.
+
+    ALL preconditions (including the sidecar ones) are checked before the
+    first file is written, so a rejected merge leaves ``out_dir`` exactly
+    as it was."""
     t_start = time.monotonic()
     if len(in_dirs) < 2:
         raise ValueError("merge_indexes: need at least two input indexes")
-    if os.path.exists(os.path.join(out_dir, "manifest.json")):
-        raise ValueError(f"merge_indexes: {out_dir} already holds an index")
+    # out_dir must be absent or empty — NOT merely manifest-less: readers
+    # enumerate norms/df/segments with os.listdir, so leftovers from a
+    # crashed earlier merge would silently leak into the merged index
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(
+            f"merge_indexes: {out_dir} already exists and is non-empty — "
+            f"remove it (a previous run may have left partial output)"
+        )
 
-    from wikirec_ray.stages.index_build import (
-        MANIFEST_VERSION,
-        _entry_table,
-        _merge_tpart,
-    )
+    from wikirec_ray.stages.index_build import MANIFEST_VERSION, run_tpart_merges
 
     manifests, stats_list = [], []
     for d in in_dirs:
@@ -156,6 +159,9 @@ def merge_indexes(
                     )
                 owner_of_range[r] = d
 
+    # sidecar preconditions — validated BEFORE anything is written
+    metas = _validate_meta_sidecars(in_dirs) if merge_meta else None
+
     # -- copy (hardlink) the range files; carry their manifest entries ----
     os.makedirs(out_dir, exist_ok=True)
     partitions: dict[str, dict] = {}
@@ -176,25 +182,7 @@ def merge_indexes(
                     os.path.basename(key)] = e["md5"]
 
     # -- re-merge segments + df: one Ray task per tpart, no shuffle -------
-    tparts = sorted(inputs_by_tpart)
-    merge_entries = [
-        json.loads(r["entry"])
-        for r in ray.data.from_items([{"tpart": t} for t in tparts])
-        .map_batches(
-            lambda b: _entry_table(
-                [
-                    e
-                    for t in b["tpart"].to_pylist()
-                    for e in _merge_tpart(
-                        out_dir, int(t), {}, False, inputs_by_tpart[int(t)]
-                    )
-                ]
-            ),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        .take_all()
-    ]
+    merge_entries = run_tpart_merges(out_dir, inputs_by_tpart, {}, False)
     for e in merge_entries:
         partitions[e["key"]] = {k: v for k, v in e.items() if k != "key"}
 
@@ -228,20 +216,21 @@ def merge_indexes(
     }
     save_manifest(out_dir, manifest)
 
-    if merge_meta:
-        _merge_meta_sidecars(in_dirs, out_dir)
+    if metas is not None:
+        _merge_meta_sidecars(in_dirs, out_dir, metas)
     return manifest
 
 
-def _merge_meta_sidecars(in_dirs: list[str], out_dir: str) -> None:
-    """Merge the inputs' attribute sidecars (all-or-none): disjoint ranges
-    make this pure file reuse plus a summed manifest."""
-    from wikirec_ray.stages.doc_meta import META_MANIFEST_VERSION, _meta_dir
+def _validate_meta_sidecars(in_dirs: list[str]) -> list[dict] | None:
+    """Precondition check for the sidecar merge (run BEFORE any write):
+    all-or-none presence and one shared layout.  Returns the loaded meta
+    manifests, or None when no input has a sidecar."""
+    from wikirec_ray.stages.doc_meta import _meta_dir
 
     metas = [load_manifest(_meta_dir(d)) for d in in_dirs]
     have = [m is not None for m in metas]
     if not any(have):
-        return
+        return None
     if not all(have):
         missing = [d for d, h in zip(in_dirs, have) if not h]
         raise ValueError(
@@ -260,6 +249,17 @@ def _merge_meta_sidecars(in_dirs: list[str], out_dir: str) -> None:
                 f"{in_dirs[0]} and {d} (cols/range_size/version) — rebuild "
                 f"with one shared column set"
             )
+    return metas
+
+
+def _merge_meta_sidecars(
+    in_dirs: list[str], out_dir: str, metas: list[dict]
+) -> None:
+    """Merge the (pre-validated) attribute sidecars: disjoint ranges make
+    this pure file reuse plus a summed manifest."""
+    from wikirec_ray.stages.doc_meta import META_MANIFEST_VERSION, _meta_dir
+
+    base = metas[0]
     out_meta = _meta_dir(out_dir)
     partitions: dict[str, dict] = {}
     for d, m in zip(in_dirs, metas):
