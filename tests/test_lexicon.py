@@ -1,0 +1,179 @@
+"""Vocabulary lexicon: prefix suggest (autocomplete) + fuzzy expansion.
+
+Oracles: DuckDB ``levenshtein`` / ``LIKE`` over the same (term, df)
+vocabulary — the exact predicates the module's docstring promises
+(``pipelines/lexicon.py``); plus multiset-expansion parity against the
+plain BM25 scorer (the engine-wide duplicate-occurrence contract).
+"""
+
+import json
+
+import duckdb
+import numpy as np
+import pytest
+
+from wikirec_ray.pipelines.lexicon import (
+    FuzzyIndex,
+    PrefixIndex,
+    edit_distance_le1,
+)
+from wikirec_ray.pipelines.query import IndexReader, parse_query, search
+
+VOCAB = {
+    "spark": 10, "spars": 3, "sparse": 7, "stark": 5, "shark": 5,
+    "join": 9, "joins": 2, "joint": 2, "coin": 4, "jon": 1,
+    "a": 6, "ab": 6, "ba": 6, "b": 2, "table": 8, "tale": 3,
+    "0x9": 1, "sp": 2, "spa": 2,
+}
+
+
+def _vocab_rel(con):
+    con.execute("CREATE OR REPLACE TABLE vocab(term VARCHAR, df BIGINT)")
+    con.executemany("INSERT INTO vocab VALUES (?, ?)", list(VOCAB.items()))
+
+
+def test_edit_distance_le1_matches_duckdb():
+    con = duckdb.connect()
+    words = sorted(VOCAB) + ["", "x", "sparkly", "tabel", "jion", "abba"]
+    for a in words:
+        for b in words:
+            sql = con.execute(
+                "SELECT levenshtein(?, ?) <= 1", [a, b]
+            ).fetchone()[0]
+            assert edit_distance_le1(a, b) == bool(sql), (a, b)
+
+
+@pytest.mark.parametrize("prefix", ["", "s", "sp", "spar", "spark", "j", "zz", "0", "ta"])
+@pytest.mark.parametrize("k", [1, 3, 100])
+def test_prefix_suggest_matches_sql(prefix, k):
+    con = duckdb.connect()
+    _vocab_rel(con)
+    want = con.execute(
+        "SELECT term, df FROM vocab WHERE starts_with(term, ?) "
+        "ORDER BY df DESC, term LIMIT ?",
+        [prefix, k],
+    ).fetchall()
+    assert PrefixIndex(VOCAB).suggest(prefix, k) == want
+
+
+def test_prefix_suggest_k_nonpositive():
+    assert PrefixIndex(VOCAB).suggest("s", 0) == []
+    assert PrefixIndex(VOCAB).suggest("s", -1) == []
+
+
+@pytest.mark.parametrize(
+    "q", sorted(VOCAB) + ["tabel", "jion", "sparkk", "park", "", "zz", "abba"]
+)
+def test_fuzzy_expand_equals_levenshtein(q):
+    con = duckdb.connect()
+    _vocab_rel(con)
+    want = con.execute(
+        "SELECT term, df FROM vocab WHERE levenshtein(?, term) <= 1 "
+        "ORDER BY df DESC, term",
+        [q],
+    ).fetchall()
+    assert FuzzyIndex(VOCAB).expand(q) == want
+
+
+def test_reader_suggest_and_fuzzy_against_df(built_index):
+    index_dir, _ = built_index
+    rd = IndexReader(index_dir)
+    uni = {t: n for t, n in rd.df.items() if " " not in t}
+
+    got = rd.suggest("s", 5)
+    want = sorted(
+        ((t, n) for t, n in uni.items() if t.startswith("s")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert got == want
+    # empty prefix = whole-vocabulary ranking, the degenerate case
+    assert rd.suggest("", 3) == sorted(
+        uni.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+
+    q = next(iter(want))[0]
+    exp = rd.fuzzy_expand(q)
+    brute = sorted(
+        ((t, n) for t, n in uni.items() if edit_distance_le1(q, t)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert exp == brute and (q, uni[q]) in exp
+
+
+def test_reader_fuzzy_topk_is_expanded_multiset(built_index):
+    index_dir, _ = built_index
+    rd = IndexReader(index_dir)
+    terms = ["spark", "jion"]  # one indexed, one typo
+    expanded = [v for t in terms for v, _ in rd.fuzzy_expand(t)]
+    assert rd.fuzzy_topk(terms, 10) == rd.topk(expanded, 10)
+    # duplicate-occurrence contract: a repeated fuzzy term expands TWICE
+    twice = rd.fuzzy_topk(["spark", "spark"], 10)
+    assert twice == rd.topk(
+        [v for _ in range(2) for v, _ in rd.fuzzy_expand("spark")], 10
+    )
+    assert rd.fuzzy_topk(["qqqqqqqq"], 10) == []
+
+
+def test_parse_query_fuzzy_mode():
+    assert parse_query("tabel~ join") == ("fuzzy", (["join"], ["tabel"]), None)
+    assert parse_query("a~ b~") == ("fuzzy", ([], ["a", "b"]), None)
+    # boolean / phrase / NEAR outrank fuzzy; inner ~ falls to the tokenizer
+    assert parse_query("+must tabel~")[0] == "boolean"
+    assert parse_query('"tabel~ x"')[0] == "phrase"
+    assert parse_query("NEAR/3(tabel~ x)")[0] == "near"
+    # a bare ~ or mid-chunk ~ is not an operator
+    assert parse_query("~") == ("bm25", [], None)
+    assert parse_query("ta~bel") == ("bm25", ["ta", "bel"], None)
+    # hyphenated chunk: the whole chunk's tokens go fuzzy
+    assert parse_query("new-york~") == ("fuzzy", ([], ["new", "york"]), None)
+
+
+def test_search_fuzzy_routes_and_guards(built_index):
+    index_dir, _ = built_index
+    rd = IndexReader(index_dir)
+    expanded = [v for v, _ in rd.fuzzy_expand("spark")]
+    assert search(rd, "spark~ join", k=5) == rd.topk(expanded + ["join"], 5)
+
+    class NoLex:
+        def topk(self, terms, k, attrs=None):  # pragma: no cover
+            return []
+
+    with pytest.raises(ValueError, match="fuzzy"):
+        search(NoLex(), "spark~")
+    # all-absent expansion -> empty, not an error
+    assert search(rd, "qqqqqqqq~") == []
+
+
+def test_lexicon_excludes_precomputed_bigrams(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma alpha beta"} for i in range(8)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = str(tmp_path / "bg")
+    build_index(ds, out, resume=False, precompute_bigrams=4)
+    rd = IndexReader(out)
+    assert rd.bigrams  # composite "w1 w2" terms exist in df...
+    sugg = rd.suggest("", 100)
+    assert sugg and all(" " not in t for t, _ in sugg)  # ...but never surface
+    assert all(" " not in t for t, _ in rd.fuzzy_expand("alpha"))
+
+
+def test_cli_suggest(built_index, capsys):
+    from wikirec_ray.__main__ import main
+
+    index_dir, _ = built_index
+    rc = main(["suggest", "--index", index_dir, "sp", "-k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rd = IndexReader(index_dir)
+    assert out == {
+        "prefix": "sp",
+        "suggestions": [
+            {"term": t, "df": n} for t, n in rd.suggest("sp", 3)
+        ],
+    }

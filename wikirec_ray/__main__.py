@@ -146,6 +146,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Prefix autocomplete over the index vocabulary (df-ranked).  No Ray
+    session needed — a driver-side lookup over the df files."""
+    from wikirec_ray.pipelines.query import IndexReader
+
+    rd = IndexReader(args.index)
+    print(json.dumps({
+        "prefix": args.prefix,
+        "suggestions": [
+            {"term": t, "df": n} for t, n in rd.suggest(args.prefix, args.k)
+        ],
+    }))
+    return 0
+
+
 def cmd_merge(args) -> int:
     """Merge independently built indexes (disjoint doc-id blocks) by file
     reuse — the per-crawl ingest path: no corpus re-read, no shuffle."""
@@ -330,6 +345,13 @@ def make_parser() -> argparse.ArgumentParser:
                        help="purge tombstoned docs, recompute stats")
     io(c, needs_input=False)
     c.set_defaults(fn=cmd_compact)
+
+    sg = sub.add_parser(
+        "suggest", help="prefix autocomplete over the index vocabulary")
+    sg.add_argument("--index", required=True, help="index dir")
+    sg.add_argument("prefix", help="term prefix (empty = whole vocabulary)")
+    sg.add_argument("-k", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
 
     mg = sub.add_parser(
         "merge", help="merge independently built indexes (file reuse)")

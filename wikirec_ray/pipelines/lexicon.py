@@ -1,0 +1,117 @@
+"""Vocabulary-level query helpers: prefix suggestions (autocomplete) and
+fuzzy term expansion (typo-tolerant retrieval).
+
+Both operate on the index's (term, df) vocabulary — the same O(vocab)
+state the df sidecar already materializes (``df/df-*.parquet``) — not on
+postings, so they are cheap to host anywhere the df files are readable.
+At cluster scale the vocabulary is tpart-sharded; a suggest/fuzzy tier
+loads only its tparts' df files (``load_df_tparts``) and the coordinator
+merges per-shard top-k — each term lives in exactly ONE tpart, so the
+merge is a plain concatenation, never a re-aggregation.
+
+- ``PrefixIndex``: sorted term array + aligned df array; a prefix lookup
+  is two ``searchsorted`` probes and a vectorized top-k over the matched
+  slice (count-desc, term-asc — the deterministic autocomplete order).
+- ``FuzzyIndex``: SymSpell-style deletion neighborhood for edit distance
+  ≤ 1.  Each vocabulary term is indexed under itself and its 1-deletion
+  variants; a query probes its own variants and VERIFIES true edit
+  distance (the deletion trick overgenerates: "ab"/"ba" share deletions
+  at distance 2), so expansion equals DuckDB ``levenshtein(q, t) <= 1``
+  exactly — the property the driver oracle pins.
+
+The reference engine's only lexical tolerance is fuzzy argument
+suggestions over a fixed option list (K3,
+/root/reference/src/wikirec/utils.py:21-57); these bring the same idea
+to the query path itself, Lucene FuzzyQuery / suggester style.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["PrefixIndex", "FuzzyIndex", "edit_distance_le1"]
+
+
+def edit_distance_le1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) <= 1 (O(len) scan, no DP table)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+class PrefixIndex:
+    """Autocomplete over a (term -> df) vocabulary."""
+
+    def __init__(self, df: dict[str, int]):
+        terms = sorted(df)
+        self._terms = np.array(terms, dtype=object)
+        # plain object-array compare in searchsorted is fine at vocab size;
+        # dfs aligned so the top-k over a matched slice stays vectorized
+        self._dfs = np.array([df[t] for t in terms], dtype=np.int64)
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) completions of ``prefix``: highest df first,
+        ties term-ascending.  Empty prefix ranks the whole vocabulary
+        (the "trending terms" degenerate case); absent prefix -> []."""
+        if k <= 0:
+            return []
+        lo = int(np.searchsorted(self._terms, prefix))
+        # the upper bound of the prefix range: prefix + a character above
+        # any valid token char (tokens are [a-z0-9], so '\x7f' majorizes)
+        hi = int(np.searchsorted(self._terms, prefix + "\x7f")) if prefix else len(self._terms)
+        if hi <= lo:
+            return []
+        dfs = self._dfs[lo:hi]
+        if hi - lo > k:
+            kth = -np.partition(-dfs, k - 1)[k - 1]
+            idx = np.flatnonzero(dfs >= kth)
+        else:
+            idx = np.arange(hi - lo)
+        order = sorted(idx.tolist(), key=lambda i: (-int(dfs[i]), self._terms[lo + i]))[:k]
+        return [(str(self._terms[lo + i]), int(dfs[i])) for i in order]
+
+
+class FuzzyIndex:
+    """Edit-distance-1 term expansion (SymSpell deletion neighborhood)."""
+
+    def __init__(self, df: dict[str, int]):
+        self._df = df
+        index: dict[str, list[str]] = {}
+        for t in df:
+            index.setdefault(t, []).append(t)
+            for v in self._del1(t):
+                index.setdefault(v, []).append(t)
+        self._index = index
+
+    @staticmethod
+    def _del1(s: str) -> set[str]:
+        return {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    def expand(self, term: str) -> list[tuple[str, int]]:
+        """Vocabulary terms within edit distance 1 of ``term``, as
+        (term, df) pairs ordered (df desc, term asc) — exactly the set
+        ``levenshtein(term, t) <= 1`` selects (candidates from the
+        deletion neighborhood are re-verified, killing the "ab"~"ba"
+        false positives the trick generates)."""
+        cands: set[str] = set()
+        for key in {term} | self._del1(term):
+            cands.update(self._index.get(key, ()))
+        hits = [t for t in cands if edit_distance_le1(term, t)]
+        hits.sort(key=lambda t: (-self._df[t], t))
+        return [(t, self._df[t]) for t in hits]

@@ -418,6 +418,46 @@ class IndexReader:
         ``topk(terms, k, attrs=[(col, value)])``."""
         return self.topk(terms, k, attrs=[(col, value)])
 
+    # ---------------- vocabulary: suggest + fuzzy ------------------------
+    # Both run on the (term, df) vocabulary only (pipelines/lexicon.py) —
+    # O(vocab) state, no postings touched; composite "w1 w2" bigram terms
+    # are excluded (they are an internal phrase fast path, not user-facing
+    # vocabulary, and the unigram-token SQL replay never sees them).
+
+    @property
+    def _lexicon(self):
+        from wikirec_ray.pipelines.lexicon import FuzzyIndex, PrefixIndex
+
+        if not hasattr(self, "_lex_cached"):
+            uni = {t: n for t, n in self.df.items() if " " not in t}
+            self._lex_cached = (PrefixIndex(uni), FuzzyIndex(uni))
+        return self._lex_cached
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) autocomplete completions of ``prefix`` —
+        highest document frequency first, ties term-ascending."""
+        return self._lexicon[0].suggest(prefix, k)
+
+    def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
+        """Vocabulary terms within edit distance 1 of ``term`` (including
+        the term itself when indexed), as (term, df) ordered (df desc,
+        term asc) — exactly ``levenshtein(term, t) <= 1``."""
+        return self._lexicon[1].expand(term)
+
+    def fuzzy_topk(
+        self, terms: list[str], k: int,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Typo-tolerant BM25 top-k: every query-term OCCURRENCE expands
+        to its edit-distance-1 vocabulary neighborhood (Lucene FuzzyQuery
+        as an OR of term queries, each at its own idf), then the plain
+        multi-term scorer runs over the expanded multiset — duplicate
+        expansions score once per occurrence, the engine-wide contract."""
+        expanded = [v for t in terms for v, _ in self.fuzzy_expand(t)]
+        if not expanded:
+            return []
+        return self.topk(expanded, k, attrs=attrs)
+
     # ---------------- positional filter retrieval ------------------------
     # phrase_topk and near_topk share one shape: AND-intersect the terms'
     # posting lists, test a positional predicate over composite
@@ -1173,13 +1213,18 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     - ``"exact phrase"``       -> ("phrase", terms, None)
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
+    - ``tabel~ join``          -> ("fuzzy", (exact, fuzzy), None)
     - anything else            -> ("bm25", terms, None)
 
     ``+``/``-`` are boolean operators ONLY at the start of a
     whitespace-delimited chunk with content after them (the standard
     search-box convention), so hyphenated words like ``Spark-JOIN`` stay
     plain BM25 queries; a chunk's tokens all inherit its clause
-    (``+new-york`` requires both tokens).
+    (``+new-york`` requires both tokens).  ``~`` at the END of a chunk
+    (Lucene FuzzyQuery syntax) marks that chunk's tokens for
+    edit-distance-1 expansion; boolean/phrase/NEAR take precedence, so a
+    ``~`` inside those modes stays plain text (tilde is stripped by the
+    tokenizer anyway).
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -1216,6 +1261,15 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
             else:
                 should.extend(toks(c))
         return "boolean", (should, must, must_not), None
+    if any(len(c) >= 2 and c[-1] == "~" and toks(c[:-1]) for c in chunks):
+        exact: list[str] = []
+        fuzzy: list[str] = []
+        for c in chunks:
+            if len(c) >= 2 and c[-1] == "~" and toks(c[:-1]):
+                fuzzy.extend(toks(c[:-1]))
+            else:
+                exact.extend(toks(c))
+        return "fuzzy", (exact, fuzzy), None
     return "bm25", toks(q), None
 
 
@@ -1251,6 +1305,18 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         if not should and not must:
             return []
         return engine.boolean_topk(should, must, must_not, k, attrs=attrs)
+    if mode == "fuzzy":
+        exact, fz = terms
+        if not hasattr(engine, "fuzzy_expand"):
+            raise ValueError(
+                "this engine does not support fuzzy (~) queries — "
+                "expansion needs the vocabulary-level lexicon "
+                "(IndexReader); drop the ~ suffix for exact terms"
+            )
+        expanded = exact + [v for t in fz for v, _ in engine.fuzzy_expand(t)]
+        if not expanded:
+            return []
+        return engine.topk(expanded, k, attrs=attrs)
     if attrs:
         return engine.topk(terms, k, attrs=attrs)
     bm25 = getattr(engine, "topk_wand", None) or engine.topk
