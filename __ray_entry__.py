@@ -91,6 +91,21 @@ BOOLEAN_QUERY_SET: list[tuple[int, list[str], list[str], list[str]]] = [
     (6, ["stream"], ["dup", "dup"], []),
 ]
 BOOLEAN_K = 10
+# fuzzy (typo-tolerant) retrieval: every query-term OCCURRENCE expands to
+# its edit-distance-1 vocabulary neighborhood (pipelines/lexicon.FuzzyIndex
+# == SQL levenshtein(q, term) <= 1), then plain BM25 over the expanded
+# multiset.  Mixed shapes: typo->one term, 'ag'->TWO terms (a + agg, the
+# genuine OR-expansion), an exact indexed term (expands to itself only), a
+# duplicated typo (expands twice, per-occurrence parity), and a
+# no-neighborhood term (zero rows for that query).
+FUZZY_QUERY_SET: list[tuple[int, list[str]]] = [
+    (1, ["tabl", "hash"]),
+    (2, ["ag"]),
+    (3, ["spark", "joim"]),
+    (4, ["merg", "merg"]),
+    (5, ["zzzzz"]),
+]
+FUZZY_K = 10
 SNIPPET_TERMS = ["spark", "window"]  # KWIC driver entry
 SNIPPET_WINDOW = 3
 RECO_INPUT_DOCS = [3, 7]
@@ -111,11 +126,6 @@ TOPK_PER_TYPE = 3
 STRATA_RATES = {"en": 2, "de": 3}  # keep 1/2 of en, 1/3 of de, all others
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
-# The synthetic corpus has few repeated trigrams (max pair count in the
-# bigrammed stream at sf0.01 is 3), so the trigram pass runs with its own,
-# lower min_count to keep the oracle-checked result non-empty.
-TRIGRAM_MIN_COUNT = 2
-TRIGRAM_THRESHOLD = 0.0002
 
 SAMPLE_RATE_BP, SAMPLE_SEED = 2000, 42  # hash_sample: keep 20%, seed 42
 # web-curation entries (round 4): the documents table reshaped into a
@@ -216,66 +226,6 @@ def _bm25_score_expr() -> str:
         f"ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * ({k1} + 1) / "
         f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))"
     )
-
-
-def _phrase_stream_sql() -> str:
-    """Shared CTE chain: tokens -> bigram phrase table -> GREEDY bigrammed
-    stream (gensim consumption: within each run of consecutive matching
-    positions, every even offset joins — the islands trick) -> second-pass
-    unigram/pair counts over that stream.  Mirrors
-    ``wikirec_ray.stages.phrases.apply_stream`` +
-    ``train_trigram_phrases`` with no connector words."""
-    mc, thr = PHRASE_MIN_COUNT, PHRASE_THRESHOLD
-    return f"""
-tok AS ({_TOK}),
-uni AS (SELECT term AS w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY term),
-v AS (SELECT COUNT(*)::DOUBLE AS c FROM uni),
-t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
-pairs AS (
-    SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
-    FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
-),
-big AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs GROUP BY w1, w2),
-ph AS (
-    SELECT w1, w2 FROM big CROSS JOIN v
-    JOIN uni ua ON ua.w = big.w1 JOIN uni ub ON ub.w = big.w2
-    WHERE nab >= {mc} AND (nab - {mc}) * v.c / (ua.n * ub.n) > {thr}
-),
-hit AS (SELECT p.doc_id, p.i FROM pairs p JOIN ph USING (w1, w2)),
-isl AS (
-    SELECT doc_id, i,
-           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-    FROM hit
-),
-joined AS (
-    SELECT doc_id, i FROM (
-        SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, grp) AS s FROM isl
-    ) WHERE (i - s) % 2 = 0
-),
-allpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i FROM t),
-stream AS (
-    SELECT a.doc_id, a.i,
-           CASE WHEN j.i IS NOT NULL
-                THEN t.toks[a.i] || '_' || t.toks[a.i + 1]
-                ELSE t.toks[a.i] END AS tok2
-    FROM allpos a JOIN t ON t.doc_id = a.doc_id
-    LEFT JOIN joined j ON j.doc_id = a.doc_id AND j.i = a.i
-    LEFT JOIN joined jc ON jc.doc_id = a.doc_id AND jc.i = a.i - 1
-    WHERE jc.i IS NULL
-),
-uni2 AS (SELECT tok2, COUNT(*)::DOUBLE AS n FROM stream GROUP BY tok2),
-v2 AS (SELECT COUNT(*)::DOUBLE AS c FROM uni2),
-s2 AS (
-    SELECT doc_id, tok2,
-           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
-    FROM stream
-),
-pairs2 AS (
-    SELECT a.doc_id, a.r, a.tok2 AS w1, b.tok2 AS w2
-    FROM s2 a JOIN s2 b ON a.doc_id = b.doc_id AND b.r = a.r + 1
-),
-big2 AS (SELECT w1, w2, COUNT(*)::DOUBLE AS nab FROM pairs2 GROUP BY w1, w2)
-"""
 
 
 def _sql_quote(s: str) -> str:
@@ -841,30 +791,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
-    def phrase_apply_q(sf_dir):
-        import pyarrow as pa2
+    def fuzzy_search_q(sf_dir):
+        """Typo-tolerant BM25 top-k (Lucene FuzzyQuery): each query-term
+        occurrence expands to its levenshtein<=1 vocabulary neighborhood
+        (pipelines/lexicon.FuzzyIndex), then the plain multi-term scorer
+        runs over the expanded multiset — SQL-replayable as a
+        levenshtein join dfv->expansion feeding the shared bm25 CTEs."""
+        import pandas as pd
 
-        from wikirec_ray.stages.phrases import (
-            apply_phrases, train_phrases, train_trigram_phrases,
-        )
+        from wikirec_ray.pipelines.query import IndexReader
 
-        bi = train_phrases(
-            _documents(sf_dir), min_count=PHRASE_MIN_COUNT, threshold=PHRASE_THRESHOLD
-        )
-        tri = train_trigram_phrases(
-            _documents(sf_dir), bi,
-            min_count=TRIGRAM_MIN_COUNT, threshold=TRIGRAM_THRESHOLD,
-        )
-        out = apply_phrases(_documents(sf_dir), bi, tri)
-        return out.map_batches(
-            lambda b: pa2.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_tokens_aug": pc.cast(pc.list_value_length(b["tokens"]), pa2.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        reader = IndexReader(_ensure_index(sf_dir))
+        rows = []
+        for qid, terms in FUZZY_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.fuzzy_topk(terms, FUZZY_K), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
     def extract_text_q(sf_dir):
         from wikirec_ray.sources.synth import pages_dataset
@@ -1398,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # to fund facet_search + filtered_search (the doc-meta attribute
     # sidecar: terms-aggregation and metadata-filtered retrieval).
     return {
+        "fuzzy_search": fuzzy_search_q,
         "facet_search": facet_search_q,
         "filtered_search": filtered_search_q,
         "boolean_search": boolean_search_q,
@@ -1435,7 +1382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_q,
         "vocab_prune": vocab_prune_q,
         "phrase_scores": phrase_scores_q,
-        "phrase_apply": phrase_apply_q,
+        # phrase_apply retired late r5 to fund fuzzy_search (the greedy
+        # bigram/trigram apply_stream transform stays pytest-oracle-pinned
+        # in test_phrases_utils.py; its statistics leg stays driver-checked
+        # via phrase_scores)
         "extract_text": extract_text_q,
         "media_features": media_features_q,
         "ann_topk": ann_topk_q,
@@ -1480,6 +1430,9 @@ def oracle_sql() -> dict[str, str]:
     )
     phrase_qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in PHRASE_QUERY_SET for t in terms
+    )
+    fuzzy_qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in FUZZY_QUERY_SET for t in terms
     )
     # per-query adjacency scan over the 1-based DuckDB token list: doc
     # matches iff toks[i+j] == phrase[j] for all j at some start i
@@ -2515,41 +2468,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE nab >= {PHRASE_MIN_COUNT}
               AND (nab - {PHRASE_MIN_COUNT}) * v.c / (ua.n * ub.n) > {PHRASE_THRESHOLD}
         """,
-        "phrase_apply": f"""
-            WITH {_phrase_stream_sql()},
-            ph2 AS (
-                SELECT big2.w1, big2.w2 FROM big2 CROSS JOIN v2
-                JOIN uni2 ua ON ua.tok2 = big2.w1 JOIN uni2 ub ON ub.tok2 = big2.w2
-                WHERE nab >= {TRIGRAM_MIN_COUNT}
-                  AND (nab - {TRIGRAM_MIN_COUNT}) * v2.c / (ua.n * ub.n) > {TRIGRAM_THRESHOLD}
+        "fuzzy_search": f"""
+            WITH {_BM25_CORE},
+            q(query_id, qterm) AS (VALUES {fuzzy_qvals}),
+            exp AS (
+                SELECT q.query_id, dfv.term
+                FROM q JOIN dfv ON levenshtein(q.qterm, dfv.term) <= 1
             ),
-            hit2 AS (
-                SELECT p.doc_id, p.r, p.w1, p.w2 FROM pairs2 p JOIN ph2 USING (w1, w2)
-            ),
-            isl2 AS (
-                SELECT doc_id, r, w1, w2,
-                       r - row_number() OVER (PARTITION BY doc_id ORDER BY r) AS grp
-                FROM hit2
-            ),
-            joined2 AS (
-                SELECT doc_id, r, w1, w2 FROM (
-                    SELECT doc_id, r, w1, w2,
-                           MIN(r) OVER (PARTITION BY doc_id, grp) AS s
-                    FROM isl2
-                ) WHERE (r - s) % 2 = 0
-            ),
-            found1 AS (SELECT doc_id, COUNT(*)::BIGINT AS c1 FROM joined GROUP BY doc_id),
-            found2 AS (
-                SELECT doc_id, COUNT(*)::BIGINT AS c2 FROM joined2
-                WHERE (length(w1) - length(replace(w1, '_', ''))
-                       + length(w2) - length(replace(w2, '_', ''))) = 1
-                GROUP BY doc_id
+            scored AS (
+                SELECT e.query_id, tf.doc_id, SUM({score}) AS score
+                FROM exp e JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY e.query_id, tf.doc_id
             )
-            SELECT t.doc_id,
-                   (len(t.toks) + COALESCE(found1.c1, 0)
-                    + COALESCE(found2.c2, 0))::BIGINT AS n_tokens_aug
-            FROM t LEFT JOIN found1 ON found1.doc_id = t.doc_id
-            LEFT JOIN found2 ON found2.doc_id = t.doc_id
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {FUZZY_K}
         """,
         "extract_text": """
             SELECT 'https://example.org/' || source || '/' || lang || '/'
