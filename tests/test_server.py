@@ -264,3 +264,31 @@ def test_replicated_coordinators_share_one_pool(spread_pos_index, ray_session):
         assert tier.search("table hash", 5) == reader.topk(["table", "hash"], 5)
     finally:
         tier.shutdown()
+
+
+def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
+    """The served lexicon (tpart-sharded DfResolvers, concatenation merge)
+    must equal the local IndexReader on every surface: suggest, expand,
+    fuzzy_topk (incl. duplicate-occurrence parity), and the search() ~
+    route."""
+    from wikirec_ray.pipelines.query import IndexReader, search
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(
+        spread_index, pool_size=3, resolver_pool_size=2
+    )
+    try:
+        assert len(eng.resolvers) == 2  # the merge is actually distributed
+        reader = IndexReader(spread_index)
+        for prefix in ["", "s", "sp", "spar", "c", "zz"]:
+            for k in (1, 3, 100):
+                assert eng.suggest(prefix, k) == reader.suggest(prefix, k)
+        assert eng.suggest("s", 0) == []
+        for q in ["spark", "merg", "tabl", "ag", "zzzzz", ""]:
+            assert eng.fuzzy_expand(q) == reader.fuzzy_expand(q), q
+        for terms in (["merg", "tabl"], ["ag"], ["merg", "merg"], ["zzz"]):
+            for k in (1, 10):
+                assert eng.fuzzy_topk(terms, k) == reader.fuzzy_topk(terms, k)
+        assert search(eng, "merg~ join", k=5) == search(reader, "merg~ join", k=5)
+    finally:
+        eng.shutdown()

@@ -184,6 +184,27 @@ class DfResolver:
     def resolve_idf(self, terms: list[str]) -> list[float]:
         return [_idf_from_df(self.df.get(t, 0), self.n_docs) for t in terms]
 
+    # ---- vocabulary lexicon (pipelines/lexicon.py) over THIS shard's
+    # tparts only: suggest/fuzzy state is O(vocab/P) per resolver, built
+    # lazily (a pool that never serves ~/autocomplete pays nothing).
+    # Composite precomputed-bigram terms are internal, not vocabulary.
+    def _lexicon(self):
+        from wikirec_ray.pipelines.lexicon import FuzzyIndex, PrefixIndex
+
+        if not hasattr(self, "_lex"):
+            uni = {t: n for t, n in self.df.items() if " " not in t}
+            self._lex = (PrefixIndex(uni), FuzzyIndex(uni))
+        return self._lex
+
+    def suggest(self, prefix: str, k: int) -> list[tuple[str, int]]:
+        """This shard's top-k (term, df) completions of ``prefix``."""
+        return self._lexicon()[0].suggest(prefix, k)
+
+    def expand_terms(self, terms: list[str]) -> list[list[tuple[str, int]]]:
+        """Per input term, this shard's levenshtein<=1 neighborhood."""
+        fz = self._lexicon()[1]
+        return [fz.expand(t) for t in terms]
+
 
 @ray.remote
 class RangeServer:
@@ -968,6 +989,52 @@ class RangeShardedQueryEngine:
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
+
+    # ---- vocabulary lexicon, served.  Each DfResolver ranks only its own
+    # tparts' vocabulary and every term lives in exactly ONE tpart, so the
+    # per-shard results are disjoint and the coordinator merge is a plain
+    # (df desc, term asc) re-sort + cut — never a re-aggregation; state
+    # stays O(vocab/P) per resolver, O(k) on the coordinator.
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Distributed autocomplete — must equal ``IndexReader.suggest``."""
+        if k <= 0:
+            return []
+        parts = ray.get([r.suggest.remote(prefix, k) for r in self.resolvers])
+        merged = [tn for p in parts for tn in p]
+        merged.sort(key=lambda tn: (-tn[1], tn[0]))
+        return merged[:k]
+
+    def _expand(self, terms: list[str]) -> list[list[tuple[str, int]]]:
+        """One batched round trip: per input term, the merged (df desc,
+        term asc) levenshtein<=1 neighborhood across all resolvers."""
+        parts = ray.get(
+            [r.expand_terms.remote(terms) for r in self.resolvers]
+        )
+        out = []
+        for i in range(len(terms)):
+            exp = [tn for p in parts for tn in p[i]]
+            exp.sort(key=lambda tn: (-tn[1], tn[0]))
+            out.append(exp)
+        return out
+
+    def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
+        """Must equal ``IndexReader.fuzzy_expand`` (the ``search()`` ~
+        surface resolves expansions through this)."""
+        return self._expand([term])[0]
+
+    def fuzzy_topk(self, terms: list[str], k: int,
+                   attrs: list[tuple[str, str]] | None = None
+                   ) -> list[tuple[int, float]]:
+        """Typo-tolerant BM25 top-k — must equal ``IndexReader.fuzzy_topk``:
+        each occurrence expands to its neighborhood, then the plain
+        distributed scorer runs over the multiset (one expand round trip
+        to the resolvers, then topk's own idf phase — two phase-1 trips,
+        the price of reusing the duplicate-occurrence scoring path)."""
+        expanded = [v for exp in self._expand(terms) for v, _ in exp]
+        if not expanded:
+            return []
+        return self.topk(expanded, k, attrs=attrs)
 
     def shutdown(self):
         if self._owns_pool:
