@@ -628,6 +628,48 @@ def run_zipf() -> None:
         f"p99={np.percentile(ls,99):.1f}ms over {len(ls)} queries"
     )
 
+    # vocabulary lexicon on the realistic 50k-term vocabulary: one-time
+    # sub-index builds (prefix array vs the SymSpell deletion dict —
+    # lazily independent, so each is timed by its first call), then
+    # autocomplete / expansion / end-to-end fuzzy-search latency.  Typos
+    # are deterministic single-char mutations of real terms, so most
+    # expansions are non-empty and several are multi-term.
+    t = time.monotonic(); reader.suggest("a", 10)
+    lex_prefix_build_sec = time.monotonic() - t
+    t = time.monotonic(); reader.fuzzy_expand("a")
+    lex_fuzzy_build_sec = time.monotonic() - t
+    prefixes = [
+        terms[int(i)][: 2 + int(i) % 3]
+        for i in rng.integers(0, len(terms), 200)
+    ]
+    l_sug = []
+    for p in prefixes:
+        t = time.monotonic(); reader.suggest(p, 10)
+        l_sug.append(time.monotonic() - t)
+    typos = []
+    for i in rng.integers(0, len(by_df) - 1000, 200):
+        w = by_df[int(i)]
+        j = int(i) % max(len(w), 1)
+        typos.append(w[:j] + w[j + 1:] if int(i) % 2 else w[:j] + "q" + w[j:])
+    l_exp = []
+    n_exp = 0
+    for w in typos:
+        t = time.monotonic(); n_exp += len(reader.fuzzy_expand(w))
+        l_exp.append(time.monotonic() - t)
+    l_fz = []
+    for i, w in enumerate(typos[:100]):
+        mid = by_df[len(by_df) - 100 + i % 50]
+        t = time.monotonic(); reader.fuzzy_topk([w, mid], 10)
+        l_fz.append(time.monotonic() - t)
+    lsug, lexp, lfz = (np.array(x) * 1000 for x in (l_sug, l_exp, l_fz))
+    log(
+        f"zipf lexicon: prefix build {lex_prefix_build_sec:.2f}s, symspell "
+        f"build {lex_fuzzy_build_sec:.2f}s; suggest p50={np.percentile(lsug,50):.2f}ms "
+        f"p99={np.percentile(lsug,99):.2f}ms; expand p50={np.percentile(lexp,50):.2f}ms "
+        f"p99={np.percentile(lexp,99):.2f}ms ({n_exp/len(typos):.1f} terms/typo); "
+        f"fuzzy search p50={np.percentile(lfz,50):.1f}ms p99={np.percentile(lfz,99):.1f}ms"
+    )
+
     # positional build + exact-phrase latency on the realistic vocabulary:
     # phrases pair a mid-frequency anchor with an adjacent successor drawn
     # from real doc text, so candidate sets are selective and the
@@ -755,6 +797,14 @@ def run_zipf() -> None:
             "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
             "serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
             "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
+            "lex_prefix_build_sec": round(lex_prefix_build_sec, 3),
+            "lex_symspell_build_sec": round(lex_fuzzy_build_sec, 3),
+            "suggest_p50_ms": round(float(np.percentile(lsug, 50)), 3),
+            "suggest_p99_ms": round(float(np.percentile(lsug, 99)), 3),
+            "fuzzy_expand_p50_ms": round(float(np.percentile(lexp, 50)), 3),
+            "fuzzy_expand_p99_ms": round(float(np.percentile(lexp, 99)), 3),
+            "fuzzy_search_p50_ms": round(float(np.percentile(lfz, 50)), 3),
+            "fuzzy_search_p99_ms": round(float(np.percentile(lfz, 99)), 3),
             "pos_build_sec": round(pos_build_sec, 3),
             "phrase_cold_p50_ms": round(float(np.percentile(lp, 50)), 3),
             "phrase_cold_p99_ms": round(float(np.percentile(lp, 99)), 3),

@@ -173,6 +173,19 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         assert [(f["value"], f["n_docs"]) for f in res["facets"][col]] == \
             rd.facet_counts(["table", "the"], col, 5)
 
+    # fuzzy (~) query + --facets: the facet term set is exact terms plus
+    # the typo's expansion (regression: the (exact, fuzzy) tuple used to
+    # reach facet_counts unexpanded and crash on set())
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "tabl~ the", "-k", "5", "--facets", "lang",
+    ])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        search(rd, "tabl~ the", 5)
+    exp = ["the"] + [v for v, _ in rd.fuzzy_expand("tabl")]
+    assert [(f["value"], f["n_docs"]) for f in res["facets"]["lang"]] == \
+        rd.facet_counts(exp, "lang", 5)
+
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):
     rc, out = run_cli(capsys, ["stats", "--index", str(tmp_path / "nope")])

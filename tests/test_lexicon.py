@@ -114,6 +114,34 @@ def test_reader_fuzzy_topk_is_expanded_multiset(built_index):
     assert rd.fuzzy_topk(["qqqqqqqq"], 10) == []
 
 
+def test_lexicon_normalizes_case_and_builds_lazily():
+    from wikirec_ray.pipelines.lexicon import Lexicon
+
+    lex = Lexicon(VOCAB)
+    assert lex.suggest("SP", 3) == lex.suggest("sp", 3) != []
+    assert lex._fuzzy is None  # suggest-only caller never builds SymSpell
+    assert lex.expand("MERG") == lex.expand("merg")
+    assert lex.expand_many(["Tabl", "jion"]) == [
+        lex.expand("tabl"), lex.expand("jion")
+    ]
+
+
+def test_prefix_suggest_flat_df_tie_cut():
+    # a long flat-df tail: ties at the kth df must cut term-ascending
+    # (the lexicographic array order), matching the SQL ORDER BY
+    flat = {f"w{i:03d}": 1 for i in range(50)}
+    flat["w025"] = 9
+    got = PrefixIndex(flat).suggest("w", 5)
+    assert got == [("w025", 9), ("w000", 1), ("w001", 1), ("w002", 1), ("w003", 1)]
+
+
+def test_reader_fuzzy_expand_many(built_index):
+    index_dir, _ = built_index
+    rd = IndexReader(index_dir)
+    terms = ["spark", "jion", "QQQQ"]
+    assert rd.fuzzy_expand_many(terms) == [rd.fuzzy_expand(t) for t in terms]
+
+
 def test_parse_query_fuzzy_mode():
     assert parse_query("tabel~ join") == ("fuzzy", (["join"], ["tabel"]), None)
     assert parse_query("a~ b~") == ("fuzzy", ([], ["a", "b"]), None)

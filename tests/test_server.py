@@ -284,8 +284,11 @@ def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
             for k in (1, 3, 100):
                 assert eng.suggest(prefix, k) == reader.suggest(prefix, k)
         assert eng.suggest("s", 0) == []
-        for q in ["spark", "merg", "tabl", "ag", "zzzzz", ""]:
+        for q in ["spark", "merg", "tabl", "ag", "zzzzz", "", "MERG"]:
             assert eng.fuzzy_expand(q) == reader.fuzzy_expand(q), q
+        assert eng.suggest("SP", 3) == reader.suggest("sp", 3)
+        assert eng.fuzzy_expand_many(["merg", "tabl", "zz"]) == \
+            reader.fuzzy_expand_many(["merg", "tabl", "zz"])
         for terms in (["merg", "tabl"], ["ag"], ["merg", "merg"], ["zzz"]):
             for k in (1, 10):
                 assert eng.fuzzy_topk(terms, k) == reader.fuzzy_topk(terms, k)

@@ -14,6 +14,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS]
+    python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
         [--pool-replicas R]      # stdin query lines -> stdout JSON lines
     python -m wikirec_ray stats  --index DIR
@@ -234,6 +235,14 @@ def cmd_query(args) -> int:
             if mode == "boolean":
                 should, must, _must_not = terms
                 terms = should + must
+            elif mode == "fuzzy":
+                # facets see the same effective term set retrieval used:
+                # exact terms + the fuzzy terms' expansions (search()
+                # above already guaranteed the engine supports ~)
+                exact, fz = terms
+                terms = exact + [
+                    v for exp in engine.fuzzy_expand_many(fz) for v, _ in exp
+                ]
             out["facets"] = {
                 col: [{"value": v, "n_docs": n}
                       for v, n in engine.facet_counts(terms, col, args.k)]

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["PrefixIndex", "FuzzyIndex", "edit_distance_le1"]
+__all__ = ["Lexicon", "PrefixIndex", "FuzzyIndex", "edit_distance_le1"]
 
 
 def edit_distance_le1(a: str, b: str) -> bool:
@@ -53,6 +53,37 @@ def edit_distance_le1(a: str, b: str) -> bool:
     while i < la and a[i] == b[i]:
         i += 1
     return a[i:] == b[i + 1:]
+
+
+class Lexicon:
+    """The query-surface wrapper both ``IndexReader`` and the served
+    ``DfResolver`` share: one (term, df) vocabulary, two lazily built
+    sub-indexes.  It owns the surface contract so local and served
+    results cannot diverge: input is lowercased (the analyzer lowers
+    before tokenizing, so the vocabulary is all-lowercase — an uppercase
+    prefix/typo must still match), and composite precomputed-bigram
+    terms ("w1 w2") are excluded (an internal phrase fast path, not
+    user-facing vocabulary).  PrefixIndex and FuzzyIndex build
+    independently on first use — an autocomplete-only caller never pays
+    the SymSpell deletion-dict build, and vice versa."""
+
+    def __init__(self, df: dict[str, int]):
+        self._uni = {t: n for t, n in df.items() if " " not in t}
+        self._prefix: PrefixIndex | None = None
+        self._fuzzy: FuzzyIndex | None = None
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        if self._prefix is None:
+            self._prefix = PrefixIndex(self._uni)
+        return self._prefix.suggest(prefix.lower(), k)
+
+    def expand(self, term: str) -> list[tuple[str, int]]:
+        if self._fuzzy is None:
+            self._fuzzy = FuzzyIndex(self._uni)
+        return self._fuzzy.expand(term.lower())
+
+    def expand_many(self, terms: list[str]) -> list[list[tuple[str, int]]]:
+        return [self.expand(t) for t in terms]
 
 
 class PrefixIndex:
@@ -79,8 +110,16 @@ class PrefixIndex:
             return []
         dfs = self._dfs[lo:hi]
         if hi - lo > k:
+            # cut to exactly k candidates BEFORE any Python-level sort:
+            # ties at the kth df are broken term-ascending, and the term
+            # array is lexicographically sorted, so ascending flatnonzero
+            # order IS the tie rule — a flat-df long tail (100k terms of
+            # df=1) costs O(range) numpy scans + an O(k log k) sort, not
+            # an O(range log range) Python sort
             kth = -np.partition(-dfs, k - 1)[k - 1]
-            idx = np.flatnonzero(dfs >= kth)
+            above = np.flatnonzero(dfs > kth)
+            ties = np.flatnonzero(dfs == kth)[: k - len(above)]
+            idx = np.concatenate([above, ties])
         else:
             idx = np.arange(hi - lo)
         order = sorted(idx.tolist(), key=lambda i: (-int(dfs[i]), self._terms[lo + i]))[:k]

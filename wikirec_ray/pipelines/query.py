@@ -419,30 +419,38 @@ class IndexReader:
         return self.topk(terms, k, attrs=[(col, value)])
 
     # ---------------- vocabulary: suggest + fuzzy ------------------------
-    # Both run on the (term, df) vocabulary only (pipelines/lexicon.py) —
-    # O(vocab) state, no postings touched; composite "w1 w2" bigram terms
-    # are excluded (they are an internal phrase fast path, not user-facing
-    # vocabulary, and the unigram-token SQL replay never sees them).
+    # Both run on the (term, df) vocabulary only — O(vocab) state, no
+    # postings touched.  The normalization contract (lowercase input,
+    # composite bigram terms excluded) lives in the shared
+    # ``lexicon.Lexicon`` wrapper so this reader and the served
+    # ``DfResolver`` cannot diverge.
 
     @property
     def _lexicon(self):
-        from wikirec_ray.pipelines.lexicon import FuzzyIndex, PrefixIndex
+        from wikirec_ray.pipelines.lexicon import Lexicon
 
         if not hasattr(self, "_lex_cached"):
-            uni = {t: n for t, n in self.df.items() if " " not in t}
-            self._lex_cached = (PrefixIndex(uni), FuzzyIndex(uni))
+            self._lex_cached = Lexicon(self.df)
         return self._lex_cached
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Top-k (term, df) autocomplete completions of ``prefix`` —
         highest document frequency first, ties term-ascending."""
-        return self._lexicon[0].suggest(prefix, k)
+        return self._lexicon.suggest(prefix, k)
 
     def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
         """Vocabulary terms within edit distance 1 of ``term`` (including
         the term itself when indexed), as (term, df) ordered (df desc,
         term asc) — exactly ``levenshtein(term, t) <= 1``."""
-        return self._lexicon[1].expand(term)
+        return self._lexicon.expand(term)
+
+    def fuzzy_expand_many(
+        self, terms: list[str]
+    ) -> list[list[tuple[str, int]]]:
+        """Batched ``fuzzy_expand`` — the surface ``search()`` uses, so
+        the served engine can answer N typos in ONE resolver round trip;
+        here it is a plain loop."""
+        return self._lexicon.expand_many(terms)
 
     def fuzzy_topk(
         self, terms: list[str], k: int,
@@ -1307,13 +1315,17 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         return engine.boolean_topk(should, must, must_not, k, attrs=attrs)
     if mode == "fuzzy":
         exact, fz = terms
-        if not hasattr(engine, "fuzzy_expand"):
+        expander = getattr(engine, "fuzzy_expand_many", None)
+        if expander is None:
             raise ValueError(
                 "this engine does not support fuzzy (~) queries — "
                 "expansion needs the vocabulary-level lexicon "
-                "(IndexReader); drop the ~ suffix for exact terms"
+                "(IndexReader or the range-sharded engine); drop the ~ "
+                "suffix for exact terms"
             )
-        expanded = exact + [v for t in fz for v, _ in engine.fuzzy_expand(t)]
+        # one batched expansion call: on the served engine this is a
+        # single resolver round trip for ALL typo terms, not one per term
+        expanded = exact + [v for exp in expander(fz) for v, _ in exp]
         if not expanded:
             return []
         return engine.topk(expanded, k, attrs=attrs)

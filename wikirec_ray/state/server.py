@@ -184,26 +184,25 @@ class DfResolver:
     def resolve_idf(self, terms: list[str]) -> list[float]:
         return [_idf_from_df(self.df.get(t, 0), self.n_docs) for t in terms]
 
-    # ---- vocabulary lexicon (pipelines/lexicon.py) over THIS shard's
-    # tparts only: suggest/fuzzy state is O(vocab/P) per resolver, built
-    # lazily (a pool that never serves ~/autocomplete pays nothing).
-    # Composite precomputed-bigram terms are internal, not vocabulary.
+    # ---- vocabulary lexicon over THIS shard's tparts only: suggest/fuzzy
+    # state is O(vocab/P) per resolver; the shared ``lexicon.Lexicon``
+    # wrapper owns the normalization contract (lowercase, bigram-composite
+    # exclusion) AND builds each sub-index lazily on first use, so a pool
+    # that never serves ~/autocomplete pays nothing.
     def _lexicon(self):
-        from wikirec_ray.pipelines.lexicon import FuzzyIndex, PrefixIndex
+        from wikirec_ray.pipelines.lexicon import Lexicon
 
         if not hasattr(self, "_lex"):
-            uni = {t: n for t, n in self.df.items() if " " not in t}
-            self._lex = (PrefixIndex(uni), FuzzyIndex(uni))
+            self._lex = Lexicon(self.df)
         return self._lex
 
     def suggest(self, prefix: str, k: int) -> list[tuple[str, int]]:
         """This shard's top-k (term, df) completions of ``prefix``."""
-        return self._lexicon()[0].suggest(prefix, k)
+        return self._lexicon().suggest(prefix, k)
 
     def expand_terms(self, terms: list[str]) -> list[list[tuple[str, int]]]:
         """Per input term, this shard's levenshtein<=1 neighborhood."""
-        fz = self._lexicon()[1]
-        return [fz.expand(t) for t in terms]
+        return self._lexicon().expand_many(terms)
 
 
 @ray.remote
@@ -1019,9 +1018,15 @@ class RangeShardedQueryEngine:
         return out
 
     def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
-        """Must equal ``IndexReader.fuzzy_expand`` (the ``search()`` ~
-        surface resolves expansions through this)."""
+        """Must equal ``IndexReader.fuzzy_expand``."""
         return self._expand([term])[0]
+
+    def fuzzy_expand_many(
+        self, terms: list[str]
+    ) -> list[list[tuple[str, int]]]:
+        """Batched expansion — the ``search()`` ~ surface resolves all of
+        a query's typo terms through this in ONE resolver round trip."""
+        return self._expand(terms)
 
     def fuzzy_topk(self, terms: list[str], k: int,
                    attrs: list[tuple[str, str]] | None = None
