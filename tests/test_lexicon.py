@@ -142,25 +142,46 @@ def test_reader_fuzzy_expand_many(built_index):
     assert rd.fuzzy_expand_many(terms) == [rd.fuzzy_expand(t) for t in terms]
 
 
-def test_parse_query_fuzzy_mode():
-    assert parse_query("tabel~ join") == ("fuzzy", (["join"], ["tabel"]), None)
-    assert parse_query("a~ b~") == ("fuzzy", ([], ["a", "b"]), None)
-    # boolean / phrase / NEAR outrank fuzzy; inner ~ falls to the tokenizer
+def test_parse_query_expand_mode():
+    assert parse_query("tabel~ join") == \
+        ("expand", (["join"], ["tabel"], []), None)
+    assert parse_query("a~ b~") == ("expand", ([], ["a", "b"], []), None)
+    # wildcard: the chunk's LAST token is the prefix, earlier ones exact
+    assert parse_query("spar* join") == \
+        ("expand", (["join"], [], ["spar"]), None)
+    assert parse_query("new-york*") == \
+        ("expand", (["new"], [], ["york"]), None)
+    # both operators in one query compose
+    assert parse_query("tabl~ spar* the") == \
+        ("expand", (["the"], ["tabl"], ["spar"]), None)
+    # boolean / phrase / NEAR outrank expansion; inner ~/* fall to the
+    # tokenizer
     assert parse_query("+must tabel~")[0] == "boolean"
     assert parse_query('"tabel~ x"')[0] == "phrase"
-    assert parse_query("NEAR/3(tabel~ x)")[0] == "near"
-    # a bare ~ or mid-chunk ~ is not an operator
+    assert parse_query("NEAR/3(tabel* x)")[0] == "near"
+    # a bare or mid-chunk ~/* is not an operator
     assert parse_query("~") == ("bm25", [], None)
+    assert parse_query("*") == ("bm25", [], None)
     assert parse_query("ta~bel") == ("bm25", ["ta", "bel"], None)
+    assert parse_query("a*b") == ("bm25", ["a", "b"], None)
     # hyphenated chunk: the whole chunk's tokens go fuzzy
-    assert parse_query("new-york~") == ("fuzzy", ([], ["new", "york"]), None)
+    assert parse_query("new-york~") == \
+        ("expand", ([], ["new", "york"], []), None)
 
 
-def test_search_fuzzy_routes_and_guards(built_index):
+def test_search_expand_routes_and_guards(built_index):
+    from wikirec_ray.schema import PREFIX_EXPANSION_MAX
+
     index_dir, _ = built_index
     rd = IndexReader(index_dir)
     expanded = [v for v, _ in rd.fuzzy_expand("spark")]
     assert search(rd, "spark~ join", k=5) == rd.topk(expanded + ["join"], 5)
+    # wildcard: prefix rewrites to its df-capped completions
+    comp = [v for v, _ in rd.suggest("s", PREFIX_EXPANSION_MAX)]
+    assert comp and search(rd, "s* join", k=5) == rd.topk(["join"] + comp, 5)
+    # fuzzy + wildcard compose in one query
+    both = [v for v, _ in rd.fuzzy_expand("merg")] + comp
+    assert search(rd, "merg~ s*", k=5) == rd.topk(both, 5)
 
     class NoLex:
         def topk(self, terms, k, attrs=None):  # pragma: no cover
@@ -168,8 +189,11 @@ def test_search_fuzzy_routes_and_guards(built_index):
 
     with pytest.raises(ValueError, match="fuzzy"):
         search(NoLex(), "spark~")
+    with pytest.raises(ValueError, match="wildcard"):
+        search(NoLex(), "spark*")
     # all-absent expansion -> empty, not an error
     assert search(rd, "qqqqqqqq~") == []
+    assert search(rd, "qqqqqqqq*") == []
 
 
 def test_lexicon_excludes_precomputed_bigrams(ray_session, tmp_path):

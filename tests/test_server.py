@@ -292,6 +292,7 @@ def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
         for terms in (["merg", "tabl"], ["ag"], ["merg", "merg"], ["zzz"]):
             for k in (1, 10):
                 assert eng.fuzzy_topk(terms, k) == reader.fuzzy_topk(terms, k)
-        assert search(eng, "merg~ join", k=5) == search(reader, "merg~ join", k=5)
+        for q in ("merg~ join", "sp* join", "merg~ c* join"):
+            assert search(eng, q, k=5) == search(reader, q, k=5), q
     finally:
         eng.shutdown()

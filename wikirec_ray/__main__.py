@@ -235,14 +235,14 @@ def cmd_query(args) -> int:
             if mode == "boolean":
                 should, must, _must_not = terms
                 terms = should + must
-            elif mode == "fuzzy":
+            elif mode == "expand":
                 # facets see the same effective term set retrieval used:
-                # exact terms + the fuzzy terms' expansions (search()
-                # above already guaranteed the engine supports ~)
-                exact, fz = terms
-                terms = exact + [
-                    v for exp in engine.fuzzy_expand_many(fz) for v, _ in exp
-                ]
+                # exact terms + fuzzy/prefix expansions through the SAME
+                # helper search() resolves with (which already guaranteed
+                # the engine supports ~/*)
+                from wikirec_ray.pipelines.query import expand_query_terms
+
+                terms = expand_query_terms(engine, *terms)
             out["facets"] = {
                 col: [{"value": v, "n_docs": n}
                       for v, n in engine.facet_counts(terms, col, args.k)]

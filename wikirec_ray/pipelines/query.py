@@ -52,6 +52,7 @@ from wikirec_ray.schema import (
     BM25_K1,
     N_TERM_PARTITIONS,
     NEAR_WINDOW_MAX,
+    PREFIX_EXPANSION_MAX,
     TOKEN_SPLIT_REGEX,
 )
 from wikirec_ray.state.segments import (
@@ -1221,7 +1222,7 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     - ``"exact phrase"``       -> ("phrase", terms, None)
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
-    - ``tabel~ join``          -> ("fuzzy", (exact, fuzzy), None)
+    - ``tabel~ spar* join``    -> ("expand", (exact, fuzzy, prefixes), None)
     - anything else            -> ("bm25", terms, None)
 
     ``+``/``-`` are boolean operators ONLY at the start of a
@@ -1230,9 +1231,11 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     plain BM25 queries; a chunk's tokens all inherit its clause
     (``+new-york`` requires both tokens).  ``~`` at the END of a chunk
     (Lucene FuzzyQuery syntax) marks that chunk's tokens for
-    edit-distance-1 expansion; boolean/phrase/NEAR take precedence, so a
-    ``~`` inside those modes stays plain text (tilde is stripped by the
-    tokenizer anyway).
+    edit-distance-1 expansion, and ``*`` at the end (Lucene PrefixQuery)
+    marks the chunk's LAST token as a prefix to complete (its earlier
+    tokens stay exact — a prefix is positional, fuzziness is per-token);
+    boolean/phrase/NEAR take precedence, so a ``~``/``*`` inside those
+    modes stays plain text (both are stripped by the tokenizer anyway).
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -1269,16 +1272,57 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
             else:
                 should.extend(toks(c))
         return "boolean", (should, must, must_not), None
-    if any(len(c) >= 2 and c[-1] == "~" and toks(c[:-1]) for c in chunks):
+    def _op_chunk(c: str, op: str) -> bool:
+        return len(c) >= 2 and c[-1] == op and bool(toks(c[:-1]))
+
+    if any(_op_chunk(c, "~") or _op_chunk(c, "*") for c in chunks):
         exact: list[str] = []
         fuzzy: list[str] = []
+        prefixes: list[str] = []
         for c in chunks:
-            if len(c) >= 2 and c[-1] == "~" and toks(c[:-1]):
+            if _op_chunk(c, "~"):
                 fuzzy.extend(toks(c[:-1]))
+            elif _op_chunk(c, "*"):
+                *rest, last = toks(c[:-1])
+                exact.extend(rest)
+                prefixes.append(last)
             else:
                 exact.extend(toks(c))
-        return "fuzzy", (exact, fuzzy), None
+        return "expand", (exact, fuzzy, prefixes), None
     return "bm25", toks(q), None
+
+
+def expand_query_terms(
+    engine,
+    exact: list[str],
+    fuzzy: list[str],
+    prefixes: list[str],
+) -> list[str]:
+    """Resolve an "expand"-mode parse into the effective term multiset:
+    exact terms verbatim, each fuzzy occurrence's edit-distance-1
+    neighborhood (ONE batched ``fuzzy_expand_many`` call — a single
+    resolver round trip on the served engine), and each prefix's top
+    ``PREFIX_EXPANSION_MAX`` highest-df completions (Lucene
+    TopTermsRewrite; ``suggest`` per prefix).  Shared by ``search()`` and
+    the CLI facet path so retrieval and facets see the same term set.
+    Raises ``ValueError`` for engines without the vocabulary lexicon."""
+    if (fuzzy and not hasattr(engine, "fuzzy_expand_many")) or (
+        prefixes and not hasattr(engine, "suggest")
+    ):
+        raise ValueError(
+            "this engine does not support fuzzy (~) / wildcard (*) "
+            "queries — expansion needs the vocabulary-level lexicon "
+            "(IndexReader or the range-sharded engine); drop the "
+            "~/* suffixes for exact terms"
+        )
+    expanded = list(exact)
+    if fuzzy:
+        expanded += [
+            v for exp in engine.fuzzy_expand_many(fuzzy) for v, _ in exp
+        ]
+    for p in prefixes:
+        expanded += [v for v, _ in engine.suggest(p, PREFIX_EXPANSION_MAX)]
+    return expanded
 
 
 def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -1286,8 +1330,10 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
     ``topk`` / ``phrase_topk`` / ``near_topk`` / ``boolean_topk``): quoted
     strings run exact phrase, ``NEAR/n(...)`` runs proximity, ``+``/``-``
-    chunk prefixes run boolean (required / excluded), plain terms run BM25
-    (via the rank-safe WAND router when the engine has one).  The user-facing
+    chunk prefixes run boolean (required / excluded), trailing ``~``/``*``
+    run lexicon expansion (fuzzy / wildcard-prefix) into a plain BM25
+    multiset, plain terms run BM25 (via the rank-safe WAND router when
+    the engine has one).  The user-facing
     analog of the reference's title-based ``recommend`` surface
     (``/root/reference/src/wikirec/model.py:294-383``), for engines whose
     input is text queries rather than seed articles.
@@ -1313,19 +1359,8 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         if not should and not must:
             return []
         return engine.boolean_topk(should, must, must_not, k, attrs=attrs)
-    if mode == "fuzzy":
-        exact, fz = terms
-        expander = getattr(engine, "fuzzy_expand_many", None)
-        if expander is None:
-            raise ValueError(
-                "this engine does not support fuzzy (~) queries — "
-                "expansion needs the vocabulary-level lexicon "
-                "(IndexReader or the range-sharded engine); drop the ~ "
-                "suffix for exact terms"
-            )
-        # one batched expansion call: on the served engine this is a
-        # single resolver round trip for ALL typo terms, not one per term
-        expanded = exact + [v for exp in expander(fz) for v, _ in exp]
+    if mode == "expand":
+        expanded = expand_query_terms(engine, *terms)
         if not expanded:
             return []
         return engine.topk(expanded, k, attrs=attrs)

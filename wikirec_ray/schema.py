@@ -49,6 +49,13 @@ TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
 # sites share this constant so the raise/clamp boundary cannot drift.
 NEAR_WINDOW_MAX = (1 << 31) - 1
 
+# Wildcard (trailing-*) queries rewrite a prefix to its highest-df
+# completions, capped — Lucene's TopTermsRewrite bound: an unbounded
+# rewrite of a one-letter prefix over a crawl vocabulary would OR
+# millions of terms into one query.  The cap is deterministic (df desc,
+# term asc), so the dropped tail is the lowest-signal one.
+PREFIX_EXPANSION_MAX = 128
+
 # Index layout knobs.
 N_TERM_PARTITIONS = 32  # tpart = hash(term) % N_TERM_PARTITIONS
 DOC_RANGE_SIZE = 8192  # salt: doc_id // DOC_RANGE_SIZE bounds shuffle groups
