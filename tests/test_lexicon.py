@@ -61,18 +61,40 @@ def test_prefix_suggest_k_nonpositive():
     assert PrefixIndex(VOCAB).suggest("s", -1) == []
 
 
+@pytest.mark.parametrize("d", [1, 2])
 @pytest.mark.parametrize(
     "q", sorted(VOCAB) + ["tabel", "jion", "sparkk", "park", "", "zz", "abba"]
 )
-def test_fuzzy_expand_equals_levenshtein(q):
+def test_fuzzy_expand_equals_levenshtein(q, d):
     con = duckdb.connect()
     _vocab_rel(con)
     want = con.execute(
-        "SELECT term, df FROM vocab WHERE levenshtein(?, term) <= 1 "
+        f"SELECT term, df FROM vocab WHERE levenshtein(?, term) <= {d} "
         "ORDER BY df DESC, term",
         [q],
     ).fetchall()
-    assert FuzzyIndex(VOCAB).expand(q) == want
+    assert FuzzyIndex(VOCAB, max_d=d).expand(q) == want
+
+
+def test_edit_distance_le_matches_duckdb():
+    from wikirec_ray.pipelines.lexicon import edit_distance_le
+
+    con = duckdb.connect()
+    words = sorted(VOCAB) + ["", "x", "tabel", "abba", "sparkly", "prak"]
+    for maxd in (0, 2, 3):
+        for a in words:
+            for b in words:
+                sql = con.execute(
+                    f"SELECT levenshtein(?, ?) <= {maxd}", [a, b]
+                ).fetchone()[0]
+                assert edit_distance_le(a, b, maxd) == bool(sql), (a, b, maxd)
+
+
+def test_fuzzy_index_rejects_bad_distance():
+    with pytest.raises(ValueError):
+        FuzzyIndex(VOCAB, max_d=0)
+    with pytest.raises(ValueError):
+        FuzzyIndex(VOCAB, max_d=3)
 
 
 def test_reader_suggest_and_fuzzy_against_df(built_index):
@@ -119,11 +141,13 @@ def test_lexicon_normalizes_case_and_builds_lazily():
 
     lex = Lexicon(VOCAB)
     assert lex.suggest("SP", 3) == lex.suggest("sp", 3) != []
-    assert lex._fuzzy is None  # suggest-only caller never builds SymSpell
+    assert lex._fuzzy == {}  # suggest-only caller never builds SymSpell
     assert lex.expand("MERG") == lex.expand("merg")
-    assert lex.expand_many(["Tabl", "jion"]) == [
-        lex.expand("tabl"), lex.expand("jion")
+    assert list(lex._fuzzy) == [1]  # only the probed distance is built
+    assert lex.expand_many(["Tabl", ("jion", 2)]) == [
+        lex.expand("tabl"), lex.expand("jion", 2)
     ]
+    assert sorted(lex._fuzzy) == [1, 2]
 
 
 def test_prefix_suggest_flat_df_tie_cut():
@@ -144,8 +168,15 @@ def test_reader_fuzzy_expand_many(built_index):
 
 def test_parse_query_expand_mode():
     assert parse_query("tabel~ join") == \
-        ("expand", (["join"], ["tabel"], []), None)
-    assert parse_query("a~ b~") == ("expand", ([], ["a", "b"], []), None)
+        ("expand", (["join"], [("tabel", 1)], []), None)
+    assert parse_query("a~ b~") == \
+        ("expand", ([], [("a", 1), ("b", 1)], []), None)
+    # explicit Lucene distances: ~1 / ~2; unsupported ~3 stays literal
+    assert parse_query("tabel~2 join") == \
+        ("expand", (["join"], [("tabel", 2)], []), None)
+    assert parse_query("a~1 b~2") == \
+        ("expand", ([], [("a", 1), ("b", 2)], []), None)
+    assert parse_query("x~3") == ("bm25", ["x", "3"], None)
     # wildcard: the chunk's LAST token is the prefix, earlier ones exact
     assert parse_query("spar* join") == \
         ("expand", (["join"], [], ["spar"]), None)
@@ -153,7 +184,7 @@ def test_parse_query_expand_mode():
         ("expand", (["new"], [], ["york"]), None)
     # both operators in one query compose
     assert parse_query("tabl~ spar* the") == \
-        ("expand", (["the"], ["tabl"], ["spar"]), None)
+        ("expand", (["the"], [("tabl", 1)], ["spar"]), None)
     # boolean / phrase / NEAR outrank expansion; inner ~/* fall to the
     # tokenizer
     assert parse_query("+must tabel~")[0] == "boolean"
@@ -166,7 +197,7 @@ def test_parse_query_expand_mode():
     assert parse_query("a*b") == ("bm25", ["a", "b"], None)
     # hyphenated chunk: the whole chunk's tokens go fuzzy
     assert parse_query("new-york~") == \
-        ("expand", ([], ["new", "york"], []), None)
+        ("expand", ([], [("new", 1), ("york", 1)], []), None)
 
 
 def test_search_expand_routes_and_guards(built_index):

@@ -13,11 +13,15 @@ merge is a plain concatenation, never a re-aggregation.
   is two ``searchsorted`` probes and a vectorized top-k over the matched
   slice (count-desc, term-asc — the deterministic autocomplete order).
 - ``FuzzyIndex``: SymSpell-style deletion neighborhood for edit distance
-  ≤ 1.  Each vocabulary term is indexed under itself and its 1-deletion
-  variants; a query probes its own variants and VERIFIES true edit
-  distance (the deletion trick overgenerates: "ab"/"ba" share deletions
-  at distance 2), so expansion equals DuckDB ``levenshtein(q, t) <= 1``
-  exactly — the property the driver oracle pins.
+  ≤ ``max_d`` (1 or 2 — the Lucene FuzzyQuery range).  Each vocabulary
+  term is indexed under itself and its ≤ max_d-deletion variants; a query
+  probes its own variants and VERIFIES true edit distance (the deletion
+  trick overgenerates: "ab"/"ba" share deletions at distance 2), so
+  expansion equals DuckDB ``levenshtein(q, t) <= max_d`` exactly — the
+  property the driver oracle pins.  The d=2 index is ~O(len²/2) variants
+  per term (≈ 40 dict entries for an 8-char term); ``Lexicon`` builds
+  each distance's index lazily, so corpora that never see a ``~2`` query
+  never pay it.
 
 The reference engine's only lexical tolerance is fuzzy argument
 suggestions over a fixed option list (K3,
@@ -29,7 +33,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Lexicon", "PrefixIndex", "FuzzyIndex", "edit_distance_le1"]
+__all__ = [
+    "Lexicon",
+    "PrefixIndex",
+    "FuzzyIndex",
+    "edit_distance_le1",
+    "edit_distance_le",
+]
+
+FUZZY_MAX_D = 2  # Lucene FuzzyQuery's ceiling; parse_query shares it
 
 
 def edit_distance_le1(a: str, b: str) -> bool:
@@ -55,6 +67,34 @@ def edit_distance_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def edit_distance_le(a: str, b: str, maxd: int) -> bool:
+    """True iff levenshtein(a, b) <= maxd.  maxd<=1 uses the O(len) scan;
+    larger bounds run the classic DP row with early abandon when a whole
+    row exceeds the bound (tokens are short, so O(len²) per verify over a
+    handful of SymSpell candidates is nothing)."""
+    if maxd <= 0:
+        return a == b
+    if maxd == 1:
+        return edit_distance_le1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if min(cur) > maxd:
+            return False
+        prev = cur
+    return prev[lb] <= maxd
+
+
 class Lexicon:
     """The query-surface wrapper both ``IndexReader`` and the served
     ``DfResolver`` share: one (term, df) vocabulary, two lazily built
@@ -70,20 +110,29 @@ class Lexicon:
     def __init__(self, df: dict[str, int]):
         self._uni = {t: n for t, n in df.items() if " " not in t}
         self._prefix: PrefixIndex | None = None
-        self._fuzzy: FuzzyIndex | None = None
+        self._fuzzy: dict[int, FuzzyIndex] = {}  # per-distance, lazy
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         if self._prefix is None:
             self._prefix = PrefixIndex(self._uni)
         return self._prefix.suggest(prefix.lower(), k)
 
-    def expand(self, term: str) -> list[tuple[str, int]]:
-        if self._fuzzy is None:
-            self._fuzzy = FuzzyIndex(self._uni)
-        return self._fuzzy.expand(term.lower())
+    def expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
+        if d not in self._fuzzy:
+            self._fuzzy[d] = FuzzyIndex(self._uni, max_d=d)
+        return self._fuzzy[d].expand(term.lower())
 
-    def expand_many(self, terms: list[str]) -> list[list[tuple[str, int]]]:
-        return [self.expand(t) for t in terms]
+    def expand_many(
+        self, items: list[str | tuple[str, int]]
+    ) -> list[list[tuple[str, int]]]:
+        """Per item, the (term, df) neighborhood.  An item is either a
+        plain term (distance 1) or a (term, distance) pair — the shape
+        ``parse_query`` emits for ``term~`` vs ``term~2``."""
+        out = []
+        for it in items:
+            t, d = it if isinstance(it, tuple) else (it, 1)
+            out.append(self.expand(t, d))
+        return out
 
 
 class PrefixIndex:
@@ -127,30 +176,44 @@ class PrefixIndex:
 
 
 class FuzzyIndex:
-    """Edit-distance-1 term expansion (SymSpell deletion neighborhood)."""
+    """Edit-distance-<= max_d term expansion (SymSpell deletion
+    neighborhood): if levenshtein(q, t) <= d then some <= d-deletion
+    variant of q equals some <= d-deletion variant of t, so indexing all
+    variants of the vocabulary and probing all variants of the query is a
+    complete candidate generator; true distance is then re-verified."""
 
-    def __init__(self, df: dict[str, int]):
+    def __init__(self, df: dict[str, int], max_d: int = 1):
+        if not 1 <= max_d <= FUZZY_MAX_D:
+            raise ValueError(f"max_d must be in [1, {FUZZY_MAX_D}]")
         self._df = df
+        self._max_d = max_d
         index: dict[str, list[str]] = {}
         for t in df:
-            index.setdefault(t, []).append(t)
-            for v in self._del1(t):
+            for v in self._dels(t, max_d):
                 index.setdefault(v, []).append(t)
         self._index = index
 
     @staticmethod
-    def _del1(s: str) -> set[str]:
-        return {s[:i] + s[i + 1:] for i in range(len(s))}
+    def _dels(s: str, d: int) -> set[str]:
+        """``s`` plus every variant reachable by <= d deletions."""
+        out = {s}
+        frontier = {s}
+        for _ in range(d):
+            frontier = {
+                v[:i] + v[i + 1:] for v in frontier for i in range(len(v))
+            }
+            out |= frontier
+        return out
 
     def expand(self, term: str) -> list[tuple[str, int]]:
-        """Vocabulary terms within edit distance 1 of ``term``, as
+        """Vocabulary terms within edit distance max_d of ``term``, as
         (term, df) pairs ordered (df desc, term asc) — exactly the set
-        ``levenshtein(term, t) <= 1`` selects (candidates from the
+        ``levenshtein(term, t) <= max_d`` selects (candidates from the
         deletion neighborhood are re-verified, killing the "ab"~"ba"
         false positives the trick generates)."""
         cands: set[str] = set()
-        for key in {term} | self._del1(term):
+        for key in self._dels(term, self._max_d):
             cands.update(self._index.get(key, ()))
-        hits = [t for t in cands if edit_distance_le1(term, t)]
+        hits = [t for t in cands if edit_distance_le(term, t, self._max_d)]
         hits.sort(key=lambda t: (-self._df[t], t))
         return [(t, self._df[t]) for t in hits]

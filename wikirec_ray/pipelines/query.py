@@ -439,30 +439,32 @@ class IndexReader:
         highest document frequency first, ties term-ascending."""
         return self._lexicon.suggest(prefix, k)
 
-    def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
-        """Vocabulary terms within edit distance 1 of ``term`` (including
-        the term itself when indexed), as (term, df) ordered (df desc,
-        term asc) — exactly ``levenshtein(term, t) <= 1``."""
-        return self._lexicon.expand(term)
+    def fuzzy_expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
+        """Vocabulary terms within edit distance ``d`` of ``term``
+        (including the term itself when indexed), as (term, df) ordered
+        (df desc, term asc) — exactly ``levenshtein(term, t) <= d``."""
+        return self._lexicon.expand(term, d)
 
     def fuzzy_expand_many(
-        self, terms: list[str]
+        self, items: list
     ) -> list[list[tuple[str, int]]]:
         """Batched ``fuzzy_expand`` — the surface ``search()`` uses, so
         the served engine can answer N typos in ONE resolver round trip;
-        here it is a plain loop."""
-        return self._lexicon.expand_many(terms)
+        here it is a plain loop.  Items are terms or (term, d) pairs."""
+        return self._lexicon.expand_many(items)
 
     def fuzzy_topk(
         self, terms: list[str], k: int,
         attrs: list[tuple[str, str]] | None = None,
+        d: int = 1,
     ) -> list[tuple[int, float]]:
         """Typo-tolerant BM25 top-k: every query-term OCCURRENCE expands
-        to its edit-distance-1 vocabulary neighborhood (Lucene FuzzyQuery
-        as an OR of term queries, each at its own idf), then the plain
-        multi-term scorer runs over the expanded multiset — duplicate
-        expansions score once per occurrence, the engine-wide contract."""
-        expanded = [v for t in terms for v, _ in self.fuzzy_expand(t)]
+        to its edit-distance-``d`` vocabulary neighborhood (Lucene
+        FuzzyQuery as an OR of term queries, each at its own idf), then
+        the plain multi-term scorer runs over the expanded multiset —
+        duplicate expansions score once per occurrence, the engine-wide
+        contract."""
+        expanded = [v for t in terms for v, _ in self.fuzzy_expand(t, d)]
         if not expanded:
             return []
         return self.topk(expanded, k, attrs=attrs)
@@ -1161,6 +1163,10 @@ def recommend(
 _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
+# Lucene FuzzyQuery chunk suffix: ``term~`` (distance 1), ``term~1``,
+# ``term~2`` — the supported ceiling matches lexicon.FUZZY_MAX_D; any
+# other suffix is literal text, handled by the tokenizer.
+_FUZZY_CHUNK_RE = re.compile(r"^(.+)~([12]?)$")
 # col:value filter chunks: a word-shaped column name, then either a
 # quoted value (``lang:"de"`` — the standard search-box habit) or a
 # non-space value, flanked by chunk boundaries.  Values are RAW attribute
@@ -1229,13 +1235,16 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     whitespace-delimited chunk with content after them (the standard
     search-box convention), so hyphenated words like ``Spark-JOIN`` stay
     plain BM25 queries; a chunk's tokens all inherit its clause
-    (``+new-york`` requires both tokens).  ``~`` at the END of a chunk
-    (Lucene FuzzyQuery syntax) marks that chunk's tokens for
-    edit-distance-1 expansion, and ``*`` at the end (Lucene PrefixQuery)
-    marks the chunk's LAST token as a prefix to complete (its earlier
-    tokens stay exact — a prefix is positional, fuzziness is per-token);
-    boolean/phrase/NEAR take precedence, so a ``~``/``*`` inside those
-    modes stays plain text (both are stripped by the tokenizer anyway).
+    (``+new-york`` requires both tokens).  ``~``/``~1``/``~2`` at the END
+    of a chunk (Lucene FuzzyQuery syntax; bare ``~`` means distance 1)
+    marks that chunk's tokens for edit-distance-d expansion — fuzzy
+    entries are (token, d) pairs — and ``*`` at the end (Lucene
+    PrefixQuery) marks the chunk's LAST token as a prefix to complete
+    (its earlier tokens stay exact — a prefix is positional, fuzziness is
+    per-token); boolean/phrase/NEAR take precedence, so a ``~``/``*``
+    inside those modes stays plain text (both are stripped by the
+    tokenizer anyway), and an unsupported distance like ``x~3`` is
+    literal text, never an error.
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -1272,17 +1281,25 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
             else:
                 should.extend(toks(c))
         return "boolean", (should, must, must_not), None
-    def _op_chunk(c: str, op: str) -> bool:
-        return len(c) >= 2 and c[-1] == op and bool(toks(c[:-1]))
+    def _fuzzy_chunk(c: str) -> tuple[list[str], int] | None:
+        m = _FUZZY_CHUNK_RE.match(c)
+        if not m or not toks(m.group(1)):
+            return None
+        return toks(m.group(1)), int(m.group(2) or "1")
 
-    if any(_op_chunk(c, "~") or _op_chunk(c, "*") for c in chunks):
+    def _prefix_chunk(c: str) -> bool:
+        return len(c) >= 2 and c[-1] == "*" and bool(toks(c[:-1]))
+
+    if any(_fuzzy_chunk(c) or _prefix_chunk(c) for c in chunks):
         exact: list[str] = []
-        fuzzy: list[str] = []
+        fuzzy: list[tuple[str, int]] = []
         prefixes: list[str] = []
         for c in chunks:
-            if _op_chunk(c, "~"):
-                fuzzy.extend(toks(c[:-1]))
-            elif _op_chunk(c, "*"):
+            fc = _fuzzy_chunk(c)
+            if fc:
+                ts, d = fc
+                fuzzy.extend((t, d) for t in ts)
+            elif _prefix_chunk(c):
                 *rest, last = toks(c[:-1])
                 exact.extend(rest)
                 prefixes.append(last)
@@ -1295,13 +1312,14 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
 def expand_query_terms(
     engine,
     exact: list[str],
-    fuzzy: list[str],
+    fuzzy: list,
     prefixes: list[str],
 ) -> list[str]:
     """Resolve an "expand"-mode parse into the effective term multiset:
-    exact terms verbatim, each fuzzy occurrence's edit-distance-1
-    neighborhood (ONE batched ``fuzzy_expand_many`` call — a single
-    resolver round trip on the served engine), and each prefix's top
+    exact terms verbatim, each fuzzy (term, d) occurrence's
+    edit-distance-d neighborhood (ONE batched ``fuzzy_expand_many`` call
+    — a single resolver round trip on the served engine), and each
+    prefix's top
     ``PREFIX_EXPANSION_MAX`` highest-df completions (Lucene
     TopTermsRewrite; ``suggest`` per prefix).  Shared by ``search()`` and
     the CLI facet path so retrieval and facets see the same term set.

@@ -200,9 +200,10 @@ class DfResolver:
         """This shard's top-k (term, df) completions of ``prefix``."""
         return self._lexicon().suggest(prefix, k)
 
-    def expand_terms(self, terms: list[str]) -> list[list[tuple[str, int]]]:
-        """Per input term, this shard's levenshtein<=1 neighborhood."""
-        return self._lexicon().expand_many(terms)
+    def expand_terms(self, items: list) -> list[list[tuple[str, int]]]:
+        """Per input term or (term, d) pair, this shard's
+        levenshtein<=d neighborhood (d defaults to 1)."""
+        return self._lexicon().expand_many(items)
 
 
 @ray.remote
@@ -1004,39 +1005,45 @@ class RangeShardedQueryEngine:
         merged.sort(key=lambda tn: (-tn[1], tn[0]))
         return merged[:k]
 
-    def _expand(self, terms: list[str]) -> list[list[tuple[str, int]]]:
-        """One batched round trip: per input term, the merged (df desc,
-        term asc) levenshtein<=1 neighborhood across all resolvers."""
+    def _expand(self, items: list) -> list[list[tuple[str, int]]]:
+        """One batched round trip: per input term or (term, d) pair, the
+        merged (df desc, term asc) levenshtein<=d neighborhood across all
+        resolvers."""
         parts = ray.get(
-            [r.expand_terms.remote(terms) for r in self.resolvers]
+            [r.expand_terms.remote(items) for r in self.resolvers]
         )
         out = []
-        for i in range(len(terms)):
+        for i in range(len(items)):
             exp = [tn for p in parts for tn in p[i]]
             exp.sort(key=lambda tn: (-tn[1], tn[0]))
             out.append(exp)
         return out
 
-    def fuzzy_expand(self, term: str) -> list[tuple[str, int]]:
+    def fuzzy_expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
         """Must equal ``IndexReader.fuzzy_expand``."""
-        return self._expand([term])[0]
+        return self._expand([(term, d)])[0]
 
     def fuzzy_expand_many(
-        self, terms: list[str]
+        self, items: list
     ) -> list[list[tuple[str, int]]]:
         """Batched expansion — the ``search()`` ~ surface resolves all of
-        a query's typo terms through this in ONE resolver round trip."""
-        return self._expand(terms)
+        a query's typo terms (plain, or (term, d) pairs) through this in
+        ONE resolver round trip."""
+        return self._expand(items)
 
     def fuzzy_topk(self, terms: list[str], k: int,
-                   attrs: list[tuple[str, str]] | None = None
+                   attrs: list[tuple[str, str]] | None = None,
+                   d: int = 1,
                    ) -> list[tuple[int, float]]:
         """Typo-tolerant BM25 top-k — must equal ``IndexReader.fuzzy_topk``:
         each occurrence expands to its neighborhood, then the plain
         distributed scorer runs over the multiset (one expand round trip
         to the resolvers, then topk's own idf phase — two phase-1 trips,
         the price of reusing the duplicate-occurrence scoring path)."""
-        expanded = [v for exp in self._expand(terms) for v, _ in exp]
+        expanded = [
+            v for exp in self._expand([(t, d) for t in terms])
+            for v, _ in exp
+        ]
         if not expanded:
             return []
         return self.topk(expanded, k, attrs=attrs)
