@@ -150,6 +150,21 @@ def test_lexicon_normalizes_case_and_builds_lazily():
     assert sorted(lex._fuzzy) == [1, 2]
 
 
+def test_lexicon_deep_index_answers_shallow_queries():
+    # a d=2-first workload builds ONE deletion dict; later d=1 probes run
+    # against it (shallower probe depth + verify) and must equal a pure
+    # d=1 index exactly
+    from wikirec_ray.pipelines.lexicon import Lexicon
+
+    lex = Lexicon(VOCAB)
+    lex.expand("merg", 2)
+    assert list(lex._fuzzy) == [2]
+    pure = Lexicon(VOCAB)
+    for q in sorted(VOCAB) + ["tabel", "jion", "", "zz", "abba"]:
+        assert lex.expand(q, 1) == pure.expand(q, 1), q
+    assert list(lex._fuzzy) == [2]  # no second dict appeared
+
+
 def test_prefix_suggest_flat_df_tie_cut():
     # a long flat-df tail: ties at the kth df must cut term-ascending
     # (the lexicographic array order), matching the SQL ORDER BY

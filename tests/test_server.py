@@ -292,7 +292,18 @@ def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
         for terms in (["merg", "tabl"], ["ag"], ["merg", "merg"], ["zzz"]):
             for k in (1, 10):
                 assert eng.fuzzy_topk(terms, k) == reader.fuzzy_topk(terms, k)
-        for q in ("merg~ join", "sp* join", "merg~ c* join"):
+        # distance-2 route: expansion, mixed-pair batches, topk, search()
+        for q in ["spark", "merg", "tabl", "ag", "zzzzz", "MERG"]:
+            assert eng.fuzzy_expand(q, 2) == reader.fuzzy_expand(q, 2), q
+            got2 = set(t for t, _ in eng.fuzzy_expand(q, 2))
+            assert set(t for t, _ in eng.fuzzy_expand(q, 1)) <= got2
+        assert eng.fuzzy_expand_many([("merg", 2), "tabl", ("zz", 1)]) == \
+            reader.fuzzy_expand_many([("merg", 2), "tabl", ("zz", 1)])
+        for terms in (["merg", "tabl"], ["merg", "merg"]):
+            assert eng.fuzzy_topk(terms, 10, d=2) == \
+                reader.fuzzy_topk(terms, 10, d=2)
+        for q in ("merg~ join", "sp* join", "merg~ c* join",
+                  "merg~2 join", "merg~1 tabl~2 c* join"):
             assert search(eng, q, k=5) == search(reader, q, k=5), q
     finally:
         eng.shutdown()

@@ -118,9 +118,15 @@ class Lexicon:
         return self._prefix.suggest(prefix.lower(), k)
 
     def expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
-        if d not in self._fuzzy:
+        # any already-built index of depth >= d answers a distance-d
+        # query (probe depth and verify distance are per-call), so a
+        # mixed ~/~2 workload builds ONE deletion dict, not one per
+        # distance; a shallower-only cache still builds the deeper one.
+        built = max(self._fuzzy, default=0)
+        if built < d:
+            built = d
             self._fuzzy[d] = FuzzyIndex(self._uni, max_d=d)
-        return self._fuzzy[d].expand(term.lower())
+        return self._fuzzy[built].expand(term.lower(), d)
 
     def expand_many(
         self, items: list[str | tuple[str, int]]
@@ -205,15 +211,22 @@ class FuzzyIndex:
             out |= frontier
         return out
 
-    def expand(self, term: str) -> list[tuple[str, int]]:
-        """Vocabulary terms within edit distance max_d of ``term``, as
-        (term, df) pairs ordered (df desc, term asc) — exactly the set
-        ``levenshtein(term, t) <= max_d`` selects (candidates from the
-        deletion neighborhood are re-verified, killing the "ab"~"ba"
-        false positives the trick generates)."""
+    def expand(self, term: str, d: int | None = None) -> list[tuple[str, int]]:
+        """Vocabulary terms within edit distance ``d`` (default: max_d,
+        which also bounds it) of ``term``, as (term, df) pairs ordered
+        (df desc, term asc) — exactly the set ``levenshtein(term, t) <= d``
+        selects.  Candidates from the deletion neighborhood are
+        re-verified, killing the "ab"~"ba" false positives the trick
+        generates; probing a depth-max_d index at a SHALLOWER query depth
+        stays complete (levenshtein(q,t) <= d yields a common string
+        within d <= max_d deletions of both sides)."""
+        if d is None:
+            d = self._max_d
+        if not 1 <= d <= self._max_d:
+            raise ValueError(f"d must be in [1, {self._max_d}]")
         cands: set[str] = set()
-        for key in self._dels(term, self._max_d):
+        for key in self._dels(term, d):
             cands.update(self._index.get(key, ()))
-        hits = [t for t in cands if edit_distance_le(term, t, self._max_d)]
+        hits = [t for t in cands if edit_distance_le(term, t, d)]
         hits.sort(key=lambda t: (-self._df[t], t))
         return [(t, self._df[t]) for t in hits]

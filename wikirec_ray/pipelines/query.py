@@ -47,6 +47,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from wikirec_ray.pipelines.lexicon import FUZZY_MAX_D
+
 from wikirec_ray.schema import (
     BM25_B,
     BM25_K1,
@@ -1163,10 +1165,11 @@ def recommend(
 _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
-# Lucene FuzzyQuery chunk suffix: ``term~`` (distance 1), ``term~1``,
-# ``term~2`` — the supported ceiling matches lexicon.FUZZY_MAX_D; any
-# other suffix is literal text, handled by the tokenizer.
-_FUZZY_CHUNK_RE = re.compile(r"^(.+)~([12]?)$")
+# Lucene FuzzyQuery chunk suffix: ``term~`` (distance 1), ``term~1`` up
+# to ``term~{FUZZY_MAX_D}`` — the character class is BUILT from the
+# lexicon ceiling so the two surfaces cannot drift; any other suffix is
+# literal text, handled by the tokenizer.
+_FUZZY_CHUNK_RE = re.compile(rf"^(.+)~([1-{FUZZY_MAX_D}]?)$")
 # col:value filter chunks: a word-shaped column name, then either a
 # quoted value (``lang:"de"`` — the standard search-box habit) or a
 # non-space value, flanked by chunk boundaries.  Values are RAW attribute
