@@ -18,7 +18,12 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-from wikirec_ray.schema import BM25_B, BM25_K1, DOC_RANGE_SIZE
+from wikirec_ray.schema import (
+    BM25_B,
+    BM25_K1,
+    DOC_RANGE_SIZE,
+    FUZZY_EXPANSION_MAX,
+)
 from wikirec_ray.stages.analyze import DEFAULT_STOPWORDS
 
 # ---------------------------------------------------------------------------
@@ -796,7 +801,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         occurrence expands to its levenshtein<=1 vocabulary neighborhood
         (pipelines/lexicon.FuzzyIndex), then the plain multi-term scorer
         runs over the expanded multiset — SQL-replayable as a
-        levenshtein join dfv->expansion feeding the shared bm25 CTEs."""
+        levenshtein join dfv->expansion feeding the shared bm25 CTEs.
+        Both sides cap each occurrence's neighborhood at
+        FUZZY_EXPANSION_MAX (df desc, term asc; non-binding on this
+        vocabulary — the row_number guard keeps the SQL semantics
+        identical to the engine's Lucene-style maxExpansions)."""
         import pandas as pd
 
         from wikirec_ray.pipelines.query import IndexReader
@@ -1431,8 +1440,12 @@ def oracle_sql() -> dict[str, str]:
     phrase_qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in PHRASE_QUERY_SET for t in terms
     )
+    # one row per OCCURRENCE (occ disambiguates duplicates so the
+    # per-occurrence expansion cap partitions correctly)
     fuzzy_qvals = ", ".join(
-        f"({qid}, '{t}')" for qid, terms in FUZZY_QUERY_SET for t in terms
+        f"({qid}, {occ}, '{t}')"
+        for qid, terms in FUZZY_QUERY_SET
+        for occ, t in enumerate(terms)
     )
     # per-query adjacency scan over the 1-based DuckDB token list: doc
     # matches iff toks[i+j] == phrase[j] for all j at some start i
@@ -2470,10 +2483,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_search": f"""
             WITH {_BM25_CORE},
-            q(query_id, qterm) AS (VALUES {fuzzy_qvals}),
+            q(query_id, occ, qterm) AS (VALUES {fuzzy_qvals}),
             exp AS (
-                SELECT q.query_id, dfv.term
-                FROM q JOIN dfv ON levenshtein(q.qterm, dfv.term) <= 1
+                SELECT query_id, term FROM (
+                    SELECT q.query_id, dfv.term,
+                           row_number() OVER (
+                               PARTITION BY q.query_id, q.occ
+                               ORDER BY dfv.df DESC, dfv.term
+                           ) AS xrn
+                    FROM q JOIN dfv ON levenshtein(q.qterm, dfv.term) <= 1
+                ) WHERE xrn <= {FUZZY_EXPANSION_MAX}
             ),
             scored AS (
                 SELECT e.query_id, tf.doc_id, SUM({score}) AS score

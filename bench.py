@@ -661,13 +661,27 @@ def run_zipf() -> None:
         mid = by_df[len(by_df) - 100 + i % 50]
         t = time.monotonic(); reader.fuzzy_topk([w, mid], 10)
         l_fz.append(time.monotonic() - t)
-    lsug, lexp, lfz = (np.array(x) * 1000 for x in (l_sug, l_exp, l_fz))
+    # distance-2: the deeper deletion dict is the expensive one (~len²/2
+    # variants per term), timed by its first probe; expansion then pays a
+    # larger candidate set + the DP verifier
+    t = time.monotonic(); reader.fuzzy_expand("a", 2)
+    lex_fuzzy2_build_sec = time.monotonic() - t
+    l_exp2 = []
+    n_exp2 = 0
+    for w in typos:
+        t = time.monotonic(); n_exp2 += len(reader.fuzzy_expand(w, 2))
+        l_exp2.append(time.monotonic() - t)
+    lsug, lexp, lfz, lexp2 = (
+        np.array(x) * 1000 for x in (l_sug, l_exp, l_fz, l_exp2)
+    )
     log(
         f"zipf lexicon: prefix build {lex_prefix_build_sec:.2f}s, symspell "
         f"build {lex_fuzzy_build_sec:.2f}s; suggest p50={np.percentile(lsug,50):.2f}ms "
         f"p99={np.percentile(lsug,99):.2f}ms; expand p50={np.percentile(lexp,50):.2f}ms "
         f"p99={np.percentile(lexp,99):.2f}ms ({n_exp/len(typos):.1f} terms/typo); "
-        f"fuzzy search p50={np.percentile(lfz,50):.1f}ms p99={np.percentile(lfz,99):.1f}ms"
+        f"fuzzy search p50={np.percentile(lfz,50):.1f}ms p99={np.percentile(lfz,99):.1f}ms; "
+        f"d2 build {lex_fuzzy2_build_sec:.2f}s expand p50={np.percentile(lexp2,50):.2f}ms "
+        f"p99={np.percentile(lexp2,99):.2f}ms ({n_exp2/len(typos):.1f} terms/typo)"
     )
 
     # positional build + exact-phrase latency on the realistic vocabulary:
@@ -805,6 +819,9 @@ def run_zipf() -> None:
             "fuzzy_expand_p99_ms": round(float(np.percentile(lexp, 99)), 3),
             "fuzzy_search_p50_ms": round(float(np.percentile(lfz, 50)), 3),
             "fuzzy_search_p99_ms": round(float(np.percentile(lfz, 99)), 3),
+            "lex_symspell_d2_build_sec": round(lex_fuzzy2_build_sec, 3),
+            "fuzzy2_expand_p50_ms": round(float(np.percentile(lexp2, 50)), 3),
+            "fuzzy2_expand_p99_ms": round(float(np.percentile(lexp2, 99)), 3),
             "pos_build_sec": round(pos_build_sec, 3),
             "phrase_cold_p50_ms": round(float(np.percentile(lp, 50)), 3),
             "phrase_cold_p99_ms": round(float(np.percentile(lp, 99)), 3),

@@ -150,6 +150,37 @@ def test_lexicon_normalizes_case_and_builds_lazily():
     assert sorted(lex._fuzzy) == [1, 2]
 
 
+def test_fuzzy_retrieval_caps_expansion():
+    # Lucene maxExpansions: retrieval truncates each occurrence's
+    # df-ordered neighborhood at FUZZY_EXPANSION_MAX; fuzzy_expand (the
+    # introspection/oracle surface) stays uncapped.  A vocabulary of all
+    # two-letter strings puts EVERY term within distance 2 of "aa".
+    import itertools
+    import string
+
+    from wikirec_ray.pipelines.lexicon import Lexicon
+    from wikirec_ray.pipelines.query import expand_query_terms
+    from wikirec_ray.schema import FUZZY_EXPANSION_MAX
+
+    vocab = {
+        a + b: 1 + (ord(a) * 31 + ord(b)) % 97
+        for a, b in itertools.product(string.ascii_lowercase, repeat=2)
+    }
+    lex = Lexicon(vocab)
+    full = lex.expand("aa", 2)
+    assert len(full) == len(vocab) > FUZZY_EXPANSION_MAX
+
+    class FakeEngine:
+        def fuzzy_expand_many(self, items):
+            return [lex.expand(t, d) for t, d in items]
+
+        def suggest(self, prefix, k):
+            return []
+
+    got = expand_query_terms(FakeEngine(), ["x"], [("aa", 2)], [])
+    assert got == ["x"] + [t for t, _ in full[:FUZZY_EXPANSION_MAX]]
+
+
 def test_lexicon_deep_index_answers_shallow_queries():
     # a d=2-first workload builds ONE deletion dict; later d=1 probes run
     # against it (shallower probe depth + verify) and must equal a pure

@@ -52,6 +52,7 @@ from wikirec_ray.pipelines.lexicon import FUZZY_MAX_D
 from wikirec_ray.schema import (
     BM25_B,
     BM25_K1,
+    FUZZY_EXPANSION_MAX,
     N_TERM_PARTITIONS,
     NEAR_WINDOW_MAX,
     PREFIX_EXPANSION_MAX,
@@ -465,8 +466,13 @@ class IndexReader:
         FuzzyQuery as an OR of term queries, each at its own idf), then
         the plain multi-term scorer runs over the expanded multiset —
         duplicate expansions score once per occurrence, the engine-wide
-        contract."""
-        expanded = [v for t in terms for v, _ in self.fuzzy_expand(t, d)]
+        contract.  Each occurrence's neighborhood is truncated to its
+        ``FUZZY_EXPANSION_MAX`` highest-df members (Lucene maxExpansions;
+        the neighborhood is already df-desc-ordered)."""
+        expanded = [
+            v for t in terms
+            for v, _ in self.fuzzy_expand(t, d)[:FUZZY_EXPANSION_MAX]
+        ]
         if not expanded:
             return []
         return self.topk(expanded, k, attrs=attrs)
@@ -1339,7 +1345,8 @@ def expand_query_terms(
     expanded = list(exact)
     if fuzzy:
         expanded += [
-            v for exp in engine.fuzzy_expand_many(fuzzy) for v, _ in exp
+            v for exp in engine.fuzzy_expand_many(fuzzy)
+            for v, _ in exp[:FUZZY_EXPANSION_MAX]
         ]
     for p in prefixes:
         expanded += [v for v, _ in engine.suggest(p, PREFIX_EXPANSION_MAX)]

@@ -56,6 +56,17 @@ NEAR_WINDOW_MAX = (1 << 31) - 1
 # term asc), so the dropped tail is the lowest-signal one.
 PREFIX_EXPANSION_MAX = 128
 
+# Fuzzy (~d) retrieval caps each query-term OCCURRENCE's vocabulary
+# neighborhood to its highest-df members before scoring — Lucene
+# FuzzyQuery's maxExpansions bound: at distance 2 over a crawl
+# vocabulary a short typo's neighborhood is O(10^2-10^3) terms, and an
+# uncapped OR of them turns one typo into a df≈N disjunction.  Same
+# deterministic order as the prefix cap (df desc, term asc — the
+# neighborhood's native order, so the cap is a truncation).
+# ``fuzzy_expand`` itself stays uncapped (it is the introspection /
+# oracle surface); only retrieval truncates.
+FUZZY_EXPANSION_MAX = 128
+
 # Index layout knobs.
 N_TERM_PARTITIONS = 32  # tpart = hash(term) % N_TERM_PARTITIONS
 DOC_RANGE_SIZE = 8192  # salt: doc_id // DOC_RANGE_SIZE bounds shuffle groups

@@ -32,7 +32,11 @@ import zlib
 import numpy as np
 import ray
 
-from wikirec_ray.schema import N_TERM_PARTITIONS, NEAR_WINDOW_MAX
+from wikirec_ray.schema import (
+    FUZZY_EXPANSION_MAX,
+    N_TERM_PARTITIONS,
+    NEAR_WINDOW_MAX,
+)
 
 
 def _idf_from_df(df: int, n_docs: int) -> float:
@@ -1042,7 +1046,7 @@ class RangeShardedQueryEngine:
         the price of reusing the duplicate-occurrence scoring path)."""
         expanded = [
             v for exp in self._expand([(t, d) for t in terms])
-            for v, _ in exp
+            for v, _ in exp[:FUZZY_EXPANSION_MAX]
         ]
         if not expanded:
             return []
