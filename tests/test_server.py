@@ -190,6 +190,37 @@ def test_range_sharded_near_equals_local(spread_pos_index, ray_session):
         eng.shutdown()
 
 
+def test_range_sharded_sloppy_equals_local(spread_pos_index, ray_session):
+    """Distributed sloppy phrase == IndexReader.sloppy_phrase_topk: the
+    in-order span predicate is per-doc, so each range shard matches
+    locally with the shared kernel.  Covers slop=0 (the exact-phrase /
+    precompute route), small and huge slops, duplicate terms, an absent
+    term, and the search() '"..."~n' surface."""
+    from wikirec_ray.pipelines.query import IndexReader, search
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(spread_pos_index, pool_size=3)
+    try:
+        reader = IndexReader(spread_pos_index)
+        n_nonempty = 0
+        qs = [q for q in PHRASES if q] + [["table", "table", "hash"]]
+        for q in qs:
+            for slop in (0, 1, 3, 10_000):
+                got = eng.sloppy_phrase_topk(q, 10, slop=slop)
+                assert got == reader.sloppy_phrase_topk(q, 10, slop=slop), \
+                    (q, slop)
+                n_nonempty += bool(got)
+        assert n_nonempty > 0, "sloppy set must hit the corpus"
+        assert eng.sloppy_phrase_topk([], 10, slop=2) == []
+        assert eng.sloppy_phrase_topk(["table", "hash"], 10, slop=-1) == []
+        with pytest.raises(ValueError, match="2\\^31"):
+            eng.sloppy_phrase_topk(["table", "hash"], 10, slop=1 << 31)
+        assert search(eng, '"the customer"~2', 5) == \
+            search(reader, '"the customer"~2', 5)
+    finally:
+        eng.shutdown()
+
+
 def test_range_sharded_duplicate_query_terms(spread_pos_index, ray_session):
     """A repeated query term contributes once per occurrence in EVERY
     engine (review r5: the range-sharded coordinator deduped terms and

@@ -654,6 +654,81 @@ class IndexReader:
             postings.append((t, d, tf, seg))
         return self._filtered_topk(postings, phrase_docs, k)
 
+    # ---------------- sloppy phrase (ordered proximity) ------------------
+    @staticmethod
+    def sloppy_match_docs(
+        cand: np.ndarray,
+        items: list[tuple[str, np.ndarray, object]],
+        slop: int,
+    ) -> np.ndarray:
+        """Docs (subset of sorted ``cand``) containing positions
+        p1 < p2 < ... < pL matching the phrase terms IN ORDER with span
+        slack ``pL - p1 - (L-1) <= slop`` — Lucene SpanNearQuery
+        (inOrder=true) semantics; slop=0 degenerates to the exact phrase.
+        Greedy chain: for each first-term occurrence, each later term
+        takes its SMALLEST position strictly after the previous term's —
+        that minimizes pL for the given p1 (exchange argument), so "some
+        start survives the span test" is exactly the existential.  One
+        vectorized ``searchsorted`` per term over composite (candidate,
+        position) keys, like the phrase/NEAR kernels; the +1 probe step
+        is why ``_cand_keys`` runs with margin 1."""
+        mask32 = np.uint64((1 << 32) - 1)
+        start = IndexReader._cand_keys(cand, *items[0], margin=1)
+        cur = start
+        for term, d, seg in items[1:]:
+            kt = IndexReader._cand_keys(cand, term, d, seg, margin=1)
+            if len(kt) == 0:
+                return cand[:0]
+            idx = np.searchsorted(kt, cur + np.uint64(1), side="left")
+            nxt = kt[np.minimum(idx, len(kt) - 1)]
+            ok = (idx < len(kt)) & (
+                (nxt >> np.uint64(32)) == (cur >> np.uint64(32))
+            )
+            start, cur = start[ok], nxt[ok]
+            if len(cur) == 0:
+                return cand[:0]
+        span_ok = (cur & mask32) - (start & mask32) <= np.uint64(
+            slop + len(items) - 1
+        )
+        live = start[span_ok]
+        return cand[np.unique((live >> np.uint64(32)).astype(np.int64))]
+
+    def sloppy_phrase_topk(
+        self, terms: list[str], k: int, slop: int = 0,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to docs containing ``terms`` IN ORDER
+        within span slack ``slop`` (Lucene ``"a b"~n`` sloppy
+        PhraseQuery / in-order SpanNear): positions p1 < ... < pL with
+        pL - p1 - (L-1) <= slop.  Unlike NEAR this is order-sensitive
+        ("b a" never matches a doc containing only "a b"), and unlike
+        NEAR an infinite slop does NOT degrade to conjunctive AND — the
+        order constraint remains.  Needs a positional index.
+
+        Same contract as ``phrase_topk``/``near_topk``: the proximity is
+        a FILTER, scores are the plain multi-term BM25, ranking by
+        (round(score, 9) desc, doc asc).  ``slop=0`` IS the exact phrase
+        and delegates to ``phrase_topk`` (inheriting its precomputed-
+        bigram fast path); precomputed sub-pair pruning is NOT applied
+        for slop > 0 (matched terms need not be adjacent)."""
+        if not terms or slop < 0:
+            return []
+        if slop > NEAR_WINDOW_MAX:
+            raise ValueError(
+                "sloppy_phrase_topk: slop must be <= 2^31 - 1"
+            )
+        if slop == 0:
+            return self.phrase_topk(terms, k, attrs=attrs)
+        postings, cand = self._positional_candidates(terms)
+        if postings is None:
+            return []
+        docs = self.sloppy_match_docs(
+            cand, [(t, d, seg) for t, d, _, seg in postings], slop
+        )
+        if attrs:
+            docs = self._attr_keep_sorted(docs, attrs)
+        return self._filtered_topk(postings, docs, k)
+
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
         self, terms: list[str], k: int, window: int = 8,
@@ -1171,6 +1246,9 @@ def recommend(
 _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
+# Lucene sloppy-phrase syntax: a quoted phrase with a trailing ~slop
+# (``"a b"~2``).  Slop digits clamp exactly like NEAR windows.
+_SLOPPY_QUERY_RE = re.compile(r'^"(.+)"\s*~\s*(\d+)$', re.DOTALL)
 # Lucene FuzzyQuery chunk suffix: ``term~`` (distance 1), ``term~1`` up
 # to ``term~{FUZZY_MAX_D}`` — the character class is BUILT from the
 # lexicon ceiling so the two surfaces cannot drift; any other suffix is
@@ -1235,6 +1313,7 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     """One-string mini query language -> (mode, terms, window):
 
     - ``"exact phrase"``       -> ("phrase", terms, None)
+    - ``"sloppy phrase"~2``    -> ("sloppy", terms, 2)
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
     - ``tabel~ spar* join``    -> ("expand", (exact, fuzzy, prefixes), None)
@@ -1277,6 +1356,15 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
             int(digits or "0"), NEAR_WINDOW_MAX
         )
         return "near", toks(m.group(2)), w
+    m = _SLOPPY_QUERY_RE.match(q)
+    if m:
+        # quoted phrase + ~slop (Lucene sloppy PhraseQuery); same
+        # digit-length guard + clamp as NEAR windows
+        digits = m.group(2).lstrip("0")
+        s = NEAR_WINDOW_MAX if len(digits) > 9 else min(
+            int(digits or "0"), NEAR_WINDOW_MAX
+        )
+        return "sloppy", toks(m.group(1)), s
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
         return "phrase", toks(q[1:-1]), None
     chunks = q.split()
@@ -1380,6 +1468,8 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
         return []
     if mode == "phrase":
         return engine.phrase_topk(terms, k, attrs=attrs)
+    if mode == "sloppy":
+        return engine.sloppy_phrase_topk(terms, k, window, attrs=attrs)
     if mode == "near":
         return engine.near_topk(terms, k, window, attrs=attrs)
     if mode == "boolean":

@@ -678,6 +678,38 @@ class RangeServer:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def sloppy_phrase_topk(
+        self, terms_with_idf: list[tuple[str, int, float]],
+        slop: int, k: int,
+        attrs: list[tuple[str, str]] | None = None,
+    ):
+        """This shard's sloppy-phrase (in-order span, slack <= slop)
+        top-k over its ranges via the shared
+        ``IndexReader.sloppy_match_docs`` kernel.  ``terms_with_idf`` is
+        in PHRASE order (duplicates kept); the span predicate is per-doc,
+        so each range resolves its own matches — the same reason
+        phrase/NEAR serving lives in the doc-range-sharded engine."""
+        from wikirec_ray.pipelines.query import IndexReader
+
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            items, cand = self._gather_items(r, terms_with_idf)
+            if items is None or not len(cand):
+                continue
+            docs = IndexReader.sloppy_match_docs(
+                cand, [(t, d, c) for t, d, _, c in items], slop
+            )
+            if attrs and len(docs):
+                docs = self._attr_keep_sorted(r, docs, attrs)
+            if len(docs):
+                out.extend(self._score_filtered(nr, items, terms_with_idf,
+                                                docs, k))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def precomputed_phrase_topk(
         self, comp: str, comp_tpart: int,
         terms_with_idf: list[tuple[str, int, float]], k: int,
@@ -961,6 +993,34 @@ class RangeShardedQueryEngine:
             ]
         partials = ray.get(
             [s.phrase_topk.remote(twi, k, sub_comps, attrs)
+             for s in self.servers]
+        )
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def sloppy_phrase_topk(self, terms: list[str], k: int, slop: int = 0,
+                           attrs: list[tuple[str, str]] | None = None
+                           ) -> list[tuple[int, float]]:
+        """Distributed sloppy phrase (in-order span, slack <= slop) —
+        must equal ``IndexReader.sloppy_phrase_topk``.  slop=0 routes to
+        the exact-phrase path (and its precomputed-bigram fast path);
+        otherwise the span predicate is per-doc, so shards match locally
+        with the shared kernel."""
+        if not terms or slop < 0:
+            return []
+        if slop > NEAR_WINDOW_MAX:
+            raise ValueError(
+                "sloppy_phrase_topk: slop must be <= 2^31 - 1"
+            )
+        if slop == 0:
+            return self.phrase_topk(terms, k, attrs=attrs)
+        resolved = self._resolve_idfs(terms)
+        if any(resolved[t][1] == 0.0 for t in terms):
+            return []  # a term absent from the corpus → no match
+        twi = [(t, *resolved[t]) for t in terms]  # PHRASE order
+        partials = ray.get(
+            [s.sloppy_phrase_topk.remote(twi, slop, k, attrs)
              for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
