@@ -15,6 +15,7 @@ import pytest
 from wikirec_ray.pipelines.lexicon import (
     FuzzyIndex,
     PrefixIndex,
+    SuffixIndex,
     edit_distance_le1,
 )
 from wikirec_ray.pipelines.query import IndexReader, parse_query, search
@@ -59,6 +60,36 @@ def test_prefix_suggest_matches_sql(prefix, k):
 def test_prefix_suggest_k_nonpositive():
     assert PrefixIndex(VOCAB).suggest("s", 0) == []
     assert PrefixIndex(VOCAB).suggest("s", -1) == []
+
+
+@pytest.mark.parametrize(
+    "suffix", ["", "k", "rk", "ark", "spark", "s", "n", "e", "a", "zz", "9"]
+)
+@pytest.mark.parametrize("k", [1, 3, 100])
+def test_suffix_suggest_matches_sql(suffix, k):
+    con = duckdb.connect()
+    _vocab_rel(con)
+    want = con.execute(
+        "SELECT term, df FROM vocab WHERE ends_with(term, ?) "
+        "ORDER BY df DESC, term LIMIT ?",
+        [suffix, k],
+    ).fetchall()
+    assert SuffixIndex(VOCAB).suggest(suffix, k) == want
+
+
+def test_suffix_suggest_tie_cut_is_term_order():
+    # the kth-df tie cut must follow TERM order, not reversed-term order:
+    # suffix "x" matches ax..zx (flat df) — the top 3 are the term-asc
+    # smallest, even though reversed-term order would agree here; pin a
+    # case where the two orders DISAGREE: {"ba","ca","ab"} all end in
+    # nothing-shared... use suffix "" (whole vocab): reversed order of
+    # {"ab","ba"} is {"ba","ab"}, term order is {"ab","ba"}
+    flat = {"ab": 1, "ba": 1, "ca": 1, "ac": 1}
+    got = SuffixIndex(flat).suggest("", 2)
+    assert got == [("ab", 1), ("ac", 1)]  # term-asc, NOT reversed-asc
+    assert SuffixIndex(flat).suggest("a", 2) == [("ba", 1), ("ca", 1)]
+    assert SuffixIndex(VOCAB).suggest("k", 0) == []
+    assert SuffixIndex(VOCAB).suggest("zzz", 5) == []
 
 
 @pytest.mark.parametrize("d", [1, 2])
@@ -120,6 +151,15 @@ def test_reader_suggest_and_fuzzy_against_df(built_index):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert exp == brute and (q, uni[q]) in exp
+
+    # leading-wildcard surface against the same df ground truth
+    got_sfx = rd.suggest_suffix("e", 5)
+    want_sfx = sorted(
+        ((t, n) for t, n in uni.items() if t.endswith("e")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert got_sfx == want_sfx and got_sfx
+    assert rd.suggest_suffix("", 3) == rd.suggest("", 3)  # both = whole vocab
 
 
 def test_reader_fuzzy_topk_is_expanded_multiset(built_index):
@@ -214,23 +254,23 @@ def test_reader_fuzzy_expand_many(built_index):
 
 def test_parse_query_expand_mode():
     assert parse_query("tabel~ join") == \
-        ("expand", (["join"], [("tabel", 1)], []), None)
+        ("expand", (["join"], [("tabel", 1)], [], []), None)
     assert parse_query("a~ b~") == \
-        ("expand", ([], [("a", 1), ("b", 1)], []), None)
+        ("expand", ([], [("a", 1), ("b", 1)], [], []), None)
     # explicit Lucene distances: ~1 / ~2; unsupported ~3 stays literal
     assert parse_query("tabel~2 join") == \
-        ("expand", (["join"], [("tabel", 2)], []), None)
+        ("expand", (["join"], [("tabel", 2)], [], []), None)
     assert parse_query("a~1 b~2") == \
-        ("expand", ([], [("a", 1), ("b", 2)], []), None)
+        ("expand", ([], [("a", 1), ("b", 2)], [], []), None)
     assert parse_query("x~3") == ("bm25", ["x", "3"], None)
     # wildcard: the chunk's LAST token is the prefix, earlier ones exact
     assert parse_query("spar* join") == \
-        ("expand", (["join"], [], ["spar"]), None)
+        ("expand", (["join"], [], ["spar"], []), None)
     assert parse_query("new-york*") == \
-        ("expand", (["new"], [], ["york"]), None)
+        ("expand", (["new"], [], ["york"], []), None)
     # both operators in one query compose
     assert parse_query("tabl~ spar* the") == \
-        ("expand", (["the"], [("tabl", 1)], ["spar"]), None)
+        ("expand", (["the"], [("tabl", 1)], ["spar"], []), None)
     # boolean / phrase / NEAR outrank expansion; inner ~/* fall to the
     # tokenizer
     assert parse_query("+must tabel~")[0] == "boolean"
@@ -243,7 +283,19 @@ def test_parse_query_expand_mode():
     assert parse_query("a*b") == ("bm25", ["a", "b"], None)
     # hyphenated chunk: the whole chunk's tokens go fuzzy
     assert parse_query("new-york~") == \
-        ("expand", ([], [("new", 1), ("york", 1)], []), None)
+        ("expand", ([], [("new", 1), ("york", 1)], [], []), None)
+    # leading wildcard: the chunk's FIRST token is the suffix to complete
+    assert parse_query("*ion join") == \
+        ("expand", (["join"], [], [], ["ion"]), None)
+    assert parse_query("*new-york") == \
+        ("expand", (["york"], [], [], ["new"]), None)
+    # leading + trailing wildcards compose across chunks
+    assert parse_query("spar* *ion") == \
+        ("expand", ([], [], ["spar"], ["ion"]), None)
+    # a both-ended chunk is plain text (no contains-match)
+    assert parse_query("*ab*") == ("bm25", ["ab"], None)
+    assert parse_query("*") == ("bm25", [], None)
+    assert parse_query("**") == ("bm25", [], None)
 
 
 def test_search_expand_routes_and_guards(built_index):
@@ -259,6 +311,9 @@ def test_search_expand_routes_and_guards(built_index):
     # fuzzy + wildcard compose in one query
     both = [v for v, _ in rd.fuzzy_expand("merg")] + comp
     assert search(rd, "merg~ s*", k=5) == rd.topk(both, 5)
+    # leading wildcard: suffix rewrites to its df-capped completions
+    sfx = [v for v, _ in rd.suggest_suffix("e", PREFIX_EXPANSION_MAX)]
+    assert sfx and search(rd, "*e join", k=5) == rd.topk(["join"] + sfx, 5)
 
     class NoLex:
         def topk(self, terms, k, attrs=None):  # pragma: no cover
@@ -304,5 +359,15 @@ def test_cli_suggest(built_index, capsys):
         "prefix": "sp",
         "suggestions": [
             {"term": t, "df": n} for t, n in rd.suggest("sp", 3)
+        ],
+    }
+    # leading * flips to suffix completion
+    rc = main(["suggest", "--index", index_dir, "*e", "-k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "prefix": "*e",
+        "suggestions": [
+            {"term": t, "df": n} for t, n in rd.suggest_suffix("e", 3)
         ],
     }

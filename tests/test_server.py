@@ -315,6 +315,11 @@ def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
             for k in (1, 3, 100):
                 assert eng.suggest(prefix, k) == reader.suggest(prefix, k)
         assert eng.suggest("s", 0) == []
+        for sfx in ["", "e", "n", "k", "ing", "zz", "E"]:
+            for k in (1, 3, 100):
+                assert eng.suggest_suffix(sfx, k) == \
+                    reader.suggest_suffix(sfx, k), sfx
+        assert eng.suggest_suffix("e", 0) == []
         for q in ["spark", "merg", "tabl", "ag", "zzzzz", "", "MERG"]:
             assert eng.fuzzy_expand(q) == reader.fuzzy_expand(q), q
         assert eng.suggest("SP", 3) == reader.suggest("sp", 3)

@@ -157,7 +157,7 @@ def test_parse_query_sloppy_mode():
     # the pre-sloppy behavior, pinned so the precedence cannot drift
     assert parse_query('"alpha beta"') == ("phrase", ["alpha", "beta"], None)
     assert parse_query('"alpha beta"~') == \
-        ("expand", (["alpha"], [("beta", 1)], []), None)
+        ("expand", (["alpha"], [("beta", 1)], [], []), None)
 
 
 def test_search_routes_sloppy(sloppy_index):

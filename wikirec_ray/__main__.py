@@ -149,15 +149,19 @@ def cmd_compact(args) -> int:
 
 def cmd_suggest(args) -> int:
     """Prefix autocomplete over the index vocabulary (df-ranked).  No Ray
-    session needed — a driver-side lookup over the df files."""
+    session needed — a driver-side lookup over the df files.  A leading
+    ``*`` flips to suffix completion (``*tion`` = terms ending in tion),
+    matching the query language's leading-wildcard form."""
     from wikirec_ray.pipelines.query import IndexReader
 
     rd = IndexReader(args.index)
+    if args.prefix.startswith("*"):
+        hits = rd.suggest_suffix(args.prefix[1:], args.k)
+    else:
+        hits = rd.suggest(args.prefix, args.k)
     print(json.dumps({
         "prefix": args.prefix,
-        "suggestions": [
-            {"term": t, "df": n} for t, n in rd.suggest(args.prefix, args.k)
-        ],
+        "suggestions": [{"term": t, "df": n} for t, n in hits],
     }))
     return 0
 

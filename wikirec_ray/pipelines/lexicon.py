@@ -12,6 +12,11 @@ merge is a plain concatenation, never a re-aggregation.
 - ``PrefixIndex``: sorted term array + aligned df array; a prefix lookup
   is two ``searchsorted`` probes and a vectorized top-k over the matched
   slice (count-desc, term-asc — the deterministic autocomplete order).
+- ``SuffixIndex``: the same two-probe shape over REVERSED terms (Lucene's
+  ReverseStringFilter trick for leading wildcards: ``*tion`` is a prefix
+  probe on the reversed vocabulary); matches map back through the stored
+  permutation, so selection keeps the engine-wide (df desc, TERM asc)
+  order — not reversed-term order — and local/served results agree.
 - ``FuzzyIndex``: SymSpell-style deletion neighborhood for edit distance
   ≤ ``max_d`` (1 or 2 — the Lucene FuzzyQuery range).  Each vocabulary
   term is indexed under itself and its ≤ max_d-deletion variants; a query
@@ -36,6 +41,7 @@ import numpy as np
 __all__ = [
     "Lexicon",
     "PrefixIndex",
+    "SuffixIndex",
     "FuzzyIndex",
     "edit_distance_le1",
     "edit_distance_le",
@@ -110,12 +116,18 @@ class Lexicon:
     def __init__(self, df: dict[str, int]):
         self._uni = {t: n for t, n in df.items() if " " not in t}
         self._prefix: PrefixIndex | None = None
+        self._suffix: SuffixIndex | None = None
         self._fuzzy: dict[int, FuzzyIndex] = {}  # per-distance, lazy
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         if self._prefix is None:
             self._prefix = PrefixIndex(self._uni)
         return self._prefix.suggest(prefix.lower(), k)
+
+    def suggest_suffix(self, suffix: str, k: int = 10) -> list[tuple[str, int]]:
+        if self._suffix is None:
+            self._suffix = SuffixIndex(self._uni)
+        return self._suffix.suggest(suffix.lower(), k)
 
     def expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
         # any already-built index of depth >= d answers a distance-d
@@ -141,6 +153,28 @@ class Lexicon:
         return out
 
 
+def _topk_df_term_asc(
+    terms: np.ndarray, dfs: np.ndarray, k: int
+) -> list[tuple[str, int]]:
+    """Top-k (term, df) by (df desc, term asc) over TERM-ASCENDING-aligned
+    arrays.  Cut to exactly k candidates BEFORE any Python-level sort:
+    ties at the kth df are broken term-ascending, and ascending array
+    position IS term order, so ascending ``flatnonzero`` order is the tie
+    rule — a flat-df long tail (100k terms of df=1) costs O(range) numpy
+    scans + an O(k log k) sort, not an O(range log range) Python sort."""
+    if k <= 0 or len(terms) == 0:
+        return []
+    if len(terms) > k:
+        kth = -np.partition(-dfs, k - 1)[k - 1]
+        above = np.flatnonzero(dfs > kth)
+        ties = np.flatnonzero(dfs == kth)[: k - len(above)]
+        idx = np.concatenate([above, ties])
+    else:
+        idx = np.arange(len(terms))
+    order = sorted(idx.tolist(), key=lambda i: (-int(dfs[i]), terms[i]))[:k]
+    return [(str(terms[i]), int(dfs[i])) for i in order]
+
+
 class PrefixIndex:
     """Autocomplete over a (term -> df) vocabulary."""
 
@@ -155,30 +189,47 @@ class PrefixIndex:
         """Top-k (term, df) completions of ``prefix``: highest df first,
         ties term-ascending.  Empty prefix ranks the whole vocabulary
         (the "trending terms" degenerate case); absent prefix -> []."""
-        if k <= 0:
-            return []
         lo = int(np.searchsorted(self._terms, prefix))
         # the upper bound of the prefix range: prefix + a character above
         # any valid token char (tokens are [a-z0-9], so '\x7f' majorizes)
         hi = int(np.searchsorted(self._terms, prefix + "\x7f")) if prefix else len(self._terms)
         if hi <= lo:
             return []
-        dfs = self._dfs[lo:hi]
-        if hi - lo > k:
-            # cut to exactly k candidates BEFORE any Python-level sort:
-            # ties at the kth df are broken term-ascending, and the term
-            # array is lexicographically sorted, so ascending flatnonzero
-            # order IS the tie rule — a flat-df long tail (100k terms of
-            # df=1) costs O(range) numpy scans + an O(k log k) sort, not
-            # an O(range log range) Python sort
-            kth = -np.partition(-dfs, k - 1)[k - 1]
-            above = np.flatnonzero(dfs > kth)
-            ties = np.flatnonzero(dfs == kth)[: k - len(above)]
-            idx = np.concatenate([above, ties])
-        else:
-            idx = np.arange(hi - lo)
-        order = sorted(idx.tolist(), key=lambda i: (-int(dfs[i]), self._terms[lo + i]))[:k]
-        return [(str(self._terms[lo + i]), int(dfs[i])) for i in order]
+        return _topk_df_term_asc(self._terms[lo:hi], self._dfs[lo:hi], k)
+
+
+class SuffixIndex:
+    """Leading-wildcard (``*tion``) completion over a (term -> df)
+    vocabulary: Lucene's ReverseStringFilter trick — a suffix of the term
+    is a prefix of its reversal, so the probe is two ``searchsorted``
+    calls on the reversed-sorted vocabulary.  Matches map back through
+    the stored permutation and selection runs in TERM-ascending order,
+    keeping the engine-wide deterministic (df desc, term asc) contract —
+    NOT reversed-term order, so per-shard top-k merges agree with a
+    global index."""
+
+    def __init__(self, df: dict[str, int]):
+        terms = sorted(df)
+        self._terms = np.array(terms, dtype=object)
+        self._dfs = np.array([df[t] for t in terms], dtype=np.int64)
+        rev_order = sorted(range(len(terms)), key=lambda i: terms[i][::-1])
+        self._rev_terms = np.array(
+            [terms[i][::-1] for i in rev_order], dtype=object
+        )
+        self._rev_to_orig = np.array(rev_order, dtype=np.int64)
+
+    def suggest(self, suffix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) with ``term.endswith(suffix)``: highest df
+        first, ties term-ascending.  Empty suffix ranks the whole
+        vocabulary; absent suffix -> []."""
+        rq = suffix[::-1]
+        lo = int(np.searchsorted(self._rev_terms, rq))
+        hi = int(np.searchsorted(self._rev_terms, rq + "\x7f")) if rq \
+            else len(self._rev_terms)
+        if hi <= lo:
+            return []
+        orig = np.sort(self._rev_to_orig[lo:hi])  # ascending == term asc
+        return _topk_df_term_asc(self._terms[orig], self._dfs[orig], k)
 
 
 class FuzzyIndex:

@@ -442,6 +442,12 @@ class IndexReader:
         highest document frequency first, ties term-ascending."""
         return self._lexicon.suggest(prefix, k)
 
+    def suggest_suffix(self, suffix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) vocabulary terms ENDING with ``suffix`` —
+        the leading-wildcard (``*tion``) analog of ``suggest``, same
+        (df desc, term asc) order."""
+        return self._lexicon.suggest_suffix(suffix, k)
+
     def fuzzy_expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
         """Vocabulary terms within edit distance ``d`` of ``term``
         (including the term itself when indexed), as (term, df) ordered
@@ -1316,7 +1322,8 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     - ``"sloppy phrase"~2``    -> ("sloppy", terms, 2)
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
-    - ``tabel~ spar* join``    -> ("expand", (exact, fuzzy, prefixes), None)
+    - ``tabel~ spar* *ion j``  -> ("expand", (exact, fuzzy, prefixes,
+                                   suffixes), None)
     - anything else            -> ("bm25", terms, None)
 
     ``+``/``-`` are boolean operators ONLY at the start of a
@@ -1329,10 +1336,13 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     entries are (token, d) pairs — and ``*`` at the end (Lucene
     PrefixQuery) marks the chunk's LAST token as a prefix to complete
     (its earlier tokens stay exact — a prefix is positional, fuzziness is
-    per-token); boolean/phrase/NEAR take precedence, so a ``~``/``*``
-    inside those modes stays plain text (both are stripped by the
-    tokenizer anyway), and an unsupported distance like ``x~3`` is
-    literal text, never an error.
+    per-token); ``*`` at the START of a chunk (leading wildcard,
+    ``*tion``) marks the chunk's FIRST token as a suffix to complete via
+    the reversed-term index, with a both-ended ``*ab*`` staying plain
+    text (contains-match is not offered); boolean/phrase/NEAR take
+    precedence, so a ``~``/``*`` inside those modes stays plain text
+    (both are stripped by the tokenizer anyway), and an unsupported
+    distance like ``x~3`` is literal text, never an error.
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -1385,12 +1395,22 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
         return toks(m.group(1)), int(m.group(2) or "1")
 
     def _prefix_chunk(c: str) -> bool:
-        return len(c) >= 2 and c[-1] == "*" and bool(toks(c[:-1]))
+        return len(c) >= 2 and c[-1] == "*" and c[0] != "*" \
+            and bool(toks(c[:-1]))
 
-    if any(_fuzzy_chunk(c) or _prefix_chunk(c) for c in chunks):
+    def _suffix_chunk(c: str) -> bool:
+        # leading wildcard (*tion): mutually exclusive with the trailing
+        # form — a both-ended chunk (*ab*) is plain text (contains-match
+        # is not offered; the tokenizer strips the stars)
+        return len(c) >= 2 and c[0] == "*" and c[-1] != "*" \
+            and bool(toks(c[1:]))
+
+    if any(_fuzzy_chunk(c) or _prefix_chunk(c) or _suffix_chunk(c)
+           for c in chunks):
         exact: list[str] = []
         fuzzy: list[tuple[str, int]] = []
         prefixes: list[str] = []
+        suffixes: list[str] = []
         for c in chunks:
             fc = _fuzzy_chunk(c)
             if fc:
@@ -1400,9 +1420,15 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
                 *rest, last = toks(c[:-1])
                 exact.extend(rest)
                 prefixes.append(last)
+            elif _suffix_chunk(c):
+                # the chunk's FIRST token is the suffix to complete
+                # (mirror of the trailing-* rule); later tokens exact
+                first, *rest = toks(c[1:])
+                suffixes.append(first)
+                exact.extend(rest)
             else:
                 exact.extend(toks(c))
-        return "expand", (exact, fuzzy, prefixes), None
+        return "expand", (exact, fuzzy, prefixes, suffixes), None
     return "bm25", toks(q), None
 
 
@@ -1411,19 +1437,22 @@ def expand_query_terms(
     exact: list[str],
     fuzzy: list,
     prefixes: list[str],
+    suffixes: list[str] | None = None,
 ) -> list[str]:
     """Resolve an "expand"-mode parse into the effective term multiset:
     exact terms verbatim, each fuzzy (term, d) occurrence's
     edit-distance-d neighborhood (ONE batched ``fuzzy_expand_many`` call
     — a single resolver round trip on the served engine), and each
-    prefix's top
-    ``PREFIX_EXPANSION_MAX`` highest-df completions (Lucene
-    TopTermsRewrite; ``suggest`` per prefix).  Shared by ``search()`` and
-    the CLI facet path so retrieval and facets see the same term set.
-    Raises ``ValueError`` for engines without the vocabulary lexicon."""
+    prefix's / suffix's top ``PREFIX_EXPANSION_MAX`` highest-df
+    completions (Lucene TopTermsRewrite; ``suggest`` per trailing-*
+    prefix, ``suggest_suffix`` per leading-* suffix).  Shared by
+    ``search()`` and the CLI facet path so retrieval and facets see the
+    same term set.  Raises ``ValueError`` for engines without the
+    vocabulary lexicon."""
+    suffixes = suffixes or []
     if (fuzzy and not hasattr(engine, "fuzzy_expand_many")) or (
         prefixes and not hasattr(engine, "suggest")
-    ):
+    ) or (suffixes and not hasattr(engine, "suggest_suffix")):
         raise ValueError(
             "this engine does not support fuzzy (~) / wildcard (*) "
             "queries — expansion needs the vocabulary-level lexicon "
@@ -1438,6 +1467,10 @@ def expand_query_terms(
         ]
     for p in prefixes:
         expanded += [v for v, _ in engine.suggest(p, PREFIX_EXPANSION_MAX)]
+    for s in suffixes:
+        expanded += [
+            v for v, _ in engine.suggest_suffix(s, PREFIX_EXPANSION_MAX)
+        ]
     return expanded
 
 

@@ -204,6 +204,10 @@ class DfResolver:
         """This shard's top-k (term, df) completions of ``prefix``."""
         return self._lexicon().suggest(prefix, k)
 
+    def suggest_suffix(self, suffix: str, k: int) -> list[tuple[str, int]]:
+        """This shard's top-k (term, df) terms ending with ``suffix``."""
+        return self._lexicon().suggest_suffix(suffix, k)
+
     def expand_terms(self, items: list) -> list[list[tuple[str, int]]]:
         """Per input term or (term, d) pair, this shard's
         levenshtein<=d neighborhood (d defaults to 1)."""
@@ -1065,6 +1069,20 @@ class RangeShardedQueryEngine:
         if k <= 0:
             return []
         parts = ray.get([r.suggest.remote(prefix, k) for r in self.resolvers])
+        merged = [tn for p in parts for tn in p]
+        merged.sort(key=lambda tn: (-tn[1], tn[0]))
+        return merged[:k]
+
+    def suggest_suffix(self, suffix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Distributed leading-wildcard completion — must equal
+        ``IndexReader.suggest_suffix`` (per-tpart shards are disjoint and
+        every shard uses the same (df desc, term asc) cut, so per-shard
+        top-k + re-sort is the global top-k)."""
+        if k <= 0:
+            return []
+        parts = ray.get(
+            [r.suggest_suffix.remote(suffix, k) for r in self.resolvers]
+        )
         merged = [tn for p in parts for tn in p]
         merged.sort(key=lambda tn: (-tn[1], tn[0]))
         return merged[:k]
