@@ -211,8 +211,8 @@ def test_fuzzy_retrieval_caps_expansion():
     assert len(full) == len(vocab) > FUZZY_EXPANSION_MAX
 
     class FakeEngine:
-        def fuzzy_expand_many(self, items):
-            return [lex.expand(t, d) for t, d in items]
+        def fuzzy_expand_many(self, items, cap=None):
+            return lex.expand_many(items, cap)
 
         def suggest(self, prefix, k):
             return []
@@ -371,3 +371,16 @@ def test_cli_suggest(built_index, capsys):
             {"term": t, "df": n} for t, n in rd.suggest_suffix("e", 3)
         ],
     }
+    # a trailing * is the explicit prefix form (same result as bare)
+    rc = main(["suggest", "--index", index_dir, "sp*", "-k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["suggestions"] == [
+        {"term": t, "df": n} for t, n in rd.suggest("sp", 3)
+    ]
+    # patterns the query language doesn't offer are rejected loudly
+    for bad in ("*", "*e*"):
+        rc = main(["suggest", "--index", index_dir, bad])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "unsupported pattern" in err

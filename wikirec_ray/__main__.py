@@ -152,15 +152,27 @@ def cmd_suggest(args) -> int:
     session needed — a driver-side lookup over the df files.  A leading
     ``*`` flips to suffix completion (``*tion`` = terms ending in tion),
     matching the query language's leading-wildcard form."""
+    import sys
+
     from wikirec_ray.pipelines.query import IndexReader
 
+    p = args.prefix
+    # mirror the query language's wildcard rules: only a well-formed
+    # leading-* chunk (*tion — length >= 2, no trailing *) flips to
+    # suffix mode; bare '*' and both-ended '*x*' are not suggestion
+    # patterns there either, so reject them loudly instead of silently
+    # ranking the whole vocabulary / matching nothing
+    if p == "*" or (p.startswith("*") and p.endswith("*")):
+        print(f"suggest: unsupported pattern {p!r} — use PREFIX, "
+              "PREFIX* or *SUFFIX", file=sys.stderr)
+        return 2
     rd = IndexReader(args.index)
-    if args.prefix.startswith("*"):
-        hits = rd.suggest_suffix(args.prefix[1:], args.k)
+    if p.startswith("*"):
+        hits = rd.suggest_suffix(p[1:], args.k)
     else:
-        hits = rd.suggest(args.prefix, args.k)
+        hits = rd.suggest(p.removesuffix("*"), args.k)
     print(json.dumps({
-        "prefix": args.prefix,
+        "prefix": p,
         "suggestions": [{"term": t, "df": n} for t, n in hits],
     }))
     return 0

@@ -126,7 +126,15 @@ class Lexicon:
 
     def suggest_suffix(self, suffix: str, k: int = 10) -> list[tuple[str, int]]:
         if self._suffix is None:
-            self._suffix = SuffixIndex(self._uni)
+            # build (or reuse) the prefix index first and share its
+            # forward arrays — one (terms, dfs) pair serves both
+            # wildcard directions
+            if self._prefix is None:
+                self._prefix = PrefixIndex(self._uni)
+            self._suffix = SuffixIndex(
+                self._uni,
+                arrays=(self._prefix._terms, self._prefix._dfs),
+            )
         return self._suffix.suggest(suffix.lower(), k)
 
     def expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
@@ -141,15 +149,19 @@ class Lexicon:
         return self._fuzzy[built].expand(term.lower(), d)
 
     def expand_many(
-        self, items: list[str | tuple[str, int]]
+        self, items: list[str | tuple[str, int]], cap: int | None = None
     ) -> list[list[tuple[str, int]]]:
         """Per item, the (term, df) neighborhood.  An item is either a
         plain term (distance 1) or a (term, distance) pair — the shape
-        ``parse_query`` emits for ``term~`` vs ``term~2``."""
+        ``parse_query`` emits for ``term~`` vs ``term~2``.  ``cap``
+        truncates each neighborhood to its top entries (the df desc /
+        term asc head) — retrieval callers pass FUZZY_EXPANSION_MAX so
+        served shards never ship the full d=2 neighborhood."""
         out = []
         for it in items:
             t, d = it if isinstance(it, tuple) else (it, 1)
-            out.append(self.expand(t, d))
+            exp = self.expand(t, d)
+            out.append(exp if cap is None else exp[:cap])
         return out
 
 
@@ -208,13 +220,24 @@ class SuffixIndex:
     NOT reversed-term order, so per-shard top-k merges agree with a
     global index."""
 
-    def __init__(self, df: dict[str, int]):
-        terms = sorted(df)
-        self._terms = np.array(terms, dtype=object)
-        self._dfs = np.array([df[t] for t in terms], dtype=np.int64)
-        rev_order = sorted(range(len(terms)), key=lambda i: terms[i][::-1])
+    def __init__(
+        self, df: dict[str, int],
+        arrays: tuple[np.ndarray, np.ndarray] | None = None,
+    ):
+        # ``arrays`` = a PrefixIndex's (terms, dfs) pair (term-ascending
+        # aligned) — Lexicon passes it so the forward arrays are shared,
+        # not rebuilt, when both wildcard directions are in use
+        if arrays is not None:
+            self._terms, self._dfs = arrays
+        else:
+            terms = sorted(df)
+            self._terms = np.array(terms, dtype=object)
+            self._dfs = np.array([df[t] for t in terms], dtype=np.int64)
+        rev_order = sorted(
+            range(len(self._terms)), key=lambda i: self._terms[i][::-1]
+        )
         self._rev_terms = np.array(
-            [terms[i][::-1] for i in rev_order], dtype=object
+            [self._terms[i][::-1] for i in rev_order], dtype=object
         )
         self._rev_to_orig = np.array(rev_order, dtype=np.int64)
 
@@ -223,9 +246,12 @@ class SuffixIndex:
         first, ties term-ascending.  Empty suffix ranks the whole
         vocabulary; absent suffix -> []."""
         rq = suffix[::-1]
+        if not rq:
+            # whole-vocabulary ranking: zero-copy over the forward
+            # arrays, no permutation sort/gather
+            return _topk_df_term_asc(self._terms, self._dfs, k)
         lo = int(np.searchsorted(self._rev_terms, rq))
-        hi = int(np.searchsorted(self._rev_terms, rq + "\x7f")) if rq \
-            else len(self._rev_terms)
+        hi = int(np.searchsorted(self._rev_terms, rq + "\x7f"))
         if hi <= lo:
             return []
         orig = np.sort(self._rev_to_orig[lo:hi])  # ascending == term asc

@@ -455,12 +455,14 @@ class IndexReader:
         return self._lexicon.expand(term, d)
 
     def fuzzy_expand_many(
-        self, items: list
+        self, items: list, cap: int | None = None
     ) -> list[list[tuple[str, int]]]:
         """Batched ``fuzzy_expand`` — the surface ``search()`` uses, so
         the served engine can answer N typos in ONE resolver round trip;
-        here it is a plain loop.  Items are terms or (term, d) pairs."""
-        return self._lexicon.expand_many(items)
+        here it is a plain loop.  Items are terms or (term, d) pairs;
+        ``cap`` truncates each neighborhood (retrieval callers pass
+        FUZZY_EXPANSION_MAX, introspection passes None)."""
+        return self._lexicon.expand_many(items, cap)
 
     def fuzzy_topk(
         self, terms: list[str], k: int,
@@ -1253,8 +1255,12 @@ _NEAR_QUERY_RE = re.compile(
     r"^NEAR\s*/\s*(\d+)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
 )
 # Lucene sloppy-phrase syntax: a quoted phrase with a trailing ~slop
-# (``"a b"~2``).  Slop digits clamp exactly like NEAR windows.
-_SLOPPY_QUERY_RE = re.compile(r'^"(.+)"\s*~\s*(\d+)$', re.DOTALL)
+# (``"a b"~2``).  Slop digits clamp exactly like NEAR windows.  The
+# phrase body excludes quotes ([^"]+, not .+): a greedy dot would span
+# interior quotes and silently merge '"a b" "c d"~1' into ONE four-term
+# sloppy phrase, re-routing multi-quote queries that previously parsed
+# as expand/bm25 modes.
+_SLOPPY_QUERY_RE = re.compile(r'^"([^"]+)"\s*~\s*(\d+)$', re.DOTALL)
 # Lucene FuzzyQuery chunk suffix: ``term~`` (distance 1), ``term~1`` up
 # to ``term~{FUZZY_MAX_D}`` — the character class is BUILT from the
 # lexicon ceiling so the two surfaces cannot drift; any other suffix is
@@ -1462,8 +1468,9 @@ def expand_query_terms(
     expanded = list(exact)
     if fuzzy:
         expanded += [
-            v for exp in engine.fuzzy_expand_many(fuzzy)
-            for v, _ in exp[:FUZZY_EXPANSION_MAX]
+            v for exp in engine.fuzzy_expand_many(
+                fuzzy, cap=FUZZY_EXPANSION_MAX)
+            for v, _ in exp
         ]
     for p in prefixes:
         expanded += [v for v, _ in engine.suggest(p, PREFIX_EXPANSION_MAX)]

@@ -208,10 +208,16 @@ class DfResolver:
         """This shard's top-k (term, df) terms ending with ``suffix``."""
         return self._lexicon().suggest_suffix(suffix, k)
 
-    def expand_terms(self, items: list) -> list[list[tuple[str, int]]]:
+    def expand_terms(
+        self, items: list, cap: int | None = None
+    ) -> list[list[tuple[str, int]]]:
         """Per input term or (term, d) pair, this shard's
-        levenshtein<=d neighborhood (d defaults to 1)."""
-        return self._lexicon().expand_many(items)
+        levenshtein<=d neighborhood (d defaults to 1).  ``cap`` bounds
+        the PAYLOAD per occurrence: shards are disjoint and share the
+        (df desc, term asc) total order, so the global top-cap is a
+        subset of the per-shard top-caps' union — capping here never
+        changes a capped coordinator merge."""
+        return self._lexicon().expand_many(items, cap)
 
 
 @ray.remote
@@ -1087,18 +1093,24 @@ class RangeShardedQueryEngine:
         merged.sort(key=lambda tn: (-tn[1], tn[0]))
         return merged[:k]
 
-    def _expand(self, items: list) -> list[list[tuple[str, int]]]:
+    def _expand(
+        self, items: list, cap: int | None = None
+    ) -> list[list[tuple[str, int]]]:
         """One batched round trip: per input term or (term, d) pair, the
         merged (df desc, term asc) levenshtein<=d neighborhood across all
-        resolvers."""
+        resolvers.  With ``cap``, each resolver ships at most cap rows
+        per occurrence and the merge is cut to cap — identical to the
+        local reader's capped expansion (shards are disjoint and share
+        the total order), but the d=2 ~10³-term neighborhoods never
+        cross the wire."""
         parts = ray.get(
-            [r.expand_terms.remote(items) for r in self.resolvers]
+            [r.expand_terms.remote(items, cap) for r in self.resolvers]
         )
         out = []
         for i in range(len(items)):
             exp = [tn for p in parts for tn in p[i]]
             exp.sort(key=lambda tn: (-tn[1], tn[0]))
-            out.append(exp)
+            out.append(exp if cap is None else exp[:cap])
         return out
 
     def fuzzy_expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
@@ -1106,12 +1118,13 @@ class RangeShardedQueryEngine:
         return self._expand([(term, d)])[0]
 
     def fuzzy_expand_many(
-        self, items: list
+        self, items: list, cap: int | None = None
     ) -> list[list[tuple[str, int]]]:
         """Batched expansion — the ``search()`` ~ surface resolves all of
         a query's typo terms (plain, or (term, d) pairs) through this in
-        ONE resolver round trip."""
-        return self._expand(items)
+        ONE resolver round trip, capped per occurrence for retrieval
+        callers."""
+        return self._expand(items, cap)
 
     def fuzzy_topk(self, terms: list[str], k: int,
                    attrs: list[tuple[str, str]] | None = None,
@@ -1123,8 +1136,9 @@ class RangeShardedQueryEngine:
         to the resolvers, then topk's own idf phase — two phase-1 trips,
         the price of reusing the duplicate-occurrence scoring path)."""
         expanded = [
-            v for exp in self._expand([(t, d) for t in terms])
-            for v, _ in exp[:FUZZY_EXPANSION_MAX]
+            v for exp in self._expand([(t, d) for t in terms],
+                                      cap=FUZZY_EXPANSION_MAX)
+            for v, _ in exp
         ]
         if not expanded:
             return []
