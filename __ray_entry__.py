@@ -81,6 +81,19 @@ NEAR_QUERY_SET: list[tuple[int, list[str]]] = [
 ]
 NEAR_WINDOW = 5
 NEAR_K = 10
+# sloppy phrase (Lucene '"a b"~n'): terms IN ORDER, span slack
+# pL - p1 - (L-1) <= slop; order-sensitive, slop=0 == exact phrase (query
+# 3 drives the precomputed-bigram fast path through the sloppy surface);
+# query 4 duplicates a term (strictly increasing positions required),
+# query 5 carries an absent term (zero rows)
+SLOPPY_QUERY_SET: list[tuple[int, list[str], int]] = [
+    (1, ["table", "hash"], 2),
+    (2, ["the", "customer", "join"], 4),
+    (3, ["spark", "join"], 0),
+    (4, ["key", "key"], 3),
+    (5, ["absentterm", "merge"], 2),
+]
+SLOPPY_K = 10
 # boolean retrieval (Lucene-style clauses): must/must_not FILTER, BM25 over
 # the should+must occurrences SCORES (the engine-wide filter-vs-score
 # contract).  Duplicate occurrences score once per occurrence (parity rule);
@@ -548,6 +561,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["query_id", "rank", "doc_id", "score"]
         ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
+    def sloppy_search_q(sf_dir):
+        """Sloppy-phrase BM25 top-k over the positional index: a doc
+        matches iff its token stream contains the query terms IN ORDER
+        at strictly increasing positions with span slack
+        pL - p1 - (L-1) <= slop (Lucene '"a b"~n' / in-order SpanNear);
+        the span is a FILTER, scores are the plain multi-term BM25 —
+        SQL-replayable as bm25 + a bounded lateral position chain."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_pos_index(sf_dir))
+        rows = []
+        for qid, terms, slop in SLOPPY_QUERY_SET:
+            for rank, (doc, score) in enumerate(
+                reader.sloppy_phrase_topk(terms, SLOPPY_K, slop), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
     def boolean_search_q(sf_dir):
         """Boolean retrieval over the plain index: every hit contains ALL
         must terms and NO must_not term; the clauses are filters, the
@@ -833,14 +868,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return media_features(_documents(sf_dir)).select_columns(
             ["media_id", "n_bytes", "first_byte"]
         )
-
-    def ann_topk_q(sf_dir):
-        import ray.data
-
-        from wikirec_ray.pipelines.ann import ann_topk_queries
-
-        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return ann_topk_queries(ds, n_queries=ANN_N_QUERIES, k=ANN_K)
 
     def embedding_dups_bucketed_q(sf_dir):
         # LSH-bucketed scale path; oracle replays the multiprobe collision
@@ -1353,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # to fund facet_search + filtered_search (the doc-meta attribute
     # sidecar: terms-aggregation and metadata-filtered retrieval).
     return {
+        "sloppy_search": sloppy_search_q,
         "fuzzy_search": fuzzy_search_q,
         "facet_search": facet_search_q,
         "filtered_search": filtered_search_q,
@@ -1397,7 +1425,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via phrase_scores)
         "extract_text": extract_text_q,
         "media_features": media_features_q,
-        "ann_topk": ann_topk_q,
+        # ann_topk (brute cosine top-k) retired late r5 to fund
+        # sloppy_search: the ANN family keeps TWO driver checks (lsh_ann,
+        # ivf_ann — each with its own hyperplane/centroid SQL replay) and
+        # the brute baseline stays pytest-pinned in test_pipelines.py
         "events_window": events_window_q,
         "sessions": sessions_q,
         "lm_scores": lm_scores_q,
@@ -1486,6 +1517,36 @@ def oracle_sql() -> dict[str, str]:
             ),
         )
         for qid, terms in NEAR_QUERY_SET
+    )
+    # sloppy-phrase replay: a bounded lateral position chain — p1 ranges
+    # over the doc, each later p_i over (p_{i-1}, p1 + slop + L - 1], so
+    # the strictly-increasing + span-slack predicate is enumerated in
+    # O(len · (slop+L)^(L-1)) per doc, not len^L
+    sloppy_qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms, _ in SLOPPY_QUERY_SET for t in terms
+    )
+
+    def _sloppy_select(qid: int, terms: list[str], slop: int) -> str:
+        span = slop + len(terms) - 1
+        lats = ["LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS p1) g1"]
+        for i in range(2, len(terms) + 1):
+            lats.append(
+                f"LATERAL (SELECT unnest(range(p{i - 1} + 1, "
+                f"least(p1 + {span}, len(toks)) + 1)) AS p{i}) g{i}"
+            )
+        conds = " AND ".join(
+            f"toks[p{i + 1}] = '{t}'" for i, t in enumerate(terms)
+        )
+        return (
+            f"SELECT {qid} AS query_id, doc_id FROM ("
+            f"SELECT DISTINCT t.doc_id FROM t, {', '.join(lats)} "
+            f"WHERE {conds})"
+        )
+
+    sloppy_match_union = " UNION ALL ".join(
+        _sloppy_select(qid, terms, slop)
+        for qid, terms, slop in SLOPPY_QUERY_SET
     )
     # boolean replay: scoring VALUES carry the should+must OCCURRENCES
     # (duplicates kept, the engine-wide parity rule); the per-query
@@ -2251,6 +2312,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM filt WHERE round(score, 9) > 0
             ) WHERE rn <= {NEAR_K}
         """,
+        "sloppy_search": f"""
+            WITH {_BM25_CORE},
+            t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM documents),
+            sd AS ({sloppy_match_union}),
+            q(query_id, term) AS (VALUES {sloppy_qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            filt AS (
+                SELECT s.query_id, s.doc_id, s.score FROM scored s
+                JOIN sd ON sd.query_id = s.query_id AND sd.doc_id = s.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM filt WHERE round(score, 9) > 0
+            ) WHERE rn <= {SLOPPY_K}
+        """,
         "facet_search": f"""
             WITH tok AS ({_TOK}),
             q(query_id, term) AS (VALUES {facet_qvals}),
@@ -2610,24 +2696,5 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
-        """,
-        "ann_topk": f"""
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                WHERE vec_id < {ANN_N_QUERIES}
-            ),
-            s AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
-                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim
-            FROM (
-                SELECT query_id, neighbor_id, sim,
-                       row_number() OVER (
-                           PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id
-                       ) AS rn
-                FROM s
-            ) WHERE rn <= {ANN_K}
         """,
     }
