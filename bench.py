@@ -738,6 +738,25 @@ def run_zipf() -> None:
         f"p99={np.percentile(lnw,99):.1f}ms"
     )
 
+    # sloppy phrase ('"a b"~3') on the same pairs: shares NEAR's
+    # position-decode regime (same candidate intersection + one
+    # searchsorted chain), order-sensitive — warm pass rides the caches
+    # the NEAR leg just filled, so cold here = first sloppy evaluation
+    # over warm streams; a fresh reader would repeat the NEAR cold cost
+    lat_s3, lat_s3w = [], []
+    for ph in phrases:
+        t = time.monotonic(); near_reader.sloppy_phrase_topk(ph, 10, slop=3)
+        lat_s3.append(time.monotonic() - t)
+    for ph in phrases:
+        t = time.monotonic(); near_reader.sloppy_phrase_topk(ph, 10, slop=3)
+        lat_s3w.append(time.monotonic() - t)
+    ls3, ls3w = np.array(lat_s3) * 1000, np.array(lat_s3w) * 1000
+    log(
+        f"zipf sloppy(~3): warm-stream p50={np.percentile(ls3,50):.1f}ms "
+        f"p99={np.percentile(ls3,99):.1f}ms; repeat p50="
+        f"{np.percentile(ls3w,50):.1f}ms p99={np.percentile(ls3w,99):.1f}ms"
+    )
+
     # the stopword-pair cold path vs the build-time bigram precompute
     # (VERDICT r04 top-next): build with precompute_bigrams, query the most
     # frequent precomputed pairs on BOTH indexes — on the plain positional
@@ -831,6 +850,8 @@ def run_zipf() -> None:
             "near_cold_p99_ms": round(float(np.percentile(ln_, 99)), 3),
             "near_warm_p50_ms": round(float(np.percentile(lnw, 50)), 3),
             "near_warm_p99_ms": round(float(np.percentile(lnw, 99)), 3),
+            "sloppy3_p50_ms": round(float(np.percentile(ls3, 50)), 3),
+            "sloppy3_p99_ms": round(float(np.percentile(ls3, 99)), 3),
             "pre_build_sec": round(pre_build_sec, 3),
             "phrase_common_cold_p50_ms": round(float(np.percentile(lc, 50)), 3),
             "phrase_common_cold_p99_ms": round(float(np.percentile(lc, 99)), 3),

@@ -100,6 +100,23 @@ def test_sloppy_phrase_equals_brute(sloppy_index):
                [(d, round(s, 6)) for d, s in want], (terms, slop)
 
 
+def test_sloppy_phrase_fuzz_random_queries(sloppy_index):
+    # randomized sweep over the anchored bidirectional greedy: phrase
+    # lengths 2-4 (anchor lands at different offsets), slops 0-6,
+    # duplicates allowed — every case vs the all-combinations brute
+    idx, toks = sloppy_index
+    rd = IndexReader(idx)
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(20)]
+    for _ in range(60):
+        terms = list(rng.choice(vocab, size=int(rng.integers(2, 5))))
+        slop = int(rng.integers(0, 7))
+        got = {d for d, _ in rd.sloppy_phrase_topk(terms, 10_000, slop=slop)}
+        want = {i for i, tl in enumerate(toks)
+                if _sloppy_match(tl, terms, slop)}
+        assert got == want, (terms, slop)
+
+
 def test_sloppy_zero_equals_exact_phrase(sloppy_index):
     idx, _ = sloppy_index
     rd = IndexReader(idx)

@@ -673,29 +673,62 @@ class IndexReader:
         p1 < p2 < ... < pL matching the phrase terms IN ORDER with span
         slack ``pL - p1 - (L-1) <= slop`` — Lucene SpanNearQuery
         (inOrder=true) semantics; slop=0 degenerates to the exact phrase.
-        Greedy chain: for each first-term occurrence, each later term
-        takes its SMALLEST position strictly after the previous term's —
-        that minimizes pL for the given p1 (exchange argument), so "some
-        start survives the span test" is exactly the existential.  One
-        vectorized ``searchsorted`` per term over composite (candidate,
-        position) keys, like the phrase/NEAR kernels; the +1 probe step
-        is why ``_cand_keys`` runs with margin 1."""
+
+        Anchored bidirectional greedy: enumeration starts from the
+        RAREST term's occurrences (fewest candidate postings, ties →
+        lowest phrase index — NEAR's anchor-on-rarest idea, which keeps
+        a stopword first term from dragging the chain over its whole
+        position stream), then for each anchor occurrence the chain runs
+        greedily FORWARD (each later term takes its smallest position
+        strictly after the previous — minimizes pL) and BACKWARD (each
+        earlier term takes its largest position strictly before —
+        maximizes p1).  Both directions are independently
+        exchange-argument optimal given the anchor occurrence, and every
+        in-order match contains some anchor-term occurrence, so "some
+        anchor occurrence survives the span test" is exactly the
+        existential.  The anchor choice never changes the match set —
+        only the work — so range shards may pick it from their LOCAL
+        posting lengths.  One vectorized ``searchsorted`` per term over
+        composite (candidate, position) keys, like the phrase/NEAR
+        kernels; the +1 forward probe step is why ``_cand_keys`` runs
+        with margin 1."""
         mask32 = np.uint64((1 << 32) - 1)
-        start = IndexReader._cand_keys(cand, *items[0], margin=1)
-        cur = start
-        for term, d, seg in items[1:]:
-            kt = IndexReader._cand_keys(cand, term, d, seg, margin=1)
-            if len(kt) == 0:
+        anchor = min(range(len(items)), key=lambda i: (len(items[i][1]), i))
+        keys: list[np.ndarray | None] = [None] * len(items)
+
+        def kt(i: int) -> np.ndarray:
+            if keys[i] is None:
+                keys[i] = IndexReader._cand_keys(cand, *items[i], margin=1)
+            return keys[i]
+
+        start = end = kt(anchor)
+        if len(start) == 0:
+            return cand[:0]
+        for i in range(anchor + 1, len(items)):
+            k = kt(i)
+            if len(k) == 0:
                 return cand[:0]
-            idx = np.searchsorted(kt, cur + np.uint64(1), side="left")
-            nxt = kt[np.minimum(idx, len(kt) - 1)]
-            ok = (idx < len(kt)) & (
-                (nxt >> np.uint64(32)) == (cur >> np.uint64(32))
+            idx = np.searchsorted(k, end + np.uint64(1), side="left")
+            nxt = k[np.minimum(idx, len(k) - 1)]
+            ok = (idx < len(k)) & (
+                (nxt >> np.uint64(32)) == (end >> np.uint64(32))
             )
-            start, cur = start[ok], nxt[ok]
-            if len(cur) == 0:
+            start, end = start[ok], nxt[ok]
+            if len(end) == 0:
                 return cand[:0]
-        span_ok = (cur & mask32) - (start & mask32) <= np.uint64(
+        for i in range(anchor - 1, -1, -1):
+            k = kt(i)
+            if len(k) == 0:
+                return cand[:0]
+            idx = np.searchsorted(k, start, side="left") - 1
+            prv = k[np.maximum(idx, 0)]
+            ok = (idx >= 0) & (
+                (prv >> np.uint64(32)) == (start >> np.uint64(32))
+            )
+            start, end = prv[ok], end[ok]
+            if len(start) == 0:
+                return cand[:0]
+        span_ok = (end & mask32) - (start & mask32) <= np.uint64(
             slop + len(items) - 1
         )
         live = start[span_ok]
