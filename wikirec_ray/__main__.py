@@ -13,7 +13,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray compact --index DIR
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
-        [--facets COLS]
+        [--facets COLS] [--store EXPORT_DIR [--snippet-window W]]
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
         [--pool-replicas R]      # stdin query lines -> stdout JSON lines
@@ -236,8 +236,19 @@ def cmd_query(args) -> int:
         engine = IndexReader(args.index)  # pure local read, no Ray needed
     try:
         out = {"query": args.query}
-        hits = search(engine, args.query, args.k)
-        out["hits"] = [{"doc_id": d, "score": s} for d, s in hits]
+        if args.store:
+            # query-then-fetch: hydrate the top-k from the export-sink
+            # stored-fields store and attach a KWIC why-it-matched snippet
+            from wikirec_ray.state.docstore import DocStore, search_results
+
+            out["hits"] = search_results(
+                engine, DocStore(args.store), args.query, args.k,
+                snippet_window=args.snippet_window,
+            )
+            hits = [(h["doc_id"], h["score"]) for h in out["hits"]]
+        else:
+            hits = search(engine, args.query, args.k)
+            out["hits"] = [{"doc_id": d, "score": s} for d, s in hits]
         if args.facets:
             # facet counts run over docs matching ANY query term (the
             # driver-checked facet_counts contract) — filter chunks are
@@ -405,6 +416,11 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--facets", default="", metavar="COLS",
                    help="also report per-value match counts for these "
                         "comma-separated sidecar columns")
+    q.add_argument("--store", default="", metavar="EXPORT_DIR",
+                   help="hydrate hits from this export_clean_corpus "
+                        "directory (stored fields) and attach KWIC "
+                        "snippets (query-then-fetch)")
+    q.add_argument("--snippet-window", type=int, default=5)
     q.set_defaults(fn=cmd_query)
 
     sv = sub.add_parser(

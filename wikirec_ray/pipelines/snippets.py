@@ -64,6 +64,24 @@ def _emit(batch: pa.Table, id_col: str, flat, par, row_starts, row_counts,
     })
 
 
+def keyword_snippets_batch(
+    batch: pa.Table,
+    terms: list[str],
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """The per-batch keyword-KWIC kernel: one row per occurrence of any
+    query term over ``batch``'s docs — usable directly on a small fetched
+    table (the query-then-fetch snippet phase) or inside ``map_batches``
+    (the corpus-scan Dataset op below)."""
+    term_set = pa.array(sorted(set(terms)), pa.string())
+    flat, par, row_starts, row_counts = _doc_layout(batch, text_col)
+    mask = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+    return _emit(batch, id_col, flat, par, row_starts, row_counts,
+                 np.flatnonzero(mask), 1, window)
+
+
 def keyword_snippets(
     ds: ray.data.Dataset,
     terms: list[str],
@@ -74,15 +92,42 @@ def keyword_snippets(
     """One row per occurrence of any query term: (id, pos, snippet) where
     ``pos`` is the 0-based token offset in the doc and ``snippet`` is the
     matched token with ``window`` tokens of context either side."""
-    term_set = pa.array(sorted(set(terms)), pa.string())
+    return ds.map_batches(
+        lambda b: keyword_snippets_batch(b, terms, window, id_col, text_col),
+        batch_format="pyarrow",
+    )
 
-    def fn(batch: pa.Table) -> pa.Table:
-        flat, par, row_starts, row_counts = _doc_layout(batch, text_col)
-        mask = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+
+def phrase_snippets_batch(
+    batch: pa.Table,
+    phrase: list[str],
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """The per-batch exact-phrase-KWIC kernel (adjacent tokens, in order),
+    shared by the Dataset op below and the query-then-fetch snippet
+    phase."""
+    if not phrase:
+        raise ValueError("phrase_snippets: empty phrase")
+    L = len(phrase)
+    flat, par, row_starts, row_counts = _doc_layout(batch, text_col)
+    n = len(par)
+    if n < L:
         return _emit(batch, id_col, flat, par, row_starts, row_counts,
-                     np.flatnonzero(mask), 1, window)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+                     np.empty(0, np.int64), L, window)
+    # shifted-equality AND: match[i] = all(flat[i+j] == phrase[j]);
+    # windows crossing doc boundaries masked with one comparison
+    match = pc.equal(flat.slice(0, n - L + 1), phrase[0]).to_numpy(
+        zero_copy_only=False
+    )
+    for j in range(1, L):
+        match &= pc.equal(
+            flat.slice(j, n - L + 1), phrase[j]
+        ).to_numpy(zero_copy_only=False)
+    match &= par[: n - L + 1] == par[L - 1 :]
+    return _emit(batch, id_col, flat, par, row_starts, row_counts,
+                 np.flatnonzero(match), L, window)
 
 
 def phrase_snippets(
@@ -99,25 +144,7 @@ def phrase_snippets(
     the docs)."""
     if not phrase:
         raise ValueError("phrase_snippets: empty phrase")
-    L = len(phrase)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        flat, par, row_starts, row_counts = _doc_layout(batch, text_col)
-        n = len(par)
-        if n < L:
-            return _emit(batch, id_col, flat, par, row_starts, row_counts,
-                         np.empty(0, np.int64), L, window)
-        # shifted-equality AND: match[i] = all(flat[i+j] == phrase[j]);
-        # windows crossing doc boundaries masked with one comparison
-        match = pc.equal(flat.slice(0, n - L + 1), phrase[0]).to_numpy(
-            zero_copy_only=False
-        )
-        for j in range(1, L):
-            match &= pc.equal(
-                flat.slice(j, n - L + 1), phrase[j]
-            ).to_numpy(zero_copy_only=False)
-        match &= par[: n - L + 1] == par[L - 1 :]
-        return _emit(batch, id_col, flat, par, row_starts, row_counts,
-                     np.flatnonzero(match), L, window)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: phrase_snippets_batch(b, phrase, window, id_col, text_col),
+        batch_format="pyarrow",
+    )
