@@ -65,9 +65,21 @@ def test_fetch_exact_texts_across_ranges(exported, doc_texts):
     # RETURNED text must match the source, and non-duplicate ids must appear
     for i, row in got.items():
         assert row["text"] == doc_texts[i]
-    texts = [doc_texts[i] for i in present]
-    uniq = [i for i in present if texts.count(doc_texts[i]) == 1]
+    # dedup is corpus-GLOBAL (survivor = min doc_id per text), so a probed
+    # id is only guaranteed present when its text is unique corpus-wide
+    from collections import Counter
+
+    text_counts = Counter(doc_texts.values())
+    uniq = [i for i in present if text_counts[doc_texts[i]] == 1]
     assert set(uniq) <= set(got)
+
+
+def test_fetch_doc_id_in_requested_columns(exported, doc_texts):
+    store = DocStore(exported)
+    got = store.fetch([0, 65], columns=["doc_id", "text"])
+    for i, row in got.items():
+        assert row["doc_id"] == i
+        assert row["text"] == doc_texts[i]
 
 
 def test_fetch_absent_and_empty(exported):
@@ -191,3 +203,16 @@ def test_search_results_expand_highlights_expansions(
     for r in rows:
         if r["snippet"] is not None:
             assert r["snippet"].startswith("spar")
+
+
+def test_search_results_negative_window_clamps(built_index, exported):
+    # a user-facing knob must not crash on bad input — clamps to window 0
+    reader = IndexReader(built_index[0])
+    store = DocStore(exported)
+    rows = search_results(
+        reader, store, "spark join", k=3, snippet_window=-2
+    )
+    zero = search_results(
+        reader, store, "spark join", k=3, snippet_window=0
+    )
+    assert rows == zero

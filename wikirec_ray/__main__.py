@@ -221,11 +221,7 @@ def cmd_meta(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from wikirec_ray.pipelines.query import (
-        IndexReader,
-        search,
-        split_filters,
-    )
+    from wikirec_ray.pipelines.query import IndexReader, search_with_terms
 
     if args.serve:
         _ensure_ray()  # the served engine needs a Ray session for actors
@@ -235,44 +231,30 @@ def cmd_query(args) -> int:
     else:
         engine = IndexReader(args.index)  # pure local read, no Ray needed
     try:
+        # one parse + one lexicon expansion per request: `positive` is the
+        # effective term set retrieval ran over, reused by the snippet
+        # highlighter AND the facet counter below
+        hits, positive, phrase = search_with_terms(
+            engine, args.query, args.k
+        )
         out = {"query": args.query}
         if args.store:
             # query-then-fetch: hydrate the top-k from the export-sink
             # stored-fields store and attach a KWIC why-it-matched snippet
-            from wikirec_ray.state.docstore import DocStore, search_results
+            from wikirec_ray.state.docstore import DocStore, hydrate_hits
 
-            out["hits"] = search_results(
-                engine, DocStore(args.store), args.query, args.k,
+            out["hits"] = hydrate_hits(
+                DocStore(args.store), hits, positive, phrase,
                 snippet_window=args.snippet_window,
             )
-            hits = [(h["doc_id"], h["score"]) for h in out["hits"]]
         else:
-            hits = search(engine, args.query, args.k)
             out["hits"] = [{"doc_id": d, "score": s} for d, s in hits]
         if args.facets:
-            # facet counts run over docs matching ANY query term (the
-            # driver-checked facet_counts contract) — filter chunks are
-            # lifted out first, then the remaining text goes through the
-            # SAME parser as retrieval, so NEAR/phrase/boolean syntax
-            # yields the actual query terms, not operator text
-            from wikirec_ray.pipelines.query import parse_query
-
-            _, rest = split_filters(args.query, engine.meta_cols())
-            mode, terms, _w = parse_query(rest)
-            if mode == "boolean":
-                should, must, _must_not = terms
-                terms = should + must
-            elif mode == "expand":
-                # facets see the same effective term set retrieval used:
-                # exact terms + fuzzy/prefix expansions through the SAME
-                # helper search() resolves with (which already guaranteed
-                # the engine supports ~/*)
-                from wikirec_ray.pipelines.query import expand_query_terms
-
-                terms = expand_query_terms(engine, *terms)
+            # facet counts run over docs matching ANY positive query term
+            # (the driver-checked facet_counts contract)
             out["facets"] = {
                 col: [{"value": v, "n_docs": n}
-                      for v, n in engine.facet_counts(terms, col, args.k)]
+                      for v, n in engine.facet_counts(positive, col, args.k)]
                 for col in (c.strip() for c in args.facets.split(","))
                 if col
             }

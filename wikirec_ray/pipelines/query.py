@@ -1514,6 +1514,54 @@ def expand_query_terms(
     return expanded
 
 
+def search_with_terms(
+    engine, query: str, k: int = 10
+) -> tuple[list[tuple[int, float]], list[str], list[str] | None]:
+    """``search`` plus the resolved POSITIVE term multiset: returns
+    ``(hits, positive_terms, phrase_or_None)`` where ``positive_terms``
+    is the effective term set retrieval ran over (boolean must_not terms
+    excluded; fuzzy/wildcard chunks resolved to their EXPANSIONS) and the
+    third element is the token list when the query was an exact phrase.
+    Snippet highlighting (``state.docstore``) and facet counting (the CLI)
+    consume the terms — computing them HERE, inside the same mode switch,
+    means the parse and any lexicon expansion (a resolver round trip on
+    the served engine) run exactly once per request instead of once per
+    consumer."""
+    cols = engine.meta_cols() if hasattr(engine, "meta_cols") else []
+    attrs, rest = split_filters(query, cols)
+    attrs = attrs or None
+    mode, terms, window = parse_query(rest)
+    if mode == "boolean":
+        should, must, must_not = terms
+        positive = should + must
+        if not positive:
+            return [], positive, None
+        hits = engine.boolean_topk(should, must, must_not, k, attrs=attrs)
+        return hits, positive, None
+    if not terms:
+        return [], [], None
+    if mode == "phrase":
+        return engine.phrase_topk(terms, k, attrs=attrs), list(terms), list(
+            terms
+        )
+    if mode == "sloppy":
+        hits = engine.sloppy_phrase_topk(terms, k, window, attrs=attrs)
+        return hits, list(terms), None
+    if mode == "near":
+        return engine.near_topk(terms, k, window, attrs=attrs), list(
+            terms
+        ), None
+    if mode == "expand":
+        expanded = expand_query_terms(engine, *terms)
+        if not expanded:
+            return [], [], None
+        return engine.topk(expanded, k, attrs=attrs), expanded, None
+    if attrs:
+        return engine.topk(terms, k, attrs=attrs), list(terms), None
+    bm25 = getattr(engine, "topk_wand", None) or engine.topk
+    return bm25(terms, k), list(terms), None
+
+
 def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     """Route a query STRING to the right retrieval path of ``engine`` —
     an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
@@ -1532,30 +1580,6 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     any mode — ``lang:en "data stream"``, ``source:news +spark -slow`` —
     while unknown ``a:b`` chunks stay query text.  Filtered plain-BM25
     routes through the exact dense path (WAND's threshold admission
-    assumes unfiltered scores)."""
-    cols = engine.meta_cols() if hasattr(engine, "meta_cols") else []
-    attrs, rest = split_filters(query, cols)
-    attrs = attrs or None
-    mode, terms, window = parse_query(rest)
-    if not terms:
-        return []
-    if mode == "phrase":
-        return engine.phrase_topk(terms, k, attrs=attrs)
-    if mode == "sloppy":
-        return engine.sloppy_phrase_topk(terms, k, window, attrs=attrs)
-    if mode == "near":
-        return engine.near_topk(terms, k, window, attrs=attrs)
-    if mode == "boolean":
-        should, must, must_not = terms
-        if not should and not must:
-            return []
-        return engine.boolean_topk(should, must, must_not, k, attrs=attrs)
-    if mode == "expand":
-        expanded = expand_query_terms(engine, *terms)
-        if not expanded:
-            return []
-        return engine.topk(expanded, k, attrs=attrs)
-    if attrs:
-        return engine.topk(terms, k, attrs=attrs)
-    bm25 = getattr(engine, "topk_wand", None) or engine.topk
-    return bm25(terms, k)
+    assumes unfiltered scores).  Callers that also need the resolved
+    term set (highlighting, facets) should use ``search_with_terms``."""
+    return search_with_terms(engine, query, k)[0]

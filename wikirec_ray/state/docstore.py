@@ -79,10 +79,11 @@ class DocStore:
     def __len__(self) -> int:
         return len(self._paths)
 
-    def _load_range(self, range_id: int, cols: tuple[str, ...]):
+    def _load_range(self, range_id: int, read_cols: tuple[str, ...]):
         """(sorted doc_id array, column table) for one range, LRU-cached
-        per (range, columns) so alternating column sets can't thrash."""
-        key = (range_id, cols)
+        per (range, columns) so alternating column sets can't thrash.
+        ``read_cols`` must already include ``doc_id`` exactly once."""
+        key = (range_id, read_cols)
         hit = self._cache.get(key)
         if hit is not None:
             self._cache.move_to_end(key)
@@ -90,7 +91,7 @@ class DocStore:
         path = self._paths.get(range_id)
         if path is None:
             return None
-        tbl = pq.read_table(path, columns=["doc_id", *cols])
+        tbl = pq.read_table(path, columns=list(read_cols))
         ids = tbl["doc_id"].to_numpy()
         val = (ids, tbl)
         self._cache[key] = val
@@ -105,13 +106,17 @@ class DocStore:
         value}}.  Reads only the touched ranges; within a range the
         doc-id-sorted rows make each lookup a ``searchsorted`` probe."""
         cols = tuple(columns) if columns is not None else (self.text_col,)
+        # doc_id is always read for the probe; dedup it so a caller that
+        # asks to hydrate the id alongside other fields doesn't produce a
+        # duplicate-column parquet read
+        read_cols = ("doc_id", *(c for c in cols if c != "doc_id"))
         id_list = [int(d) for d in doc_ids]
         out: dict[int, dict] = {}
         if not id_list:
             return out
         ids = np.unique(np.asarray(id_list, np.int64))
         for rid in np.unique(ids // self.range_size).tolist():
-            loaded = self._load_range(int(rid), cols)
+            loaded = self._load_range(int(rid), read_cols)
             if loaded is None:
                 continue
             stored, tbl = loaded
@@ -124,57 +129,36 @@ class DocStore:
         return out
 
 
-def search_results(
-    engine,
+def hydrate_hits(
     store: DocStore,
-    query: str,
-    k: int = 10,
+    hits: list[tuple[int, float]],
+    highlight: list[str],
+    phrase: list[str] | None = None,
     snippet_window: int = 5,
 ) -> list[dict]:
-    """Query-then-fetch: route ``query`` through ``pipelines.query.search``
-    on ``engine`` (an ``IndexReader`` or the range-sharded coordinator),
-    then hydrate the top-k from ``store`` and attach a KWIC snippet showing
-    WHY each doc matched — the user-facing search-result row.
-
-    Snippet semantics per mode: exact-phrase queries highlight the first
-    phrase occurrence (the ``phrase_snippets`` shifted-equality kernel);
-    every other mode highlights the first occurrence of any positive query
-    term (must_not terms are excluded; fuzzy/wildcard chunks highlight
-    their EXPANSIONS — the terms that actually matched).  A hit absent
-    from the store (deduplicated or quality-filtered at export) keeps its
-    rank with ``snippet=None`` — retrieval ran over the index's corpus,
-    not the export's.
+    """The fetch phase: hydrate already-ranked ``hits`` from ``store`` and
+    attach a KWIC snippet showing WHY each doc matched — the user-facing
+    search-result row.  ``highlight``/``phrase`` are the resolved positive
+    terms from ``pipelines.query.search_with_terms`` (phrase queries
+    highlight the first phrase occurrence via the ``phrase_snippets``
+    shifted-equality kernel; otherwise the first occurrence of any
+    highlight term).  A hit absent from the store (deduplicated or
+    quality-filtered at export) keeps its rank with ``snippet=None`` —
+    retrieval ran over the index's corpus, not the export's.
 
     Returns ``[{"rank", "doc_id", "score", "snippet"}]`` in rank order.
     """
-    from wikirec_ray.pipelines.query import (
-        expand_query_terms,
-        parse_query,
-        search,
-        split_filters,
-    )
     from wikirec_ray.pipelines.snippets import (
         keyword_snippets_batch,
         phrase_snippets_batch,
     )
 
-    hits = search(engine, query, k)
+    # user-facing knob: a negative window must not crash deep in the
+    # kernel (the parse_query don't-crash-on-user-input convention)
+    snippet_window = max(0, int(snippet_window))
     if not hits:
         return []
     docs = store.fetch([d for d, _ in hits])
-
-    cols = engine.meta_cols() if hasattr(engine, "meta_cols") else []
-    _attrs, rest = split_filters(query, cols)
-    mode, terms, _window = parse_query(rest)
-    if mode == "boolean":
-        should, must, _must_not = terms
-        highlight, phrase = should + must, None
-    elif mode == "expand":
-        highlight, phrase = expand_query_terms(engine, *terms), None
-    elif mode == "phrase":
-        highlight, phrase = terms, terms
-    else:  # bm25 / near / sloppy highlight the individual terms
-        highlight, phrase = terms, None
 
     found = [d for d, _ in hits if d in docs]
     snippet_by_doc: dict[int, str] = {}
@@ -210,3 +194,21 @@ def search_results(
         }
         for rank, (doc, score) in enumerate(hits, 1)
     ]
+
+
+def search_results(
+    engine,
+    store: DocStore,
+    query: str,
+    k: int = 10,
+    snippet_window: int = 5,
+) -> list[dict]:
+    """Query-then-fetch in one call: route ``query`` through
+    ``pipelines.query.search_with_terms`` on ``engine`` (an ``IndexReader``
+    or the range-sharded coordinator) — parse and lexicon expansion run
+    ONCE, shared between retrieval and highlighting — then hydrate the
+    top-k via ``hydrate_hits``."""
+    from wikirec_ray.pipelines.query import search_with_terms
+
+    hits, highlight, phrase = search_with_terms(engine, query, k)
+    return hydrate_hits(store, hits, highlight, phrase, snippet_window)
