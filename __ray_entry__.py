@@ -23,6 +23,7 @@ from wikirec_ray.schema import (
     BM25_K1,
     DOC_RANGE_SIZE,
     FUZZY_EXPANSION_MAX,
+    PREFIX_EXPANSION_MAX,
 )
 from wikirec_ray.stages.analyze import DEFAULT_STOPWORDS
 
@@ -124,6 +125,21 @@ FUZZY_QUERY_SET: list[tuple[int, list[str]]] = [
     (5, ["zzzzz"]),
 ]
 FUZZY_K = 10
+# regex retrieval (Lucene RegexpQuery): each /pattern/ occurrence expands
+# to the top-PREFIX_EXPANSION_MAX whole-term RE2 matches over the
+# vocabulary (df desc, term asc — TopTermsRewrite), then plain BM25 over
+# exact terms + expansions.  Both sides are RE2 (pyarrow
+# match_substring_regex anchored == DuckDB regexp_full_match).  Shapes:
+# alternation, exact+regex mix, a DUPLICATED pattern (expands twice —
+# per-occurrence parity), char class, and a no-match pattern (zero rows).
+REGEX_QUERY_SET: list[tuple[int, list[str], list[str]]] = [
+    (1, [], ["(sp|st).*"]),
+    (2, ["join"], ["b.tch"]),
+    (3, [], [".*a.*", ".*a.*"]),
+    (4, [], ["zz+"]),
+    (5, [], ["[kq].*"]),
+]
+REGEX_K = 10
 SNIPPET_TERMS = ["spark", "window"]  # KWIC driver entry
 SNIPPET_WINDOW = 3
 RECO_INPUT_DOCS = [3, 7]
@@ -856,6 +872,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["query_id", "rank", "doc_id", "score"]
         ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
+    def regex_search_q(sf_dir):
+        """Whole-term regex retrieval (Lucene RegexpQuery with
+        TopTermsRewrite): each /pattern/ occurrence expands to its
+        df-capped anchored-RE2 vocabulary matches
+        (pipelines/lexicon.Lexicon.regex_terms), then the plain
+        multi-term scorer runs over exact terms + expansions — a
+        duplicated pattern contributes its expansions once per
+        occurrence, the engine-wide multiset contract.  SQL-replayable:
+        DuckDB regexp_full_match is the same RE2 anchoring."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+        from wikirec_ray.schema import PREFIX_EXPANSION_MAX
+
+        reader = IndexReader(_ensure_index(sf_dir))
+        rows = []
+        for qid, exact, pats in REGEX_QUERY_SET:
+            expanded = list(exact) + [
+                v
+                for p in pats
+                for v, _ in reader.regex_terms(p, PREFIX_EXPANSION_MAX)
+            ]
+            hits = reader.topk(expanded, REGEX_K) if expanded else []
+            for rank, (doc, score) in enumerate(hits, 1):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
     def extract_text_q(sf_dir):
         from wikirec_ray.sources.synth import pages_dataset
         from wikirec_ray.stages.extract import extract_pages
@@ -987,11 +1032,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from wikirec_ray.pipelines.textstats import bpe_token_counts
 
         return bpe_token_counts(_documents(sf_dir))
-
-    def lm_scores_q(sf_dir):
-        from wikirec_ray.pipelines.textstats import lm_quality_scores
-
-        return lm_quality_scores(_documents(sf_dir))
 
     def value_quantiles_q(sf_dir):
         import pandas as pd
@@ -1379,7 +1419,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (a plain regex-extract histogram, the least informative green slot)
     # to fund facet_search + filtered_search (the doc-meta attribute
     # sidecar: terms-aggregation and metadata-filtered retrieval).
+    # Final r5 swap: lm_scores retired (the quality family keeps FOUR
+    # driver checks — quality_scores, gopher_quality, line_dup_ratio,
+    # repetition_ratios; the unigram-LM scorer gained a brute pytest
+    # oracle in test_pipelines.py) to fund regex_search (Lucene
+    # RegexpQuery: anchored-RE2 vocabulary expansion, a NEW query surface).
     return {
+        "regex_search": regex_search_q,
         "sloppy_search": sloppy_search_q,
         "fuzzy_search": fuzzy_search_q,
         "facet_search": facet_search_q,
@@ -1431,7 +1477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the brute baseline stays pytest-pinned in test_pipelines.py
         "events_window": events_window_q,
         "sessions": sessions_q,
-        "lm_scores": lm_scores_q,
+        # lm_scores retired final r5 to fund regex_search (see the swap
+        # note above the dict; lm_quality_scores keeps a brute numpy
+        # pytest oracle in test_pipelines.py)
         "value_quantiles": value_quantiles_q,
         "top_events_per_type": top_events_per_type_q,
         "nation_revenue": nation_revenue_q,
@@ -1477,6 +1525,17 @@ def oracle_sql() -> dict[str, str]:
         f"({qid}, {occ}, '{t}')"
         for qid, terms in FUZZY_QUERY_SET
         for occ, t in enumerate(terms)
+    )
+    # regex_search: one row per PATTERN occurrence plus the exact-term rows
+    regex_qvals = ", ".join(
+        f"({qid}, {occ}, '{_sql_quote(p)}')"
+        for qid, _exact, pats in REGEX_QUERY_SET
+        for occ, p in enumerate(pats)
+    )
+    regex_exact_vals = ", ".join(
+        f"({qid}, '{_sql_quote(t)}')"
+        for qid, exact, _pats in REGEX_QUERY_SET
+        for t in exact
     )
     # per-query adjacency scan over the 1-based DuckDB token list: doc
     # matches iff toks[i+j] == phrase[j] for all j at some start i
@@ -2596,6 +2655,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE round(score, 9) > 0
             ) WHERE rn <= {FUZZY_K}
         """,
+        "regex_search": f"""
+            WITH {_BM25_CORE},
+            qp(query_id, occ, pat) AS (VALUES {regex_qvals}),
+            qe(query_id, term) AS (VALUES {regex_exact_vals}),
+            exp AS (
+                SELECT query_id, term FROM (
+                    SELECT qp.query_id, dfv.term,
+                           row_number() OVER (
+                               PARTITION BY qp.query_id, qp.occ
+                               ORDER BY dfv.df DESC, dfv.term
+                           ) AS xrn
+                    FROM qp JOIN dfv ON regexp_full_match(dfv.term, qp.pat)
+                ) WHERE xrn <= {PREFIX_EXPANSION_MAX}
+                UNION ALL
+                SELECT query_id, term FROM qe
+            ),
+            scored AS (
+                SELECT e.query_id, tf.doc_id, SUM({score}) AS score
+                FROM exp e JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY e.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {REGEX_K}
+        """,
         "extract_text": """
             SELECT 'https://example.org/' || source || '/' || lang || '/'
                    || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
@@ -2622,18 +2713,6 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, SUM(new_s)::BIGINT AS n_sessions FROM e GROUP BY user_id
-        """,
-        "lm_scores": f"""
-            WITH tok AS ({_TOK}),
-            freq AS (SELECT term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY term),
-            st AS (SELECT SUM(tf) AS total, COUNT(*) AS v FROM freq),
-            lp AS (
-                SELECT term, ln(tf + 1) - ln(st.total + st.v) AS logp
-                FROM freq CROSS JOIN st
-            )
-            SELECT tok.doc_id, COUNT(*)::BIGINT AS n_tokens,
-                   ROUND(AVG(lp.logp), 6) AS avg_logprob
-            FROM tok JOIN lp USING (term) GROUP BY tok.doc_id
         """,
         "value_quantiles": """
             SELECT 0.5 AS q, ROUND(quantile_disc(value, 0.5), 6) AS value FROM events UNION ALL SELECT 0.95 AS q, ROUND(quantile_disc(value, 0.95), 6) AS value FROM events UNION ALL SELECT 0.99 AS q, ROUND(quantile_disc(value, 0.99), 6) AS value FROM events

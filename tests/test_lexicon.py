@@ -254,23 +254,23 @@ def test_reader_fuzzy_expand_many(built_index):
 
 def test_parse_query_expand_mode():
     assert parse_query("tabel~ join") == \
-        ("expand", (["join"], [("tabel", 1)], [], []), None)
+        ("expand", (["join"], [("tabel", 1)], [], [], []), None)
     assert parse_query("a~ b~") == \
-        ("expand", ([], [("a", 1), ("b", 1)], [], []), None)
+        ("expand", ([], [("a", 1), ("b", 1)], [], [], []), None)
     # explicit Lucene distances: ~1 / ~2; unsupported ~3 stays literal
     assert parse_query("tabel~2 join") == \
-        ("expand", (["join"], [("tabel", 2)], [], []), None)
+        ("expand", (["join"], [("tabel", 2)], [], [], []), None)
     assert parse_query("a~1 b~2") == \
-        ("expand", ([], [("a", 1), ("b", 2)], [], []), None)
+        ("expand", ([], [("a", 1), ("b", 2)], [], [], []), None)
     assert parse_query("x~3") == ("bm25", ["x", "3"], None)
     # wildcard: the chunk's LAST token is the prefix, earlier ones exact
     assert parse_query("spar* join") == \
-        ("expand", (["join"], [], ["spar"], []), None)
+        ("expand", (["join"], [], ["spar"], [], []), None)
     assert parse_query("new-york*") == \
-        ("expand", (["new"], [], ["york"], []), None)
+        ("expand", (["new"], [], ["york"], [], []), None)
     # both operators in one query compose
     assert parse_query("tabl~ spar* the") == \
-        ("expand", (["the"], [("tabl", 1)], ["spar"], []), None)
+        ("expand", (["the"], [("tabl", 1)], ["spar"], [], []), None)
     # boolean / phrase / NEAR outrank expansion; inner ~/* fall to the
     # tokenizer
     assert parse_query("+must tabel~")[0] == "boolean"
@@ -283,15 +283,15 @@ def test_parse_query_expand_mode():
     assert parse_query("a*b") == ("bm25", ["a", "b"], None)
     # hyphenated chunk: the whole chunk's tokens go fuzzy
     assert parse_query("new-york~") == \
-        ("expand", ([], [("new", 1), ("york", 1)], [], []), None)
+        ("expand", ([], [("new", 1), ("york", 1)], [], [], []), None)
     # leading wildcard: the chunk's FIRST token is the suffix to complete
     assert parse_query("*ion join") == \
-        ("expand", (["join"], [], [], ["ion"]), None)
+        ("expand", (["join"], [], [], ["ion"], []), None)
     assert parse_query("*new-york") == \
-        ("expand", (["york"], [], [], ["new"]), None)
+        ("expand", (["york"], [], [], ["new"], []), None)
     # leading + trailing wildcards compose across chunks
     assert parse_query("spar* *ion") == \
-        ("expand", ([], [], ["spar"], ["ion"]), None)
+        ("expand", ([], [], ["spar"], ["ion"], []), None)
     # a both-ended chunk is plain text (no contains-match)
     assert parse_query("*ab*") == ("bm25", ["ab"], None)
     assert parse_query("*") == ("bm25", [], None)
@@ -384,3 +384,85 @@ def test_cli_suggest(built_index, capsys):
         assert rc == 2
         err = capsys.readouterr().err
         assert "unsupported pattern" in err
+    # slash-delimited whole-term regex mirrors the /re/ query operator
+    rc = main(["suggest", "--index", index_dir, "/s.*/", "-k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["suggestions"] == [
+        {"term": t, "df": n} for t, n in rd.regex_terms("s.*", 3)
+    ]
+    # invalid regex exits loudly, not with a traceback
+    rc = main(["suggest", "--index", index_dir, "/(unclosed/"])
+    assert rc == 2
+    assert "invalid regex" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize(
+    "pat",
+    ["sp.*", "s...k", "(jo|co)in", "a|ba", ".*n", "zz+", "spark",
+     "0x[0-9]", "[st].rk", ""],
+)
+@pytest.mark.parametrize("k", [2, 100])
+def test_regex_terms_matches_sql(pat, k):
+    # oracle: DuckDB regexp_full_match — both sides are RE2, so whole-term
+    # anchoring and pattern semantics agree exactly
+    from wikirec_ray.pipelines.lexicon import Lexicon
+
+    con = duckdb.connect()
+    _vocab_rel(con)
+    want = con.execute(
+        "SELECT term, df FROM vocab WHERE regexp_full_match(term, ?) "
+        "ORDER BY df DESC, term LIMIT ?",
+        [pat, k],
+    ).fetchall()
+    assert Lexicon(VOCAB).regex_terms(pat, k) == want
+
+
+def test_regex_terms_guards():
+    from wikirec_ray.pipelines.lexicon import Lexicon
+
+    lex = Lexicon(VOCAB)
+    with pytest.raises(ValueError, match="invalid regex"):
+        lex.regex_terms("(unclosed")
+    assert lex.regex_terms("sp.*", 0) == []
+    assert lex.regex_terms("zzz+", 10) == []
+    # pattern is verbatim: vocabulary is lowercase, uppercase literal
+    # matches nothing (no case folding that would mangle escapes)
+    assert lex.regex_terms("SPARK", 5) == []
+    # composite precomputed-bigram terms never surface
+    assert Lexicon({"a b": 9, "ab": 1}).regex_terms(".*", 5) == [("ab", 1)]
+
+
+def test_parse_query_regex_chunks():
+    assert parse_query("/sp.rk/ join") == \
+        ("expand", (["join"], [], [], [], ["sp.rk"]), None)
+    # composes with the other expansion operators
+    assert parse_query("/a|b/ tabl~ spar*") == \
+        ("expand", ([], [("tabl", 1)], ["spar"], [], ["a|b"]), None)
+    # boolean / phrase / NEAR outrank it; inner slashes fall to the
+    # tokenizer like ~ and *
+    assert parse_query("+x /ab/")[0] == "boolean"
+    assert parse_query('"/ab/ x"')[0] == "phrase"
+    # bare or too-short slashes are plain text
+    assert parse_query("/") == ("bm25", [], None)
+    assert parse_query("//") == ("bm25", [], None)
+    assert parse_query("a/b") == ("bm25", ["a", "b"], None)
+
+
+def test_search_regex_routes_and_guards(built_index):
+    from wikirec_ray.schema import PREFIX_EXPANSION_MAX
+
+    index_dir, _ = built_index
+    rd = IndexReader(index_dir)
+    comp = [v for v, _ in rd.regex_terms("s.*", PREFIX_EXPANSION_MAX)]
+    assert comp == [v for v, _ in rd.suggest("s", PREFIX_EXPANSION_MAX)]
+    assert search(rd, "/s.*/ join", k=5) == rd.topk(["join"] + comp, 5)
+    # absent-match regex -> empty, not an error
+    assert search(rd, "/zzz+/") == []
+
+    class NoLex:
+        def topk(self, terms, k, attrs=None):  # pragma: no cover
+            return []
+
+    with pytest.raises(ValueError, match="regex"):
+        search(NoLex(), "/ab/")

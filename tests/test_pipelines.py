@@ -762,6 +762,51 @@ def test_pipelines_tolerate_empty_corpus(ray_session):
     assert corpus_stats(empty) == {"n_docs": 0, "total_tokens": 0, "avgdl": 0.0}
 
 
+def test_lm_quality_scores_brute_oracle(ray_session):
+    """Brute numpy oracle for the unigram-LM scorer — the hard check moved
+    here when the lm_scores driver slot was retired (final r5) to fund
+    regex_search: logp(t) = ln((tf_t + 1) / (T + |V|)), per-doc mean over
+    its token stream, rounded 6dp."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import ray.data
+
+    from wikirec_ray.pipelines.textstats import lm_quality_scores
+    from wikirec_ray.schema import TOKEN_SPLIT_REGEX
+
+    texts = [
+        "spark join table spark spark",
+        "window vector vector hash",
+        "spark window",
+        "singleton oddity",
+        "",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in lm_quality_scores(ds).take_all()
+    }
+
+    toks = {
+        i: [t for t in _re.split(TOKEN_SPLIT_REGEX, x.lower()) if t]
+        for i, x in enumerate(texts)
+    }
+    freq = Counter(t for ts in toks.values() for t in ts)
+    total, v = sum(freq.values()), len(freq)
+    for i, ts in toks.items():
+        if not ts:
+            assert i not in got  # empty docs emit no row (no tokens)
+            continue
+        want = sum(
+            math.log((freq[t] + 1) / (total + v)) for t in ts
+        ) / len(ts)
+        assert got[i][0] == len(ts)
+        assert got[i][1] == pytest.approx(round(want, 6), abs=2e-6), i
+
+
 def test_keyword_and_phrase_snippets(ray_session):
     """KWIC snippet extraction == a DuckDB replay over the 1-indexed token
     list (same tokenizer contract as the oracle SQL elsewhere): every

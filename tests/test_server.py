@@ -341,5 +341,16 @@ def test_range_sharded_suggest_and_fuzzy_equal_local(spread_index, ray_session):
         for q in ("merg~ join", "sp* join", "merg~ c* join",
                   "merg~2 join", "merg~1 tabl~2 c* join"):
             assert search(eng, q, k=5) == search(reader, q, k=5), q
+        # regex route: shard-disjoint concat merge must equal local, and
+        # invalid patterns surface as ValueError (Ray subclasses it)
+        for pat in ["s.*", "(sp|c).*k?", "zzz+", ".*e"]:
+            for k in (1, 3, 100):
+                assert eng.regex_terms(pat, k) == \
+                    reader.regex_terms(pat, k), pat
+        assert eng.regex_terms("s.*", 0) == []
+        assert search(eng, "/s.*/ join", k=5) == \
+            search(reader, "/s.*/ join", k=5)
+        with pytest.raises(ValueError):
+            eng.regex_terms("(unclosed", 5)
     finally:
         eng.shutdown()

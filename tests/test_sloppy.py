@@ -174,11 +174,11 @@ def test_parse_query_sloppy_mode():
     # the pre-sloppy behavior, pinned so the precedence cannot drift
     assert parse_query('"alpha beta"') == ("phrase", ["alpha", "beta"], None)
     assert parse_query('"alpha beta"~') == \
-        ("expand", (["alpha"], [("beta", 1)], [], []), None)
+        ("expand", (["alpha"], [("beta", 1)], [], [], []), None)
     # multi-quote queries are NOT one merged sloppy phrase (the phrase
     # body excludes interior quotes) — they keep their pre-sloppy parse
     assert parse_query('"new york" "los angeles"~1') == \
-        ("expand", (["new", "york", "los"], [("angeles", 1)], [], []), None)
+        ("expand", (["new", "york", "los"], [("angeles", 1)], [], [], []), None)
 
 
 def test_search_routes_sloppy(sloppy_index):

@@ -150,8 +150,9 @@ def cmd_compact(args) -> int:
 def cmd_suggest(args) -> int:
     """Prefix autocomplete over the index vocabulary (df-ranked).  No Ray
     session needed — a driver-side lookup over the df files.  A leading
-    ``*`` flips to suffix completion (``*tion`` = terms ending in tion),
-    matching the query language's leading-wildcard form."""
+    ``*`` flips to suffix completion (``*tion`` = terms ending in tion)
+    and a slash-delimited ``/re/`` runs whole-term regex matching, both
+    matching the query language's operator forms."""
     import sys
 
     from wikirec_ray.pipelines.query import IndexReader
@@ -164,10 +165,16 @@ def cmd_suggest(args) -> int:
     # ranking the whole vocabulary / matching nothing
     if p == "*" or (p.startswith("*") and p.endswith("*")):
         print(f"suggest: unsupported pattern {p!r} — use PREFIX, "
-              "PREFIX* or *SUFFIX", file=sys.stderr)
+              "PREFIX*, *SUFFIX or /REGEX/", file=sys.stderr)
         return 2
     rd = IndexReader(args.index)
-    if p.startswith("*"):
+    if len(p) >= 3 and p.startswith("/") and p.endswith("/"):
+        try:
+            hits = rd.regex_terms(p[1:-1], args.k)
+        except ValueError as exc:
+            print(f"suggest: {exc}", file=sys.stderr)
+            return 2
+    elif p.startswith("*"):
         hits = rd.suggest_suffix(p[1:], args.k)
     else:
         hits = rd.suggest(p.removesuffix("*"), args.k)

@@ -27,6 +27,10 @@ merge is a plain concatenation, never a re-aggregation.
   per term (≈ 40 dict entries for an 8-char term); ``Lexicon`` builds
   each distance's index lazily, so corpora that never see a ``~2`` query
   never pay it.
+- ``Lexicon.regex_terms``: whole-term regex matching (Lucene RegexpQuery)
+  as one vectorized anchored-RE2 pass over the term array — the same RE2
+  DuckDB's ``regexp_full_match`` runs, which is what makes the driver
+  oracle exact.
 
 The reference engine's only lexical tolerance is fuzzy argument
 suggestions over a fixed option list (K3,
@@ -118,6 +122,7 @@ class Lexicon:
         self._prefix: PrefixIndex | None = None
         self._suffix: SuffixIndex | None = None
         self._fuzzy: dict[int, FuzzyIndex] = {}  # per-distance, lazy
+        self._pa_terms = None  # Arrow view of the term array (regex scans)
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         if self._prefix is None:
@@ -136,6 +141,40 @@ class Lexicon:
                 arrays=(self._prefix._terms, self._prefix._dfs),
             )
         return self._suffix.suggest(suffix.lower(), k)
+
+    def regex_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) vocabulary terms FULLY matching ``pattern``
+        (Lucene RegexpQuery semantics: the pattern is anchored to the
+        whole term), highest df first, ties term-ascending.  The scan is
+        one vectorized RE2 pass (``pyarrow.compute.match_substring_regex``
+        on an anchored pattern) over this lexicon's term array — O(vocab)
+        per query, which is the per-shard vocabulary slice at cluster
+        scale (Lucene instead intersects a compiled automaton with the
+        term dictionary; the full scan is the simple exact equivalent at
+        sidecar-vocabulary sizes).  The pattern is passed VERBATIM — no
+        lowercasing, since case-mangling regex escapes like ``\\W`` would
+        silently change semantics; the vocabulary is all-lowercase, so
+        uppercase literals simply match nothing.  An invalid pattern
+        raises ``ValueError``."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self._prefix is None:
+            self._prefix = PrefixIndex(self._uni)
+        if self._pa_terms is None:
+            self._pa_terms = pa.array(self._prefix._terms, pa.string())
+        try:
+            mask = pc.match_substring_regex(
+                self._pa_terms, f"^(?:{pattern})$"
+            )
+        except pa.lib.ArrowInvalid as exc:
+            raise ValueError(f"invalid regex pattern {pattern!r}: {exc}")
+        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        if not len(idx):
+            return []
+        return _topk_df_term_asc(
+            self._prefix._terms[idx], self._prefix._dfs[idx], k
+        )
 
     def expand(self, term: str, d: int = 1) -> list[tuple[str, int]]:
         # any already-built index of depth >= d answers a distance-d

@@ -454,6 +454,13 @@ class IndexReader:
         (df desc, term asc) — exactly ``levenshtein(term, t) <= d``."""
         return self._lexicon.expand(term, d)
 
+    def regex_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k (term, df) vocabulary terms fully matching ``pattern``
+        (Lucene RegexpQuery; one vectorized RE2 pass, anchored) — same
+        (df desc, term asc) order as ``suggest``.  Invalid patterns raise
+        ``ValueError``."""
+        return self._lexicon.regex_terms(pattern, k)
+
     def fuzzy_expand_many(
         self, items: list, cap: int | None = None
     ) -> list[list[tuple[str, int]]]:
@@ -1362,7 +1369,9 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     - ``NEAR/5(spark join)``   -> ("near", terms, 5)
     - ``join +table -slow``    -> ("boolean", (should, must, must_not), None)
     - ``tabel~ spar* *ion j``  -> ("expand", (exact, fuzzy, prefixes,
-                                   suffixes), None)
+                                   suffixes, regexes), None)
+    - ``/sp.rk/ join``         -> ("expand", ..., None) with the
+                                   slash-delimited chunk in ``regexes``
     - anything else            -> ("bm25", terms, None)
 
     ``+``/``-`` are boolean operators ONLY at the start of a
@@ -1378,10 +1387,14 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
     per-token); ``*`` at the START of a chunk (leading wildcard,
     ``*tion``) marks the chunk's FIRST token as a suffix to complete via
     the reversed-term index, with a both-ended ``*ab*`` staying plain
-    text (contains-match is not offered); boolean/phrase/NEAR take
-    precedence, so a ``~``/``*`` inside those modes stays plain text
-    (both are stripped by the tokenizer anyway), and an unsupported
-    distance like ``x~3`` is literal text, never an error.
+    text (contains-match is not offered); a chunk DELIMITED by slashes
+    (``/sp.rk/`` — Lucene RegexpQuery syntax) is a whole-term regex to
+    expand, carried VERBATIM (no tokenization or lowercasing: mangling
+    escapes like ``\\W`` would change semantics; patterns cannot contain
+    whitespace, but neither can vocabulary terms); boolean/phrase/NEAR
+    take precedence, so a ``~``/``*``/``/re/`` inside those modes stays
+    plain text (all are stripped by the tokenizer anyway), and an
+    unsupported distance like ``x~3`` is literal text, never an error.
 
     Terms are normalized with the SAME contract as indexing
     (``schema.TOKEN_SPLIT_REGEX`` on the lowered string + drop empties —
@@ -1444,13 +1457,22 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
         return len(c) >= 2 and c[0] == "*" and c[-1] != "*" \
             and bool(toks(c[1:]))
 
-    if any(_fuzzy_chunk(c) or _prefix_chunk(c) or _suffix_chunk(c)
-           for c in chunks):
+    def _regex_chunk(c: str) -> bool:
+        # slash-delimited whole-term regex (/sp.rk/): the pattern between
+        # the delimiters goes through verbatim (never tokenized)
+        return len(c) >= 3 and c[0] == "/" and c[-1] == "/"
+
+    if any(_regex_chunk(c) or _fuzzy_chunk(c) or _prefix_chunk(c)
+           or _suffix_chunk(c) for c in chunks):
         exact: list[str] = []
         fuzzy: list[tuple[str, int]] = []
         prefixes: list[str] = []
         suffixes: list[str] = []
+        regexes: list[str] = []
         for c in chunks:
+            if _regex_chunk(c):
+                regexes.append(c[1:-1])
+                continue
             fc = _fuzzy_chunk(c)
             if fc:
                 ts, d = fc
@@ -1467,7 +1489,7 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
                 exact.extend(rest)
             else:
                 exact.extend(toks(c))
-        return "expand", (exact, fuzzy, prefixes, suffixes), None
+        return "expand", (exact, fuzzy, prefixes, suffixes, regexes), None
     return "bm25", toks(q), None
 
 
@@ -1477,26 +1499,30 @@ def expand_query_terms(
     fuzzy: list,
     prefixes: list[str],
     suffixes: list[str] | None = None,
+    regexes: list[str] | None = None,
 ) -> list[str]:
     """Resolve an "expand"-mode parse into the effective term multiset:
     exact terms verbatim, each fuzzy (term, d) occurrence's
     edit-distance-d neighborhood (ONE batched ``fuzzy_expand_many`` call
     — a single resolver round trip on the served engine), and each
-    prefix's / suffix's top ``PREFIX_EXPANSION_MAX`` highest-df
+    prefix's / suffix's / regex's top ``PREFIX_EXPANSION_MAX`` highest-df
     completions (Lucene TopTermsRewrite; ``suggest`` per trailing-*
-    prefix, ``suggest_suffix`` per leading-* suffix).  Shared by
-    ``search()`` and the CLI facet path so retrieval and facets see the
-    same term set.  Raises ``ValueError`` for engines without the
-    vocabulary lexicon."""
+    prefix, ``suggest_suffix`` per leading-* suffix, ``regex_terms`` per
+    ``/re/`` chunk).  Shared by ``search()`` and the CLI facet path so
+    retrieval and facets see the same term set.  Raises ``ValueError``
+    for engines without the vocabulary lexicon."""
     suffixes = suffixes or []
+    regexes = regexes or []
     if (fuzzy and not hasattr(engine, "fuzzy_expand_many")) or (
         prefixes and not hasattr(engine, "suggest")
-    ) or (suffixes and not hasattr(engine, "suggest_suffix")):
+    ) or (suffixes and not hasattr(engine, "suggest_suffix")) or (
+        regexes and not hasattr(engine, "regex_terms")
+    ):
         raise ValueError(
-            "this engine does not support fuzzy (~) / wildcard (*) "
-            "queries — expansion needs the vocabulary-level lexicon "
-            "(IndexReader or the range-sharded engine); drop the "
-            "~/* suffixes for exact terms"
+            "this engine does not support fuzzy (~) / wildcard (*) / "
+            "regex (/re/) queries — expansion needs the vocabulary-level "
+            "lexicon (IndexReader or the range-sharded engine); drop the "
+            "~/*//re/ operators for exact terms"
         )
     expanded = list(exact)
     if fuzzy:
@@ -1510,6 +1536,10 @@ def expand_query_terms(
     for s in suffixes:
         expanded += [
             v for v, _ in engine.suggest_suffix(s, PREFIX_EXPANSION_MAX)
+        ]
+    for r in regexes:
+        expanded += [
+            v for v, _ in engine.regex_terms(r, PREFIX_EXPANSION_MAX)
         ]
     return expanded
 

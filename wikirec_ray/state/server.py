@@ -208,6 +208,10 @@ class DfResolver:
         """This shard's top-k (term, df) terms ending with ``suffix``."""
         return self._lexicon().suggest_suffix(suffix, k)
 
+    def regex_terms(self, pattern: str, k: int) -> list[tuple[str, int]]:
+        """This shard's top-k (term, df) terms fully matching ``pattern``."""
+        return self._lexicon().regex_terms(pattern, k)
+
     def expand_terms(
         self, items: list, cap: int | None = None
     ) -> list[list[tuple[str, int]]]:
@@ -1088,6 +1092,20 @@ class RangeShardedQueryEngine:
             return []
         parts = ray.get(
             [r.suggest_suffix.remote(suffix, k) for r in self.resolvers]
+        )
+        merged = [tn for p in parts for tn in p]
+        merged.sort(key=lambda tn: (-tn[1], tn[0]))
+        return merged[:k]
+
+    def regex_terms(self, pattern: str, k: int = 10) -> list[tuple[str, int]]:
+        """Distributed whole-term regex expansion — must equal
+        ``IndexReader.regex_terms`` (same disjoint-shard concat-merge as
+        ``suggest``; an invalid pattern raises from every shard — Ray
+        surfaces it as a ``ValueError`` subclass, matching local)."""
+        if k <= 0:
+            return []
+        parts = ray.get(
+            [r.regex_terms.remote(pattern, k) for r in self.resolvers]
         )
         merged = [tn for p in parts for tn in p]
         merged.sort(key=lambda tn: (-tn[1], tn[0]))
