@@ -15,6 +15,7 @@ here (or in wikirec_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -209,12 +210,20 @@ FACET_QUERY_SET = [
     (3, ["the", "vector"]),
 ]
 FACET_COL, FACET_K = "source", 12
+# (qid, scoring terms, sidecar column, value spec).  Specs 4-5 are
+# NUMERIC RANGE predicates (final r5): the sidecar stores every attribute
+# as a string, so `attr_matching_codes` parses both sides with the strict
+# numeric grammar == SQL TRY_CAST(col AS DOUBLE) <op> bound; bounds sit
+# at the sf0.01 n_chars ~p25/p75 so both filters select non-trivially.
 FILTERED_QUERY_SET = [
-    (1, ["spark", "spark", "join"], "de"),
-    (2, ["window", "data", "stream"], "en"),
-    (3, ["merge", "sort", "fast"], "zh"),
+    (1, ["spark", "spark", "join"], "lang", "de"),
+    (2, ["window", "data", "stream"], "lang", "en"),
+    (3, ["merge", "sort", "fast"], "lang", "zh"),
+    (4, ["spark", "join"], "n_chars", ">=400"),
+    (5, ["window", "vector"], "n_chars", "<200"),
 ]
-FILTER_COL, FILTERED_K = "lang", 10
+META_SIDE_COLS = ["lang", "source", "n_chars"]  # built by _ensure_meta
+FILTERED_K = 10
 CLEAN_SUB_N = 20  # wikirec_clean entries also emit the first-N joined tokens
 STEM_SUB_N = 40
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
@@ -443,9 +452,9 @@ def _ensure_meta(sf_dir: str) -> str:
 
     index_dir = _ensure_index(sf_dir)
     build_doc_meta(
-        _documents(sf_dir, columns=("doc_id", FILTER_COL, FACET_COL)),
+        _documents(sf_dir, columns=("doc_id", *META_SIDE_COLS)),
         index_dir,
-        cols=[FILTER_COL, FACET_COL],
+        cols=META_SIDE_COLS,
         lineage={"input": os.path.join(sf_dir, "documents.parquet")},
     )
     return index_dir
@@ -642,21 +651,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).astype({"query_id": "int64", "rank": "int64", "n_docs": "int64"})
 
     def filtered_search_q(sf_dir):
-        """Metadata-FILTERED BM25 top-k (lang=value): the attribute is a
-        pure filter — df/avgdl stay corpus-global, exactly like tombstone
-        and boolean-clause overlays — so the replay is the shared bm25 CTEs
-        + one attribute predicate.  Query 1 repeats a term on purpose
-        (duplicate-occurrence parity: the engine scores per occurrence, the
-        SQL VALUES join double-counts identically)."""
+        """Metadata-FILTERED BM25 top-k: the attribute is a pure filter —
+        df/avgdl stay corpus-global, exactly like tombstone and
+        boolean-clause overlays — so the replay is the shared bm25 CTEs
+        + one attribute predicate per query.  Query 1 repeats a term on
+        purpose (duplicate-occurrence parity: the engine scores per
+        occurrence, the SQL VALUES join double-counts identically);
+        queries 4-5 are NUMERIC RANGE filters (``n_chars:>=400`` /
+        ``<200`` — `attr_matching_codes` strict-parse == SQL TRY_CAST)."""
         import pandas as pd
 
         from wikirec_ray.pipelines.query import IndexReader
 
         reader = IndexReader(_ensure_meta(sf_dir))
         rows = []
-        for qid, terms, value in FILTERED_QUERY_SET:
+        for qid, terms, col, spec in FILTERED_QUERY_SET:
             for rank, (doc, score) in enumerate(
-                reader.filtered_topk(terms, FILTERED_K, FILTER_COL, value), 1
+                reader.filtered_topk(terms, FILTERED_K, col, spec), 1
             ):
                 rows.append((qid, rank, doc, round(score, 6)))
         return pd.DataFrame(
@@ -1693,12 +1704,23 @@ def oracle_sql() -> dict[str, str]:
     )
     filt_score_vals = ", ".join(
         f"({qid}, '{t}')"
-        for qid, terms, _ in FILTERED_QUERY_SET for t in terms
+        for qid, terms, _c, _s in FILTERED_QUERY_SET for t in terms
     )
+
+    def _filter_pred(col: str, spec: str) -> str:
+        # SQL twin of attr_matching_codes: range specs compare through
+        # TRY_CAST AS DOUBLE (the sidecar stores strings; documents holds
+        # the native column — identical under the strict numeric grammar),
+        # everything else is literal equality
+        m = re.match(r"^(>=|<=|>|<)(.*)$", spec)
+        if m:
+            return f"TRY_CAST({col} AS DOUBLE) {m.group(1)} {m.group(2)}"
+        return f"{col} = '{_sql_quote(spec)}'"
+
     filt_pred_union = " UNION ALL ".join(
         f"SELECT {qid} AS query_id, doc_id FROM documents "
-        f"WHERE {FILTER_COL} = '{val}'"
-        for qid, _, val in FILTERED_QUERY_SET
+        f"WHERE {_filter_pred(col, spec)}"
+        for qid, _terms, col, spec in FILTERED_QUERY_SET
     )
 
     # ---- web-curation entries: the deterministic webtext reshape ---------

@@ -333,7 +333,9 @@ class IndexReader:
         """Subset of alive ``docs`` matching EVERY (col, value) attribute —
         the one attribute-filter kernel behind every filtered route.  A doc
         missing from the sidecar raises (stale sidecar), an unknown value
-        just matches nothing."""
+        just matches nothing.  Value specs are interpreted by
+        ``attr_matching_codes`` (literal equality or a numeric range
+        predicate like ``>=2400``)."""
         for col, value in attrs:
             if not len(docs):
                 return docs
@@ -345,11 +347,13 @@ class IndexReader:
                     f"doc {missing} is in the index but not in the metadata "
                     f"sidecar — stale meta/: re-run build_doc_meta"
                 )
-            try:
-                code = values.index(value)
-            except ValueError:
+            match = attr_matching_codes(values, value)
+            if not len(match):
                 return docs[:0]
-            docs = docs[codes == code]
+            docs = docs[
+                codes == match[0] if len(match) == 1
+                else np.isin(codes, match)
+            ]
         return docs
 
     def _apply_attrs_dense(
@@ -1321,6 +1325,50 @@ _PROTECTED_SPAN_RE = re.compile(
 )
 
 
+# attribute value specs: >=, <=, >, < prefix a NUMERIC range predicate;
+# anything else is literal equality.  The numeric grammar is the strict
+# decimal/scientific subset BOTH sides accept identically — Python's
+# float() also swallows '1_0' and ' 5 ', which DuckDB's TRY_CAST rejects,
+# so parsing goes through this regex, never bare float().
+_RANGE_OP_RE = re.compile(r"^(>=|<=|>|<)(.*)$", re.DOTALL)
+_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _strict_float(s) -> float | None:
+    if not isinstance(s, str) or not _NUMERIC_RE.match(s):
+        return None
+    return float(s)
+
+
+def attr_matching_codes(values: list, spec: str) -> np.ndarray:
+    """Dictionary codes of the sidecar ``values`` matching ``spec`` — the
+    ONE interpreter of attribute filter values, shared by the local
+    reader and the serving shards so the two sides cannot drift.  A spec
+    starting with ``>=``/``<=``/``>``/``<`` is a numeric RANGE predicate
+    (sidecar attributes are stored as strings — ``doc_meta`` casts at
+    build time — so both the bound and each stored value go through the
+    strict numeric parse; non-numeric stored values never match, and a
+    non-numeric bound matches nothing — deterministic, never a crash,
+    since ``search()`` feeds user input here).  Anything else is literal
+    equality.  SQL twin: ``TRY_CAST(value AS DOUBLE) <op> bound``."""
+    m = _RANGE_OP_RE.match(spec)
+    if m is None:
+        try:
+            return np.asarray([values.index(spec)], np.int64)
+        except ValueError:
+            return np.empty(0, np.int64)
+    bound = _strict_float(m.group(2))
+    if bound is None:
+        return np.empty(0, np.int64)
+    cmp = {">": np.greater, ">=": np.greater_equal,
+           "<": np.less, "<=": np.less_equal}[m.group(1)]
+    out = [
+        i for i, v in enumerate(values)
+        if (fv := _strict_float(v)) is not None and cmp(fv, bound)
+    ]
+    return np.asarray(out, np.int64)
+
+
 def split_filters(
     query: str, allowed_cols
 ) -> tuple[list[tuple[str, str]], str]:
@@ -1333,7 +1381,11 @@ def split_filters(
     case-normalized; the emitted filter carries the sidecar's canonical
     name).  Chunks OVERLAPPING quoted phrases or NEAR(...) parentheses are
     never lifted — except a chunk's own quoted value (``lang:"de"``),
-    whose quotes are stripped."""
+    whose quotes are stripped.  Values pass through VERBATIM; range specs
+    like ``n_chars:>=2400`` are interpreted downstream by
+    ``attr_matching_codes`` (quote-stripping happens first, so a literal
+    attribute value that itself starts with a range operator is not
+    representable — a non-constraint for real metadata)."""
     canon = {c.lower(): c for c in (allowed_cols or ())}
     if not canon:
         return [], query
@@ -1607,8 +1659,10 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
 
     ``col:value`` chunks (column = one of the engine's sidecar attribute
     columns, per ``meta_cols()``) become conjunctive metadata FILTERS on
-    any mode — ``lang:en "data stream"``, ``source:news +spark -slow`` —
-    while unknown ``a:b`` chunks stay query text.  Filtered plain-BM25
+    any mode — ``lang:en "data stream"``, ``source:news +spark -slow``,
+    and numeric RANGE specs ``n_chars:>=2400`` / ``:>`` / ``:<`` /
+    ``:<=`` (interpreted by ``attr_matching_codes``) — while unknown
+    ``a:b`` chunks stay query text.  Filtered plain-BM25
     routes through the exact dense path (WAND's threshold admission
     assumes unfiltered scores).  Callers that also need the resolved
     term set (highlighting, facets) should use ``search_with_terms``."""

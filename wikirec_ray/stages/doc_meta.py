@@ -11,8 +11,9 @@ co-partitioned with the index so shards can filter and count locally.
 
 Layout (``<index_dir>/meta/``)::
 
-    meta/range-<r>.parquet   # (doc_id, <col>...) — string attributes,
-                             #   doc_id-sorted, SAME ranges as norms
+    meta/range-<r>.parquet   # (doc_id, <col>...) — attributes cast to
+                             #   string, doc_id-sorted, SAME ranges as
+                             #   norms
     meta/manifest.json       # own manifest: cols, range_size, per-file
                              #   bytes/md5 + logical input fingerprints
 
@@ -67,8 +68,10 @@ def build_doc_meta(
     lineage: dict | None = None,
 ) -> dict:
     """Write the attribute sidecar for an EXISTING index; returns the meta
-    manifest.  ``ds`` rows are (id_col, *cols) — string attribute columns
-    (nulls stored as ``""``); every id must be unique.  Ranges follow the
+    manifest.  ``ds`` rows are (id_col, *cols) — attribute columns of any
+    castable type, stored as strings (nulls as ``""``; numeric columns
+    stay range-filterable via ``attr_matching_codes``'s strict parse);
+    every id must be unique.  Ranges follow the
     index's ``doc_range_size`` so serving shards can load exactly their
     ranges' attributes.  On disk the id column is always named ``doc_id``
     regardless of ``id_col`` (readers never need the input's name).
@@ -100,7 +103,10 @@ def build_doc_meta(
         out = {"range_id": pa.array((ids // range_size).astype(np.int64)),
                "doc_id": pa.array(ids.astype(np.int64))}
         for c in cols:
-            out[c] = pc.cast(b[c].combine_chunks().fill_null(""), pa.string())
+            # cast BEFORE fill_null: numeric attribute columns (e.g. an
+            # int64 n_chars) have no "" scalar — nulls survive the cast
+            # as nulls and then fill as empty strings
+            out[c] = pc.cast(b[c].combine_chunks(), pa.string()).fill_null("")
         return pa.table(out)
 
     def write_range(g: pa.Table) -> pa.Table:

@@ -450,7 +450,11 @@ class RangeServer:
         """Subset of range ``r``'s sorted alive ``docs`` matching EVERY
         (col, value) attribute — the shard twin of
         ``IndexReader._attr_keep_sorted`` (loud on a stale sidecar, an
-        unknown value matches nothing)."""
+        unknown value matches nothing; value specs — literal equality or
+        ``>=``-style numeric ranges — go through the SAME
+        ``attr_matching_codes`` interpreter as the local reader)."""
+        from wikirec_ray.pipelines.query import attr_matching_codes
+
         for col, value in attrs:
             if not len(docs):
                 return docs
@@ -468,11 +472,13 @@ class RangeServer:
                     f"live matching doc missing from metadata range {r} — "
                     f"stale meta/: re-run build_doc_meta"
                 )
-            try:
-                code = values.index(value)
-            except ValueError:
+            match = attr_matching_codes(values, value)
+            if not len(match):
                 return docs[:0]
-            docs = docs[codes[sel] == code]
+            docs = docs[
+                codes[sel] == match[0] if len(match) == 1
+                else np.isin(codes[sel], match)
+            ]
         return docs
 
     def _apply_attrs_dense(
