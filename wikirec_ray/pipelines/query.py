@@ -220,14 +220,18 @@ class IndexReader:
     def topk(
         self, terms: list[str], k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] best-first; ties → doc_id ascending.
         ``attrs`` = optional [(col, value)] metadata filters (conjunctive,
-        pure filters — scoring stays corpus-global)."""
+        pure filters — scoring stays corpus-global).  ``after`` = optional
+        search_after cursor: pass the LAST hit ``(doc_id, score)`` of the
+        previous page verbatim to get the next page (Elasticsearch search_after:
+        deep paging at constant cost, no growing k)."""
         scores = self.score_exact(terms)
         if attrs:
             scores = self._apply_attrs_dense(scores, attrs)
-        return topk_from_dense(scores, k)
+        return topk_from_dense(scores, k, after=after)
 
     # ---------------- boolean retrieval ----------------------------------
     def boolean_topk(
@@ -237,6 +241,7 @@ class IndexReader:
         must_not: list[str] | tuple = (),
         k: int = 10,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Lucene-style boolean retrieval: a hit must contain EVERY ``must``
         term and NO ``must_not`` term; ``should`` terms only affect
@@ -250,7 +255,8 @@ class IndexReader:
         route (candidacy uses the distinct term set).  A ``must`` term
         absent from the corpus empties the conjunction; a term that is
         both required and excluded excludes (production boolean-query
-        semantics: MUST_NOT dominates)."""
+        semantics: MUST_NOT dominates).  ``after`` = search_after cursor,
+        as in ``topk``."""
         should, must, must_not = list(should), list(must), list(must_not)
         if not should and not must:
             return []
@@ -278,7 +284,7 @@ class IndexReader:
             scores[self.postings(t)[0].astype(np.int64)] = 0.0
         if attrs:
             scores = self._apply_attrs_dense(scores, attrs)
-        return topk_from_dense(scores, k)
+        return topk_from_dense(scores, k, after=after)
 
     # ---------------- metadata filters + facets ---------------------------
     def _meta_codes(self, col: str):
@@ -479,6 +485,7 @@ class IndexReader:
         self, terms: list[str], k: int,
         attrs: list[tuple[str, str]] | None = None,
         d: int = 1,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Typo-tolerant BM25 top-k: every query-term OCCURRENCE expands
         to its edit-distance-``d`` vocabulary neighborhood (Lucene
@@ -494,7 +501,7 @@ class IndexReader:
         ]
         if not expanded:
             return []
-        return self.topk(expanded, k, attrs=attrs)
+        return self.topk(expanded, k, attrs=attrs, after=after)
 
     # ---------------- positional filter retrieval ------------------------
     # phrase_topk and near_topk share one shape: AND-intersect the terms'
@@ -546,7 +553,7 @@ class IndexReader:
             return None, None
         return postings, cand
 
-    def _filtered_topk(self, postings, docs: np.ndarray, k: int):
+    def _filtered_topk(self, postings, docs: np.ndarray, k: int, after=None):
         """Plain multi-term BM25 over the filter-surviving ``docs`` under
         the engine-wide (round(score, 9) desc, doc asc) contract."""
         if len(docs) == 0:
@@ -565,7 +572,7 @@ class IndexReader:
         if not ids_out:
             return []
         return topk_from_sparse(
-            np.concatenate(ids_out), np.concatenate(contribs), k
+            np.concatenate(ids_out), np.concatenate(contribs), k, after=after
         )
 
     # ---------------- exact phrase --------------------------------------
@@ -592,6 +599,7 @@ class IndexReader:
     def phrase_topk(
         self, terms: list[str], k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing ``terms`` as an EXACT
         phrase (adjacent tokens, in order, in the indexed token stream).
@@ -626,7 +634,9 @@ class IndexReader:
         if len(terms) == 2:
             comp = f"{terms[0]} {terms[1]}"
             if comp in self.bigrams:
-                return self._precomputed_phrase_topk(terms, comp, k, attrs)
+                return self._precomputed_phrase_topk(
+                    terms, comp, k, attrs, after=after
+                )
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
@@ -649,11 +659,12 @@ class IndexReader:
         )
         if attrs:
             phrase_docs = self._attr_keep_sorted(phrase_docs, attrs)
-        return self._filtered_topk(postings, phrase_docs, k)
+        return self._filtered_topk(postings, phrase_docs, k, after=after)
 
     def _precomputed_phrase_topk(
         self, terms: list[str], comp: str, k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Precomputed-pair phrase: the composite term's doc list is exactly
         the adjacency-filtered candidate set; score with the plain per-term
@@ -671,7 +682,7 @@ class IndexReader:
             seg = self.term_segment(t)
             d, tf = seg.postings(t)
             postings.append((t, d, tf, seg))
-        return self._filtered_topk(postings, phrase_docs, k)
+        return self._filtered_topk(postings, phrase_docs, k, after=after)
 
     # ---------------- sloppy phrase (ordered proximity) ------------------
     @staticmethod
@@ -748,6 +759,7 @@ class IndexReader:
     def sloppy_phrase_topk(
         self, terms: list[str], k: int, slop: int = 0,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing ``terms`` IN ORDER
         within span slack ``slop`` (Lucene ``"a b"~n`` sloppy
@@ -770,7 +782,7 @@ class IndexReader:
                 "sloppy_phrase_topk: slop must be <= 2^31 - 1"
             )
         if slop == 0:
-            return self.phrase_topk(terms, k, attrs=attrs)
+            return self.phrase_topk(terms, k, attrs=attrs, after=after)
         postings, cand = self._positional_candidates(terms)
         if postings is None:
             return []
@@ -779,12 +791,13 @@ class IndexReader:
         )
         if attrs:
             docs = self._attr_keep_sorted(docs, attrs)
-        return self._filtered_topk(postings, docs, k)
+        return self._filtered_topk(postings, docs, k, after=after)
 
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
         self, terms: list[str], k: int, window: int = 8,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k restricted to docs containing at least one anchor
         occurrence such that every query term occurs within ``window``
@@ -825,7 +838,7 @@ class IndexReader:
         )
         if attrs:
             near_docs = self._attr_keep_sorted(near_docs, attrs)
-        return self._filtered_topk(postings, near_docs, k)
+        return self._filtered_topk(postings, near_docs, k, after=after)
 
     @staticmethod
     def near_match_docs(
@@ -871,10 +884,16 @@ class IndexReader:
     WAND_DENSE_FRACTION = 0.25
 
     def topk_wand(
-        self, terms: list[str], k: int, force_wand: bool = False
+        self, terms: list[str], k: int, force_wand: bool = False,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Rank-safe block-max WAND with dense-regime fallback; identical
-        output to ``topk`` on every input (pytest-asserted both routes)."""
+        output to ``topk`` on every input (pytest-asserted both routes).
+        ``after`` (search_after paging) routes through the exact dense
+        path: WAND's threshold admission assumes the heap fills from the
+        TOP of the ranking, which a mid-ranking cursor violates."""
+        if after is not None:
+            return self.topk(terms, k, after=after)
         if not force_wand:
             total_df = sum(self.df.get(t, 0) for t in set(terms))
             if total_df >= self.stats["n_docs"] * self.WAND_DENSE_FRACTION:
@@ -882,14 +901,29 @@ class IndexReader:
         return wand_topk(self, terms, k)
 
 
+def _after_cursor(after) -> tuple[float, int]:
+    """Normalize a search_after cursor -> (score, doc_id).  A cursor IS a
+    hit tuple ``(doc_id, score)`` — the last element of the previous page,
+    passed back verbatim — so no caller ever reorders fields.  The score
+    is used VERBATIM: every emitted score is already ``np.round(x, 9)``,
+    and re-rounding a rounded double can shift it by 1 ulp (np.round is
+    multiply/round/divide, not exact), which would make the equality leg
+    of the strictly-after test miss and re-admit the cursor doc.  A
+    hand-typed cursor therefore must carry the exact float a previous
+    page returned."""
+    return float(after[1]), int(after[0])
+
+
 def topk_from_sparse(
-    doc_ids: np.ndarray, contribs: np.ndarray, k: int
+    doc_ids: np.ndarray, contribs: np.ndarray, k: int, after=None
 ) -> list[tuple[int, float]]:
     """Top-k from UNAGGREGATED sparse (doc_id, contribution) pairs — sum per
     doc (sort + reduceat), then the same (round(score, 9) desc, doc asc)
     selection as ``topk_from_dense``.  O(pairs), never O(n_docs): this is
     what lets a serving coordinator aggregate per-term partials without the
-    dense corpus-sized accumulator (VERDICT r02 item 4)."""
+    dense corpus-sized accumulator (VERDICT r02 item 4).  ``after`` =
+    optional (doc_id, score) search_after cursor: only docs STRICTLY after
+    it in the total order qualify (deep paging without a growing k)."""
     if len(doc_ids) == 0:
         return []
     order = np.argsort(doc_ids, kind="stable")
@@ -899,6 +933,10 @@ def topk_from_sparse(
     sums = np.round(np.add.reduceat(c_s, starts), ROUND_DP)
     uids = ids_s[starts]
     pos = np.flatnonzero(sums > 0)
+    if after is not None and len(pos):
+        a_s, a_d = _after_cursor(after)
+        sv, dv = sums[pos], uids[pos]
+        pos = pos[(sv < a_s) | ((sv == a_s) & (dv > a_d))]
     if len(pos) == 0:
         return []
     if len(pos) > k:
@@ -908,9 +946,18 @@ def topk_from_sparse(
     return [(int(uids[i]), float(sums[i])) for i in chosen]
 
 
-def topk_from_dense(scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+def topk_from_dense(
+    scores: np.ndarray, k: int, after=None
+) -> list[tuple[int, float]]:
     r = np.round(scores, ROUND_DP)
     nz = np.flatnonzero(r > 0)
+    if after is not None and len(nz):
+        # search_after: keep docs strictly after the cursor in the
+        # (score desc, doc_id asc) total order.  Callers with a
+        # RANGE-LOCAL accumulator must localize the cursor's doc_id first.
+        a_s, a_d = _after_cursor(after)
+        rv = r[nz]
+        nz = nz[(rv < a_s) | ((rv == a_s) & (nz > a_d))]
     if len(nz) == 0:
         return []
     if len(nz) > k:

@@ -131,7 +131,8 @@ class DistributedQueryEngine:
             SegmentServer.remote(index_dir, tparts) for tparts in assign
         ]
 
-    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def topk(self, terms: list[str], k: int,
+             after: tuple[int, float] | None = None) -> list[tuple[int, float]]:
         by_server: dict[int, list[tuple[str, int]]] = {}
         for term in terms:
             tpart = zlib.crc32(term.encode("utf-8")) % self.n_tparts
@@ -158,7 +159,9 @@ class DistributedQueryEngine:
             return []
         from wikirec_ray.pipelines.query import topk_from_sparse
 
-        return topk_from_sparse(np.concatenate(id_parts), np.concatenate(c_parts), k)
+        return topk_from_sparse(
+            np.concatenate(id_parts), np.concatenate(c_parts), k, after=after
+        )
 
     def shutdown(self):
         for s in self.servers:
@@ -336,11 +339,14 @@ class RangeServer:
             local[(tr - np.uint64(r * self.range_size)).astype(np.int64)] = 0.0
 
     def topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
-             attrs: list[tuple[str, str]] | None = None):
+             attrs: list[tuple[str, str]] | None = None, after=None):
         """This shard's top-k [(doc_id, rounded_score)] over its ranges —
         each doc lives in exactly one shard, so the global top-k is the
         top-k of the per-shard unions.  ``attrs`` = optional [(col, value)]
-        metadata filters (pure filters — scoring stays corpus-global)."""
+        metadata filters (pure filters — scoring stays corpus-global);
+        ``after`` = optional GLOBAL (doc_id, score) search_after cursor (the previous page's last hit) —
+        the per-range dense accumulator localizes its doc_id by the range
+        base (strictly-after is base-shift-invariant)."""
         from wikirec_ray.pipelines.query import topk_from_dense
 
         out: list[tuple[int, float]] = []
@@ -354,7 +360,11 @@ class RangeServer:
                 self._zero_tombs(r, local)
                 if attrs:
                     self._apply_attrs_dense(r, local, attrs)
-                out.extend((d + base, s) for d, s in topk_from_dense(local, k))
+                loc_after = (after[0] - base, after[1]) if after else None
+                out.extend(
+                    (d + base, s)
+                    for d, s in topk_from_dense(local, k, after=loc_after)
+                )
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -365,6 +375,7 @@ class RangeServer:
         not_twi: list[tuple[str, int, float]],
         k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after=None,
     ):
         """This shard's boolean top-k: the dense per-range scoring of
         ``topk`` over ``score_twi`` (should + must occurrences), masked to
@@ -412,7 +423,11 @@ class RangeServer:
             self._zero_tombs(r, local)
             if attrs:
                 self._apply_attrs_dense(r, local, attrs)
-            out.extend((d + base, s) for d, s in topk_from_dense(local, k))
+            loc_after = (after[0] - base, after[1]) if after else None
+            out.extend(
+                (d + base, s)
+                for d, s in topk_from_dense(local, k, after=loc_after)
+            )
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -582,7 +597,8 @@ class RangeServer:
             cand = filter_tombstoned(cand, tr)
         return items, cand
 
-    def _score_filtered(self, nr, items, terms_with_idf, docs, k):
+    def _score_filtered(self, nr, items, terms_with_idf, docs, k,
+                        after=None):
         """Plain multi-term BM25 over the filter-surviving ``docs`` of one
         range (duplicates double-count) -> the range's top-k partial; the
         served twin of ``IndexReader._filtered_topk``."""
@@ -601,12 +617,13 @@ class RangeServer:
         if not ids_out:
             return []
         return topk_from_sparse(
-            np.concatenate(ids_out), np.concatenate(contribs), k
+            np.concatenate(ids_out), np.concatenate(contribs), k, after=after
         )
 
     def phrase_topk(self, terms_with_idf: list[tuple[str, int, float]], k: int,
                     sub_comps: list[tuple[str, int]] | None = None,
-                    attrs: list[tuple[str, str]] | None = None):
+                    attrs: list[tuple[str, str]] | None = None,
+                    after=None):
         """This shard's exact-phrase top-k over its ranges.  ``terms_with_idf``
         is in PHRASE ORDER (duplicates kept).  Adjacency is per-doc and every
         doc lives wholly inside one range, so each range resolves its own
@@ -653,13 +670,14 @@ class RangeServer:
                 pdocs = self._attr_keep_sorted(r, pdocs, attrs)
             if len(pdocs):
                 out.extend(self._score_filtered(nr, items, terms_with_idf,
-                                                pdocs, k))
+                                                pdocs, k, after=after))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
     def near_topk(self, terms_with_idf: list[tuple[str, int, float]],
                   anchor_term: str, window: int, k: int,
-                  attrs: list[tuple[str, str]] | None = None):
+                  attrs: list[tuple[str, str]] | None = None,
+                  after=None):
         """This shard's proximity (NEAR) top-k over its ranges: docs with an
         ``anchor_term`` occurrence whose ±window covers every query term,
         via the shared ``IndexReader.near_match_docs`` kernel.  The anchor
@@ -694,7 +712,7 @@ class RangeServer:
                 ndocs = self._attr_keep_sorted(r, ndocs, attrs)
             if len(ndocs):
                 out.extend(self._score_filtered(nr, items, terms_with_idf,
-                                                ndocs, k))
+                                                ndocs, k, after=after))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -702,6 +720,7 @@ class RangeServer:
         self, terms_with_idf: list[tuple[str, int, float]],
         slop: int, k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after=None,
     ):
         """This shard's sloppy-phrase (in-order span, slack <= slop)
         top-k over its ranges via the shared
@@ -726,7 +745,7 @@ class RangeServer:
                 docs = self._attr_keep_sorted(r, docs, attrs)
             if len(docs):
                 out.extend(self._score_filtered(nr, items, terms_with_idf,
-                                                docs, k))
+                                                docs, k, after=after))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -734,6 +753,7 @@ class RangeServer:
         self, comp: str, comp_tpart: int,
         terms_with_idf: list[tuple[str, int, float]], k: int,
         attrs: list[tuple[str, str]] | None = None,
+        after=None,
     ):
         """Precomputed-bigram phrase: this shard's top-k using the composite
         term's posting chunks as the phrase-doc filter — no position streams
@@ -764,7 +784,7 @@ class RangeServer:
             if items is None:
                 continue
             out.extend(self._score_filtered(nr, items, terms_with_idf,
-                                            pdocs, k))
+                                            pdocs, k, after=after))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -879,7 +899,8 @@ class RangeShardedQueryEngine:
         return list(self._meta_cols_cache)
 
     def topk(self, terms: list[str], k: int,
-             attrs: list[tuple[str, str]] | None = None
+             attrs: list[tuple[str, str]] | None = None,
+             after: tuple[int, float] | None = None,
              ) -> list[tuple[int, float]]:
         resolved = self._resolve_idfs(terms)
         # QUERY order with duplicates kept: a repeated query term contributes
@@ -893,7 +914,7 @@ class RangeShardedQueryEngine:
             return []
         # phase 2: fan out to every range shard, merge partial top-k
         partials = ray.get(
-            [s.topk.remote(twi, k, attrs) for s in self.servers]
+            [s.topk.remote(twi, k, attrs, after) for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
@@ -906,6 +927,7 @@ class RangeShardedQueryEngine:
         must_not: list[str] | tuple = (),
         k: int = 10,
         attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Distributed boolean retrieval (== ``IndexReader.boolean_topk``):
         every doc lives in exactly one range shard, so must/must_not
@@ -933,7 +955,9 @@ class RangeShardedQueryEngine:
             for t in sorted(set(must_not)) if resolved[t][1] != 0.0
         ]
         partials = ray.get([
-            s.boolean_topk.remote(score_twi, must_twi, not_twi, k, attrs)
+            s.boolean_topk.remote(
+                score_twi, must_twi, not_twi, k, attrs, after
+            )
             for s in self.servers
         ])
         merged = [hit for p in partials for hit in p]
@@ -975,7 +999,8 @@ class RangeShardedQueryEngine:
         return self.topk(terms, k, attrs=[(col, value)])
 
     def phrase_topk(self, terms: list[str], k: int,
-                    attrs: list[tuple[str, str]] | None = None
+                    attrs: list[tuple[str, str]] | None = None,
+                    after: tuple[int, float] | None = None,
                     ) -> list[tuple[int, float]]:
         """Distributed exact-phrase top-k (positional index required) —
         must equal ``IndexReader.phrase_topk``.  Same two phases as ``topk``;
@@ -993,7 +1018,7 @@ class RangeShardedQueryEngine:
                 comp_tpart = zlib.crc32(comp.encode("utf-8")) % self.n_tparts
                 partials = ray.get([
                     s.precomputed_phrase_topk.remote(
-                        comp, comp_tpart, twi, k, attrs
+                        comp, comp_tpart, twi, k, attrs, after
                     )
                     for s in self.servers
                 ])
@@ -1012,7 +1037,7 @@ class RangeShardedQueryEngine:
                 for comp in precomputed_subpairs(terms, self.bigrams)
             ]
         partials = ray.get(
-            [s.phrase_topk.remote(twi, k, sub_comps, attrs)
+            [s.phrase_topk.remote(twi, k, sub_comps, attrs, after)
              for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
@@ -1020,7 +1045,8 @@ class RangeShardedQueryEngine:
         return merged[:k]
 
     def sloppy_phrase_topk(self, terms: list[str], k: int, slop: int = 0,
-                           attrs: list[tuple[str, str]] | None = None
+                           attrs: list[tuple[str, str]] | None = None,
+                           after: tuple[int, float] | None = None,
                            ) -> list[tuple[int, float]]:
         """Distributed sloppy phrase (in-order span, slack <= slop) —
         must equal ``IndexReader.sloppy_phrase_topk``.  slop=0 routes to
@@ -1034,13 +1060,13 @@ class RangeShardedQueryEngine:
                 "sloppy_phrase_topk: slop must be <= 2^31 - 1"
             )
         if slop == 0:
-            return self.phrase_topk(terms, k, attrs=attrs)
+            return self.phrase_topk(terms, k, attrs=attrs, after=after)
         resolved = self._resolve_idfs(terms)
         if any(resolved[t][1] == 0.0 for t in terms):
             return []  # a term absent from the corpus → no match
         twi = [(t, *resolved[t]) for t in terms]  # PHRASE order
         partials = ray.get(
-            [s.sloppy_phrase_topk.remote(twi, slop, k, attrs)
+            [s.sloppy_phrase_topk.remote(twi, slop, k, attrs, after)
              for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
@@ -1048,7 +1074,8 @@ class RangeShardedQueryEngine:
         return merged[:k]
 
     def near_topk(self, terms: list[str], k: int, window: int = 8,
-                  attrs: list[tuple[str, str]] | None = None
+                  attrs: list[tuple[str, str]] | None = None,
+                  after: tuple[int, float] | None = None,
                   ) -> list[tuple[int, float]]:
         """Distributed proximity (NEAR) top-k — must equal
         ``IndexReader.near_topk``.  The coordinator fixes the anchor from
@@ -1067,7 +1094,7 @@ class RangeShardedQueryEngine:
                      key=lambda t: (-resolved[t][1], t))
         twi = [(t, *resolved[t]) for t in terms]  # query order, dups kept
         partials = ray.get(
-            [s.near_topk.remote(twi, anchor, window, k, attrs)
+            [s.near_topk.remote(twi, anchor, window, k, attrs, after)
              for s in self.servers]
         )
         merged = [hit for p in partials for hit in p]
@@ -1153,6 +1180,7 @@ class RangeShardedQueryEngine:
     def fuzzy_topk(self, terms: list[str], k: int,
                    attrs: list[tuple[str, str]] | None = None,
                    d: int = 1,
+                   after: tuple[int, float] | None = None,
                    ) -> list[tuple[int, float]]:
         """Typo-tolerant BM25 top-k — must equal ``IndexReader.fuzzy_topk``:
         each occurrence expands to its neighborhood, then the plain
@@ -1166,7 +1194,7 @@ class RangeShardedQueryEngine:
         ]
         if not expanded:
             return []
-        return self.topk(expanded, k, attrs=attrs)
+        return self.topk(expanded, k, attrs=attrs, after=after)
 
     def shutdown(self):
         if self._owns_pool:
