@@ -43,6 +43,13 @@ BM25_QUERY_SET: list[tuple[int, list[str]]] = [
     (7, ["stream", "dup"]),
 ]
 BM25_K = 10
+# search_after deep paging (pipelines/query.py topk(after=...)): the entry
+# page-walks the exact route — each page cursored by the PREVIOUS page's
+# last hit — and emits pages 2..PAGED_PAGES only (page 1 = ranks 1..PAGED_PAGE
+# is identically exercised by bm25_topk_wand), so the oracle is the global
+# BM25 ordering at row_number BETWEEN PAGED_PAGE+1 AND PAGED_PAGE*PAGED_PAGES.
+PAGED_PAGE = 10
+PAGED_PAGES = 3
 # merged-index retrieval (stages/merge.py): documents split by id parity
 # into two "crawls" — odd ids relabeled PAST the corpus' own doc ranges
 # (shift = next doc-range boundary above max(doc_id), derived from the
@@ -146,7 +153,6 @@ SNIPPET_WINDOW = 3
 RECO_INPUT_DOCS = [3, 7]
 RECO_RATINGS = [8.0, 4.0]
 RECO_N = 10
-JACCARD_MAX_DOC = 40
 ANN_N_QUERIES = 8
 ANN_K = 10
 EMB_DUP_THRESHOLD = 0.4
@@ -545,6 +551,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    def paged_search_q(sf_dir):
+        """search_after pagination (Elasticsearch deep paging) over the
+        plain index: repeated ``topk(PAGED_PAGE, after=prev_page[-1])``
+        walks — the cursor is the previous page's last hit, passed back
+        verbatim — must reproduce the GLOBAL (round(score, 9) desc, doc asc)
+        ranking rows PAGED_PAGE+1 .. PAGED_PAGE*PAGED_PAGES, page-boundary
+        ties included; SQL-replayable as the shared bm25 CTEs + row_number
+        BETWEEN bounds.  Emitted ``rank`` is the global rank."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_index(sf_dir))
+        rows = []
+        for qid, terms in BM25_QUERY_SET:
+            page = reader.topk(terms, PAGED_PAGE)
+            rank = PAGED_PAGE
+            for _ in range(PAGED_PAGES - 1):
+                if len(page) < PAGED_PAGE:
+                    break  # ranking exhausted — no deeper page exists
+                page = reader.topk(terms, PAGED_PAGE, after=page[-1])
+                for doc, score in page:
+                    rank += 1
+                    rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
     def phrase_search_q(sf_dir):
         """Exact-phrase BM25 top-k over the POSITIONAL index
         (store_positions=True): the phrase is a filter (adjacent tokens in
@@ -814,15 +848,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lineage={"input": os.path.join(sf_dir, "documents.parquet")},
         )
         return read_exported(out_dir).select_columns(["doc_id", "n_tokens"])
-
-    def jaccard_pairs_q(sf_dir):
-        from wikirec_ray.pipelines.dedup import jaccard_pairs
-
-        ds = _documents(sf_dir).map_batches(
-            lambda b: b.filter(pc.less(b["doc_id"], JACCARD_MAX_DOC)),
-            batch_format="pyarrow",
-        )
-        return jaccard_pairs(ds)
 
     def quality_q(sf_dir):
         from wikirec_ray.pipelines.textstats import quality_scores
@@ -1435,7 +1460,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # repetition_ratios; the unigram-LM scorer gained a brute pytest
     # oracle in test_pipelines.py) to fund regex_search (Lucene
     # RegexpQuery: anchored-RE2 vocabulary expansion, a NEW query surface).
+    # jaccard_pairs retired final r5 to fund paged_search (search_after
+    # deep paging, the new cursor surface): the pairwise-jaccard kernel
+    # keeps its brute pytest oracle (test_pipelines.py::
+    # test_jaccard_pairs_exact) and the dedup family keeps FIVE driver
+    # checks (exact_dedup, minhash_dedup, simhash, embedding_dups_bucketed,
+    # line_dedup_global).
     return {
+        "paged_search": paged_search_q,
         "regex_search": regex_search_q,
         "sloppy_search": sloppy_search_q,
         "fuzzy_search": fuzzy_search_q,
@@ -1472,7 +1504,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recommend": recommend_q,
         "exact_dedup": exact_dedup_q,
         "export_corpus": export_corpus_q,
-        "jaccard_pairs": jaccard_pairs_q,
         "quality_scores": quality_q,
         "vocab_prune": vocab_prune_q,
         "phrase_scores": phrase_scores_q,
@@ -2593,21 +2624,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOKS_LIST})::BIGINT AS n_tokens FROM surv
             WHERE len({_TOKS_LIST}) >= {EXPORT_MIN_TOKENS}
         """,
-        "jaccard_pairs": f"""
-            WITH tok AS (
-                SELECT DISTINCT doc_id, t AS term FROM (
-                    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
-                    FROM documents WHERE doc_id < {JACCARD_MAX_DOC}
-                ) WHERE t <> ''
-            ),
-            sz AS (SELECT doc_id, COUNT(*)::DOUBLE AS n FROM tok GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::DOUBLE AS i
-                FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
+        "paged_search": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
             )
-            SELECT id_a, id_b, ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
-            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn > {PAGED_PAGE} AND rn <= {PAGED_PAGE * PAGED_PAGES}
         """,
         "quality_scores": f"""
             WITH t AS (
