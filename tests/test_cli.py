@@ -53,6 +53,19 @@ def test_cli_build_stats_query_append(ray_session, tmp_path, capsys, sf_dir):
         assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
             search(rd, q, 5), q
 
+    # --after deep paging: page 2 continues exactly where page 1 stopped
+    rc, p1 = run_cli(capsys, ["query", "--index", idx, f"{a} {b}", "-k", "5"])
+    last = p1["hits"][-1]
+    rc, p2 = run_cli(capsys, [
+        "query", "--index", idx, f"{a} {b}", "-k", "5",
+        "--after", f"{last['doc_id']}:{last['score']!r}",
+    ])
+    assert rc == 0
+    walked = [(h["doc_id"], h["score"]) for h in p1["hits"] + p2["hits"]]
+    assert walked == search(rd, f"{a} {b}", 10)
+    with pytest.raises(SystemExit):
+        run_cli(capsys, ["query", "--index", idx, a, "--after", "notacursor"])
+
     # served query path
     rc, res = run_cli(capsys, [
         "query", "--index", idx, f"{a} {b}", "-k", "5", "--serve", "2",
@@ -238,9 +251,13 @@ def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
     from wikirec_ray.pipelines.query import IndexReader, search
 
     rd = IndexReader(idx)
+    page1 = search(IndexReader(idx), "table hash", 5)
+    cursor = json.dumps({"query": "table hash", "k": 5,
+                         "after": list(page1[-1])})
     monkeypatch.setattr(
         _sys, "stdin",
-        io.StringIO('table hash\n\n"the table"\nNEAR/99999999999999999(a b)\n'))
+        io.StringIO('table hash\n\n"the table"\n'
+                    'NEAR/99999999999999999(a b)\n' + cursor + "\n"))
     rc = main(["serve", "--index", idx, "-k", "5",
                "--coordinators", "2", "--pool", "2"])
     assert rc == 0
@@ -252,4 +269,7 @@ def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
         search(rd, '"the table"', 5)
     # the huge NEAR window CLAMPS (parse surface) and still answers
     assert "hits" in lines[3]
-    assert len(lines) == 4  # blank line skipped
+    # JSON request form: {"query", "k", "after"} pages past page 1
+    assert [(h["doc_id"], h["score"]) for h in lines[4]["hits"]] == \
+        search(rd, "table hash", 5, after=page1[-1])
+    assert len(lines) == 5  # blank line skipped

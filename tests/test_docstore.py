@@ -121,6 +121,22 @@ def test_search_results_bm25_and_phrase(built_index, exported, corpus_tokens):
             j = " ".join(doc)
             assert r["snippet"] in j
 
+def test_search_results_pages_with_after(built_index, exported):
+    """Deep paging hydrates only the requested page: page 2 via the
+    previous page's last hit equals rows 6-10 of one big fetch."""
+    reader = IndexReader(built_index[0])
+    store = DocStore(exported)
+    big = search_results(reader, store, "spark join", k=10)
+    p1 = search_results(reader, store, "spark join", k=5)
+    last = (p1[-1]["doc_id"], p1[-1]["score"])
+    p2 = search_results(reader, store, "spark join", k=5, after=last)
+    # ranks restart per page (rank is page-local position), rest identical
+    strip = lambda rows: [
+        {k: v for k, v in r.items() if k != "rank"} for r in rows
+    ]
+    assert strip(p1) + strip(p2) == strip(big)
+
+
 def test_search_results_phrase_snippet(pos_index, exported):
     store = DocStore(exported)
     prows = search_results(

@@ -185,6 +185,54 @@ def test_page2_matches_duckdb_rows_k_to_2k(built_index, sf_dir):
     assert page2 == [(int(d), float(s)) for d, s in want]
 
 
+def test_search_string_pages_every_mode(built_index, ray_session,
+                                         sf_dir, tmp_path_factory):
+    """The search() query-string surface pages: the SAME query string with
+    after=prev_page[-1] walks the full ranking on every parse mode, local
+    and through the replicated coordinator tier."""
+    import os as _os
+
+    import ray.data
+
+    from wikirec_ray.pipelines.query import search
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.state.server import ReplicatedSearchTier
+
+    idx = str(tmp_path_factory.mktemp("paging_search"))
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    build_index(ds, idx, resume=False, store_positions=True)
+    rd = IndexReader(idx)
+    queries = [
+        "spark join table",          # bm25 (wand router -> exact w/ after)
+        '"spark join"',              # exact phrase
+        '"spark join"~3',            # sloppy
+        "NEAR/5(spark join)",        # proximity
+        "+spark -slow join",         # boolean
+        "spark jion~",               # fuzzy expansion
+    ]
+    for q in queries:
+        full = search(rd, q, 40)
+        assert full, q
+        got = _walk(lambda p_, a: search(rd, q, p_, after=a), 7,
+                    (len(full) + 6) // 7)
+        # the last 7-wide page may step past the 40-cap when the ranking
+        # is deeper — the walked prefix must match exactly
+        assert got[: len(full)] == full and len(got) >= len(full), q
+    tier = ReplicatedSearchTier(idx, n_coordinators=2, pool_size=2)
+    try:
+        q = "spark join table"
+        full = search(rd, q, 15)
+        page1 = tier.search(q, 5, client_id=0)
+        page2 = tier.search(q, 5, client_id=1, after=page1[-1])
+        page3 = tier.search(q, 5, client_id=2, after=page2[-1])
+        assert page1 + page2 + page3 == full
+    finally:
+        tier.shutdown()
+
+
 def test_after_respects_attrs_and_guards(built_index):
     rd = IndexReader(built_index[0])
     # after composes with nothing to return: cursor past the end

@@ -227,6 +227,24 @@ def cmd_meta(args) -> int:
     return 0
 
 
+def _parse_after(spec: str):
+    """``doc_id:score`` -> the (doc_id, score) search_after cursor, or
+    None for the empty string.  The score must be the exact float a
+    previous page printed (the strictly-after test compares it verbatim —
+    see ``pipelines.query._after_cursor``); JSON round-trips doubles
+    exactly, so copy-pasting from the previous result line is correct."""
+    if not spec:
+        return None
+    doc, sep, score = spec.partition(":")
+    try:
+        if not sep:
+            raise ValueError
+        return (int(doc), float(score))
+    except ValueError:
+        raise SystemExit(
+            f"--after must be doc_id:score (got {spec!r})") from None
+
+
 def cmd_query(args) -> int:
     from wikirec_ray.pipelines.query import IndexReader, search_with_terms
 
@@ -242,7 +260,7 @@ def cmd_query(args) -> int:
         # effective term set retrieval ran over, reused by the snippet
         # highlighter AND the facet counter below
         hits, positive, phrase = search_with_terms(
-            engine, args.query, args.k
+            engine, args.query, args.k, after=_parse_after(args.after)
         )
         out = {"query": args.query}
         if args.store:
@@ -295,8 +313,19 @@ def cmd_serve(args) -> int:
             q = line.strip()
             if not q:
                 continue
+            after, k = None, args.k
             try:
-                hits = tier.search(q, args.k, client_id=i)
+                if q.startswith("{"):
+                    # JSON request form: {"query": ..., "k"?: ...,
+                    # "after"?: [doc_id, score]} — the paging/cursor
+                    # protocol; plain query lines stay supported
+                    req = json.loads(q)
+                    q = req["query"]
+                    k = int(req.get("k", args.k))
+                    if req.get("after") is not None:
+                        a = req["after"]
+                        after = (int(a[0]), float(a[1]))
+                hits = tier.search(q, k, client_id=i, after=after)
                 print(json.dumps({
                     "query": q,
                     "hits": [{"doc_id": d, "score": s} for d, s in hits],
@@ -410,6 +439,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "directory (stored fields) and attach KWIC "
                         "snippets (query-then-fetch)")
     q.add_argument("--snippet-window", type=int, default=5)
+    q.add_argument("--after", default="", metavar="DOC:SCORE",
+                   help="search_after cursor: the previous page's last "
+                        "hit as doc_id:score, both copied VERBATIM from "
+                        "that page's output — returns the next page")
     q.set_defaults(fn=cmd_query)
 
     sv = sub.add_parser(

@@ -1644,7 +1644,8 @@ def expand_query_terms(
 
 
 def search_with_terms(
-    engine, query: str, k: int = 10
+    engine, query: str, k: int = 10,
+    after: tuple[int, float] | None = None,
 ) -> tuple[list[tuple[int, float]], list[str], list[str] | None]:
     """``search`` plus the resolved POSITIVE term multiset: returns
     ``(hits, positive_terms, phrase_or_None)`` where ``positive_terms``
@@ -1665,33 +1666,41 @@ def search_with_terms(
         positive = should + must
         if not positive:
             return [], positive, None
-        hits = engine.boolean_topk(should, must, must_not, k, attrs=attrs)
+        hits = engine.boolean_topk(should, must, must_not, k, attrs=attrs,
+                                   after=after)
         return hits, positive, None
     if not terms:
         return [], [], None
     if mode == "phrase":
-        return engine.phrase_topk(terms, k, attrs=attrs), list(terms), list(
-            terms
-        )
+        hits = engine.phrase_topk(terms, k, attrs=attrs, after=after)
+        return hits, list(terms), list(terms)
     if mode == "sloppy":
-        hits = engine.sloppy_phrase_topk(terms, k, window, attrs=attrs)
+        hits = engine.sloppy_phrase_topk(terms, k, window, attrs=attrs,
+                                         after=after)
         return hits, list(terms), None
     if mode == "near":
-        return engine.near_topk(terms, k, window, attrs=attrs), list(
-            terms
-        ), None
+        hits = engine.near_topk(terms, k, window, attrs=attrs, after=after)
+        return hits, list(terms), None
     if mode == "expand":
         expanded = expand_query_terms(engine, *terms)
         if not expanded:
             return [], [], None
-        return engine.topk(expanded, k, attrs=attrs), expanded, None
+        return engine.topk(expanded, k, attrs=attrs, after=after), \
+            expanded, None
     if attrs:
-        return engine.topk(terms, k, attrs=attrs), list(terms), None
+        return engine.topk(terms, k, attrs=attrs, after=after), \
+            list(terms), None
+    if after is not None:
+        # the WAND router handles cursors by falling back to the exact
+        # dense path anyway; go straight there so engines whose WAND
+        # surface predates paging stay correct
+        return engine.topk(terms, k, after=after), list(terms), None
     bm25 = getattr(engine, "topk_wand", None) or engine.topk
     return bm25(terms, k), list(terms), None
 
 
-def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
+def search(engine, query: str, k: int = 10,
+           after: tuple[int, float] | None = None) -> list[tuple[int, float]]:
     """Route a query STRING to the right retrieval path of ``engine`` —
     an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
     ``topk`` / ``phrase_topk`` / ``near_topk`` / ``boolean_topk``): quoted
@@ -1711,6 +1720,9 @@ def search(engine, query: str, k: int = 10) -> list[tuple[int, float]]:
     ``:<=`` (interpreted by ``attr_matching_codes``) — while unknown
     ``a:b`` chunks stay query text.  Filtered plain-BM25
     routes through the exact dense path (WAND's threshold admission
-    assumes unfiltered scores).  Callers that also need the resolved
+    assumes unfiltered scores).  ``after`` = optional search_after cursor
+    — the previous page's last ``(doc_id, score)`` hit, passed back
+    verbatim — applied on whatever route the query parses to (the same
+    query string pages consistently).  Callers that also need the resolved
     term set (highlighting, facets) should use ``search_with_terms``."""
-    return search_with_terms(engine, query, k)[0]
+    return search_with_terms(engine, query, k, after=after)[0]

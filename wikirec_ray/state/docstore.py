@@ -202,13 +202,17 @@ def search_results(
     query: str,
     k: int = 10,
     snippet_window: int = 5,
+    after: tuple[int, float] | None = None,
 ) -> list[dict]:
     """Query-then-fetch in one call: route ``query`` through
     ``pipelines.query.search_with_terms`` on ``engine`` (an ``IndexReader``
     or the range-sharded coordinator) — parse and lexicon expansion run
     ONCE, shared between retrieval and highlighting — then hydrate the
-    top-k via ``hydrate_hits``."""
+    top-k via ``hydrate_hits``.  ``after`` = search_after cursor (the
+    previous page's last ``(doc_id, score)`` hit): pages fetch only THEIR
+    k documents — deep paging never re-hydrates earlier pages."""
     from wikirec_ray.pipelines.query import search_with_terms
 
-    hits, highlight, phrase = search_with_terms(engine, query, k)
+    hits, highlight, phrase = search_with_terms(engine, query, k,
+                                                after=after)
     return hydrate_hits(store, hits, highlight, phrase, snippet_window)

@@ -1221,8 +1221,10 @@ class SearchCoordinator:
         self._search = _search
         self.eng = RangeShardedQueryEngine(index_dir, handles=handles)
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        return self._search(self.eng, query, k)
+    def search(self, query: str, k: int = 10,
+               after: tuple[int, float] | None = None
+               ) -> list[tuple[int, float]]:
+        return self._search(self.eng, query, k, after=after)
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         return self.eng.topk(terms, k)
@@ -1270,13 +1272,15 @@ class ReplicatedSearchTier:
             for i in range(n_coordinators)
         ]
 
-    def submit(self, query: str, k: int = 10, client_id: int = 0):
+    def submit(self, query: str, k: int = 10, client_id: int = 0,
+               after: tuple[int, float] | None = None):
         c = self.coordinators[client_id % len(self.coordinators)]
-        return c.search.remote(query, k)
+        return c.search.remote(query, k, after)
 
-    def search(self, query: str, k: int = 10,
-               client_id: int = 0) -> list[tuple[int, float]]:
-        return ray.get(self.submit(query, k, client_id))
+    def search(self, query: str, k: int = 10, client_id: int = 0,
+               after: tuple[int, float] | None = None
+               ) -> list[tuple[int, float]]:
+        return ray.get(self.submit(query, k, client_id, after=after))
 
     def shutdown(self):
         for c in self.coordinators:
