@@ -793,6 +793,65 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         return self._filtered_topk(postings, docs, k, after=after)
 
+    # ---------------- more-like-this -------------------------------------
+    def select_query_terms(
+        self, text: str, max_query_terms: int = 25
+    ) -> list[str]:
+        """The top ``max_query_terms`` terms of ``text`` by tf x idf — the
+        Lucene MoreLikeThis "interesting terms" selection, with this
+        engine's determinism contract: tf from the SAME analyzer as
+        indexing (``schema.TOKEN_SPLIT_REGEX`` on the lowered string),
+        idf the shared BM25 idf, ordered by ``(round(tf * idf, 9) DESC,
+        term ASC)``.  Out-of-vocabulary terms (df = 0) never select —
+        they cannot retrieve anything.  Returned in selection order."""
+        if max_query_terms < 1:
+            raise ValueError("max_query_terms must be >= 1")
+        tf: dict[str, int] = {}
+        for t in re.split(TOKEN_SPLIT_REGEX, text.lower()):
+            if t:
+                tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (-round(n * self.idf(t), 9), t)
+            for t, n in tf.items()
+            if self.df.get(t, 0) > 0
+        ]
+        scored.sort()
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        exclude: int | None = None,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k of docs similar to ``text`` (Lucene MoreLikeThis):
+        select the text's ``max_query_terms`` most characteristic terms
+        by tf x idf (``select_query_terms``), then rank with the plain
+        BM25 ``topk`` over those terms, each contributing ONCE (the MLT
+        query is a term SET — the source's tf already shaped selection).
+
+        ``exclude`` drops that doc id from the results (pass the source
+        doc's own id when the text is a corpus document — Lucene's
+        standard usage); exclusion is rank-exact: the reader fetches one
+        extra hit, removes the excluded doc wherever it lands, and trims
+        back to ``k``, which equals ranking over the corpus minus that
+        doc.  ``attrs`` = the usual conjunctive metadata filters.
+
+        The reference's nearest analog is the sim-matrix row scan
+        (``/root/reference/src/wikirec/model.py:340-383``) — O(N) dense
+        per lookup and driver-resident; this path reads only the selected
+        terms' posting lists."""
+        terms = self.select_query_terms(text, max_query_terms)
+        if not terms:
+            return []
+        fetch_k = k + 1 if exclude is not None else k
+        hits = self.topk(terms, fetch_k, attrs=attrs)
+        if exclude is not None:
+            hits = [(d, s) for d, s in hits if d != exclude][:k]
+        return hits
+
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
         self, terms: list[str], k: int, window: int = 8,
