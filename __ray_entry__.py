@@ -118,6 +118,25 @@ BOOLEAN_QUERY_SET: list[tuple[int, list[str], list[str], list[str]]] = [
     (6, ["stream"], ["dup", "dup"], []),
 ]
 BOOLEAN_K = 10
+# hybrid retrieval (pipelines/hybrid.py): the BM25 leg and an
+# embedding-cosine leg (each top HYBRID_LEG_N, deeper than the final k)
+# fused by Reciprocal Rank Fusion, rrf = sum over legs of 1/(rrf_k + rank).
+# Each query id doubles as the vec_id whose embedding is the query's dense
+# form (the deterministic stand-in for an encoded query, as in the ANN
+# entries).  At sf0.1 the embeddings table covers only a SUBSET of doc ids,
+# so the entry also exercises partial-coverage fusion (lexical-only docs
+# carry vec_rank 0).
+HYBRID_QUERY_SET: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["window", "merge", "sort"]),
+    (3, ["the", "vector"]),
+]
+HYBRID_K, HYBRID_LEG_N, HYBRID_RRF_K = 10, 25, 60
+# more-like-this (Lucene MoreLikeThis): the source doc's top MLT_TERMS
+# terms by tf x idf (ties: term ASC) become a term-SET query through the
+# plain BM25 route, the source excluded rank-exactly.
+MLT_SOURCE_DOCS = [7, 42]
+MLT_TERMS, MLT_K = 12, 10
 # fuzzy (typo-tolerant) retrieval: every query-term OCCURRENCE expands to
 # its edit-distance-1 vocabulary neighborhood (pipelines/lexicon.FuzzyIndex
 # == SQL levenshtein(q, term) <= 1), then plain BM25 over the expanded
@@ -163,7 +182,6 @@ EXPORT_MIN_TOKENS = 15  # drops the short tail (p5 of sf0.01 is 16 tokens)
 HOP_WINDOW_S, HOP_S = 3600, 1800
 ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE = "purchase", "click"
 QUANTILE_QS = [0.5, 0.95, 0.99]
-TOPK_PER_TYPE = 3
 STRATA_RATES = {"en": 2, "de": 3}  # keep 1/2 of en, 1/3 of de, all others
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
@@ -579,6 +597,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["query_id", "rank", "doc_id", "score"]
         ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
+    def hybrid_search_q(sf_dir):
+        """RRF-fused hybrid retrieval (pipelines/hybrid.py): the BM25 leg
+        (distributed scorer pool) and the embedding-cosine leg (distributed
+        partial top-k) each rank their top HYBRID_LEG_N; rrf = sum of
+        1/(HYBRID_RRF_K + rank) over the legs a doc appears in.  SQL
+        replays both legs (shared bm25 CTEs; list_cosine_similarity) and
+        the fusion arithmetic."""
+        import numpy as np
+
+        import ray.data
+
+        from wikirec_ray.pipelines.hybrid import hybrid_topk
+
+        index_dir = _ensure_index(sf_dir)
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        qids = [q for q, _ in HYBRID_QUERY_SET]
+        qrows = (
+            ray.data.read_parquet(emb_path)
+            .map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["vec_id"], value_set=pa.array(qids))
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        vecs = {
+            int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+            for r in qrows
+        }
+        specs = [(q, t, vecs[q]) for q, t in HYBRID_QUERY_SET]
+        return hybrid_topk(
+            index_dir,
+            ray.data.read_parquet(emb_path),
+            specs,
+            k=HYBRID_K,
+            leg_n=HYBRID_LEG_N,
+            rrf_k=HYBRID_RRF_K,
+        )
+
+    def more_like_this_q(sf_dir):
+        """Lucene MoreLikeThis: per source doc, select the MLT_TERMS
+        highest tf-x-idf terms (IndexReader.select_query_terms) and rank
+        with the plain BM25 route, source excluded — SQL-replayable as a
+        row_number term-selection CTE feeding the shared bm25 CTEs."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_index(sf_dir))
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in _documents(sf_dir)
+            .map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["doc_id"], value_set=pa.array(MLT_SOURCE_DOCS))
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        }
+        rows = []
+        for qid in MLT_SOURCE_DOCS:
+            hits = reader.more_like_this(
+                docs[qid], k=MLT_K, max_query_terms=MLT_TERMS, exclude=qid
+            )
+            for rank, (doc, score) in enumerate(hits, 1):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+
     def phrase_search_q(sf_dir):
         """Exact-phrase BM25 top-k over the POSITIONAL index
         (store_positions=True): the phrase is a filter (adjacent tokens in
@@ -746,11 +836,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "avgdl": [round(s["avgdl"], 6)],
             }
         )
-
-    def term_df(sf_dir):
-        from wikirec_ray.stages.stats import document_frequencies
-
-        return document_frequencies(_documents(sf_dir))
 
     def bm25_topk_wand(sf_dir):
         import ray.data
@@ -1081,19 +1166,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = exact_quantiles(ds, "value", QUANTILE_QS)
         return pd.DataFrame(
             {"q": [q for q, _ in rows], "value": [round(v, 6) for _, v in rows]}
-        )
-
-    def top_events_per_type_q(sf_dir):
-        import ray.data
-
-        from wikirec_ray.stages.stats import grouped_topk
-
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "events.parquet"),
-            columns=["event_type", "event_id", "value"],
-        )
-        return grouped_topk(
-            ds, "event_type", "value", k=TOPK_PER_TYPE, tiebreak_col="event_id"
         )
 
     def approx_distinct_users_q(sf_dir):
@@ -1466,7 +1538,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # test_jaccard_pairs_exact) and the dedup family keeps FIVE driver
     # checks (exact_dedup, minhash_dedup, simhash, embedding_dups_bucketed,
     # line_dedup_global).
+    # Final r5 swap #2: term_df retired (A1 document frequency stays
+    # driver-checked THROUGH every bm25/vocab_prune oracle — dfv is a CTE
+    # of each — and pytest-pinned in test_index_query.py) to fund
+    # hybrid_search (RRF fusion of the BM25 and embedding-cosine rankers,
+    # the modern fulltext-tier default).  top_events_per_type retired (the
+    # grouped top-k shape stays driver-checked via events_window/sessions
+    # and pytest-pinned in test_stem_windows.py) to fund more_like_this
+    # (Lucene MoreLikeThis: tf-x-idf term selection feeding the BM25
+    # route).
     return {
+        "hybrid_search": hybrid_search_q,
+        "more_like_this": more_like_this_q,
         "paged_search": paged_search_q,
         "regex_search": regex_search_q,
         "sloppy_search": sloppy_search_q,
@@ -1499,7 +1582,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_sample": random_sample_q,
         "approx_distinct_users": approx_distinct_users_q,
         "corpus_stats": corpus_stats_q,
-        "term_df": term_df,
         "bm25_topk_wand": bm25_topk_wand,
         "recommend": recommend_q,
         "exact_dedup": exact_dedup_q,
@@ -1523,7 +1605,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # note above the dict; lm_quality_scores keeps a brute numpy
         # pytest oracle in test_pipelines.py)
         "value_quantiles": value_quantiles_q,
-        "top_events_per_type": top_events_per_type_q,
         "nation_revenue": nation_revenue_q,
         # priority_lineitem retired late r5 to fund merged_search (its
         # hash_join + grouped-rollup shape stays driver-checked via
@@ -1558,6 +1639,11 @@ def oracle_sql() -> dict[str, str]:
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
     )
+    hyb_qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in HYBRID_QUERY_SET for t in terms
+    )
+    hyb_qids = ", ".join(str(q) for q, _ in HYBRID_QUERY_SET)
+    mlt_srcs = ", ".join(f"({d})" for d in MLT_SOURCE_DOCS)
     phrase_qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in PHRASE_QUERY_SET for t in terms
     )
@@ -2550,9 +2636,107 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(dl)::DOUBLE / (SELECT COUNT(*) FROM documents), 6) AS avgdl
             FROM dl
         """,
-        "term_df": f"""
-            WITH tok AS ({_TOK})
-            SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+        "hybrid_search": f"""
+            -- RRF fusion replay: bm25 leg (shared CTEs) + cosine leg
+            -- (list_cosine_similarity over the embedding column, query
+            -- vector = the query id's own embedding row), each ranked to
+            -- HYBRID_LEG_N with the engine's rounded tie contracts, fused
+            -- as 1/(rrf_k + rank) sums (absent leg contributes 0, rank 0)
+            WITH {_BM25_CORE},
+            q(query_id, term) AS (VALUES {hyb_qvals}),
+            bs AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            bleg AS (
+                SELECT query_id, doc_id, rn FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY round(score, 9) DESC, doc_id
+                           ) AS rn
+                    FROM bs WHERE round(score, 9) > 0
+                ) WHERE rn <= {HYBRID_LEG_N}
+            ),
+            qv AS (
+                SELECT vec_id AS query_id, embedding AS v FROM embeddings
+                WHERE vec_id IN ({hyb_qids})
+            ),
+            vs AS (
+                SELECT qv.query_id, e.vec_id AS doc_id,
+                       list_cosine_similarity(
+                           qv.v::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+                FROM qv CROSS JOIN embeddings e
+            ),
+            vleg AS (
+                SELECT query_id, doc_id, rn FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY round(sim, 6) DESC, doc_id
+                           ) AS rn
+                    FROM vs
+                ) WHERE rn <= {HYBRID_LEG_N}
+            ),
+            fused AS (
+                SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+                       COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                       COALESCE(1.0 / ({HYBRID_RRF_K} + b.rn), 0)
+                         + COALESCE(1.0 / ({HYBRID_RRF_K} + v.rn), 0) AS rrf,
+                       COALESCE(b.rn, 0) AS bm25_rank,
+                       COALESCE(v.rn, 0) AS vec_rank
+                FROM bleg b FULL OUTER JOIN vleg v
+                  ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+            )
+            SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score,
+                   bm25_rank, vec_rank
+            FROM (
+                SELECT query_id, doc_id, rrf, bm25_rank, vec_rank,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(rrf, 9) DESC, doc_id
+                       ) AS fr
+                FROM fused
+            ) WHERE fr <= {HYBRID_K}
+        """,
+        "more_like_this": f"""
+            -- MoreLikeThis replay: per source doc, the MLT_TERMS highest
+            -- tf x idf terms (ties term ASC) feed the shared bm25 CTEs,
+            -- each term once, source doc excluded before ranking
+            WITH {_BM25_CORE},
+            srcs(query_id) AS (VALUES {mlt_srcs}),
+            sel AS (
+                SELECT query_id, term FROM (
+                    SELECT s.query_id, tf.term,
+                           row_number() OVER (
+                               PARTITION BY s.query_id
+                               ORDER BY round(tf.tf * ln(1 + (st.n - dfv.df + 0.5)
+                                              / (dfv.df + 0.5)), 9) DESC,
+                                        tf.term
+                           ) AS rn
+                    FROM srcs s JOIN tf ON tf.doc_id = s.query_id
+                    JOIN dfv ON dfv.term = tf.term CROSS JOIN st
+                ) WHERE rn <= {MLT_TERMS}
+            ),
+            scored AS (
+                SELECT sel.query_id, tf.doc_id, SUM({score}) AS score
+                FROM sel JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                WHERE tf.doc_id <> sel.query_id
+                GROUP BY sel.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+                   ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {MLT_K}
         """,
         "bm25_topk_wand": f"""
             WITH {_BM25_CORE},
@@ -2772,16 +2956,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "value_quantiles": """
             SELECT 0.5 AS q, ROUND(quantile_disc(value, 0.5), 6) AS value FROM events UNION ALL SELECT 0.95 AS q, ROUND(quantile_disc(value, 0.95), 6) AS value FROM events UNION ALL SELECT 0.99 AS q, ROUND(quantile_disc(value, 0.99), 6) AS value FROM events
-        """,
-        "top_events_per_type": f"""
-            SELECT event_type, event_id, value FROM (
-                SELECT event_type, event_id, value,
-                       row_number() OVER (
-                           PARTITION BY event_type
-                           ORDER BY value DESC, event_id
-                       ) AS rn
-                FROM events
-            ) WHERE rn <= {TOPK_PER_TYPE}
         """,
         "nation_revenue": """
             SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_revenue,
