@@ -237,8 +237,10 @@ FACET_COL, FACET_K = "source", 12
 # (qid, scoring terms, sidecar column, value spec).  Specs 4-5 are
 # NUMERIC RANGE predicates (final r5): the sidecar stores every attribute
 # as a string, so `attr_matching_codes` parses both sides with the strict
-# numeric grammar == SQL TRY_CAST(col AS DOUBLE) <op> bound; bounds sit
-# at the sf0.01 n_chars ~p25/p75 so both filters select non-trivially.
+# numeric grammar (query.NUMERIC_GRAMMAR_RE); the SQL twin guards its
+# TRY_CAST with regexp_full_match on the SAME pattern (TRY_CAST alone is
+# looser: it accepts ' 5 ', '1_0', 'inf', 'nan').  Bounds sit at the
+# sf0.01 n_chars ~p25/p75 so both filters select non-trivially.
 FILTERED_QUERY_SET = [
     (1, ["spark", "spark", "join"], "lang", "de"),
     (2, ["window", "data", "stream"], "lang", "en"),
@@ -613,16 +615,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         index_dir = _ensure_index(sf_dir)
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         qids = [q for q, _ in HYBRID_QUERY_SET]
-        qrows = (
-            ray.data.read_parquet(emb_path)
-            .map_batches(
-                lambda b: b.filter(
-                    pc.is_in(b["vec_id"], value_set=pa.array(qids))
-                ),
-                batch_format="pyarrow",
-            )
-            .take_all()
-        )
+        # query vectors come from a row-group-pruned pushdown read (3
+        # ids), not a second full scan + filter stage — the only full
+        # pass over embeddings is the vector leg inside hybrid_topk
+        qrows = ray.data.read_parquet(
+            emb_path, filter=pc.field("vec_id").isin(qids)
+        ).take_all()
         vecs = {
             int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
             for r in qrows
@@ -1825,13 +1823,23 @@ def oracle_sql() -> dict[str, str]:
     )
 
     def _filter_pred(col: str, spec: str) -> str:
-        # SQL twin of attr_matching_codes: range specs compare through
-        # TRY_CAST AS DOUBLE (the sidecar stores strings; documents holds
-        # the native column — identical under the strict numeric grammar),
-        # everything else is literal equality
+        # SQL twin of attr_matching_codes: a range spec matches iff the
+        # STORED STRING (the sidecar casts the native column at build
+        # time; replayed here as CAST(col AS VARCHAR)) passes the strict
+        # numeric grammar AND compares true — the regexp_full_match guard
+        # is load-bearing because TRY_CAST alone also accepts ' 5 ',
+        # '1_0', 'inf' and 'nan', which attr_matching_codes rejects.
+        # The pattern is interpolated from the engine constant, never
+        # hand-copied.  Everything else is literal equality.
+        from wikirec_ray.pipelines.query import NUMERIC_GRAMMAR_RE
+
         m = re.match(r"^(>=|<=|>|<)(.*)$", spec)
         if m:
-            return f"TRY_CAST({col} AS DOUBLE) {m.group(1)} {m.group(2)}"
+            return (
+                f"(regexp_full_match(CAST({col} AS VARCHAR), "
+                f"'{NUMERIC_GRAMMAR_RE}') AND "
+                f"TRY_CAST({col} AS DOUBLE) {m.group(1)} {m.group(2)})"
+            )
         return f"{col} = '{_sql_quote(spec)}'"
 
     filt_pred_union = " UNION ALL ".join(

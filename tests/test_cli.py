@@ -65,6 +65,12 @@ def test_cli_build_stats_query_append(ray_session, tmp_path, capsys, sf_dir):
     assert walked == search(rd, f"{a} {b}", 10)
     with pytest.raises(SystemExit):
         run_cli(capsys, ["query", "--index", idx, a, "--after", "notacursor"])
+    # a non-finite cursor score would fail every strictly-after test and
+    # silently return empty pages — it must be rejected like other
+    # malformed cursors
+    for bad in ("12:nan", "12:inf", "12:-inf"):
+        with pytest.raises(SystemExit):
+            run_cli(capsys, ["query", "--index", idx, a, "--after", bad])
 
     # served query path
     rc, res = run_cli(capsys, [
@@ -257,7 +263,9 @@ def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
     monkeypatch.setattr(
         _sys, "stdin",
         io.StringIO('table hash\n\n"the table"\n'
-                    'NEAR/99999999999999999(a b)\n' + cursor + "\n"))
+                    'NEAR/99999999999999999(a b)\n' + cursor + "\n"
+                    "{table} hash\n"           # invalid JSON -> plain query
+                    '{"q": "table"}\n'))       # valid JSON, missing "query"
     rc = main(["serve", "--index", idx, "-k", "5",
                "--coordinators", "2", "--pool", "2"])
     assert rc == 0
@@ -272,4 +280,10 @@ def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
     # JSON request form: {"query", "k", "after"} pages past page 1
     assert [(h["doc_id"], h["score"]) for h in lines[4]["hits"]] == \
         search(rd, "table hash", 5, after=page1[-1])
-    assert len(lines) == 5  # blank line skipped
+    # a '{'-leading line that is NOT JSON stays a plain-text query (the
+    # tokenizer strips the braces), never a parse error
+    assert [(h["doc_id"], h["score"]) for h in lines[5]["hits"]] == \
+        search(rd, "{table} hash", 5)
+    # valid JSON missing "query" gets a named error, not a bare KeyError
+    assert "query" in lines[6]["error"] and "hits" not in lines[6]
+    assert len(lines) == 7  # blank line skipped

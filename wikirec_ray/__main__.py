@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
@@ -239,7 +240,13 @@ def _parse_after(spec: str):
     try:
         if not sep:
             raise ValueError
-        return (int(doc), float(score))
+        cursor = (int(doc), float(score))
+        # a NaN/inf cursor score fails every strictly-after comparison,
+        # silently returning empty pages — reject it like other malformed
+        # cursors (real pages only ever print finite scores)
+        if not math.isfinite(cursor[1]):
+            raise ValueError
+        return cursor
     except ValueError:
         raise SystemExit(
             f"--after must be doc_id:score (got {spec!r})") from None
@@ -318,13 +325,25 @@ def cmd_serve(args) -> int:
                 if q.startswith("{"):
                     # JSON request form: {"query": ..., "k"?: ...,
                     # "after"?: [doc_id, score]} — the paging/cursor
-                    # protocol; plain query lines stay supported
-                    req = json.loads(q)
-                    q = req["query"]
-                    k = int(req.get("k", args.k))
-                    if req.get("after") is not None:
-                        a = req["after"]
-                        after = (int(a[0]), float(a[1]))
+                    # protocol.  A '{'-leading line that is NOT valid
+                    # JSON falls through to the plain-query path (the
+                    # documented line protocol must keep searching for
+                    # literal text like '{spark} join'); a valid JSON
+                    # object missing "query" gets a named error, not a
+                    # bare KeyError repr.
+                    try:
+                        req = json.loads(q)
+                    except json.JSONDecodeError:
+                        req = None
+                    if isinstance(req, dict):
+                        if "query" not in req:
+                            raise ValueError(
+                                'JSON request missing "query" key')
+                        q = req["query"]
+                        k = int(req.get("k", args.k))
+                        if req.get("after") is not None:
+                            a = req["after"]
+                            after = (int(a[0]), float(a[1]))
                 hits = tier.search(q, k, client_id=i, after=after)
                 print(json.dumps({
                     "query": q,

@@ -1433,11 +1433,18 @@ _PROTECTED_SPAN_RE = re.compile(
 
 # attribute value specs: >=, <=, >, < prefix a NUMERIC range predicate;
 # anything else is literal equality.  The numeric grammar is the strict
-# decimal/scientific subset BOTH sides accept identically — Python's
-# float() also swallows '1_0' and ' 5 ', which DuckDB's TRY_CAST rejects,
-# so parsing goes through this regex, never bare float().
+# decimal/scientific subset defined by NUMERIC_GRAMMAR_RE and nothing
+# else — BOTH lenient parsers it replaces are looser, each differently:
+# Python's float() swallows '1_0', ' 5 ', 'inf' and 'nan'; DuckDB's
+# TRY_CAST(.. AS DOUBLE) swallows '1_0' (10.0!), ' 5 ', 'inf' and 'nan'
+# too (measured, DuckDB 1.x) while rejecting '1e'.  So neither bare
+# float() nor bare TRY_CAST is the contract: values parse through this
+# regex first, and the SQL twin must guard its TRY_CAST with a
+# regexp_full_match on the SAME pattern (interpolate NUMERIC_GRAMMAR_RE
+# — RE2-compatible, what __ray_entry__'s filtered_search oracle does).
 _RANGE_OP_RE = re.compile(r"^(>=|<=|>|<)(.*)$", re.DOTALL)
-_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+NUMERIC_GRAMMAR_RE = r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+_NUMERIC_RE = re.compile(rf"^{NUMERIC_GRAMMAR_RE}$")
 
 
 def _strict_float(s) -> float | None:
@@ -1456,7 +1463,10 @@ def attr_matching_codes(values: list, spec: str) -> np.ndarray:
     strict numeric parse; non-numeric stored values never match, and a
     non-numeric bound matches nothing — deterministic, never a crash,
     since ``search()`` feeds user input here).  Anything else is literal
-    equality.  SQL twin: ``TRY_CAST(value AS DOUBLE) <op> bound``."""
+    equality.  SQL twin: ``regexp_full_match(value, NUMERIC_GRAMMAR_RE)
+    AND TRY_CAST(value AS DOUBLE) <op> bound`` — the guard is required
+    because TRY_CAST alone also accepts ' 5 ', '1_0', 'inf' and 'nan',
+    which this parse (deliberately) rejects."""
     m = _RANGE_OP_RE.match(spec)
     if m is None:
         try:
