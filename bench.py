@@ -381,6 +381,71 @@ def run_bench() -> dict:
         with_ids, batch_format="pyarrow"
     )
 
+    # -- timed: search_after deep paging (page-2 must cost page-1) --------
+    lat_page1, lat_page2 = [], []
+    for _, terms in serve_queries:
+        q0 = time.monotonic()
+        p1 = reader.topk(terms, TOP_K)
+        q1 = time.monotonic()
+        if p1:
+            reader.topk(terms, TOP_K, after=p1[-1])
+        q2 = time.monotonic()
+        lat_page1.append(q1 - q0)
+        lat_page2.append(q2 - q1)
+    lp1 = np.array(lat_page1) * 1000
+    lp2 = np.array(lat_page2) * 1000
+    log(
+        f"paging: page1 p50={np.percentile(lp1,50):.1f}ms, "
+        f"page2 (search_after) p50={np.percentile(lp2,50):.1f}ms "
+        f"p99={np.percentile(lp2,99):.1f}ms"
+    )
+
+    # -- timed: hybrid retrieval (BM25 leg + embedding-cosine leg, RRF) ---
+    # embeddings are synthesized per doc_id by a deterministic vectorized
+    # hash projection (the corpus has no model in this sandbox); the cost
+    # being measured is the real distributed work — the scorer-pool BM25
+    # leg plus the streaming per-block cosine partial top-k over all
+    # n_docs x HDIM vectors — not the embedding quality
+    from wikirec_ray.pipelines.hybrid import hybrid_topk
+
+    HDIM = 64
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def embed_ids(ids: np.ndarray) -> np.ndarray:
+        seeds = ids.astype(np.uint64)[:, None] * GOLD + np.arange(
+            HDIM, dtype=np.uint64
+        )
+        seeds ^= seeds >> np.uint64(33)
+        seeds *= np.uint64(0xFF51AFD7ED558CCD)
+        seeds ^= seeds >> np.uint64(33)
+        return (seeds / np.float64(2**64) * 2.0 - 1.0).astype(np.float64)
+
+    def embed_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vecs = embed_ids(ids)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float64()), HDIM),
+        })
+
+    emb_ds = docs_text.drop_columns(["text"]).map_batches(
+        embed_batch, batch_format="pyarrow"
+    )
+    hybrid_specs = [
+        (i, terms, embed_ids(np.asarray([i * 37 + 1]))[0])
+        for i, terms in serve_queries[:8]
+    ]
+    t_h = time.monotonic()
+    n_hybrid = len(
+        hybrid_topk(index_dir, emb_ds, hybrid_specs, k=TOP_K, leg_n=30)
+    )
+    hybrid_sec = time.monotonic() - t_h
+    log(
+        f"hybrid (RRF, {len(hybrid_specs)} queries, cosine leg over "
+        f"{n_docs}x{HDIM} vectors): {n_hybrid} rows in {hybrid_sec:.2f}s"
+    )
+
     # -- timed: positional build + exact-phrase queries -------------------
     # (store_positions=True pays ~one extra varint per token through the
     # shuffle; phrase_topk then answers adjacency queries from the index)
@@ -491,6 +556,7 @@ def run_bench() -> dict:
             "export_sink": round(export_sec, 3),
             "index_build_positional": round(pos_build_sec, 3),
             "meta_sidecar_build": round(meta_build_sec, 3),
+            "hybrid_rrf": round(hybrid_sec, 3),
         },
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "num_cpus": NUM_CPUS,
@@ -515,6 +581,9 @@ def run_bench() -> dict:
         "serve_filtered_p50_ms": round(float(np.percentile(lsf, 50)), 3),
         "serve_facet_p50_ms": round(float(np.percentile(lsfc, 50)), 3),
         "serve_boolean_p50_ms": round(float(np.percentile(lsb, 50)), 3),
+        "paging_page1_p50_ms": round(float(np.percentile(lp1, 50)), 3),
+        "paging_page2_p50_ms": round(float(np.percentile(lp2, 50)), 3),
+        "paging_page2_p99_ms": round(float(np.percentile(lp2, 99)), 3),
         "cpu_probe_loss_pct": probe_loss,
     }
     ray.shutdown()
