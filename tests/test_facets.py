@@ -536,3 +536,162 @@ def test_range_filters_compose_with_search_and_serving(numfx, ray_session):
                     attrs=[("n_tok", "<12"), ("lang", "en")])
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# field collapsing (Elasticsearch `collapse`: best doc per attribute value)
+# ---------------------------------------------------------------------------
+
+
+def _brute_collapsed(full, attr, col, k, after=None):
+    """Walk the engine-order full ranking, keep the first doc per value."""
+    seen, out = set(), []
+    for d, s in full:
+        if after is not None and not (
+            round(s, 9) < round(after[1], 9)
+            or (round(s, 9) == round(after[1], 9) and d > after[0])
+        ):
+            continue
+        v = attr[d][col]
+        if v not in seen:
+            seen.add(v)
+            out.append((d, s, v))
+            if len(out) == k:
+                break
+    return out
+
+
+def test_collapsed_topk_matches_brute(fx):
+    rd = IndexReader(fx["idx"])
+    full = rd.topk(QUERY, N_DOCS)
+    for col, k in (("lang", 2), ("lang", 3), ("source", 4), ("source", 5)):
+        assert rd.collapsed_topk(QUERY, k, col) == \
+            _brute_collapsed(full, fx["attr"], col, k)
+    # k beyond the distinct value count returns every value once
+    got = rd.collapsed_topk(QUERY, 50, "lang")
+    assert got == _brute_collapsed(full, fx["attr"], "lang", 50)
+    assert sorted(v for _, _, v in got) == sorted(LANGS)
+    # composes with attribute filters: collapse-by-source over lang=de docs
+    filt = [(d, s) for d, s in full if fx["attr"][d]["lang"] == "de"]
+    assert rd.collapsed_topk(QUERY, 4, "source", attrs=[("lang", "de")]) \
+        == _brute_collapsed(filt, fx["attr"], "source", 4)
+    # absent terms / k=0
+    assert rd.collapsed_topk(["zzz"], 5, "lang") == []
+    assert rd.collapsed_topk(QUERY, 0, "lang") == []
+
+
+def test_collapsed_after_pages_underlying_order(fx):
+    rd = IndexReader(fx["idx"])
+    full = rd.topk(QUERY, N_DOCS)
+    p1 = rd.collapsed_topk(QUERY, 2, "source")
+    cursor = (p1[-1][0], p1[-1][1])
+    p2 = rd.collapsed_topk(QUERY, 2, "source", after=cursor)
+    assert p2 == _brute_collapsed(full, fx["attr"], "source", 2, cursor)
+    # the documented ES contract: a page-1 key MAY reappear on page 2
+    # with its next-best doc (strictly-after filter, then collapse) —
+    # just pin that page 2 never repeats a page-1 DOC
+    assert not {d for d, _, _ in p1} & {d for d, _, _ in p2}
+
+
+def test_collapsed_kernel_escalates_preselect():
+    """A head of 500 same-key docs forces the tie-inclusive preselect
+    (m = max(4k, 64)) through two x4 escalations before k distinct keys
+    surface — the loop branch no small corpus reaches."""
+    from wikirec_ray.pipelines.query import collapsed_topk_from_dense
+
+    n = 1000
+    scores = np.linspace(2.0, 1.0, n)  # doc 0 best, strictly decreasing
+    codes = np.zeros(n, np.int64)
+    codes[600] = 1
+    codes[900] = 2
+    got = collapsed_topk_from_dense(scores, 3, lambda d: codes[d])
+    assert [(d, c) for d, _, c in got] == [(0, 0), (600, 1), (900, 2)]
+    # ties settle doc-ascending inside one key and across keys
+    flat = np.full(16, 1.0)
+    fcodes = np.asarray([i % 4 for i in range(16)], np.int64)
+    got = collapsed_topk_from_dense(flat, 4, lambda d: fcodes[d])
+    assert [(d, c) for d, _, c in got] == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_collapsed_served_equals_local(fx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(fx["idx"])
+    eng = RangeShardedQueryEngine(fx["idx"], pool_size=3)
+    try:
+        for col, k in (("lang", 3), ("source", 3), ("source", 50)):
+            assert eng.collapsed_topk(QUERY, k, col) == \
+                rd.collapsed_topk(QUERY, k, col)
+        # duplicate-occurrence parity (engine-wide contract)
+        dup = ["w0", "w0", "w7"]
+        assert eng.collapsed_topk(dup, 4, "source") == \
+            rd.collapsed_topk(dup, 4, "source")
+        assert eng.collapsed_topk(dup, 4, "source") != \
+            rd.collapsed_topk(["w0", "w7"], 4, "source")
+        # attrs + after compose served too
+        p1 = eng.collapsed_topk(QUERY, 2, "source", attrs=[("lang", "de")])
+        cur = (p1[-1][0], p1[-1][1])
+        assert eng.collapsed_topk(
+            QUERY, 2, "source", attrs=[("lang", "de")], after=cur
+        ) == rd.collapsed_topk(
+            QUERY, 2, "source", attrs=[("lang", "de")], after=cur)
+        assert eng.collapsed_topk(["zzz"], 5, "lang") == []
+    finally:
+        eng.shutdown()
+
+
+def test_collapsed_stale_sidecar_fails_loudly(fx, tmp_path, ray_session):
+    import shutil
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    idx = str(tmp_path / "stale_collapse")
+    shutil.copytree(fx["idx"], idx)
+    shutil.rmtree(os.path.join(idx, "meta"))
+    build_doc_meta(_ds(fx["rows"][:10], ("doc_id", "lang", "source")), idx,
+                   cols=["lang", "source"])
+    rd = IndexReader(idx)
+    with pytest.raises(RuntimeError, match="re-run build_doc_meta"):
+        rd.collapsed_topk(QUERY, 5, "lang")
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(idx, pool_size=2)
+    try:
+        with pytest.raises(Exception, match="re-run build_doc_meta"):
+            eng.collapsed_topk(QUERY, 5, "lang")
+    finally:
+        eng.shutdown()
+
+
+def test_collapse_on_search_surface_and_cli(fx, ray_session, capsys):
+    from wikirec_ray.pipelines.query import search_with_terms
+
+    rd = IndexReader(fx["idx"])
+    # the query-string surface composes collapse with parse + filters
+    hits, positive, phrase = search_with_terms(
+        rd, "w0 w7 w15", 4, collapse="source")
+    assert hits == rd.collapsed_topk(QUERY, 4, "source")
+    assert positive == QUERY and phrase is None
+    hits2, _, _ = search_with_terms(
+        rd, "lang:de w0 w7 w15", 4, collapse="source")
+    assert hits2 == rd.collapsed_topk(
+        QUERY, 4, "source", attrs=[("lang", "de")])
+    # collapse on a non-dense parse mode fails loudly, never silently
+    # returns uncollapsed pages
+    with pytest.raises(ValueError, match="plain/expanded BM25"):
+        search_with_terms(rd, '"w0 w7"', 4, collapse="source")
+
+    # CLI: --collapse attaches the collapse value per hit; an unknown
+    # column is a named error
+    import json as _json
+
+    from wikirec_ray.__main__ import main
+
+    rc = main(["query", "--index", fx["idx"], "w0 w7 w15", "-k", "4",
+               "--collapse", "source"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(h["doc_id"], h["score"], h["collapse_value"])
+            for h in out["hits"]] == rd.collapsed_topk(QUERY, 4, "source")
+    with pytest.raises(SystemExit, match="not in the metadata sidecar"):
+        main(["query", "--index", fx["idx"], "w0", "--collapse", "nope"])

@@ -153,17 +153,55 @@ def test_minhash_estimate_close_to_true_jaccard(planted):
 
 
 def test_simhash_candidates(planted, ray_session):
-    from wikirec_ray.pipelines.dedup import simhash_candidates
+    """Full brute oracle (this is the SimHash family's external check now
+    that the driver `simhash` slot was retired final-r5 for
+    `collapsed_search`): the distributed banded-bucket pipeline must
+    return EXACTLY the pairs within max_hamming of each other — any pair
+    at Hamming ≤ 3 shares ≥1 of the 4 16-bit bands (pigeonhole), so
+    banding loses nothing; per-doc fingerprints come from the scalar
+    kernel already pinned == the flat kernel in test_compress."""
+    from wikirec_ray.functions.hashing import popcount64
+    from wikirec_ray.pipelines.dedup import (
+        simhash_candidates,
+        simhash_fingerprints,
+    )
 
-    out = simhash_candidates(
-        _docs_ds(ray_session, planted), max_hamming=10
-    ).take_all()
-    pairs = {(r["id_a"], r["id_b"]) for r in out}
-    assert (0, 103) in pairs  # identical docs, hamming 0
-    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
-    assert h[(0, 103)] == 0
-    # near-dups are close in hamming space
-    assert (0, 100) in pairs
+    ds = _docs_ds(ray_session, planted)
+    fps = {
+        int(r["doc_id"]): np.uint64(r["simhash"])
+        for r in simhash_fingerprints(ds).take_all()
+    }
+    ids = sorted(fps)
+
+    def bands(x):
+        return [(int(x) >> (16 * j)) & 0xFFFF for j in range(4)]
+
+    for max_h in (3, 10):
+        want = {}
+        for i, a in enumerate(ids):
+            xor = np.asarray(
+                [fps[a] ^ fps[b] for b in ids[i + 1:]], np.uint64
+            )
+            if not len(xor):
+                continue
+            hs = popcount64(xor)
+            for b, h in zip(ids[i + 1:], hs.tolist()):
+                # candidacy = shares >=1 of the 4 16-bit bands; at
+                # max_h <= 3 the pigeonhole makes that automatic (4 bands,
+                # <=3 flipped bits), which the max_h=3 leg asserts
+                shares = any(
+                    ba == bb for ba, bb in zip(bands(fps[a]), bands(fps[b]))
+                )
+                if h <= max_h and (shares or max_h <= 3):
+                    assert shares or max_h > 3  # pigeonhole sanity
+                    want[(a, b)] = int(h)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_candidates(ds, max_hamming=max_h).take_all()
+        }
+        assert got == want
+    assert (0, 103) in got and got[(0, 103)] == 0  # identical docs
+    assert (0, 100) in got  # planted near-dups stay close in hamming space
 
 
 def test_jaccard_pairs_exact(planted, ray_session):

@@ -266,9 +266,23 @@ def cmd_query(args) -> int:
         # one parse + one lexicon expansion per request: `positive` is the
         # effective term set retrieval ran over, reused by the snippet
         # highlighter AND the facet counter below
+        collapse = args.collapse or None
+        if collapse is not None and collapse not in engine.meta_cols():
+            avail = engine.meta_cols() or "none — run the meta subcommand"
+            raise SystemExit(
+                f"--collapse column {collapse!r} is not in the metadata "
+                f"sidecar (available: {avail})"
+            )
         hits, positive, phrase = search_with_terms(
-            engine, args.query, args.k, after=_parse_after(args.after)
+            engine, args.query, args.k, after=_parse_after(args.after),
+            collapse=collapse,
         )
+        values = None
+        if collapse is not None:
+            # collapsed hits are (doc_id, score, value) triples; split the
+            # value off so the store/snippet path sees plain pairs
+            values = [v for _, _, v in hits]
+            hits = [(d, s) for d, s, _ in hits]
         out = {"query": args.query}
         if args.store:
             # query-then-fetch: hydrate the top-k from the export-sink
@@ -281,6 +295,9 @@ def cmd_query(args) -> int:
             )
         else:
             out["hits"] = [{"doc_id": d, "score": s} for d, s in hits]
+        if values is not None:
+            for h, v in zip(out["hits"], values):
+                h["collapse_value"] = v
         if args.facets:
             # facet counts run over docs matching ANY positive query term
             # (the driver-checked facet_counts contract)
@@ -458,6 +475,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "directory (stored fields) and attach KWIC "
                         "snippets (query-then-fetch)")
     q.add_argument("--snippet-window", type=int, default=5)
+    q.add_argument("--collapse", default="", metavar="COL",
+                   help="field collapsing: return the best doc per "
+                        "distinct value of this sidecar column "
+                        "(plain/expanded BM25 queries only)")
     q.add_argument("--after", default="", metavar="DOC:SCORE",
                    help="search_after cursor: the previous page's last "
                         "hit as doc_id:score, both copied VERBATIM from "

@@ -432,6 +432,45 @@ class IndexReader:
         ``topk(terms, k, attrs=[(col, value)])``."""
         return self.topk(terms, k, attrs=[(col, value)])
 
+    def collapsed_topk(
+        self, terms: list[str], k: int, col: str,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+    ) -> list[tuple[int, float, str]]:
+        """Field-collapsed BM25 top-k (Elasticsearch ``collapse``): the
+        best-scoring doc per distinct ``col`` value, best-first, k winners
+        — the "one result per domain" SERP operator.  Scoring is the
+        plain corpus-global BM25 contract; the collapse is a pure
+        post-rank selection, so the SQL replay is the shared bm25 CTEs +
+        ``row_number() OVER (PARTITION BY query, value)``.  Returns
+        [(doc_id, score, collapse_value)].  A scoring doc missing from
+        the sidecar raises (stale sidecar, same loud contract as every
+        attribute route); ``attrs`` filters compose as usual; ``after``
+        pages the underlying doc order (keys may reappear on later pages
+        with their next-best doc — the ES collapse + search_after
+        contract, documented on ``collapsed_topk_from_dense``)."""
+        scores = self.score_exact(terms)
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
+        dense, values = self._meta_codes(col)
+
+        def codes_for(docs: np.ndarray) -> np.ndarray:
+            c = dense[docs]
+            if (c < 0).any():
+                missing = int(docs[c < 0][0])
+                raise RuntimeError(
+                    f"doc {missing} is in the index but not in the "
+                    f"metadata sidecar — stale meta/: re-run build_doc_meta"
+                )
+            return c
+
+        return [
+            (d, s, values[c])
+            for d, s, c in collapsed_topk_from_dense(
+                scores, k, codes_for, after=after
+            )
+        ]
+
     # ---------------- vocabulary: suggest + fuzzy ------------------------
     # Both run on the (term, df) vocabulary only — O(vocab) state, no
     # postings touched.  The normalization contract (lowercase input,
@@ -1026,6 +1065,59 @@ def topk_from_dense(
         nz = nz[r[nz] >= kth]
     order = sorted(nz.tolist(), key=lambda d: (-r[d], d))[:k]
     return [(int(d), float(r[d])) for d in order]
+
+
+def collapsed_topk_from_dense(
+    scores: np.ndarray, k: int, codes_for, after=None
+) -> list[tuple[int, float, int]]:
+    """Field-collapsed top-k over a dense score array (Elasticsearch
+    ``collapse``): walk docs best-first (round(score, 9) DESC, doc ASC)
+    and emit only the FIRST doc seen per collapse key, k winners —
+    "one result per site".  ``codes_for(docs)`` maps a doc_id array to
+    integer collapse keys (callers own the dictionary; a negative code
+    means the doc is missing from the sidecar and must raise there).
+    Returns [(doc_id, rounded_score, code)].
+
+    The walk never sorts the whole score array: a tie-inclusive preselect
+    of the top m candidates is collapsed, and m escalates (×4) only while
+    fewer than k distinct keys surfaced — correct because every doc
+    outside the preselect ranks below every doc inside it, so the first k
+    unique-key emissions of the full walk all lie in the preselect.
+
+    ``after`` pages the UNDERLYING doc order (strictly-after cursor, then
+    collapse what remains) — the Elasticsearch collapse + search_after
+    contract: constant page cost, but a key whose winner appeared on an
+    earlier page can reappear with its next-best doc; clients wanting
+    globally-unique keys across pages dedup client-side."""
+    if k < 1:
+        return []
+    r = np.round(scores, ROUND_DP)
+    nz = np.flatnonzero(r > 0)
+    if after is not None and len(nz):
+        a_s, a_d = _after_cursor(after)
+        rv = r[nz]
+        nz = nz[(rv < a_s) | ((rv == a_s) & (nz > a_d))]
+    if not len(nz):
+        return []
+    m = max(k * 4, 64)
+    while True:
+        if len(nz) > m:
+            kth = -np.partition(-r[nz], m - 1)[m - 1]
+            cand = nz[r[nz] >= kth]
+        else:
+            cand = nz
+        order = np.asarray(
+            sorted(cand.tolist(), key=lambda d: (-r[d], d)), np.int64
+        )
+        codes = codes_for(order)
+        _, first = np.unique(codes, return_index=True)
+        if len(first) >= k or len(cand) == len(nz):
+            pos = np.sort(first)[:k]
+            return [
+                (int(order[p]), float(r[order[p]]), int(codes[p]))
+                for p in pos.tolist()
+            ]
+        m *= 4
 
 
 # ---------------------------------------------------------------------------
@@ -1715,7 +1807,8 @@ def expand_query_terms(
 def search_with_terms(
     engine, query: str, k: int = 10,
     after: tuple[int, float] | None = None,
-) -> tuple[list[tuple[int, float]], list[str], list[str] | None]:
+    collapse: str | None = None,
+) -> tuple[list, list[str], list[str] | None]:
     """``search`` plus the resolved POSITIVE term multiset: returns
     ``(hits, positive_terms, phrase_or_None)`` where ``positive_terms``
     is the effective term set retrieval ran over (boolean must_not terms
@@ -1730,6 +1823,14 @@ def search_with_terms(
     attrs, rest = split_filters(query, cols)
     attrs = attrs or None
     mode, terms, window = parse_query(rest)
+    if collapse is not None and mode not in ("bm25", "expand"):
+        # field collapsing is implemented on the dense BM25 scoring path
+        # (plain and lexicon-expanded queries); a silent fall-through to
+        # uncollapsed results would misreport "one per value" pages
+        raise ValueError(
+            f"collapse is only supported for plain/expanded BM25 queries "
+            f"(got a {mode} query)"
+        )
     if mode == "boolean":
         should, must, must_not = terms
         positive = should + must
@@ -1754,8 +1855,16 @@ def search_with_terms(
         expanded = expand_query_terms(engine, *terms)
         if not expanded:
             return [], [], None
+        if collapse is not None:
+            return engine.collapsed_topk(
+                expanded, k, collapse, attrs=attrs, after=after
+            ), expanded, None
         return engine.topk(expanded, k, attrs=attrs, after=after), \
             expanded, None
+    if collapse is not None:
+        return engine.collapsed_topk(
+            terms, k, collapse, attrs=attrs, after=after
+        ), list(terms), None
     if attrs:
         return engine.topk(terms, k, attrs=attrs, after=after), \
             list(terms), None

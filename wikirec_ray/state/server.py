@@ -571,6 +571,75 @@ class RangeServer:
         ``topk(terms_with_idf, k, attrs=[(col, value)])``."""
         return self.topk(terms_with_idf, k, attrs=[(col, value)])
 
+    def collapsed_topk(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        k: int,
+        col: str,
+        attrs: list[tuple[str, str]] | None = None,
+        after=None,
+    ) -> list[tuple[int, float, str]]:
+        """This shard's field-collapsed top-k [(doc_id, score, value)] —
+        best doc per distinct ``col`` value over its ranges.  Per-range
+        collapse via the shared ``collapsed_topk_from_dense`` kernel, then
+        a shard-level re-collapse on value STRINGS (each range has its own
+        sidecar dictionary).  Dropping a key's non-best docs shard-side is
+        lossless for the global merge: if a key's shard winner misses this
+        shard's top-k, k better keys exist here, so the key cannot be in
+        the global top-k either (the same per-scope argument the
+        coordinator applies across shards)."""
+        from wikirec_ray.pipelines.query import collapsed_topk_from_dense
+
+        out: list[tuple[int, float, str]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is None:
+                continue
+            self._zero_tombs(r, local)
+            if attrs:
+                self._apply_attrs_dense(r, local, attrs)
+            mr = self._meta(col).get(r)
+
+            def codes_for(pos: np.ndarray) -> np.ndarray:
+                if mr is None:
+                    raise RuntimeError(
+                        f"range {r} has live scoring docs but no metadata "
+                        f"sidecar file — stale meta/: re-run build_doc_meta"
+                    )
+                ids, codes, _values = mr
+                docs = pos + base
+                sel = np.searchsorted(ids, docs)
+                if (sel >= len(ids)).any() or (
+                    ids[np.minimum(sel, len(ids) - 1)] != docs
+                ).any():
+                    raise RuntimeError(
+                        f"live scoring doc missing from metadata range {r} "
+                        f"— stale meta/: re-run build_doc_meta"
+                    )
+                return codes[sel]
+
+            loc_after = (after[0] - base, after[1]) if after else None
+            out.extend(
+                (d + base, s, mr[2][c])
+                for d, s, c in collapsed_topk_from_dense(
+                    local, k, codes_for, after=loc_after
+                )
+            )
+        out.sort(key=lambda x: (-x[1], x[0]))
+        seen: set[str] = set()
+        kept: list[tuple[int, float, str]] = []
+        for d, s, v in out:
+            if v not in seen:
+                seen.add(v)
+                kept.append((d, s, v))
+                if len(kept) == k:
+                    break
+        return kept
+
     def _gather_items(self, r: int, terms_with_idf):
         """(items, cand) for one range: per-term chunk postings in QUERY
         order (duplicates kept, matching the scoring contract) plus their
@@ -997,6 +1066,40 @@ class RangeShardedQueryEngine:
         ``topk`` contract.  Shorthand for
         ``topk(terms, k, attrs=[(col, value)])``."""
         return self.topk(terms, k, attrs=[(col, value)])
+
+    def collapsed_topk(
+        self, terms: list[str], k: int, col: str,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+    ) -> list[tuple[int, float, str]]:
+        """Distributed field-collapsed top-k (==
+        ``IndexReader.collapsed_topk``): each shard returns its best doc
+        per distinct ``col`` value (k winners), the coordinator walks the
+        merged partials best-first keeping the first doc per value.
+        Exact: a doc lives in exactly one shard, and a key whose winner
+        fell off a shard's k-list is beaten by k keys in that shard alone
+        (see ``RangeServer.collapsed_topk``)."""
+        resolved = self._resolve_idfs(terms)
+        twi = [
+            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
+        ]
+        if not twi:
+            return []
+        partials = ray.get([
+            s.collapsed_topk.remote(twi, k, col, attrs, after)
+            for s in self.servers
+        ])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        seen: set[str] = set()
+        kept: list[tuple[int, float, str]] = []
+        for d, s, v in merged:
+            if v not in seen:
+                seen.add(v)
+                kept.append((d, s, v))
+                if len(kept) == k:
+                    break
+        return kept
 
     def phrase_topk(self, terms: list[str], k: int,
                     attrs: list[tuple[str, str]] | None = None,
