@@ -50,6 +50,20 @@ BM25_K = 10
 # BM25 ordering at row_number BETWEEN PAGED_PAGE+1 AND PAGED_PAGE*PAGED_PAGES.
 PAGED_PAGE = 10
 PAGED_PAGES = 3
+# query-time term boosts (pipelines/query.py topk(weights=...), Lucene
+# term^2.5): per-occurrence weights, dyadic rationals ONLY so the Python
+# float and the SQL DOUBLE literal are the same exact value (0.1 would
+# differ in the last ulp between repr round-trips).  Query 3 repeats a
+# term with two different boosts — the weighted normal form must SUM
+# them per unique term on both sides; query 4 boosts an absent term.
+BOOST_QUERY_SET: list[tuple[int, list[tuple[str, float]]]] = [
+    (0, [("spark", 2.5), ("join", 1.0)]),
+    (1, [("the", 0.25), ("customer", 1.0)]),
+    (2, [("vector", 1.0), ("window", 3.0), ("hash", 0.5)]),
+    (3, [("order", 2.0), ("order", 0.5), ("merge", 1.0)]),
+    (4, [("absentterm", 4.0), ("key", 1.0)]),
+]
+BOOST_K = 10
 # merged-index retrieval (stages/merge.py): documents split by id parity
 # into two "crawls" — odd ids relabeled PAST the corpus' own doc ranges
 # (shift = next doc-range boundary above max(doc_id), derived from the
@@ -581,6 +595,31 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    def boosted_search_q(sf_dir):
+        """Query-time term boosts (Lucene ``term^2.5`` →
+        ``topk(weights=…)``): per-occurrence weights aggregate to the
+        weighted normal form — one idf × Σweight factor per unique term
+        (``aggregate_weights``), identical across the dense path, WAND,
+        and both serving coordinators (pytest-pinned) — so the replay is
+        the shared bm25 CTEs with the VALUES carrying a weight column,
+        summed per (query, term) before the score join."""
+        import pandas as pd
+
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_index(sf_dir))
+        rows = []
+        for qid, weighted in BOOST_QUERY_SET:
+            terms = [t for t, _ in weighted]
+            ws = [w for _, w in weighted]
+            for rank, (doc, score) in enumerate(
+                reader.topk_wand(terms, BOOST_K, weights=ws), 1
+            ):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
     def paged_search_q(sf_dir):
         """search_after pagination (Elasticsearch deep paging) over the
@@ -1251,20 +1290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _token_head_join(out, STEM_SUB_N)
 
-    def lemmas_q(sf_dir):
-        # ALWAYS the rule lemmatizer: the oracle below is its closed-vocab
-        # truth table, and a driver entry must be environment-independent
-        # (review r03: routing through select_lemmatizer would break the
-        # queries()/oracle agreement on a machine with a spaCy model
-        # installed).  The env-gated spaCy path is a library feature
-        # (stem.select_lemmatizer) with its own skip-marked parity test.
-        from wikirec_ray.stages.stem import RuleLemmatizer
-
-        out = _documents(sf_dir).map_batches(
-            RuleLemmatizer, batch_format="pyarrow", concurrency=2
-        )
-        return _token_head_join(out, STEM_SUB_N)
-
     def random_sample_q(sf_dir):
         from wikirec_ray.stages.stats import hash_sample
 
@@ -1564,7 +1589,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family keeps four driver checks) to fund collapsed_search (field
     # collapsing: best doc per attribute value, the one-result-per-site
     # SERP operator).
+    # Final r5 swap #4: lemmas retired (the rule-lemmatizer truth table
+    # stays pytest-oracle-pinned — test_stem_windows.py runs the closed
+    # 31-word CASE table both scalar and batched — and the stem family
+    # keeps the stemmed_tokens driver check) to fund boosted_search
+    # (query-time term boosts, the weighted-retrieval surface every
+    # production query language has; also the plumbing pseudo-relevance
+    # feedback rides on).
     return {
+        "boosted_search": boosted_search_q,
         "collapsed_search": collapsed_search_q,
         "hybrid_search": hybrid_search_q,
         "more_like_this": more_like_this_q,
@@ -1595,7 +1628,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann": lsh_ann_q,
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "stemmed_tokens": stemmed_q,
-        "lemmas": lemmas_q,
         "random_sample": random_sample_q,
         "approx_distinct_users": approx_distinct_users_q,
         "corpus_stats": corpus_stats_q,
@@ -1650,11 +1682,19 @@ def oracle_sql() -> dict[str, str]:
     )
     from wikirec_ray.pipelines.textstats import LANG_PROFILES
     from wikirec_ray.stages.stats import _GOLD
-    from wikirec_ray.stages.stem import lemmatize_word, porter_stem
+    from wikirec_ray.stages.stem import porter_stem
 
     score = _bm25_score_expr()
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in BM25_QUERY_SET for t in terms
+    )
+    # boosted_search: one row per occurrence with its weight; CAST AS
+    # DOUBLE (a bare 2.5 literal is DECIMAL in DuckDB VALUES, whose
+    # arithmetic would diverge from float64)
+    boost_qvals = ", ".join(
+        f"({qid}, '{t}', CAST({w!r} AS DOUBLE))"
+        for qid, weighted in BOOST_QUERY_SET
+        for t, w in weighted
     )
     hyb_qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in HYBRID_QUERY_SET for t in terms
@@ -2262,12 +2302,6 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[1:{STEM_SUB_N}], ' ') AS toks_sub
             FROM t
         """,
-        "lemmas": f"""
-            WITH t AS (SELECT doc_id, {_mapped_sql(lemmatize_word)} AS toks FROM documents)
-            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-                   array_to_string(toks[1:{STEM_SUB_N}], ' ') AS toks_sub
-            FROM t
-        """,
         "random_sample": f"""
             WITH k0 AS (SELECT doc_id, {sample_key} AS h FROM documents),
             {fmix64_steps('k0', 'kf', keys='doc_id')}
@@ -2474,6 +2508,34 @@ def oracle_sql() -> dict[str, str]:
                 END AS e FROM agg
             )
             SELECT CAST(ROUND(e) AS BIGINT) AS approx_distinct_users FROM est
+        """,
+        "boosted_search": f"""
+            WITH {_BM25_CORE},
+            q(query_id, term, w) AS (VALUES {boost_qvals}),
+            -- the weighted normal form: Σ weight per (query, unique term),
+            -- matching pipelines.query.aggregate_weights (idf scales ONCE
+            -- per term; dyadic weights keep the sum exact on both sides)
+            qw AS (SELECT query_id, term, SUM(w) AS w
+                   FROM q GROUP BY query_id, term),
+            scored AS (
+                SELECT qw.query_id, tf.doc_id,
+                       SUM(ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                           * qw.w * tf.tf * ({BM25_K1} + 1)
+                           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
+                              * dl.dl / st.avgdl))) AS score
+                FROM qw JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY qw.query_id, tf.doc_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {BOOST_K}
         """,
         "phrase_search": f"""
             WITH {_BM25_CORE},

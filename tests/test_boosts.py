@@ -1,0 +1,281 @@
+"""Query-time term boosts (term^2.5) + pseudo-relevance feedback.
+
+Oracle strategy: boosts generalize the engine-wide duplicate-occurrence
+contract (["a"], [2.0] must equal ["a", "a"] exactly — both scale idf by
+2), so integer-weight cases are pinned against the already-oracle-checked
+duplicate route on EVERY engine, and fractional weights against a brute
+NumPy BM25 replay over the corpus tokens.  PRF expansion is pinned against
+an independent replay of the relevance-model estimate over the exported
+texts.
+"""
+import math
+import os
+import re
+
+import numpy as np
+import pytest
+
+from wikirec_ray.pipelines.query import (
+    IndexReader,
+    check_weights,
+    parse_query,
+    prf_expand,
+    prf_topk,
+    search,
+    wand_topk,
+)
+
+K = 15
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_boost_chunks():
+    mode, (terms, weights), w = parse_query("spark^2.5 join")
+    assert mode == "boosted" and w is None
+    assert terms == ["spark", "join"]
+    assert weights == [2.5, 1.0]
+
+
+def test_parse_boost_multi_token_chunk_and_int():
+    mode, (terms, weights), _ = parse_query("new-york^3 pizza")
+    assert mode == "boosted"
+    assert terms == ["new", "york", "pizza"]
+    assert weights == [3.0, 3.0, 1.0]
+
+
+def test_parse_boost_zero_and_overflow_are_literal_text():
+    # x^0 and a float()-overflowing digit string are plain text, never a
+    # crash (the user-facing-parser contract); the tokenizer strips ^
+    mode, terms, _ = parse_query("spark^0 join")
+    assert mode == "bm25" and terms == ["spark", "0", "join"]
+    mode, terms, _ = parse_query("spark^" + "9" * 400)
+    assert mode == "bm25" and terms[0] == "spark"
+
+
+def test_parse_boost_loses_to_structural_modes():
+    # expand operators win a mixed query; ^ inside phrase/NEAR/boolean
+    # stays literal (tokenizer-stripped) — today's behavior, unchanged
+    mode, _, _ = parse_query("spark^2 tabel~")
+    assert mode == "expand"
+    mode, _, _ = parse_query('"spark^2 join"')
+    assert mode == "phrase"
+    mode, _, _ = parse_query("spark^2 +join")
+    assert mode == "boolean"
+
+
+def test_check_weights_validation(built_index):
+    reader = IndexReader(built_index[0])
+    with pytest.raises(ValueError, match="align"):
+        reader.topk(["spark"], 5, weights=[1.0, 2.0])
+    for bad in (0.0, -1.0, math.nan, math.inf):
+        with pytest.raises(ValueError, match="finite and > 0"):
+            reader.topk(["spark"], 5, weights=[bad])
+    check_weights(["a"], None)  # None is always fine
+
+
+# ---------------------------------------------------------------------------
+# scoring: every route, both oracles
+# ---------------------------------------------------------------------------
+
+
+def brute_boosted_topk(corpus_tokens, terms, weights, k):
+    """Independent NumPy BM25 with per-occurrence boosts over the oracle
+    tokenization; same (round(score, 9) desc, doc asc) ranking contract."""
+    from wikirec_ray.schema import BM25_B, BM25_K1
+
+    docs = sorted(corpus_tokens)
+    dls = np.array([len(corpus_tokens[d]) for d in docs], float)
+    avgdl = dls.mean()
+    n = len(docs)
+    scores = np.zeros(n)
+    for t, w in zip(terms, weights):
+        df = sum(1 for d in docs if t in set(corpus_tokens[d]))
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * w
+        tf = np.array([corpus_tokens[d].count(t) for d in docs], float)
+        scores += idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dls / avgdl)
+        )
+    r = np.round(scores, 9)
+    order = sorted(
+        (i for i in range(n) if r[i] > 0), key=lambda i: (-r[i], docs[i])
+    )[:k]
+    return [(docs[i], float(r[i])) for i in order]
+
+
+def test_boosted_equals_brute_oracle(built_index, corpus_tokens):
+    reader = IndexReader(built_index[0])
+    terms = ["spark", "join", "vector"]
+    weights = [2.5, 1.0, 0.25]
+    expect = brute_boosted_topk(corpus_tokens, terms, weights, K)
+    assert reader.topk(terms, K, weights=weights) == expect
+    # WAND route is rank-safe under boosts (bounds linear in idf)
+    assert reader.topk_wand(
+        terms, K, force_wand=True, weights=weights
+    ) == expect
+
+
+def test_unit_weights_equal_plain(built_index):
+    reader = IndexReader(built_index[0])
+    for q in (["spark", "join"], ["the"], ["vector", "window", "hash"]):
+        plain = reader.topk(q, K)
+        assert reader.topk(q, K, weights=[1.0] * len(q)) == plain
+        assert reader.topk_wand(
+            q, K, force_wand=True, weights=[1.0] * len(q)
+        ) == plain
+
+
+def test_integer_boost_equals_duplicates_every_engine(
+    built_index, ray_session
+):
+    """["a"], [2.0] == ["a", "a"] on the dense path, forced WAND, the
+    term-sharded engine, and the range-sharded engine — the boost is the
+    multiplicity mechanism generalized."""
+    from wikirec_ray.state.server import (
+        DistributedQueryEngine,
+        RangeShardedQueryEngine,
+    )
+
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    terms, dup = ["spark", "join"], ["spark", "spark", "join"]
+    w = [2.0, 1.0]
+    expect = reader.topk(dup, K)
+    assert reader.topk(terms, K, weights=w) == expect
+    assert reader.topk_wand(terms, K, force_wand=True, weights=w) == expect
+    assert wand_topk(reader, terms, K, weights=w) == expect
+    e1 = DistributedQueryEngine(index_dir, pool_size=2)
+    e2 = RangeShardedQueryEngine(index_dir, pool_size=2)
+    try:
+        assert e1.topk(terms, K, weights=w) == expect
+        assert e2.topk(terms, K, weights=w) == expect
+    finally:
+        e1.shutdown()
+        e2.shutdown()
+
+
+def test_fractional_boost_served_equals_local(built_index, ray_session):
+    from wikirec_ray.state.server import (
+        DistributedQueryEngine,
+        RangeShardedQueryEngine,
+    )
+
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    terms = ["spark", "join", "the"]
+    w = [3.25, 1.0, 0.5]
+    expect = reader.topk(terms, K, weights=w)
+    assert expect, "query must hit"
+    e1 = DistributedQueryEngine(index_dir, pool_size=2)
+    e2 = RangeShardedQueryEngine(index_dir, pool_size=2)
+    try:
+        assert e1.topk(terms, K, weights=w) == expect
+        assert e2.topk(terms, K, weights=w) == expect
+    finally:
+        e1.shutdown()
+        e2.shutdown()
+
+
+def test_search_string_routes_boosts(built_index):
+    reader = IndexReader(built_index[0])
+    got = search(reader, "spark^2.5 join", k=K)
+    assert got == reader.topk_wand(
+        ["spark", "join"], K, weights=[2.5, 1.0]
+    )
+    # a boost changes the ranking vs the unboosted query somewhere in
+    # the corpus (sanity that the weight actually flows)
+    assert search(reader, "spark^9 join", k=K) != search(
+        reader, "spark join^9", k=K
+    )
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prf_store(ray_session, sf_dir, tmp_path_factory):
+    import ray.data
+
+    from wikirec_ray.pipelines.export import export_clean_corpus
+    from wikirec_ray.state.docstore import DocStore
+
+    out = str(tmp_path_factory.mktemp("prf_export"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    export_clean_corpus(ds, out, range_size=64, resume=False)
+    return DocStore(out)
+
+
+def brute_prf_expand(reader, corpus_tokens, terms, fb_docs, fb_terms,
+                     fb_weight):
+    hits = reader.topk_wand(terms, fb_docs)
+    rel = {}
+    for d, _ in hits:
+        toks = corpus_tokens[d]
+        for t in set(toks):
+            rel[t] = rel.get(t, 0.0) + toks.count(t) / len(toks)
+    scored = sorted(
+        (-round(v * reader.idf(t), 9), t)
+        for t, v in rel.items()
+        if t not in set(terms) and reader.df.get(t, 0) > 0
+    )[:fb_terms]
+    scored = [(n, t) for n, t in scored if n < 0.0]
+    out_t, out_w = list(terms), [1.0] * len(terms)
+    if scored:
+        best = -scored[0][0]
+        for n, t in scored:
+            out_t.append(t)
+            out_w.append(fb_weight * (-n) / best)
+    return out_t, out_w
+
+
+def test_prf_expand_matches_brute_replay(built_index, prf_store,
+                                         corpus_tokens):
+    reader = IndexReader(built_index[0])
+    terms = ["spark", "join"]
+    got_t, got_w = prf_expand(reader, terms, prf_store,
+                              fb_docs=5, fb_terms=8, fb_weight=0.5)
+    exp_t, exp_w = brute_prf_expand(reader, corpus_tokens, terms, 5, 8, 0.5)
+    assert got_t == exp_t
+    assert np.allclose(got_w, exp_w, atol=0)
+    # shape contract: originals first at weight 1, expansions positive,
+    # best expansion exactly fb_weight, and it actually expanded
+    assert got_t[: len(terms)] == terms and got_w[: len(terms)] == [1.0, 1.0]
+    assert len(got_t) > len(terms)
+    assert got_w[len(terms)] == 0.5
+    assert all(0 < w <= 0.5 for w in got_w[len(terms):])
+    assert not set(got_t[len(terms):]) & set(terms)
+
+
+def test_prf_topk_is_the_weighted_route(built_index, prf_store):
+    reader = IndexReader(built_index[0])
+    terms = ["spark", "join"]
+    ex_t, ex_w = prf_expand(reader, terms, prf_store,
+                            fb_docs=5, fb_terms=8, fb_weight=0.5)
+    assert prf_topk(reader, terms, prf_store, k=K,
+                    fb_docs=5, fb_terms=8, fb_weight=0.5) == \
+        reader.topk_wand(ex_t, K, weights=ex_w)
+
+
+def test_prf_no_hits_returns_original(built_index, prf_store):
+    reader = IndexReader(built_index[0])
+    assert prf_expand(reader, ["absentterm"], prf_store) == (
+        ["absentterm"], [1.0]
+    )
+    assert prf_topk(reader, ["absentterm"], prf_store, k=5) == []
+
+
+def test_prf_validation(built_index, prf_store):
+    reader = IndexReader(built_index[0])
+    with pytest.raises(ValueError):
+        prf_expand(reader, ["spark"], prf_store, fb_docs=0)
+    with pytest.raises(ValueError):
+        prf_expand(reader, ["spark"], prf_store, fb_weight=0.0)

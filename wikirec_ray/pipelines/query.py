@@ -94,6 +94,45 @@ def precomputed_subpairs(terms: list[str], bigrams) -> list[str]:
 SUBPAIR_PRUNE_MAX_RATIO = 32
 
 
+def check_weights(terms: list[str], weights: list[float] | None) -> None:
+    """Validate per-occurrence query boosts: aligned with ``terms``, every
+    weight a finite positive float (Lucene rejects negative boosts; a zero
+    weight is a dropped term the caller should remove, and NaN/inf would
+    poison every score they touch).  Shared by every weighted route so the
+    contract cannot drift between the local reader and the coordinators."""
+    if weights is None:
+        return
+    if len(weights) != len(terms):
+        raise ValueError(
+            f"weights must align with terms: {len(weights)} weights for "
+            f"{len(terms)} terms"
+        )
+    for w in weights:
+        if not (float(w) > 0.0 and math.isfinite(w)):
+            raise ValueError(
+                f"query boost weights must be finite and > 0 (got {w!r})"
+            )
+
+
+def aggregate_weights(
+    terms: list[str], weights: list[float] | None
+) -> dict[str, float]:
+    """{term: summed weight} in first-occurrence order — THE weighted-query
+    normal form, shared by every scoring route.  Weight sums (multiplicity
+    when unweighted) scale idf once per unique term, so a term repeated
+    with different boosts scores identically on the dense path, WAND, and
+    both serving coordinators (per-occurrence summation would differ in
+    the last ulp between routes: w1·x + w2·x vs (w1+w2)·x), and duplicate
+    terms decode their postings once instead of once per occurrence."""
+    check_weights(terms, weights)
+    agg: dict[str, float] = {}
+    for i, t in enumerate(terms):
+        agg[t] = agg.get(t, 0.0) + (
+            1.0 if weights is None else float(weights[i])
+        )
+    return agg
+
+
 def bm25_contrib(idf, tf, dl, avgdl):
     """Per-posting BM25 contribution — THE scoring kernel, shared by the
     local reader, the WAND cursors, and both serving engines so the formula
@@ -198,12 +237,22 @@ class IndexReader:
         return i < len(t) and int(t[i]) == int(doc_id)
 
     # ---------------- exact term-at-a-time ------------------------------
-    def score_exact(self, terms: list[str]) -> np.ndarray:
-        """Dense per-doc score array (float64, length n_docs)."""
+    def score_exact(
+        self, terms: list[str], weights: list[float] | None = None
+    ) -> np.ndarray:
+        """Dense per-doc score array (float64, length n_docs).
+
+        ``weights`` = optional per-OCCURRENCE query boosts (Lucene
+        ``term^2.5``), aligned with ``terms``; each occurrence's BM25
+        contribution is scaled by its weight.  Boosts generalize the
+        engine-wide duplicate-occurrence contract — ``["a"], [2.0]``
+        scores identically to ``["a", "a"]`` — and contributions are
+        linear in idf, so every route implements a boost as
+        ``idf × weight`` (the same mechanism WAND multiplicity uses)."""
         avgdl = self.stats["avgdl"]
         scores = np.zeros(len(self.norms), dtype=np.float64)
-        for term in terms:
-            idf = self.idf(term)
+        for term, wsum in aggregate_weights(terms, weights).items():
+            idf = self.idf(term) * wsum
             if idf == 0.0:
                 continue
             doc_ids, tfs = self.postings(term)
@@ -221,14 +270,16 @@ class IndexReader:
         self, terms: list[str], k: int,
         attrs: list[tuple[str, str]] | None = None,
         after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] best-first; ties → doc_id ascending.
         ``attrs`` = optional [(col, value)] metadata filters (conjunctive,
         pure filters — scoring stays corpus-global).  ``after`` = optional
         search_after cursor: pass the LAST hit ``(doc_id, score)`` of the
         previous page verbatim to get the next page (Elasticsearch search_after:
-        deep paging at constant cost, no growing k)."""
-        scores = self.score_exact(terms)
+        deep paging at constant cost, no growing k).  ``weights`` =
+        optional per-occurrence boosts (see ``score_exact``)."""
+        scores = self.score_exact(terms, weights=weights)
         if attrs:
             scores = self._apply_attrs_dense(scores, attrs)
         return topk_from_dense(scores, k, after=after)
@@ -436,6 +487,7 @@ class IndexReader:
         self, terms: list[str], k: int, col: str,
         attrs: list[tuple[str, str]] | None = None,
         after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
     ) -> list[tuple[int, float, str]]:
         """Field-collapsed BM25 top-k (Elasticsearch ``collapse``): the
         best-scoring doc per distinct ``col`` value, best-first, k winners
@@ -448,8 +500,9 @@ class IndexReader:
         attribute route); ``attrs`` filters compose as usual; ``after``
         pages the underlying doc order (keys may reappear on later pages
         with their next-best doc — the ES collapse + search_after
-        contract, documented on ``collapsed_topk_from_dense``)."""
-        scores = self.score_exact(terms)
+        contract, documented on ``collapsed_topk_from_dense``);
+        ``weights`` = optional per-occurrence boosts (``score_exact``)."""
+        scores = self.score_exact(terms, weights=weights)
         if attrs:
             scores = self._apply_attrs_dense(scores, attrs)
         dense, values = self._meta_codes(col)
@@ -984,19 +1037,23 @@ class IndexReader:
     def topk_wand(
         self, terms: list[str], k: int, force_wand: bool = False,
         after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
     ) -> list[tuple[int, float]]:
         """Rank-safe block-max WAND with dense-regime fallback; identical
         output to ``topk`` on every input (pytest-asserted both routes).
         ``after`` (search_after paging) routes through the exact dense
         path: WAND's threshold admission assumes the heap fills from the
-        TOP of the ranking, which a mid-ranking cursor violates."""
+        TOP of the ranking, which a mid-ranking cursor violates.
+        ``weights`` = optional per-occurrence boosts — rank-safe under
+        WAND because contributions and block bounds are linear in idf
+        (the multiplicity mechanism, generalized to floats)."""
         if after is not None:
-            return self.topk(terms, k, after=after)
+            return self.topk(terms, k, after=after, weights=weights)
         if not force_wand:
             total_df = sum(self.df.get(t, 0) for t in set(terms))
             if total_df >= self.stats["n_docs"] * self.WAND_DENSE_FRACTION:
-                return self.topk(terms, k)
-        return wand_topk(self, terms, k)
+                return self.topk(terms, k, weights=weights)
+        return wand_topk(self, terms, k, weights=weights)
 
 
 def _after_cursor(after) -> tuple[float, int]:
@@ -1212,31 +1269,33 @@ class _TermCursor:
 _SENTINEL = 1 << 62
 
 
-def wand_topk(reader: IndexReader, terms: list[str], k: int) -> list[tuple[int, float]]:
+def wand_topk(
+    reader: IndexReader, terms: list[str], k: int,
+    weights: list[float] | None = None,
+) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel's block-max bounds over Broder's WAND
     pivoting), exact w.r.t. the term-at-a-time path: thresholds compare
     *unrounded* upper bounds against the current heap minimum, and admitted
     docs are fully rescored with the same float64 formula; final ranking uses
     the same round-then-(score desc, doc_id asc) ordering."""
     avgdl = reader.stats["avgdl"]
-    # one cursor per UNIQUE term, idf scaled by the term's query
-    # multiplicity: a repeated query term contributes once per occurrence
-    # (the engine-wide contract; contributions and block bounds are linear
-    # in idf, so rank-safety is unaffected).  Review r5: the unscaled
-    # dedupe silently single-counted duplicates on the WAND route while
-    # the dense fallback double-counted.
-    from collections import Counter
-
-    mult = Counter(terms)
+    # one cursor per UNIQUE term, idf scaled by the term's summed query
+    # weight — multiplicity when unweighted: a repeated query term
+    # contributes once per occurrence, and a boosted occurrence (Lucene
+    # ``term^2.5``) contributes weight-times (the engine-wide contract;
+    # contributions and block bounds are linear in idf, so rank-safety is
+    # unaffected).  Review r5: the unscaled dedupe silently single-counted
+    # duplicates on the WAND route while the dense fallback double-counted.
+    wsum = aggregate_weights(terms, weights)
     cursors = []
-    for term in sorted(set(terms)):
+    for term in sorted(wsum):
         idf = reader.idf(term)
         if idf == 0.0:
             continue
         seg = reader.term_segment(term)
         if not seg.has(term):
             continue
-        cursors.append(_TermCursor(seg, term, idf * mult[term], avgdl))
+        cursors.append(_TermCursor(seg, term, idf * wsum[term], avgdl))
     if not cursors:
         return []
     # Heap of (rounded_score, -doc_id): the weakest entry (lowest score, then
@@ -1508,6 +1567,10 @@ _SLOPPY_QUERY_RE = re.compile(r'^"([^"]+)"\s*~\s*(\d+)$', re.DOTALL)
 # lexicon ceiling so the two surfaces cannot drift; any other suffix is
 # literal text, handled by the tokenizer.
 _FUZZY_CHUNK_RE = re.compile(rf"^(.+)~([1-{FUZZY_MAX_D}]?)$")
+# Lucene query-time boost: chunk^2.5.  Digits+optional-fraction only —
+# no sign, no exponent — so float() can never return inf/nan and the
+# CPython int-digit limit is irrelevant (float parsing is O(len)).
+_BOOST_CHUNK_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 # col:value filter chunks: a word-shaped column name, then either a
 # quoted value (``lang:"de"`` — the standard search-box habit) or a
 # non-space value, flanked by chunk boundaries.  Values are RAW attribute
@@ -1632,6 +1695,7 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
                                    suffixes, regexes), None)
     - ``/sp.rk/ join``         -> ("expand", ..., None) with the
                                    slash-delimited chunk in ``regexes``
+    - ``spark^2.5 join``       -> ("boosted", (terms, weights), None)
     - anything else            -> ("bm25", terms, None)
 
     ``+``/``-`` are boolean operators ONLY at the start of a
@@ -1722,6 +1786,17 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
         # the delimiters goes through verbatim (never tokenized)
         return len(c) >= 3 and c[0] == "/" and c[-1] == "/"
 
+    def _boost_chunk(c: str) -> tuple[list[str], float] | None:
+        # trailing ^float (Lucene query-time boost): the chunk's tokens
+        # all carry the weight.  A non-positive boost (x^0) — or a digit
+        # string so long float() overflows to inf — is literal text, like
+        # an unsupported fuzzy distance: never an error.
+        m = _BOOST_CHUNK_RE.match(c)
+        if not m or not toks(m.group(1)):
+            return None
+        w = float(m.group(2))
+        return (toks(m.group(1)), w) if 0.0 < w < math.inf else None
+
     if any(_regex_chunk(c) or _fuzzy_chunk(c) or _prefix_chunk(c)
            or _suffix_chunk(c) for c in chunks):
         exact: list[str] = []
@@ -1750,6 +1825,26 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
             else:
                 exact.extend(toks(c))
         return "expand", (exact, fuzzy, prefixes, suffixes, regexes), None
+    if any(_boost_chunk(c) for c in chunks):
+        # query-time boosts ("spark^2.5 join"): plain BM25 with
+        # per-occurrence weights.  Boosts are recognized only on
+        # otherwise-plain queries — inside phrase/NEAR/boolean/expand
+        # modes a ``^`` stays literal text stripped by the tokenizer
+        # (today's behavior, kept backward-compatible; the expand
+        # operators are structural and win the mixed case).
+        b_terms: list[str] = []
+        b_weights: list[float] = []
+        for c in chunks:
+            bc = _boost_chunk(c)
+            if bc:
+                ts, w = bc
+                b_terms.extend(ts)
+                b_weights.extend([w] * len(ts))
+            else:
+                ts = toks(c)
+                b_terms.extend(ts)
+                b_weights.extend([1.0] * len(ts))
+        return "boosted", (b_terms, b_weights), None
     return "bm25", toks(q), None
 
 
@@ -1823,7 +1918,7 @@ def search_with_terms(
     attrs, rest = split_filters(query, cols)
     attrs = attrs or None
     mode, terms, window = parse_query(rest)
-    if collapse is not None and mode not in ("bm25", "expand"):
+    if collapse is not None and mode not in ("bm25", "expand", "boosted"):
         # field collapsing is implemented on the dense BM25 scoring path
         # (plain and lexicon-expanded queries); a silent fall-through to
         # uncollapsed results would misreport "one per value" pages
@@ -1861,6 +1956,19 @@ def search_with_terms(
             ), expanded, None
         return engine.topk(expanded, k, attrs=attrs, after=after), \
             expanded, None
+    if mode == "boosted":
+        b_terms, b_weights = terms
+        if collapse is not None:
+            return engine.collapsed_topk(
+                b_terms, k, collapse, attrs=attrs, after=after,
+                weights=b_weights,
+            ), b_terms, None
+        if attrs or after is not None:
+            # same dense-path routing rationale as the plain-BM25 legs
+            return engine.topk(b_terms, k, attrs=attrs, after=after,
+                               weights=b_weights), b_terms, None
+        bm25 = getattr(engine, "topk_wand", None) or engine.topk
+        return bm25(b_terms, k, weights=b_weights), b_terms, None
     if collapse is not None:
         return engine.collapsed_topk(
             terms, k, collapse, attrs=attrs, after=after
@@ -1904,3 +2012,111 @@ def search(engine, query: str, k: int = 10,
     query string pages consistently).  Callers that also need the resolved
     term set (highlighting, facets) should use ``search_with_terms``."""
     return search_with_terms(engine, query, k, after=after)[0]
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance feedback (RM3 / Rocchio)
+# ---------------------------------------------------------------------------
+
+
+def prf_expand(
+    reader: IndexReader,
+    terms: list[str],
+    store,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    fb_weight: float = 0.5,
+) -> tuple[list[str], list[float]]:
+    """Pseudo-relevance-feedback query expansion (RM3/Rocchio family):
+    run the original query, treat its top ``fb_docs`` hits as relevant,
+    and return ``(terms, weights)`` = the original occurrences at weight
+    1.0 plus up to ``fb_terms`` expansion terms weighted by their
+    feedback-set importance — ready for any weighted route
+    (``topk(…, weights=…)``, the same plumbing as ``term^boost``).
+
+    Expansion scoring is the relevance-model estimate with uniform doc
+    priors: ``rel(w) = Σ_d tf_d(w)/|d|`` over the feedback docs (each
+    doc's length-normalized term distribution), times the shared BM25
+    idf — the tf×idf "interesting terms" rule of ``select_query_terms``
+    generalized from one source text to a feedback set.  Selection order
+    is ``(round(rel·idf, 9) DESC, term ASC)``; original query terms and
+    out-of-vocabulary terms never select.  Weights are normalized so the
+    BEST expansion term carries exactly ``fb_weight`` (the Rocchio β
+    knob: 0.5 ≈ "expansion evidence counts half an original term") and
+    the rest scale proportionally.
+
+    ``store`` is a ``state.docstore.DocStore`` over the exported corpus —
+    feedback needs document TEXT, which the inverted index does not keep;
+    hits absent from the store (quality-filtered at export) contribute
+    nothing.  Queries whose initial pass returns no hits, or no in-store
+    text, expand to the original query unchanged."""
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError("fb_docs and fb_terms must be >= 1")
+    if not (0.0 < fb_weight and math.isfinite(fb_weight)):
+        raise ValueError("fb_weight must be finite and > 0")
+    base = (list(terms), [1.0] * len(terms))
+    if not terms:
+        return base
+    hits = reader.topk_wand(terms, fb_docs)
+    if not hits:
+        return base
+    fetched = store.fetch([d for d, _ in hits])
+    rel: dict[str, float] = {}
+    for d, _ in hits:
+        row = fetched.get(d)
+        if row is None:
+            continue
+        toks = [
+            t for t in re.split(
+                TOKEN_SPLIT_REGEX, (row[store.text_col] or "").lower()
+            ) if t
+        ]
+        if not toks:
+            continue
+        inv_len = 1.0 / len(toks)
+        seen: dict[str, int] = {}
+        for t in toks:
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            rel[t] = rel.get(t, 0.0) + c * inv_len
+    orig = set(terms)
+    scored = sorted(
+        (-round(v * reader.idf(t), 9), t)
+        for t, v in rel.items()
+        if t not in orig and reader.df.get(t, 0) > 0
+    )[:fb_terms]
+    if not scored or scored[0][0] >= 0.0:
+        return base
+    best = -scored[0][0]
+    out_t, out_w = base
+    for neg, t in scored:
+        if neg >= 0.0:
+            break  # rounded-to-zero tail: weight-0 terms are dropped terms
+        out_t.append(t)
+        out_w.append(fb_weight * (-neg) / best)
+    return out_t, out_w
+
+
+def prf_topk(
+    reader: IndexReader,
+    terms: list[str],
+    store,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    fb_weight: float = 0.5,
+    attrs: list[tuple[str, str]] | None = None,
+) -> list[tuple[int, float]]:
+    """Two-pass pseudo-relevance-feedback retrieval: ``prf_expand`` the
+    query against its own top-``fb_docs`` hits, then rank the weighted
+    expansion with the usual BM25 routes (WAND when unfiltered — boosts
+    are rank-safe there; the dense path under ``attrs``).  The classic
+    recall lever for short queries: documents sharing the feedback set's
+    vocabulary surface even when they miss the original terms."""
+    ex_terms, ex_weights = prf_expand(
+        reader, terms, store,
+        fb_docs=fb_docs, fb_terms=fb_terms, fb_weight=fb_weight,
+    )
+    if attrs:
+        return reader.topk(ex_terms, k, attrs=attrs, weights=ex_weights)
+    return reader.topk_wand(ex_terms, k, weights=ex_weights)

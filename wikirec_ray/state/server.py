@@ -80,15 +80,24 @@ class SegmentServer:
             if os.path.exists(p):
                 self.readers[t] = SegmentReader(p)
 
-    def score_terms(self, terms_with_tpart: list[tuple[str, int]]):
-        """[(term, tpart)] -> list of (doc_ids uint64, contribs f64)."""
+    def score_terms(
+        self, terms_with_tpart: list[tuple[str, int]],
+        weights: list[float] | None = None,
+    ):
+        """[(term, tpart)] -> list of (doc_ids uint64, contribs f64).
+        ``weights`` (aligned, optional) scale each term's idf BEFORE the
+        shared ``bm25_contrib`` kernel — the same evaluation order as the
+        local reader's ``idf(term) * wsum``, so weighted serving results
+        are bit-identical, not merely ulp-close."""
         from wikirec_ray.pipelines.query import bm25_contrib
         from wikirec_ray.state.segments import alive_mask
 
         avgdl = self.stats["avgdl"]
         out = []
-        for term, tpart in terms_with_tpart:
+        for i, (term, tpart) in enumerate(terms_with_tpart):
             idf = _idf_from_df(self.df.get(term, 0), self.n_docs)
+            if weights is not None:
+                idf *= weights[i]
             reader = self.readers.get(tpart)
             if reader is None or idf == 0.0:
                 out.append((np.empty(0, np.uint64), np.empty(0, np.float64)))
@@ -132,15 +141,25 @@ class DistributedQueryEngine:
         ]
 
     def topk(self, terms: list[str], k: int,
-             after: tuple[int, float] | None = None) -> list[tuple[int, float]]:
+             after: tuple[int, float] | None = None,
+             weights: list[float] | None = None) -> list[tuple[int, float]]:
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        # weighted normal form (one entry per unique term, summed weight):
+        # contributions are linear in idf, so scaling the shard's returned
+        # contribs by the term's weight sum coordinator-side needs no
+        # shard plumbing — and duplicate terms ship (and decode) once
         by_server: dict[int, list[tuple[str, int]]] = {}
-        for term in terms:
+        w_of: dict[int, list[float]] = {}
+        for term, wsum in aggregate_weights(terms, weights).items():
             tpart = zlib.crc32(term.encode("utf-8")) % self.n_tparts
-            by_server.setdefault(self.owner_of[tpart], []).append((term, tpart))
+            sid = self.owner_of[tpart]
+            by_server.setdefault(sid, []).append((term, tpart))
+            w_of.setdefault(sid, []).append(wsum)
         if not by_server:
             return []
         futures = {
-            sid: self.servers[sid].score_terms.remote(batch)
+            sid: self.servers[sid].score_terms.remote(batch, w_of[sid])
             for sid, batch in by_server.items()
         }
         # sparse aggregation: O(Σ df of query terms) pairs, never an
@@ -970,14 +989,24 @@ class RangeShardedQueryEngine:
     def topk(self, terms: list[str], k: int,
              attrs: list[tuple[str, str]] | None = None,
              after: tuple[int, float] | None = None,
+             weights: list[float] | None = None,
              ) -> list[tuple[int, float]]:
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        # the weighted-query normal form (FIRST-OCCURRENCE order, one
+        # entry per unique term, idf scaled by the summed weight —
+        # multiplicity when unweighted): a repeated query term contributes
+        # once per occurrence, exactly like the local reader and the SQL
+        # oracle's VALUES join (review r5 — the sorted unique list
+        # silently halved duplicate-term scores here), and a boost
+        # (Lucene term^2.5) scales idf HERE on the coordinator —
+        # contributions are linear in idf, so the range shards need no
+        # weight plumbing at all.
+        agg = aggregate_weights(terms, weights)
         resolved = self._resolve_idfs(terms)
-        # QUERY order with duplicates kept: a repeated query term contributes
-        # once per occurrence, like the local reader, the term-sharded
-        # engine, and the SQL oracle's VALUES join (review r5 — the sorted
-        # unique list silently halved duplicate-term scores here)
         twi = [
-            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
+            (t, resolved[t][0], resolved[t][1] * w)
+            for t, w in agg.items() if resolved[t][1] != 0.0
         ]
         if not twi:
             return []
@@ -1071,6 +1100,7 @@ class RangeShardedQueryEngine:
         self, terms: list[str], k: int, col: str,
         attrs: list[tuple[str, str]] | None = None,
         after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
     ) -> list[tuple[int, float, str]]:
         """Distributed field-collapsed top-k (==
         ``IndexReader.collapsed_topk``): each shard returns its best doc
@@ -1078,10 +1108,16 @@ class RangeShardedQueryEngine:
         merged partials best-first keeping the first doc per value.
         Exact: a doc lives in exactly one shard, and a key whose winner
         fell off a shard's k-list is beaten by k keys in that shard alone
-        (see ``RangeServer.collapsed_topk``)."""
+        (see ``RangeServer.collapsed_topk``).  ``weights`` = optional
+        per-occurrence boosts, applied to the unique-term idfs here on
+        the coordinator (the same weighted normal form as ``topk``)."""
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        agg = aggregate_weights(terms, weights)
         resolved = self._resolve_idfs(terms)
         twi = [
-            (t, *resolved[t]) for t in terms if resolved[t][1] != 0.0
+            (t, resolved[t][0], resolved[t][1] * w)
+            for t, w in agg.items() if resolved[t][1] != 0.0
         ]
         if not twi:
             return []
