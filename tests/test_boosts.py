@@ -279,3 +279,127 @@ def test_prf_validation(built_index, prf_store):
         prf_expand(reader, ["spark"], prf_store, fb_docs=0)
     with pytest.raises(ValueError):
         prf_expand(reader, ["spark"], prf_store, fb_weight=0.0)
+
+
+# ---------------------------------------------------------------------------
+# review-r5 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_parse_boost_never_eats_expand_operators():
+    # an expand operator INSIDE a boost chunk is literal text (pre-boost
+    # tokenization), never a silently-deoperatored boosted term
+    mode, terms, _ = parse_query("spar*^2 join")
+    assert mode == "bm25" and terms == ["spar", "2", "join"]
+    mode, terms, _ = parse_query("tabel~^2")
+    assert mode == "bm25" and terms == ["tabel", "2"]
+    # a LEADING wildcard still triggers expand (the '*' is at the chunk
+    # edge, so the operator survives; the boost digits become literal
+    # exact tokens) — the suffix expansion is preserved, nothing eaten
+    mode, (exact, fuzzy, prefixes, suffixes, regexes), _ = \
+        parse_query("*fix^2")
+    assert mode == "expand" and suffixes == ["fix"] and exact == ["2"]
+    mode, terms, _ = parse_query("/sp.rk/^2")
+    assert mode == "bm25"
+    # and a plain boost next to a real expand chunk still yields expand
+    mode, _, _ = parse_query("spark^2 tabel~")
+    assert mode == "expand"
+
+
+def test_boosted_paging_on_engine_without_attrs(built_index, ray_session):
+    """search_after on a boosted query must work against engines whose
+    topk has no attrs parameter (DistributedQueryEngine) — review r5: the
+    merged attrs-or-after branch crashed page 2 with a TypeError."""
+    from wikirec_ray.pipelines.query import search_with_terms
+    from wikirec_ray.state.server import DistributedQueryEngine
+
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    eng = DistributedQueryEngine(index_dir, pool_size=2)
+    try:
+        page1, _, _ = search_with_terms(eng, "spark^2.5 join", k=5)
+        assert page1 == reader.topk(
+            ["spark", "join"], 5, weights=[2.5, 1.0]
+        )
+        page2, _, _ = search_with_terms(
+            eng, "spark^2.5 join", k=5, after=page1[-1]
+        )
+        assert page2 == reader.topk(
+            ["spark", "join"], 5, after=page1[-1], weights=[2.5, 1.0]
+        )
+        assert page2 and not set(d for d, _ in page1) & set(
+            d for d, _ in page2
+        )
+    finally:
+        eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def scoped_fx(ray_session, tmp_path_factory):
+    """Tiny two-language corpus where the vocabulary is attribute-
+    correlated, with index + meta sidecar + docstore export — the PRF
+    attrs-scoping oracle (expansion terms must come from inside the
+    filter scope)."""
+    import pyarrow as pa
+    import ray.data
+
+    from wikirec_ray.pipelines.export import export_clean_corpus
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.state.docstore import DocStore
+
+    rows = []
+    for i in range(30):
+        filler_en = f"money credit loan w{i % 5}"
+        filler_de = f"fluss ufer wasser w{i % 5}"
+        if i % 2 == 0:
+            rows.append({"doc_id": i, "lang": "en",
+                         "text": f"bank finance {filler_en}"})
+        else:
+            rows.append({"doc_id": i, "lang": "de",
+                         "text": f"bank river {filler_de}"})
+    base = str(tmp_path_factory.mktemp("prf_scoped"))
+    idx, exp = base + "/idx", base + "/exp"
+    tbl = pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    })
+    ds = ray.data.from_arrow(tbl)
+    build_index(ds.select_columns(["doc_id", "text"]), idx, resume=False)
+    build_doc_meta(ds.select_columns(["doc_id", "lang"]), idx,
+                   cols=["lang"])
+    export_clean_corpus(ds.select_columns(["doc_id", "text"]), exp,
+                        range_size=16, resume=False)
+    return {"idx": idx, "store": DocStore(exp), "rows": rows}
+
+
+def test_prf_attrs_scope_feedback_pass(scoped_fx):
+    """prf_expand(attrs=...) draws feedback docs from INSIDE the filter
+    scope (review r5: unfiltered feedback polluted scoped queries with
+    out-of-scope vocabulary)."""
+    reader = IndexReader(scoped_fx["idx"])
+    de_vocab = {
+        t for r in scoped_fx["rows"] if r["lang"] == "de"
+        for t in r["text"].split()
+    }
+    t_de, w_de = prf_expand(reader, ["bank"], scoped_fx["store"],
+                            fb_docs=5, fb_terms=6, fb_weight=0.5,
+                            attrs=[("lang", "de")])
+    exp_de = t_de[1:]
+    assert exp_de, "scoped PRF must still expand"
+    assert set(exp_de) <= de_vocab, exp_de
+    assert "money" not in exp_de and "finance" not in exp_de
+    # unfiltered PRF on this corpus mixes scopes -> different expansion
+    t_all, _ = prf_expand(reader, ["bank"], scoped_fx["store"],
+                          fb_docs=5, fb_terms=6, fb_weight=0.5)
+    assert t_all != t_de
+    # and prf_topk(attrs=...) returns only in-scope docs, ranked by the
+    # scoped expansion
+    hits = prf_topk(reader, ["bank"], scoped_fx["store"], k=10,
+                    fb_docs=5, fb_terms=6, fb_weight=0.5,
+                    attrs=[("lang", "de")])
+    de_ids = {r["doc_id"] for r in scoped_fx["rows"] if r["lang"] == "de"}
+    assert hits and {d for d, _ in hits} <= de_ids
+    assert hits == reader.topk(t_de, 10, attrs=[("lang", "de")],
+                               weights=w_de)

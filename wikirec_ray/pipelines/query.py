@@ -1790,12 +1790,21 @@ def parse_query(query: str) -> tuple[str, list[str], int | None]:
         # trailing ^float (Lucene query-time boost): the chunk's tokens
         # all carry the weight.  A non-positive boost (x^0) — or a digit
         # string so long float() overflows to inf — is literal text, like
-        # an unsupported fuzzy distance: never an error.
+        # an unsupported fuzzy distance: never an error.  A body that is
+        # itself an expand-operator chunk (spar*^2, tabel~^2, /re/^2,
+        # *fix^2) is also literal text: silently eating the operator and
+        # boosting the raw token would change MATCHING, not just ranking
+        # (review r5) — pre-boost tokenization semantics are preserved
+        # instead, and boosted expansion stays an explicit non-feature.
         m = _BOOST_CHUNK_RE.match(c)
-        if not m or not toks(m.group(1)):
+        if not m:
+            return None
+        body = m.group(1)
+        if not toks(body) or _regex_chunk(body) or _fuzzy_chunk(body) \
+                or _prefix_chunk(body) or _suffix_chunk(body):
             return None
         w = float(m.group(2))
-        return (toks(m.group(1)), w) if 0.0 < w < math.inf else None
+        return (toks(body), w) if 0.0 < w < math.inf else None
 
     if any(_regex_chunk(c) or _fuzzy_chunk(c) or _prefix_chunk(c)
            or _suffix_chunk(c) for c in chunks):
@@ -1963,9 +1972,14 @@ def search_with_terms(
                 b_terms, k, collapse, attrs=attrs, after=after,
                 weights=b_weights,
             ), b_terms, None
-        if attrs or after is not None:
-            # same dense-path routing rationale as the plain-BM25 legs
+        if attrs:
             return engine.topk(b_terms, k, attrs=attrs, after=after,
+                               weights=b_weights), b_terms, None
+        if after is not None:
+            # attrs= deliberately NOT passed: like the plain-BM25 cursor
+            # leg below, engines without attribute filtering
+            # (DistributedQueryEngine) must still page boosted queries
+            return engine.topk(b_terms, k, after=after,
                                weights=b_weights), b_terms, None
         bm25 = getattr(engine, "topk_wand", None) or engine.topk
         return bm25(b_terms, k, weights=b_weights), b_terms, None
@@ -2026,6 +2040,7 @@ def prf_expand(
     fb_docs: int = 10,
     fb_terms: int = 10,
     fb_weight: float = 0.5,
+    attrs: list[tuple[str, str]] | None = None,
 ) -> tuple[list[str], list[float]]:
     """Pseudo-relevance-feedback query expansion (RM3/Rocchio family):
     run the original query, treat its top ``fb_docs`` hits as relevant,
@@ -2049,7 +2064,13 @@ def prf_expand(
     feedback needs document TEXT, which the inverted index does not keep;
     hits absent from the store (quality-filtered at export) contribute
     nothing.  Queries whose initial pass returns no hits, or no in-store
-    text, expand to the original query unchanged."""
+    text, expand to the original query unchanged.
+
+    ``attrs`` = the usual conjunctive metadata filters, applied to the
+    FEEDBACK pass too: with a scoped query (``lang:de bank``) the
+    pseudo-relevant set must come from inside the scope, else the
+    expansion vocabulary is drawn from documents the final ranking can
+    never return (review r5)."""
     if fb_docs < 1 or fb_terms < 1:
         raise ValueError("fb_docs and fb_terms must be >= 1")
     if not (0.0 < fb_weight and math.isfinite(fb_weight)):
@@ -2057,7 +2078,8 @@ def prf_expand(
     base = (list(terms), [1.0] * len(terms))
     if not terms:
         return base
-    hits = reader.topk_wand(terms, fb_docs)
+    hits = reader.topk(terms, fb_docs, attrs=attrs) if attrs \
+        else reader.topk_wand(terms, fb_docs)
     if not hits:
         return base
     fetched = store.fetch([d for d, _ in hits])
@@ -2112,10 +2134,13 @@ def prf_topk(
     expansion with the usual BM25 routes (WAND when unfiltered — boosts
     are rank-safe there; the dense path under ``attrs``).  The classic
     recall lever for short queries: documents sharing the feedback set's
-    vocabulary surface even when they miss the original terms."""
+    vocabulary surface even when they miss the original terms.  ``attrs``
+    scope BOTH passes — feedback docs and final ranking (prf_expand's
+    review-r5 contract)."""
     ex_terms, ex_weights = prf_expand(
         reader, terms, store,
         fb_docs=fb_docs, fb_terms=fb_terms, fb_weight=fb_weight,
+        attrs=attrs,
     )
     if attrs:
         return reader.topk(ex_terms, k, attrs=attrs, weights=ex_weights)
