@@ -284,6 +284,71 @@ class IndexReader:
             scores = self._apply_attrs_dense(scores, attrs)
         return topk_from_dense(scores, k, after=after)
 
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        """{unique term: idf} — the batched idf surface shared with the
+        range-sharded engine (there it is one resolver round trip), so
+        query-rewrite helpers (more-like-this term selection, PRF,
+        synonym weighting) work engine-agnostically."""
+        return {t: self.idf(t) for t in set(terms)}
+
+    def explain(
+        self, terms: list[str], doc_id: int,
+        weights: list[float] | None = None,
+    ) -> dict:
+        """Lucene-style ``Explanation`` for one document: the per-term
+        scoring components behind ``topk``'s number, exactly — the total
+        is computed with the same kernel, weight aggregation and addend
+        order as ``score_exact``, then rounded like the ranking, so
+        ``explain(q, d)["score"]`` equals the score ``topk`` would emit
+        for ``d`` (pytest-pinned).  Returns::
+
+            {"doc_id", "score",            # round(Σ contribution, 9)
+             "dl", "avgdl", "deleted",     # doc length, corpus avg, tombstone
+             "terms": [{"term", "weight",  # Σ query weight (multiplicity)
+                        "df", "idf",       # unweighted corpus stats
+                        "tf",              # this doc's term frequency
+                        "contribution"}]}  # bm25_contrib(idf·weight, …)
+
+        Terms the doc lacks (tf = 0) and out-of-vocabulary terms are
+        reported with contribution 0.0 — an explain surface must show
+        which query parts did NOT fire.  A tombstoned doc reports its
+        would-be components with ``deleted: True`` and score 0.0 (the
+        dense path zeroes tombstones, so no ranking ever emits it)."""
+        if not (0 <= int(doc_id) < len(self.norms)):
+            raise ValueError(
+                f"doc_id {doc_id} outside this index's [0, "
+                f"{len(self.norms)}) doc range"
+            )
+        avgdl = self.stats["avgdl"]
+        dl = float(self.norms[int(doc_id)])
+        out_terms = []
+        total = 0.0
+        for term, wsum in aggregate_weights(terms, weights).items():
+            df = int(self.df.get(term, 0))
+            idf = self.idf(term)
+            tf = 0.0
+            if idf != 0.0:
+                doc_ids, tfs = self.postings(term)
+                i = int(np.searchsorted(doc_ids, np.uint64(doc_id)))
+                if i < len(doc_ids) and int(doc_ids[i]) == int(doc_id):
+                    tf = float(tfs[i])
+            contrib = (
+                float(bm25_contrib(idf * wsum, tf, dl, avgdl))
+                if tf > 0.0 else 0.0
+            )
+            total += contrib
+            out_terms.append({
+                "term": term, "weight": wsum, "df": df, "idf": idf,
+                "tf": tf, "contribution": contrib,
+            })
+        deleted = self.is_deleted(int(doc_id))
+        return {
+            "doc_id": int(doc_id),
+            "score": 0.0 if deleted else float(np.round(total, ROUND_DP)),
+            "dl": dl, "avgdl": float(avgdl), "deleted": deleted,
+            "terms": out_terms,
+        }
+
     # ---------------- boolean retrieval ----------------------------------
     def boolean_topk(
         self,
@@ -895,20 +960,11 @@ class IndexReader:
         indexing (``schema.TOKEN_SPLIT_REGEX`` on the lowered string),
         idf the shared BM25 idf, ordered by ``(round(tf * idf, 9) DESC,
         term ASC)``.  Out-of-vocabulary terms (df = 0) never select —
-        they cannot retrieve anything.  Returned in selection order."""
-        if max_query_terms < 1:
-            raise ValueError("max_query_terms must be >= 1")
-        tf: dict[str, int] = {}
-        for t in re.split(TOKEN_SPLIT_REGEX, text.lower()):
-            if t:
-                tf[t] = tf.get(t, 0) + 1
-        scored = [
-            (-round(n * self.idf(t), 9), t)
-            for t, n in tf.items()
-            if self.df.get(t, 0) > 0
-        ]
-        scored.sort()
-        return [t for _, t in scored[:max_query_terms]]
+        they cannot retrieve anything.  Returned in selection order.
+        Delegates to the engine-agnostic ``select_query_terms_for`` (one
+        batched ``idfs`` lookup — a single resolver round trip on the
+        range-sharded engine)."""
+        return select_query_terms_for(self, text, max_query_terms)
 
     def more_like_this(
         self,
@@ -934,15 +990,10 @@ class IndexReader:
         The reference's nearest analog is the sim-matrix row scan
         (``/root/reference/src/wikirec/model.py:340-383``) — O(N) dense
         per lookup and driver-resident; this path reads only the selected
-        terms' posting lists."""
-        terms = self.select_query_terms(text, max_query_terms)
-        if not terms:
-            return []
-        fetch_k = k + 1 if exclude is not None else k
-        hits = self.topk(terms, fetch_k, attrs=attrs)
-        if exclude is not None:
-            hits = [(d, s) for d, s in hits if d != exclude][:k]
-        return hits
+        terms' posting lists.  Delegates to the engine-agnostic
+        ``mlt_topk`` (which also serves the range-sharded engine)."""
+        return mlt_topk(self, text, k=k, max_query_terms=max_query_terms,
+                        exclude=exclude, attrs=attrs)
 
     # ---------------- proximity (NEAR) ----------------------------------
     def near_topk(
@@ -2029,12 +2080,95 @@ def search(engine, query: str, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# engine-agnostic query rewriting: MLT selection, synonyms, PRF
+# ---------------------------------------------------------------------------
+# These helpers need only the `idfs(terms)` + `topk(...)` surfaces, which
+# the local IndexReader and the range-sharded coordinator both expose — so
+# more-like-this, synonym weighting and pseudo-relevance feedback serve
+# distributed with no shard changes (idf is one batched resolver round
+# trip; everything else is the ordinary weighted retrieval route).
+
+
+def select_query_terms_for(
+    engine, text: str, max_query_terms: int = 25
+) -> list[str]:
+    """The top ``max_query_terms`` terms of ``text`` by tf × idf — Lucene
+    MoreLikeThis "interesting terms" with the engine-wide determinism
+    contract: analyzer-identical tokenization, the shared BM25 idf,
+    ordered ``(round(tf·idf, 9) DESC, term ASC)``; out-of-vocabulary
+    terms never select (idf > 0 ⟺ df > 0).  ONE batched ``idfs`` call."""
+    if max_query_terms < 1:
+        raise ValueError("max_query_terms must be >= 1")
+    tf: dict[str, int] = {}
+    for t in re.split(TOKEN_SPLIT_REGEX, text.lower()):
+        if t:
+            tf[t] = tf.get(t, 0) + 1
+    idfs = engine.idfs(list(tf))
+    scored = [
+        (-round(n * idfs[t], 9), t)
+        for t, n in tf.items() if idfs[t] > 0.0
+    ]
+    scored.sort()
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def mlt_topk(
+    engine, text: str, k: int = 10, max_query_terms: int = 25,
+    exclude: int | None = None,
+    attrs: list[tuple[str, str]] | None = None,
+) -> list[tuple[int, float]]:
+    """Engine-agnostic more-like-this (see ``IndexReader.more_like_this``
+    for the full contract — that method delegates here): tf×idf term
+    selection feeding the plain BM25 ``topk``, with rank-exact source
+    exclusion (fetch k+1, trim)."""
+    terms = select_query_terms_for(engine, text, max_query_terms)
+    if not terms:
+        return []
+    fetch_k = k + 1 if exclude is not None else k
+    hits = engine.topk(terms, fetch_k, attrs=attrs)
+    if exclude is not None:
+        hits = [(d, s) for d, s in hits if d != exclude][:k]
+    return hits
+
+
+def synonym_expand(
+    terms: list[str],
+    synonyms: dict[str, list[str]],
+    syn_weight: float = 0.5,
+    weights: list[float] | None = None,
+) -> tuple[list[str], list[float]]:
+    """Query-time synonym rewriting as a weighted multiset: every original
+    occurrence keeps its weight, and each synonym of an occurrence's term
+    enters at ``occurrence_weight × syn_weight`` (a pure rewrite — the
+    downstream weighted normal form aggregates duplicates, so overlapping
+    synonym lists just sum).  One-directional: only keys of ``synonyms``
+    expand; alternatives are taken verbatim (callers own analyzer-level
+    normalization of their synonym table).  ``syn_weight`` < 1 is the
+    Lucene-style discount ("a synonym is weaker evidence than the typed
+    word"); 1.0 makes synonyms full peers.  Returns ``(terms, weights)``
+    for any weighted route."""
+    check_weights(terms, weights)
+    if not (0.0 < syn_weight and math.isfinite(syn_weight)):
+        raise ValueError("syn_weight must be finite and > 0")
+    out_t: list[str] = []
+    out_w: list[float] = []
+    for i, t in enumerate(terms):
+        w = 1.0 if weights is None else float(weights[i])
+        out_t.append(t)
+        out_w.append(w)
+        for s in synonyms.get(t, ()):
+            out_t.append(s)
+            out_w.append(w * syn_weight)
+    return out_t, out_w
+
+
+# ---------------------------------------------------------------------------
 # pseudo-relevance feedback (RM3 / Rocchio)
 # ---------------------------------------------------------------------------
 
 
 def prf_expand(
-    reader: IndexReader,
+    reader,
     terms: list[str],
     store,
     fb_docs: int = 10,
@@ -2060,7 +2194,11 @@ def prf_expand(
     knob: 0.5 ≈ "expansion evidence counts half an original term") and
     the rest scale proportionally.
 
-    ``store`` is a ``state.docstore.DocStore`` over the exported corpus —
+    ``reader`` is ANY engine exposing ``idfs`` + ``topk`` — the local
+    ``IndexReader`` or the range-sharded coordinator (PRF then costs two
+    extra coordinator round trips: the feedback retrieval and one batched
+    idf resolve; the store fetch is the same either way).  ``store`` is a
+    ``state.docstore.DocStore`` over the exported corpus —
     feedback needs document TEXT, which the inverted index does not keep;
     hits absent from the store (quality-filtered at export) contribute
     nothing.  Queries whose initial pass returns no hits, or no in-store
@@ -2078,8 +2216,11 @@ def prf_expand(
     base = (list(terms), [1.0] * len(terms))
     if not terms:
         return base
+    # engine-agnostic: the WAND router when the engine has one and the
+    # query is unfiltered, the plain (dense/coordinated) path otherwise
+    bm25 = getattr(reader, "topk_wand", None) or reader.topk
     hits = reader.topk(terms, fb_docs, attrs=attrs) if attrs \
-        else reader.topk_wand(terms, fb_docs)
+        else bm25(terms, fb_docs)
     if not hits:
         return base
     fetched = store.fetch([d for d, _ in hits])
@@ -2102,10 +2243,11 @@ def prf_expand(
         for t, c in seen.items():
             rel[t] = rel.get(t, 0.0) + c * inv_len
     orig = set(terms)
+    cand = [t for t in rel if t not in orig]
+    idfs = reader.idfs(cand) if cand else {}
     scored = sorted(
-        (-round(v * reader.idf(t), 9), t)
-        for t, v in rel.items()
-        if t not in orig and reader.df.get(t, 0) > 0
+        (-round(rel[t] * idfs[t], 9), t)
+        for t in cand if idfs[t] > 0.0
     )[:fb_terms]
     if not scored or scored[0][0] >= 0.0:
         return base
@@ -2120,7 +2262,7 @@ def prf_expand(
 
 
 def prf_topk(
-    reader: IndexReader,
+    reader,
     terms: list[str],
     store,
     k: int = 10,
@@ -2144,4 +2286,5 @@ def prf_topk(
     )
     if attrs:
         return reader.topk(ex_terms, k, attrs=attrs, weights=ex_weights)
-    return reader.topk_wand(ex_terms, k, weights=ex_weights)
+    bm25 = getattr(reader, "topk_wand", None) or reader.topk
+    return bm25(ex_terms, k, weights=ex_weights)

@@ -971,6 +971,13 @@ class RangeShardedQueryEngine:
                 out[t] = (tparts[t], v)
         return out
 
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        """{unique term: idf} in ONE batched resolver round trip — the
+        engine-agnostic idf surface (`IndexReader.idfs` is the local twin)
+        that query-rewrite helpers (more-like-this selection, PRF,
+        synonym weighting) build on, so they serve distributed too."""
+        return {t: v[1] for t, v in self._resolve_idfs(terms).items()}
+
     def meta_cols(self) -> list[str]:
         """Attribute columns available for ``col:value`` filters — [] when
         the index has no metadata sidecar (cached; the coordinator only
