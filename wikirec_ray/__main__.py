@@ -314,6 +314,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Per-term score breakdown (Lucene Explanation) of one document for
+    one query string — pure local read, no Ray.  The breakdown covers the
+    SCORING side of whatever mode the query parses to: phrase/NEAR/
+    sloppy/boolean modes and ``col:value`` filters decide MEMBERSHIP, not
+    score (the engine's filter-vs-score contract), so for those the
+    breakdown explains the plain BM25 sum over the positive terms;
+    boosted queries carry their weights and ``~``/``*``//re/ queries are
+    lexicon-expanded first (the same term multiset retrieval ran over)."""
+    from wikirec_ray.pipelines.query import (
+        IndexReader,
+        expand_query_terms,
+        parse_query,
+        split_filters,
+    )
+
+    reader = IndexReader(args.index)
+    _attrs, rest = split_filters(args.query, reader.meta_cols())
+    mode, terms, _w = parse_query(rest)
+    weights = None
+    if mode == "boolean":
+        should, must, _must_not = terms
+        terms = should + must
+    elif mode == "boosted":
+        terms, weights = terms
+    elif mode == "expand":
+        terms = expand_query_terms(reader, *terms)
+    if not terms:
+        print(json.dumps({"query": args.query, "error": "no scoring terms"}))
+        return 1
+    ex = reader.explain(terms, args.doc_id, weights=weights)
+    ex["query"] = args.query
+    ex["mode"] = mode
+    print(json.dumps(ex))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Long-running query server: one query string per stdin line, one
     JSON result line per stdout line (errors are reported per-line, the
@@ -484,6 +521,14 @@ def make_parser() -> argparse.ArgumentParser:
                         "hit as doc_id:score, both copied VERBATIM from "
                         "that page's output — returns the next page")
     q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser(
+        "explain", help="per-term score breakdown of one doc for a query")
+    io(e, needs_input=False)
+    e.add_argument("query", help="query string (same mini-language as "
+                                 "the query subcommand)")
+    e.add_argument("doc_id", type=int)
+    e.set_defaults(fn=cmd_explain)
 
     sv = sub.add_parser(
         "serve", help="query server: stdin query lines -> stdout JSON lines")
