@@ -403,3 +403,51 @@ def test_prf_attrs_scope_feedback_pass(scoped_fx):
     assert hits and {d for d, _ in hits} <= de_ids
     assert hits == reader.topk(t_de, 10, attrs=[("lang", "de")],
                                weights=w_de)
+
+
+def test_cli_boosted_query_and_explain(built_index, capsys):
+    """CLI boost syntax routes through the weighted path, and the explain
+    subcommand recomposes exactly the score the query subcommand printed
+    (mode-aware via the shared scoring_terms switch; errors keep the JSON
+    line protocol).  Lives here (not test_cli.py) so it can reuse the
+    session-built index — test_cli's module-scoped sf_dir shadows the
+    session fixture chain."""
+    import json
+
+    from wikirec_ray.__main__ import main
+
+    def run_cli(argv):
+        rc = main(argv)
+        return rc, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    idx = built_index[0]
+    reader = IndexReader(idx)
+    rc, res = run_cli(["query", "--index", idx, "spark^2.5 join", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        reader.topk_wand(["spark", "join"], 5, weights=[2.5, 1.0])
+
+    top = res["hits"][0]
+    rc, ex = run_cli(["explain", "--index", idx,
+                      "spark^2.5 join", str(top["doc_id"])])
+    assert rc == 0 and ex["mode"] == "boosted"
+    assert ex["score"] == top["score"]
+    by_term = {t["term"]: t for t in ex["terms"]}
+    assert by_term["spark"]["weight"] == 2.5
+    assert by_term["join"]["weight"] == 1.0
+
+    # phrase mode: the breakdown explains the plain BM25 scoring side
+    rc, ex2 = run_cli(["explain", "--index", idx,
+                       '"spark join"', str(top["doc_id"])])
+    assert rc == 0 and ex2["mode"] == "phrase"
+    assert ex2["score"] == \
+        reader.explain(["spark", "join"], top["doc_id"])["score"]
+
+    # user-input errors keep the JSON line protocol (review r5): no
+    # scoring terms, out-of-range doc_id, invalid regex pattern
+    rc, err = run_cli(["explain", "--index", idx, "", "0"])
+    assert rc == 1 and "no scoring terms" in err["error"]
+    rc, err = run_cli(["explain", "--index", idx, "spark", "999999999"])
+    assert rc == 1 and "doc range" in err["error"]
+    rc, err = run_cli(["explain", "--index", idx, "/[bad(/", "0"])
+    assert rc == 1 and err["error"]

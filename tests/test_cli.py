@@ -288,50 +288,3 @@ def test_cli_serve_stdin(ray_session, tmp_path, capsys, monkeypatch, sf_dir):
     assert "query" in lines[6]["error"] and "hits" not in lines[6]
     assert len(lines) == 7  # blank line skipped
 
-
-@pytest.fixture(scope="module")
-def boost_idx(ray_session, sf_dir, tmp_path_factory):
-    from wikirec_ray.__main__ import main
-
-    docs = os.path.join(sf_dir, "documents.parquet")
-    idx = str(tmp_path_factory.mktemp("cli_boost") / "idx")
-    rc = main(["build", "--input", docs, "--format", "documents",
-               "--index", idx, "--no-resume"])
-    assert rc == 0
-    return idx
-
-
-def test_cli_boosted_query_and_explain(boost_idx, capsys):
-    """CLI boost syntax routes through the weighted path, and the explain
-    subcommand recomposes exactly the score the query subcommand printed
-    (mode-aware: boosted carries weights, phrase explains the scoring
-    side of the filter-vs-score contract)."""
-    from wikirec_ray.pipelines.query import IndexReader
-
-    idx = boost_idx
-    rd = IndexReader(idx)
-    rc, res = run_cli(capsys, ["query", "--index", idx,
-                               "spark^2.5 join", "-k", "5"])
-    assert rc == 0
-    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
-        rd.topk_wand(["spark", "join"], 5, weights=[2.5, 1.0])
-
-    top = res["hits"][0]
-    rc, ex = run_cli(capsys, ["explain", "--index", idx,
-                              "spark^2.5 join", str(top["doc_id"])])
-    assert rc == 0 and ex["mode"] == "boosted"
-    assert ex["score"] == top["score"]
-    by_term = {t["term"]: t for t in ex["terms"]}
-    assert by_term["spark"]["weight"] == 2.5
-    assert by_term["join"]["weight"] == 1.0
-
-    # phrase mode: the breakdown explains the plain BM25 scoring side
-    rc, ex2 = run_cli(capsys, ["explain", "--index", idx,
-                               '"spark join"', str(top["doc_id"])])
-    assert rc == 0 and ex2["mode"] == "phrase"
-    assert ex2["score"] == \
-        rd.explain(["spark", "join"], top["doc_id"])["score"]
-
-    # a query with no scoring terms is a named error, exit 1
-    rc, err = run_cli(capsys, ["explain", "--index", idx, "", "0"])
-    assert rc == 1 and "no scoring terms" in err["error"]

@@ -155,3 +155,29 @@ def test_prf_served_equals_local(built_index, range_engine, ray_session,
     assert prf_topk(range_engine, terms, store, k=10,
                     fb_docs=5, fb_terms=8) == \
         prf_topk(reader, terms, store, k=10, fb_docs=5, fb_terms=8)
+
+
+def test_explain_tombstoned_doc(ray_session, sf_dir, tmp_path_factory):
+    """A deleted doc explains with its would-be components but score 0.0
+    and deleted=True (the dense path zeroes tombstones, so no ranking
+    ever emits it) — pinning the documented tombstone contract."""
+    import os
+
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.stages.lifecycle import delete_docs
+
+    idx = str(tmp_path_factory.mktemp("explain_del") / "idx")
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(ds, idx, resume=False)
+    victim = IndexReader(idx).topk(["spark", "join"], 1)[0][0]
+    delete_docs(idx, [victim])
+    reader = IndexReader(idx)  # tombstones load at construction
+    ex = reader.explain(["spark", "join"], victim)
+    assert ex["deleted"] is True and ex["score"] == 0.0
+    # components still show what the doc WOULD have scored
+    assert any(t["contribution"] > 0 for t in ex["terms"])
+    assert all(d != victim for d, _ in reader.topk(["spark", "join"], 50))

@@ -15,6 +15,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS] [--store EXPORT_DIR [--snippet-window W]]
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
+    python -m wikirec_ray explain --index DIR QUERY DOC_ID
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
         [--pool-replicas R]      # stdin query lines -> stdout JSON lines
     python -m wikirec_ray stats  --index DIR
@@ -22,7 +23,8 @@ CLI adds no second code path to keep correct.
 Query strings use the ``search()`` mini-language: ``"quoted"`` = exact
 phrase, ``NEAR/n(terms)`` = proximity, ``+term``/``-term`` chunk prefixes
 = boolean required/excluded, ``col:value`` chunks = metadata filters over
-the ``meta`` sidecar's columns, anything else = BM25 (WAND).
+the ``meta`` sidecar's columns, ``term^2.5`` = query-time boosts,
+anything else = BM25 (WAND).
 
 This module (not the library) owns the Ray session, per the repo rule
 that only CLI scripts, bench.py and the test fixture call ``ray.init``.
@@ -325,26 +327,29 @@ def cmd_explain(args) -> int:
     lexicon-expanded first (the same term multiset retrieval ran over)."""
     from wikirec_ray.pipelines.query import (
         IndexReader,
-        expand_query_terms,
         parse_query,
+        scoring_terms,
         split_filters,
     )
 
     reader = IndexReader(args.index)
     _attrs, rest = split_filters(args.query, reader.meta_cols())
-    mode, terms, _w = parse_query(rest)
-    weights = None
-    if mode == "boolean":
-        should, must, _must_not = terms
-        terms = should + must
-    elif mode == "boosted":
-        terms, weights = terms
-    elif mode == "expand":
-        terms = expand_query_terms(reader, *terms)
-    if not terms:
-        print(json.dumps({"query": args.query, "error": "no scoring terms"}))
+    mode, parsed, _w = parse_query(rest)
+    try:
+        # the SAME mode -> scoring-multiset switch retrieval uses — a new
+        # parse mode wired into search_with_terms is automatically
+        # explained.  ValueError covers the user-input failures of both
+        # steps (invalid /regex/ pattern, doc_id outside the index) —
+        # they keep the JSON line protocol like every other error here.
+        terms, weights = scoring_terms(reader, mode, parsed)
+        if not terms:
+            print(json.dumps(
+                {"query": args.query, "error": "no scoring terms"}))
+            return 1
+        ex = reader.explain(terms, args.doc_id, weights=weights)
+    except ValueError as exc:
+        print(json.dumps({"query": args.query, "error": str(exc)}))
         return 1
-    ex = reader.explain(terms, args.doc_id, weights=weights)
     ex["query"] = args.query
     ex["mode"] = mode
     print(json.dumps(ex))

@@ -1959,6 +1959,35 @@ def expand_query_terms(
     return expanded
 
 
+def bm25_route(engine):
+    """The rank-safe WAND router when the engine has one, else the plain
+    ``topk`` — THE unfiltered-BM25 dispatch idiom, defined once so a
+    router change cannot drift between the search / PRF surfaces (it was
+    copy-pasted four times before review r5 caught it)."""
+    return getattr(engine, "topk_wand", None) or engine.topk
+
+
+def scoring_terms(
+    engine, mode: str, terms
+) -> tuple[list[str], list[float] | None]:
+    """The positive scoring multiset (+ optional weights) of a
+    ``parse_query`` result — the ONE switch turning a parse into what the
+    BM25 kernel scores: boolean ``must_not`` excluded, boosted weights
+    carried, lexicon operators expanded (one resolver round trip on the
+    served engine).  Shared by ``search_with_terms`` and the explain CLI
+    so a new parse mode cannot be wired into retrieval but silently
+    missed by introspection (review r5)."""
+    if mode == "boolean":
+        should, must, _must_not = terms
+        return should + must, None
+    if mode == "boosted":
+        b_terms, b_weights = terms
+        return list(b_terms), list(b_weights)
+    if mode == "expand":
+        return expand_query_terms(engine, *terms), None
+    return list(terms), None
+
+
 def search_with_terms(
     engine, query: str, k: int = 10,
     after: tuple[int, float] | None = None,
@@ -1986,68 +2015,41 @@ def search_with_terms(
             f"collapse is only supported for plain/expanded BM25 queries "
             f"(got a {mode} query)"
         )
+    # the ONE mode -> scoring-multiset derivation (shared with the explain
+    # CLI); runs any lexicon expansion exactly once per request
+    pos, pos_w = scoring_terms(engine, mode, terms)
+    if not pos:
+        return [], [], None
     if mode == "boolean":
         should, must, must_not = terms
-        positive = should + must
-        if not positive:
-            return [], positive, None
         hits = engine.boolean_topk(should, must, must_not, k, attrs=attrs,
                                    after=after)
-        return hits, positive, None
-    if not terms:
-        return [], [], None
+        return hits, pos, None
     if mode == "phrase":
         hits = engine.phrase_topk(terms, k, attrs=attrs, after=after)
-        return hits, list(terms), list(terms)
+        return hits, pos, list(terms)
     if mode == "sloppy":
         hits = engine.sloppy_phrase_topk(terms, k, window, attrs=attrs,
                                          after=after)
-        return hits, list(terms), None
+        return hits, pos, None
     if mode == "near":
         hits = engine.near_topk(terms, k, window, attrs=attrs, after=after)
-        return hits, list(terms), None
-    if mode == "expand":
-        expanded = expand_query_terms(engine, *terms)
-        if not expanded:
-            return [], [], None
-        if collapse is not None:
-            return engine.collapsed_topk(
-                expanded, k, collapse, attrs=attrs, after=after
-            ), expanded, None
-        return engine.topk(expanded, k, attrs=attrs, after=after), \
-            expanded, None
-    if mode == "boosted":
-        b_terms, b_weights = terms
-        if collapse is not None:
-            return engine.collapsed_topk(
-                b_terms, k, collapse, attrs=attrs, after=after,
-                weights=b_weights,
-            ), b_terms, None
-        if attrs:
-            return engine.topk(b_terms, k, attrs=attrs, after=after,
-                               weights=b_weights), b_terms, None
-        if after is not None:
-            # attrs= deliberately NOT passed: like the plain-BM25 cursor
-            # leg below, engines without attribute filtering
-            # (DistributedQueryEngine) must still page boosted queries
-            return engine.topk(b_terms, k, after=after,
-                               weights=b_weights), b_terms, None
-        bm25 = getattr(engine, "topk_wand", None) or engine.topk
-        return bm25(b_terms, k, weights=b_weights), b_terms, None
+        return hits, pos, None
+    # expand / boosted / plain bm25 all rank the weighted multiset
     if collapse is not None:
         return engine.collapsed_topk(
-            terms, k, collapse, attrs=attrs, after=after
-        ), list(terms), None
+            pos, k, collapse, attrs=attrs, after=after, weights=pos_w
+        ), pos, None
     if attrs:
-        return engine.topk(terms, k, attrs=attrs, after=after), \
-            list(terms), None
+        return engine.topk(pos, k, attrs=attrs, after=after,
+                           weights=pos_w), pos, None
     if after is not None:
-        # the WAND router handles cursors by falling back to the exact
-        # dense path anyway; go straight there so engines whose WAND
-        # surface predates paging stay correct
-        return engine.topk(terms, k, after=after), list(terms), None
-    bm25 = getattr(engine, "topk_wand", None) or engine.topk
-    return bm25(terms, k), list(terms), None
+        # attrs= deliberately NOT passed, and the exact path rather than
+        # the WAND router: engines without attribute filtering
+        # (DistributedQueryEngine) must still page, and WAND's threshold
+        # admission assumes the heap fills from the top of the ranking
+        return engine.topk(pos, k, after=after, weights=pos_w), pos, None
+    return bm25_route(engine)(pos, k, weights=pos_w), pos, None
 
 
 def search(engine, query: str, k: int = 10,
@@ -2218,9 +2220,8 @@ def prf_expand(
         return base
     # engine-agnostic: the WAND router when the engine has one and the
     # query is unfiltered, the plain (dense/coordinated) path otherwise
-    bm25 = getattr(reader, "topk_wand", None) or reader.topk
     hits = reader.topk(terms, fb_docs, attrs=attrs) if attrs \
-        else bm25(terms, fb_docs)
+        else bm25_route(reader)(terms, fb_docs)
     if not hits:
         return base
     fetched = store.fetch([d for d, _ in hits])
@@ -2286,5 +2287,4 @@ def prf_topk(
     )
     if attrs:
         return reader.topk(ex_terms, k, attrs=attrs, weights=ex_weights)
-    bm25 = getattr(reader, "topk_wand", None) or reader.topk
-    return bm25(ex_terms, k, weights=ex_weights)
+    return bm25_route(reader)(ex_terms, k, weights=ex_weights)
