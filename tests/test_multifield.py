@@ -1,0 +1,245 @@
+"""Multi-field retrieval: per-field indexes (body + page <title>) ranked by
+a field-weighted BM25 sum (Lucene/ES multi_match most_fields), against an
+independent NumPy per-field replay."""
+
+import math
+import os
+import re
+
+import numpy as np
+import pytest
+
+from wikirec_ray.pipelines.multifield import MultiFieldReader
+from wikirec_ray.pipelines.query import IndexReader
+from wikirec_ray.stages.extract import extract_title_single
+
+K = 15
+
+
+# ---------------------------------------------------------------------------
+# title extraction (pure kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_title_single():
+    assert extract_title_single(
+        b"<html><head><title>Tom &amp; Jerry \xe2\x80\x94 ep1</title>"
+        b"</head><body><p>x</p></body></html>"
+    ) == "Tom & Jerry — ep1"
+    # inner markup stripped, whitespace trimmed, attributes tolerated
+    assert extract_title_single(
+        b'<title lang="en">  a <b>bold</b> title\n</title>'
+    ) == "a bold title"
+    # first tag wins; absent tag -> ""
+    assert extract_title_single(b"<title>one</title><title>two</title>") == "one"
+    assert extract_title_single(b"<html><p>no head</p></html>") == ""
+
+
+# ---------------------------------------------------------------------------
+# fixtures: body + title field indexes over the synthetic crawl
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def field_indexes(ray_session, sf_dir, tmp_path_factory):
+    """(body_dir, title_dir, {doc: body tokens}, {doc: title tokens}) —
+    both fields extracted from the SAME pages Dataset in one pass, each
+    indexed by the ordinary single-shuffle build."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wikirec_ray.sources.synth import pages_dataset
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    root = tmp_path_factory.mktemp("multifield")
+    pages = pages_dataset(sf_dir, columns=["url", "html"])
+    corpus = extract_pages(pages, title_col="title").map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    body_dir, title_dir = str(root / "body"), str(root / "title")
+    build_index(corpus, body_dir, resume=False)
+    build_index(corpus, title_dir, text_col="title", resume=False)
+
+    def toks(col):
+        out = {}
+        for row in corpus.select_columns(["doc_id", col]).take_all():
+            out[int(row["doc_id"])] = [
+                w for w in re.split(r"[^a-z0-9]+", (row[col] or "").lower()) if w
+            ]
+        return out
+
+    return body_dir, title_dir, toks("text"), toks("title")
+
+
+def brute_field_bm25(corpus_tokens, terms, weights=None):
+    """{doc: unweighted BM25 over ONE field's oracle tokenization} —
+    independent of the engine (formula transcribed, not imported)."""
+    from wikirec_ray.schema import BM25_B, BM25_K1
+
+    docs = sorted(corpus_tokens)
+    dls = np.array([len(corpus_tokens[d]) for d in docs], float)
+    avgdl = dls.mean()
+    n = len(docs)
+    scores = np.zeros(n)
+    weights = weights or [1.0] * len(terms)
+    agg = {}
+    for t, w in zip(terms, weights):
+        agg[t] = agg.get(t, 0.0) + w
+    for t, w in agg.items():
+        df = sum(1 for d in docs if t in set(corpus_tokens[d]))
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * w
+        tf = np.array([corpus_tokens[d].count(t) for d in docs], float)
+        scores += idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dls / avgdl)
+        )
+    return dict(zip(docs, scores))
+
+
+def brute_multifield_topk(field_toks, field_weights, terms, k, weights=None):
+    per_field = [brute_field_bm25(ft, terms, weights) for ft in field_toks]
+    docs = sorted(per_field[0])
+    total = {
+        d: sum(fw * pf[d] for fw, pf in zip(field_weights, per_field))
+        for d in docs
+    }
+    r = {d: round(total[d], 9) for d in docs}
+    order = sorted((d for d in docs if r[d] > 0), key=lambda d: (-r[d], d))[:k]
+    return [(d, float(r[d])) for d in order]
+
+
+# ---------------------------------------------------------------------------
+# ranking
+# ---------------------------------------------------------------------------
+
+
+def test_multifield_equals_brute(field_indexes):
+    body_dir, title_dir, body_toks, title_toks = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    # src* tokens live in every title AND in body footers' absence — pick a
+    # query mixing a title-heavy token with body-only vocabulary
+    for terms in (["spark", "join"], ["src3", "spark"], ["doc"], ["src1"]):
+        expect = brute_multifield_topk(
+            [body_toks, title_toks], [1.0, 2.0], terms, K
+        )
+        assert mf.topk(terms, K) == expect, terms
+    # per-occurrence query boosts apply inside every field
+    terms, w = ["spark", "src3", "spark"], [2.0, 0.5, 1.0]
+    assert mf.topk(terms, K, weights=w) == brute_multifield_topk(
+        [body_toks, title_toks], [1.0, 2.0], terms, K, weights=w
+    )
+
+
+def test_single_field_weight1_equals_plain(field_indexes):
+    body_dir, _, _, _ = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0)])
+    rd = IndexReader(body_dir)
+    for q in (["spark", "join"], ["the"], ["absentterm"]):
+        assert mf.topk(q, K) == rd.topk(q, K)
+
+
+def test_title_weight_drives_ranking(field_indexes):
+    """A token that is IN some titles ranks those docs above pure body
+    matches once the title weight dominates."""
+    body_dir, title_dir, _, title_toks = field_indexes
+    titled = {d for d, tk in title_toks.items() if "src2" in tk}
+    assert titled  # the synthetic corpus has src2 pages
+    heavy = MultiFieldReader([(body_dir, 1.0), (title_dir, 50.0)])
+    top = [d for d, _ in heavy.topk(["src2"], len(titled))]
+    assert set(top) <= titled
+
+
+def test_multifield_paging(field_indexes):
+    body_dir, title_dir, *_ = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    full = mf.topk(["spark", "doc"], 30)
+    assert len(full) == 30
+    page1 = mf.topk(["spark", "doc"], 10)
+    page2 = mf.topk(["spark", "doc"], 10, after=page1[-1])
+    page3 = mf.topk(["spark", "doc"], 10, after=page2[-1])
+    assert page1 + page2 + page3 == full
+
+
+def test_multifield_attrs_filter(field_indexes, ray_session, sf_dir):
+    """attrs= composes: the primary field's sidecar filters the summed
+    ranking, same contract as every single-field route."""
+    import ray.data
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    body_dir, title_dir, *_ = field_indexes
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    build_doc_meta(ds, body_dir, ["lang"], resume=False)
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    assert mf.meta_cols() == ["lang"]
+    hits = mf.topk(["spark", "doc"], K, attrs=[("lang", "de")])
+    de = {
+        int(r["doc_id"])
+        for r in ds.take_all()
+        if r["lang"] == "de"
+    }
+    assert hits and {d for d, _ in hits} <= de
+    unfiltered = dict(mf.topk(["spark", "doc"], 500))
+    assert all(abs(unfiltered[d] - s) < 1e-12 for d, s in hits)
+
+
+# ---------------------------------------------------------------------------
+# explain / deletes / validation
+# ---------------------------------------------------------------------------
+
+
+def test_multifield_explain_recomposes(field_indexes):
+    body_dir, title_dir, *_ = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    terms, w = ["spark", "src3", "spark"], [2.0, 0.5, 1.0]
+    for d, s in mf.topk(terms, K, weights=w):
+        ex = mf.explain(terms, d, weights=w)
+        assert ex["score"] == s
+        assert [f["field_weight"] for f in ex["fields"]] == [1.0, 2.0]
+        # field_score is the addend the sum used
+        assert ex["score"] == round(
+            sum(f["field_score"] for f in ex["fields"]), 9
+        )
+
+
+def test_tombstone_union(ray_session, field_indexes, tmp_path_factory):
+    """Deleting a doc from ONE field's index kills it in the combined
+    ranking (and explain reports deleted) — a delete never depends on how
+    many field indexes exist."""
+    import shutil
+
+    from wikirec_ray.stages.lifecycle import delete_docs
+
+    body_dir, title_dir, *_ = field_indexes
+    # copy the title index so the shared fixture stays undeleted
+    t2 = str(tmp_path_factory.mktemp("mf_del") / "title")
+    shutil.copytree(title_dir, t2)
+    mf0 = MultiFieldReader([(body_dir, 1.0), (t2, 2.0)])
+    victim = mf0.topk(["spark", "doc"], 1)[0][0]
+    delete_docs(t2, [victim])
+    mf = MultiFieldReader([(body_dir, 1.0), (t2, 2.0)])  # fresh snapshot
+    assert all(d != victim for d, _ in mf.topk(["spark", "doc"], 100))
+    ex = mf.explain(["spark", "doc"], victim)
+    assert ex["deleted"] is True and ex["score"] == 0.0
+
+
+def test_field_validation(field_indexes):
+    body_dir, title_dir, *_ = field_indexes
+    with pytest.raises(ValueError, match="at least one"):
+        MultiFieldReader([])
+    for bad in (0.0, -2.0, math.nan, math.inf):
+        with pytest.raises(ValueError, match="finite and > 0"):
+            MultiFieldReader([(body_dir, bad)])
+    # mismatched doc spaces fail loudly at construction
+    rd = IndexReader(title_dir)
+    rd.norms = rd.norms[:-5]
+    with pytest.raises(ValueError, match="doc-id space"):
+        MultiFieldReader([(body_dir, 1.0), (rd, 2.0)])

@@ -27,6 +27,20 @@ _SCRIPT_STYLE_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.DOTALL)
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
 _PARA_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 _TAG_RE = re.compile(rb"<[^>]+>")
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.DOTALL)
+
+
+def extract_title_single(html: bytes) -> str:
+    """One page -> its ``<title>`` text (first tag, inner markup stripped,
+    entities unescaped, surrounding whitespace trimmed; "" when the page
+    has none).  The second retrieval FIELD of a web page — pure and
+    deterministic like ``extract_text_single`` so per-field indexes built
+    from the same crawl agree row-for-row."""
+    m = _TITLE_RE.search(html)
+    if m is None:
+        return ""
+    raw = _TAG_RE.sub(b"", _COMMENT_RE.sub(b"", m.group(1)))
+    return _html.unescape(raw.decode("utf-8", errors="replace")).strip()
 
 
 def extract_text_single(html: bytes) -> str:
@@ -46,32 +60,48 @@ def extract_text_single(html: bytes) -> str:
     return _html.unescape(b" ".join(paras).decode("utf-8", errors="replace"))
 
 
-def extract_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
+def extract_batch(
+    batch: pa.Table, html_col: str = "html", out_col: str = "text",
+    title_col: str | None = None,
+) -> pa.Table:
     """(url, html, …) batch -> (url, text) with text extracted per row.
 
     Regex over bytes per row; the patterns are module-level compiled (setup
-    cost amortized across the whole worker lifetime).
+    cost amortized across the whole worker lifetime).  ``title_col`` also
+    emits each page's ``<title>`` as a second field (one pass over the
+    already-fetched html bytes, no second decode of the column).
     """
-    texts = pa.array(
-        [extract_text_single(h) for h in batch[html_col].to_pylist()], type=pa.string()
-    )
+    htmls = batch[html_col].to_pylist()
+    texts = pa.array([extract_text_single(h) for h in htmls], type=pa.string())
     cols, names = [], []
     for name in batch.column_names:
-        if name in (html_col, out_col):
+        if name in (html_col, out_col, title_col):
             continue
         cols.append(batch[name])
         names.append(name)
     cols.append(texts)
     names.append(out_col)
+    if title_col is not None:
+        cols.append(
+            pa.array([extract_title_single(h) for h in htmls], type=pa.string())
+        )
+        names.append(title_col)
     return pa.table(dict(zip(names, cols)))
 
 
-def extract_pages(ds, html_col: str = "html", out_col: str = "text"):
+def extract_pages(
+    ds, html_col: str = "html", out_col: str = "text",
+    title_col: str | None = None,
+):
     """Dataset(url, warc_ts, html, lang, …) -> Dataset with html replaced by
     extracted text. Stateless map_batches; batch_size kept moderate because
-    html is a wide binary column."""
+    html is a wide binary column.  ``title_col="title"`` adds the page
+    title as a second retrieval field (for per-field indexes /
+    ``MultiFieldReader``)."""
     return ds.map_batches(
-        lambda b: extract_batch(b, html_col=html_col, out_col=out_col),
+        lambda b: extract_batch(
+            b, html_col=html_col, out_col=out_col, title_col=title_col
+        ),
         batch_format="pyarrow",
         batch_size=1024,
     )
