@@ -231,6 +231,41 @@ def test_tombstone_union(ray_session, field_indexes, tmp_path_factory):
     assert ex["deleted"] is True and ex["score"] == 0.0
 
 
+def test_served_multifield_equals_local(field_indexes, ray_session, sf_dir):
+    """MultiFieldShardedEngine (per-field resolver pools + doc-range shards
+    summing field_weight × field BM25 range-locally) returns exactly the
+    local MultiFieldReader ranking — plain, boosted, paged, filtered."""
+    import ray.data
+
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+    from wikirec_ray.state.server import MultiFieldShardedEngine
+
+    body_dir, title_dir, *_ = field_indexes
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    build_doc_meta(ds, body_dir, ["lang"], resume=True)  # idempotent
+    local = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    eng = MultiFieldShardedEngine(
+        [(body_dir, 1.0), (title_dir, 2.0)], pool_size=3,
+        resolver_pool_size=2,
+    )
+    try:
+        assert eng.meta_cols() == ["lang"]
+        for terms in (["spark", "join"], ["src3", "spark"], ["doc"],
+                      ["absentterm"], []):
+            assert eng.topk(terms, K) == local.topk(terms, K), terms
+        terms, w = ["spark", "src3", "spark"], [2.0, 0.5, 1.0]
+        assert eng.topk(terms, K, weights=w) == local.topk(terms, K, weights=w)
+        p1 = eng.topk(["spark", "doc"], 10)
+        assert eng.topk(["spark", "doc"], 10, after=p1[-1]) == \
+            local.topk(["spark", "doc"], 10, after=p1[-1])
+        assert eng.topk(["spark", "doc"], K, attrs=[("lang", "de")]) == \
+            local.topk(["spark", "doc"], K, attrs=[("lang", "de")])
+    finally:
+        eng.shutdown()
+
+
 def test_field_validation(field_indexes):
     body_dir, title_dir, *_ = field_indexes
     with pytest.raises(ValueError, match="at least one"):

@@ -246,13 +246,17 @@ class DfResolver:
         return self._lexicon().expand_many(items, cap)
 
 
-@ray.remote
-class RangeServer:
+class RangeServerImpl:
     """Owns a set of DOC RANGES: scores queries against the per-(tpart,
     range) posting chunks the build shuffle wrote, holding only its ranges'
     norms — nothing in this actor is O(n_docs).  The dense accumulator it
     allocates per query is O(DOC_RANGE_SIZE) (8192 by default), regardless
-    of corpus size."""
+    of corpus size.
+
+    Plain class (``RangeServer`` below is its ``ray.remote`` wrapping) so
+    composite shards — ``MultiFieldRangeShard`` holds one per FIELD and
+    sums their dense accumulators locally — can embed it without an actor
+    hop per field."""
 
     def __init__(self, index_dir: str, range_ids: list[int]):
         import os
@@ -877,6 +881,70 @@ class RangeServer:
         return out[:k]
 
 
+RangeServer = ray.remote(RangeServerImpl)
+
+
+@ray.remote
+class MultiFieldRangeShard:
+    """One doc-range shard of a MULTI-FIELD index: an embedded
+    ``RangeServerImpl`` per field over the SAME range ids, summing
+    ``field_weight × field dense accumulator`` range-locally before the
+    top-k — the served twin of ``MultiFieldReader.score_exact``, placed
+    exactly where the data is (the per-field arrays never cross a process
+    boundary; the coordinator sees only this shard's merged top-k).
+    Tombstones union across fields (zeroing each field's tombs on the
+    summed array), matching the local reader's delete contract."""
+
+    def __init__(self, field_dirs: list[str], range_ids: list[int]):
+        self.fields = [RangeServerImpl(d, range_ids) for d in field_dirs]
+        self.range_ids = list(range_ids)
+        sizes = {f.range_size for f in self.fields}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"field indexes disagree on doc_range_size ({sorted(sizes)})"
+            )
+
+    def topk(
+        self,
+        per_field_twi: list[list[tuple[str, int, float]]],
+        field_weights: list[float],
+        k: int,
+        attrs: list[tuple[str, str]] | None = None,
+        after=None,
+    ):
+        """This shard's top-k over Σ_f weight × BM25_f.  ``per_field_twi``
+        = one (term, tpart, weighted idf) list per field, resolved against
+        THAT field's vocabulary (idfs differ per field by design)."""
+        from wikirec_ray.pipelines.query import topk_from_dense
+
+        primary = self.fields[0]
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            local = None
+            for fw, twi, f in zip(field_weights, per_field_twi, self.fields):
+                nr = f.norms.get(r)
+                if nr is None or not twi:
+                    continue
+                s = f._score_range(r, nr, twi)
+                if s is None:
+                    continue
+                local = fw * s if local is None else local + fw * s
+            if local is None:
+                continue
+            for f in self.fields:
+                f._zero_tombs(r, local)
+            if attrs:
+                primary._apply_attrs_dense(r, local, attrs)
+            base = r * primary.range_size
+            loc_after = (after[0] - base, after[1]) if after else None
+            out.extend(
+                (d + base, s)
+                for d, s in topk_from_dense(local, k, after=loc_after)
+            )
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
 class RangeShardedQueryEngine:
     """Coordinator over a RangeServer pool: idf resolves at a tpart-sharded
     ``DfResolver`` pool (phase 1), then queries fan out to every range
@@ -1347,6 +1415,152 @@ class RangeShardedQueryEngine:
             for s in self.servers + self.resolvers:
                 ray.kill(s)
         self.servers = []
+        self.resolvers = []
+
+
+class MultiFieldShardedEngine:
+    """Coordinator over a ``MultiFieldRangeShard`` pool — the served twin
+    of ``pipelines/multifield.MultiFieldReader`` (Lucene/ES ``multi_match
+    most_fields``): per-field idf resolves at per-FIELD ``DfResolver``
+    pools (each field has its own vocabulary and df — one batched round
+    trip covering every field), then the query fans out to doc-range
+    shards that sum ``field_weight × field BM25`` range-locally.  Each doc
+    lives in exactly one shard, so the global top-k is the merge of
+    per-shard partials, unchanged from the single-field coordinator; the
+    coordinator holds only stats-scale state.  pytest pins served ==
+    ``MultiFieldReader`` (``tests/test_multifield.py``)."""
+
+    def __init__(self, fields: list[tuple], pool_size: int = 4,
+                 resolver_pool_size: int = 2):
+        import os
+
+        from wikirec_ray.state.segments import load_stats
+
+        if not fields:
+            raise ValueError(
+                "MultiFieldShardedEngine needs at least one field"
+            )
+        self.field_dirs: list[str] = []
+        self.field_weights: list[float] = []
+        for d, w in fields:
+            w = float(w)
+            if not math.isfinite(w) or w <= 0.0:
+                raise ValueError(
+                    f"field weights must be finite and > 0, got {w!r}"
+                )
+            self.field_dirs.append(d)
+            self.field_weights.append(w)
+        self.field_ntparts = [
+            int(load_stats(d).get("n_term_partitions", N_TERM_PARTITIONS))
+            for d in self.field_dirs
+        ]
+        self._meta_cols_cache: list[str] | None = None
+
+        def ranges_of(d: str) -> list[int]:
+            nd = os.path.join(d, "norms")
+            return sorted(
+                int(p.split("-")[1].split(".")[0])
+                for p in os.listdir(nd)
+                if p.endswith(".parquet")
+            )
+
+        range_ids = ranges_of(self.field_dirs[0])
+        for d in self.field_dirs[1:]:
+            if ranges_of(d) != range_ids:
+                raise ValueError(
+                    "field indexes disagree on the doc-range layout — "
+                    "every field must be built over the same corpus rows"
+                )
+        self.n_ranges = len(range_ids)
+        pool_size = max(1, min(pool_size, len(range_ids) or 1))
+        assign: list[list[int]] = [[] for _ in range(pool_size)]
+        for i, r in enumerate(range_ids):
+            assign[i % pool_size].append(r)
+        self.shards = [
+            MultiFieldRangeShard.remote(self.field_dirs, rs) for rs in assign
+        ]
+        # one resolver pool per field: vocabulary state is per-field by
+        # design (a term rare in titles but common in bodies must resolve
+        # to DIFFERENT idfs)
+        self.resolvers: list[list] = []
+        self.resolver_of: list[dict[int, int]] = []
+        for d, nt in zip(self.field_dirs, self.field_ntparts):
+            rp = max(1, min(resolver_pool_size, nt))
+            r_assign: list[list[int]] = [[] for _ in range(rp)]
+            for t in range(nt):
+                r_assign[t % rp].append(t)
+            self.resolvers.append([DfResolver.remote(d, ts) for ts in r_assign])
+            self.resolver_of.append({t: t % rp for t in range(nt)})
+
+    def meta_cols(self) -> list[str]:
+        """Attribute columns of the PRIMARY field's sidecar (fields share
+        doc ids; pinning one keeps filter semantics deterministic, same as
+        the local ``MultiFieldReader``)."""
+        if self._meta_cols_cache is None:
+            from wikirec_ray.stages.doc_meta import meta_manifest
+
+            try:
+                self._meta_cols_cache = list(
+                    meta_manifest(self.field_dirs[0]).get("cols", [])
+                )
+            except FileNotFoundError:
+                self._meta_cols_cache = []
+        return list(self._meta_cols_cache)
+
+    def topk(self, terms: list[str], k: int,
+             attrs: list[tuple[str, str]] | None = None,
+             after: tuple[int, float] | None = None,
+             weights: list[float] | None = None,
+             ) -> list[tuple[int, float]]:
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        agg = aggregate_weights(terms, weights)
+        uniq = sorted(agg)
+        if not uniq:
+            return []
+        # phase 1: resolve every field's idfs in ONE batched round trip —
+        # all resolver futures launched before any get
+        futures: list[tuple[int, int, list[str]]] = []
+        handles = []
+        for fi, nt in enumerate(self.field_ntparts):
+            by_r: dict[int, list[str]] = {}
+            for t in uniq:
+                tp = zlib.crc32(t.encode("utf-8")) % nt
+                by_r.setdefault(self.resolver_of[fi][tp], []).append(t)
+            for rid, ts in by_r.items():
+                futures.append((fi, rid, ts))
+                handles.append(self.resolvers[fi][rid].resolve_idf.remote(ts))
+        results = ray.get(handles)
+        per_field_twi: list[list[tuple[str, int, float]]] = [
+            [] for _ in self.field_dirs
+        ]
+        resolved: list[dict[str, float]] = [{} for _ in self.field_dirs]
+        for (fi, _rid, ts), vals in zip(futures, results):
+            for t, v in zip(ts, vals):
+                resolved[fi][t] = v
+        for fi, nt in enumerate(self.field_ntparts):
+            per_field_twi[fi] = [
+                (t, zlib.crc32(t.encode("utf-8")) % nt, resolved[fi][t] * w)
+                for t, w in agg.items() if resolved[fi][t] != 0.0
+            ]
+        if not any(per_field_twi):
+            return []
+        # phase 2: fan out; each shard returns its summed-field top-k
+        partials = ray.get([
+            s.topk.remote(per_field_twi, self.field_weights, k, attrs, after)
+            for s in self.shards
+        ])
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        for pool in self.resolvers:
+            for a in pool:
+                ray.kill(a)
+        self.shards = []
         self.resolvers = []
 
 
