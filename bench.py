@@ -20,6 +20,8 @@ frequent-bigram precompute vs the stopword-pair cold path).
 positional.
 ``--serve-load``: N concurrent clients against one range-sharded pool;
 QPS + p50/p99 at 1/4/16 clients.
+``--multifield``: title^2 + body most_fields — second-field build cost,
+local + served query latency, served == local spot check.
 """
 
 from __future__ import annotations
@@ -938,6 +940,132 @@ def run_zipf() -> None:
     ray.shutdown()
 
 
+def run_multifield() -> None:
+    """Multi-field retrieval (title^2 + body, Lucene most_fields): title
+    extraction + second-field build cost over the default amplified
+    corpus, local and served query latency, served == local spot check;
+    prints one JSON line."""
+    import ray
+
+    probe_loss = wait_clean_window()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_empty_block_schema_warnings()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = max(NUM_CPUS, 16)
+
+    from wikirec_ray.pipelines.multifield import MultiFieldReader
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    pages_dir = build_corpus()
+    ray.data.read_parquet(pages_dir).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()  # untimed warmup (pool spawn + page cache), as in run_bench
+
+    # extraction of BOTH fields happens once (title rides the same html
+    # pass); the extracted corpus is written to parquet so the two builds
+    # read the same materialized input
+    corpus_pq = os.path.join(CACHE_ROOT, f"mf-corpus-{NUM_CPUS}")
+    shutil.rmtree(corpus_pq, ignore_errors=True)
+    t0 = time.monotonic()
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    extract_pages(pages, title_col="title").map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(corpus_pq)
+    extract_sec = time.monotonic() - t0
+
+    body_dir = os.path.join(CACHE_ROOT, f"mf-body-{NUM_CPUS}")
+    title_dir = os.path.join(CACHE_ROOT, f"mf-title-{NUM_CPUS}")
+    for d in (body_dir, title_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    t0 = time.monotonic()
+    m = build_index(
+        ray.data.read_parquet(corpus_pq, columns=["doc_id", "text"]),
+        body_dir, resume=False, lineage={"input": corpus_pq},
+    )
+    body_sec = time.monotonic() - t0
+    n_docs = m["stats"]["n_docs"]
+    t0 = time.monotonic()
+    build_index(
+        ray.data.read_parquet(corpus_pq, columns=["doc_id", "title"]),
+        title_dir, text_col="title", resume=False,
+        lineage={"input": corpus_pq},
+    )
+    title_sec = time.monotonic() - t0
+    log(
+        f"multifield: extract {extract_sec:.2f}s, body build {body_sec:.2f}s, "
+        f"title build {title_sec:.2f}s ({title_sec/body_sec:.2f}x body) over "
+        f"{n_docs} docs"
+    )
+
+    weights = [1.0, 2.0]
+    mf = MultiFieldReader([(body_dir, weights[0]), (title_dir, weights[1])])
+    queries = [q for _, q in make_queries()]
+    # title-heavy mix: half the queries get a title token appended (source
+    # tags live in every synth title), the regime the field weight exists for
+    srcs = [f"src{i}" for i in range(8)]
+    for i in range(0, len(queries), 2):
+        queries[i] = queries[i] + [srcs[(i // 2) % len(srcs)]]
+    mf.topk(queries[0], TOP_K)  # warm lazy segment opens
+    lat = []
+    for q in queries:
+        t = time.monotonic(); mf.topk(q, TOP_K); lat.append(time.monotonic() - t)
+    lm = np.array(lat) * 1000
+
+    from wikirec_ray.state.server import MultiFieldShardedEngine
+
+    eng = MultiFieldShardedEngine(
+        [(body_dir, weights[0]), (title_dir, weights[1])], pool_size=4,
+    )
+    eng.topk(queries[0], TOP_K)  # warm the actor pool
+    lat_s = []
+    for q in queries:
+        t = time.monotonic(); eng.topk(q, TOP_K); lat_s.append(time.monotonic() - t)
+    mismatch = sum(
+        eng.topk(q, TOP_K) != mf.topk(q, TOP_K) for q in queries[:20]
+    )
+    eng.shutdown()
+    ls = np.array(lat_s) * 1000
+    log(
+        f"multifield query: local p50={np.percentile(lm,50):.1f}ms "
+        f"p99={np.percentile(lm,99):.1f}ms; served p50={np.percentile(ls,50):.1f}ms "
+        f"p99={np.percentile(ls,99):.1f}ms; served-vs-local mismatches={mismatch}"
+    )
+    print(json.dumps({
+        "metric": "multifield_sec",
+        "value": round(extract_sec + body_sec + title_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "extract_both_fields": round(extract_sec, 3),
+            "body_build": round(body_sec, 3),
+            "title_build": round(title_sec, 3),
+            "mf_p50_ms": round(float(np.percentile(lm, 50)), 3),
+            "mf_p99_ms": round(float(np.percentile(lm, 99)), 3),
+            "mf_serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
+            "mf_serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
+        },
+        "docs": int(n_docs),
+        "title_build_ratio": round(title_sec / body_sec, 3),
+        "served_mismatches": int(mismatch),
+        "num_cpus": NUM_CPUS,
+        "cpu_probe_loss_pct": probe_loss,
+    }))
+    ray.shutdown()
+
+
 def run_incremental() -> None:
     """Incremental-ingest benchmark (manifest v5 input-aware resume),
     modeling the real crawl-append workflow: the base corpus is a fixed
@@ -1342,6 +1470,8 @@ if __name__ == "__main__":
         run_zipf()
     elif "--incremental" in sys.argv:
         run_incremental()
+    elif "--multifield" in sys.argv:
+        run_multifield()
     elif "--serve-load" in sys.argv:
         run_serve_load()
     else:
