@@ -64,6 +64,24 @@ BOOST_QUERY_SET: list[tuple[int, list[tuple[str, float]]]] = [
     (4, [("absentterm", 4.0), ("key", 1.0)]),
 ]
 BOOST_K = 10
+# multi-field retrieval (pipelines/multifield.py, Lucene/ES multi_match
+# most_fields): body field = the documents text; title field = the page
+# <title> EXTRACTED from the synthetic crawl html ("doc {id} — {source}",
+# sources/synth.py render_html), which the SQL oracle reconstructs from
+# the documents table as 'doc ' || doc_id || ' ' || source (the em dash is
+# tokenizer whitespace, so the token streams are identical).  Queries mix
+# title tokens (srcN tags, the every-title 'doc') with body vocabulary;
+# field weights are dyadic so Python float == SQL DOUBLE exactly.
+MF_QUERY_SET: list[tuple[int, list[str]]] = [
+    (0, ["spark", "src2"]),
+    (1, ["doc", "join"]),
+    (2, ["src5"]),
+    (3, ["vector", "src11", "hash"]),
+    (4, ["absentterm", "src0"]),
+    (5, ["the", "doc", "doc"]),  # duplicate occurrences, title-common term
+]
+MF_K = 10
+MF_BODY_W, MF_TITLE_W = 1.0, 2.0
 # merged-index retrieval (stages/merge.py): documents split by id parity
 # into two "crawls" — odd ids relabeled PAST the corpus' own doc ranges
 # (shift = next doc-range boundary above max(doc_id), derived from the
@@ -448,6 +466,38 @@ def _ensure_pos_index(sf_dir: str) -> str:
         lineage={"input": os.path.join(sf_dir, "documents.parquet")},
         store_positions=True,
         precompute_bigrams=PHRASE_PRECOMPUTE_K,
+    )
+    return index_dir
+
+
+def _ensure_title_index(sf_dir: str) -> str:
+    """Title-FIELD sibling of ``_ensure_index``: the page ``<title>``
+    extracted from the synthetic crawl html (``extract_title_single``, the
+    same pass that extracts the body), indexed by the ordinary
+    single-shuffle build with ``text_col="title"`` — per-field indexes are
+    plain indexes, there is no multi-field build path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wikirec_ray.sources.synth import build_pages, pages_dataset
+    from wikirec_ray.stages.extract import extract_pages
+    from wikirec_ray.stages.index_build import build_index
+
+    pages_dir = build_pages(sf_dir)
+    index_dir = _index_dir_for(sf_dir) + "-title"
+    os.makedirs(index_dir, exist_ok=True)
+    corpus = extract_pages(
+        pages_dataset(sf_dir, columns=["url", "html"]), title_col="title"
+    ).map_batches(
+        lambda b: b.append_column(
+            "doc_id",
+            pc.cast(pc.replace_substring_regex(b["url"], r"^.*/", ""), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "title"])
+    build_index(
+        corpus, index_dir, text_col="title", resume=True,
+        lineage={"input": pages_dir},
     )
     return index_dir
 
@@ -1443,10 +1493,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
-    def line_dup_ratio_q(sf_dir):
-        from wikirec_ray.pipelines.webfilters import line_dup_ratio
+    def multifield_search_q(sf_dir):
+        """Multi-field retrieval (Lucene/ES ``multi_match most_fields``,
+        ``pipelines/multifield.MultiFieldReader``): body + extracted
+        ``<title>`` field indexes over the same corpus, ranked by
+        ``Σ_f field_weight × BM25_f`` with each field's OWN df/idf/avgdl.
+        The replay is two bm25 CTE stacks (the title tokenized from the
+        SQL-reconstructed title string) FULL-OUTER-joined per (query,
+        doc) and summed under the dyadic field weights."""
+        import pandas as pd
 
-        return line_dup_ratio(_webtext(sf_dir))
+        from wikirec_ray.pipelines.multifield import MultiFieldReader
+
+        mf = MultiFieldReader([
+            (_ensure_index(sf_dir), MF_BODY_W),
+            (_ensure_title_index(sf_dir), MF_TITLE_W),
+        ])
+        rows = []
+        for qid, terms in MF_QUERY_SET:
+            for rank, (doc, score) in enumerate(mf.topk(terms, MF_K), 1):
+                rows.append((qid, rank, doc, round(score, 6)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
     def similar_docs_q(sf_dir):
         from wikirec_ray.pipelines.query import similar_docs_topk
@@ -1596,7 +1665,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (query-time term boosts, the weighted-retrieval surface every
     # production query language has; also the plumbing pseudo-relevance
     # feedback rides on).
+    # Final r5 swap #5: line_dup_ratio retired (the duplicate-line-fraction
+    # kernel keeps its handwritten pytest oracle in test_webfilters.py and
+    # the quality family keeps THREE driver checks — quality_scores,
+    # gopher_quality, repetition_ratios — while line_dedup_global drives
+    # the same explode+line-hash core through its shuffle) to fund
+    # multifield_search (title^w + body most_fields ranking, the per-field
+    # statistics surface web search is built on).
     return {
+        "multifield_search": multifield_search_q,
         "boosted_search": boosted_search_q,
         "collapsed_search": collapsed_search_q,
         "hybrid_search": hybrid_search_q,
@@ -1617,7 +1694,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_global": line_dedup_global_q,
         "domain_caps": domain_caps_q,
         "gopher_quality": gopher_quality_q,
-        "line_dup_ratio": line_dup_ratio_q,
         "similar_docs_topk": similar_docs_q,
         "doc_topics": doc_topics_q,
         "wikirec_clean": wikirec_clean_q,
@@ -1695,6 +1771,9 @@ def oracle_sql() -> dict[str, str]:
         f"({qid}, '{t}', CAST({w!r} AS DOUBLE))"
         for qid, weighted in BOOST_QUERY_SET
         for t, w in weighted
+    )
+    mf_qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in MF_QUERY_SET for t in terms
     )
     hyb_qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in HYBRID_QUERY_SET for t in terms
@@ -2201,19 +2280,61 @@ def oracle_sql() -> dict[str, str]:
                     AND bul <= {GOPHER_MAX_BULLET_RATIO})::BIGINT AS keep
             FROM mm
         """,
-        "line_dup_ratio": f"""
-            WITH {webtext_cte},
-            l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM tt),
-            ln AS (SELECT doc_id, line FROM l WHERE trim(line, {ws_sql}) <> ''),
-            agg AS (
-                SELECT doc_id, COUNT(*)::BIGINT AS total,
-                       COUNT(DISTINCT line)::BIGINT AS dist
-                FROM ln GROUP BY doc_id
+        "multifield_search": f"""
+            WITH {_BM25_CORE},
+            -- the TITLE field: the synth page <title> ("doc {{id}} — {{src}}",
+            -- sources/synth.py render_html) reconstructed from the documents
+            -- table; the em dash is tokenizer whitespace so a plain space
+            -- yields the identical token stream.  Its own tf/dl/stats —
+            -- per-field statistics are the point of most_fields.
+            ttl AS (SELECT doc_id,
+                    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || source AS text
+                    FROM documents),
+            tokt AS (SELECT doc_id, t AS term FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                     FROM ttl) WHERE t <> ''),
+            tft AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tokt
+                    GROUP BY doc_id, term),
+            dlt AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM tokt
+                    GROUP BY doc_id),
+            stt AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dlt),
+            dfvt AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tft
+                     GROUP BY term),
+            q(query_id, term) AS (VALUES {mf_qvals}),
+            sb AS (
+                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
+                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            sfld AS (
+                SELECT q.query_id, tft.doc_id,
+                       SUM(ln(1 + (stt.n - dfvt.df + 0.5) / (dfvt.df + 0.5))
+                           * tft.tf * ({BM25_K1} + 1)
+                           / (tft.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
+                              * dlt.dl / stt.avgdl))) AS score
+                FROM q JOIN tft USING (term) JOIN dfvt USING (term)
+                JOIN dlt ON dlt.doc_id = tft.doc_id CROSS JOIN stt
+                GROUP BY q.query_id, tft.doc_id
+            ),
+            scored AS (
+                SELECT COALESCE(sb.query_id, sfld.query_id) AS query_id,
+                       COALESCE(sb.doc_id, sfld.doc_id) AS doc_id,
+                       CAST({MF_BODY_W!r} AS DOUBLE) * COALESCE(sb.score, 0)
+                     + CAST({MF_TITLE_W!r} AS DOUBLE) * COALESCE(sfld.score, 0)
+                       AS score
+                FROM sb FULL OUTER JOIN sfld
+                  ON sb.query_id = sfld.query_id AND sb.doc_id = sfld.doc_id
             )
-            SELECT d.doc_id, COALESCE(agg.total, 0) AS n_lines,
-                   ROUND((COALESCE(agg.total, 0) - COALESCE(agg.dist, 0))::DOUBLE
-                         / GREATEST(COALESCE(agg.total, 0), 1), 6) AS dup_line_ratio
-            FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, ROUND(score, 6) AS score
+            FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(score, 9) DESC, doc_id
+                       ) AS rn
+                FROM scored WHERE round(score, 9) > 0
+            ) WHERE rn <= {MF_K}
         """,
         "similar_docs_topk": f"""
             WITH {_BM25_CORE},
