@@ -2301,21 +2301,34 @@ def oracle_sql() -> dict[str, str]:
             dfvt AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tft
                      GROUP BY term),
             q(query_id, term) AS (VALUES {mf_qvals}),
+            -- the weighted normal form (query.aggregate_weights): one row
+            -- per unique term with its occurrence count, so idf scales
+            -- ONCE per term on both sides — per-occurrence SQL addends
+            -- would only match Python's (count × idf) by luck of dyadic
+            -- multiplicities (the boosted_search qw lesson)
+            qa AS (SELECT query_id, term, COUNT(*)::DOUBLE AS w
+                   FROM q GROUP BY query_id, term),
             sb AS (
-                SELECT q.query_id, tf.doc_id, SUM({score}) AS score
-                FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                -- w scales idf FIRST (ln(...) * w * tf ...), matching
+                -- score_exact's (idf × Σweight) × tf association exactly
+                SELECT qa.query_id, tf.doc_id,
+                       SUM(ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                           * qa.w * tf.tf * ({BM25_K1} + 1)
+                           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
+                              * dl.dl / st.avgdl))) AS score
+                FROM qa JOIN tf USING (term) JOIN dfv USING (term)
                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-                GROUP BY q.query_id, tf.doc_id
+                GROUP BY qa.query_id, tf.doc_id
             ),
             sfld AS (
-                SELECT q.query_id, tft.doc_id,
+                SELECT qa.query_id, tft.doc_id,
                        SUM(ln(1 + (stt.n - dfvt.df + 0.5) / (dfvt.df + 0.5))
-                           * tft.tf * ({BM25_K1} + 1)
+                           * qa.w * tft.tf * ({BM25_K1} + 1)
                            / (tft.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
                               * dlt.dl / stt.avgdl))) AS score
-                FROM q JOIN tft USING (term) JOIN dfvt USING (term)
+                FROM qa JOIN tft USING (term) JOIN dfvt USING (term)
                 JOIN dlt ON dlt.doc_id = tft.doc_id CROSS JOIN stt
-                GROUP BY q.query_id, tft.doc_id
+                GROUP BY qa.query_id, tft.doc_id
             ),
             scored AS (
                 SELECT COALESCE(sb.query_id, sfld.query_id) AS query_id,

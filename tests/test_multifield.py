@@ -33,6 +33,15 @@ def test_extract_title_single():
     # first tag wins; absent tag -> ""
     assert extract_title_single(b"<title>one</title><title>two</title>") == "one"
     assert extract_title_single(b"<html><p>no head</p></html>") == ""
+    # comment/script-embedded titles never shadow the real tag (the page is
+    # comment/script/style-stripped FIRST, like extract_text_single)
+    assert extract_title_single(
+        b"<!-- <title>old seo title</title> --><head><title>Real</title></head>"
+    ) == "Real"
+    assert extract_title_single(
+        b"<script>var t = '<title>fake</title>';</script><title>Real</title>"
+    ) == "Real"
+    assert extract_title_single(b"<!-- <title>only in comment</title> -->") == ""
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +238,17 @@ def test_tombstone_union(ray_session, field_indexes, tmp_path_factory):
     assert all(d != victim for d, _ in mf.topk(["spark", "doc"], 100))
     ex = mf.explain(["spark", "doc"], victim)
     assert ex["deleted"] is True and ex["score"] == 0.0
+    # served union too: the shard zeroes EVERY field's tombs on the summed
+    # accumulator, so the title-only delete kills the doc there as well
+    from wikirec_ray.state.server import MultiFieldShardedEngine
+
+    eng = MultiFieldShardedEngine([(body_dir, 1.0), (t2, 2.0)], pool_size=2)
+    try:
+        served = eng.topk(["spark", "doc"], 100)
+        assert all(d != victim for d, _ in served)
+        assert served == mf.topk(["spark", "doc"], 100)
+    finally:
+        eng.shutdown()
 
 
 def test_served_multifield_equals_local(field_indexes, ray_session, sf_dir):
@@ -278,3 +298,24 @@ def test_field_validation(field_indexes):
     rd.norms = rd.norms[:-5]
     with pytest.raises(ValueError, match="doc-id space"):
         MultiFieldReader([(body_dir, 1.0), (rd, 2.0)])
+
+
+def test_served_doc_space_mismatch(ray_session, field_indexes, sf_dir,
+                                   tmp_path_factory):
+    """A field built over a TRUNCATED corpus shares every norms range-file
+    NAME (the missing docs fall inside the last range), so the served
+    engine must compare stats n_docs, not just the range layout — the same
+    rejection the local reader makes by norms length."""
+    import ray.data
+
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.state.server import MultiFieldShardedEngine
+
+    body_dir, *_ = field_indexes
+    short_dir = str(tmp_path_factory.mktemp("mf_short") / "idx")
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(lambda r: r["doc_id"] < 495)
+    build_index(ds, short_dir, resume=False)
+    with pytest.raises(ValueError, match="doc-id space"):
+        MultiFieldShardedEngine([(body_dir, 1.0), (short_dir, 2.0)])

@@ -34,12 +34,15 @@ def extract_title_single(html: bytes) -> str:
     """One page -> its ``<title>`` text (first tag, inner markup stripped,
     entities unescaped, surrounding whitespace trimmed; "" when the page
     has none).  The second retrieval FIELD of a web page — pure and
-    deterministic like ``extract_text_single`` so per-field indexes built
-    from the same crawl agree row-for-row."""
-    m = _TITLE_RE.search(html)
+    deterministic like ``extract_text_single``, and like it the page is
+    comment/script/style-stripped FIRST, so a ``<title>`` inside a
+    comment or a script string literal can never shadow the real tag
+    (review r5)."""
+    page = _COMMENT_RE.sub(b"", _SCRIPT_STYLE_RE.sub(b"", html))
+    m = _TITLE_RE.search(page)
     if m is None:
         return ""
-    raw = _TAG_RE.sub(b"", _COMMENT_RE.sub(b"", m.group(1)))
+    raw = _TAG_RE.sub(b"", m.group(1))
     return _html.unescape(raw.decode("utf-8", errors="replace")).strip()
 
 

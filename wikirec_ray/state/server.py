@@ -884,6 +884,41 @@ class RangeServerImpl:
 RangeServer = ray.remote(RangeServerImpl)
 
 
+def _range_ids(index_dir: str) -> list[int]:
+    """Sorted doc-range ids of an index (one norms file per range) — the
+    shard-assignment ground truth shared by every doc-range coordinator."""
+    import os
+
+    norms_dir = os.path.join(index_dir, "norms")
+    return sorted(
+        int(p.split("-")[1].split(".")[0])
+        for p in os.listdir(norms_dir)
+        if p.endswith(".parquet")
+    )
+
+
+def _round_robin(items: list, n: int) -> list[list]:
+    """items -> at most ``n`` non-empty round-robin buckets (the pool
+    assignment used for both range shards and df resolvers)."""
+    n = max(1, min(n, len(items) or 1))
+    out: list[list] = [[] for _ in range(n)]
+    for i, x in enumerate(items):
+        out[i % n].append(x)
+    return out
+
+
+def _sidecar_cols(index_dir: str) -> list[str]:
+    """Attribute columns of an index's metadata sidecar ([] without one) —
+    the O(1) column list a coordinator caches; per-range data stays in the
+    shards."""
+    from wikirec_ray.stages.doc_meta import meta_manifest
+
+    try:
+        return list(meta_manifest(index_dir).get("cols", []))
+    except FileNotFoundError:
+        return []
+
+
 @ray.remote
 class MultiFieldRangeShard:
     """One doc-range shard of a MULTI-FIELD index: an embedded
@@ -957,8 +992,6 @@ class RangeShardedQueryEngine:
 
     def __init__(self, index_dir: str, pool_size: int = 4,
                  resolver_pool_size: int = 2, handles: dict | None = None):
-        import os
-
         from wikirec_ray.state.segments import load_stats
 
         # coordinator state: stats only.  Vocabulary (df) state lives in a
@@ -988,24 +1021,15 @@ class RangeShardedQueryEngine:
             self.resolver_of = dict(handles["resolver_of"])
             self.n_ranges = int(handles["n_ranges"])
             return
-        norms_dir = os.path.join(index_dir, "norms")
-        range_ids = sorted(
-            int(p.split("-")[1].split(".")[0])
-            for p in os.listdir(norms_dir)
-            if p.endswith(".parquet")
-        )
+        range_ids = _range_ids(index_dir)
         self.n_ranges = len(range_ids)
-        pool_size = max(1, min(pool_size, len(range_ids) or 1))
-        assign: list[list[int]] = [[] for _ in range(pool_size)]
-        for i, r in enumerate(range_ids):
-            assign[i % pool_size].append(r)
-        self.servers = [RangeServer.remote(index_dir, rs) for rs in assign]
-        resolver_pool_size = max(1, min(resolver_pool_size, self.n_tparts))
-        r_assign: list[list[int]] = [[] for _ in range(resolver_pool_size)]
-        for t in range(self.n_tparts):
-            r_assign[t % resolver_pool_size].append(t)
+        self.servers = [
+            RangeServer.remote(index_dir, rs)
+            for rs in _round_robin(range_ids, pool_size)
+        ]
+        r_assign = _round_robin(list(range(self.n_tparts)), resolver_pool_size)
         self.resolver_of = {
-            t: t % resolver_pool_size for t in range(self.n_tparts)
+            t: t % len(r_assign) for t in range(self.n_tparts)
         }
         self.resolvers = [
             DfResolver.remote(index_dir, ts) for ts in r_assign
@@ -1051,14 +1075,7 @@ class RangeShardedQueryEngine:
         the index has no metadata sidecar (cached; the coordinator only
         needs the O(1) column list, per-range data lives in the shards)."""
         if self._meta_cols_cache is None:
-            from wikirec_ray.stages.doc_meta import meta_manifest
-
-            try:
-                self._meta_cols_cache = list(
-                    meta_manifest(self.index_dir).get("cols", [])
-                )
-            except FileNotFoundError:
-                self._meta_cols_cache = []
+            self._meta_cols_cache = _sidecar_cols(self.index_dir)
         return list(self._meta_cols_cache)
 
     def topk(self, terms: list[str], k: int,
@@ -1432,8 +1449,6 @@ class MultiFieldShardedEngine:
 
     def __init__(self, fields: list[tuple], pool_size: int = 4,
                  resolver_pool_size: int = 2):
-        import os
-
         from wikirec_ray.state.segments import load_stats
 
         if not fields:
@@ -1450,34 +1465,30 @@ class MultiFieldShardedEngine:
                 )
             self.field_dirs.append(d)
             self.field_weights.append(w)
+        field_stats = [load_stats(d) for d in self.field_dirs]
         self.field_ntparts = [
-            int(load_stats(d).get("n_term_partitions", N_TERM_PARTITIONS))
-            for d in self.field_dirs
+            int(s.get("n_term_partitions", N_TERM_PARTITIONS))
+            for s in field_stats
         ]
         self._meta_cols_cache: list[str] | None = None
-
-        def ranges_of(d: str) -> list[int]:
-            nd = os.path.join(d, "norms")
-            return sorted(
-                int(p.split("-")[1].split(".")[0])
-                for p in os.listdir(nd)
-                if p.endswith(".parquet")
+        # both the range LAYOUT and the doc COUNT must agree — a shorter
+        # field corpus can share every range file name while missing
+        # trailing docs inside the last range, the case the local
+        # MultiFieldReader rejects by norms length (review r5)
+        n = {int(s["n_docs"]) for s in field_stats}
+        range_ids = _range_ids(self.field_dirs[0])
+        if len(n) != 1 or any(
+            _range_ids(d) != range_ids for d in self.field_dirs[1:]
+        ):
+            raise ValueError(
+                f"field indexes disagree on the doc-id space (n_docs "
+                f"{sorted(n)}) — every field must be built over the same "
+                f"corpus rows"
             )
-
-        range_ids = ranges_of(self.field_dirs[0])
-        for d in self.field_dirs[1:]:
-            if ranges_of(d) != range_ids:
-                raise ValueError(
-                    "field indexes disagree on the doc-range layout — "
-                    "every field must be built over the same corpus rows"
-                )
         self.n_ranges = len(range_ids)
-        pool_size = max(1, min(pool_size, len(range_ids) or 1))
-        assign: list[list[int]] = [[] for _ in range(pool_size)]
-        for i, r in enumerate(range_ids):
-            assign[i % pool_size].append(r)
         self.shards = [
-            MultiFieldRangeShard.remote(self.field_dirs, rs) for rs in assign
+            MultiFieldRangeShard.remote(self.field_dirs, rs)
+            for rs in _round_robin(range_ids, pool_size)
         ]
         # one resolver pool per field: vocabulary state is per-field by
         # design (a term rare in titles but common in bodies must resolve
@@ -1485,26 +1496,16 @@ class MultiFieldShardedEngine:
         self.resolvers: list[list] = []
         self.resolver_of: list[dict[int, int]] = []
         for d, nt in zip(self.field_dirs, self.field_ntparts):
-            rp = max(1, min(resolver_pool_size, nt))
-            r_assign: list[list[int]] = [[] for _ in range(rp)]
-            for t in range(nt):
-                r_assign[t % rp].append(t)
+            r_assign = _round_robin(list(range(nt)), resolver_pool_size)
             self.resolvers.append([DfResolver.remote(d, ts) for ts in r_assign])
-            self.resolver_of.append({t: t % rp for t in range(nt)})
+            self.resolver_of.append({t: t % len(r_assign) for t in range(nt)})
 
     def meta_cols(self) -> list[str]:
         """Attribute columns of the PRIMARY field's sidecar (fields share
         doc ids; pinning one keeps filter semantics deterministic, same as
         the local ``MultiFieldReader``)."""
         if self._meta_cols_cache is None:
-            from wikirec_ray.stages.doc_meta import meta_manifest
-
-            try:
-                self._meta_cols_cache = list(
-                    meta_manifest(self.field_dirs[0]).get("cols", [])
-                )
-            except FileNotFoundError:
-                self._meta_cols_cache = []
+            self._meta_cols_cache = _sidecar_cols(self.field_dirs[0])
         return list(self._meta_cols_cache)
 
     def topk(self, terms: list[str], k: int,
@@ -1519,30 +1520,35 @@ class MultiFieldShardedEngine:
         if not uniq:
             return []
         # phase 1: resolve every field's idfs in ONE batched round trip —
-        # all resolver futures launched before any get
+        # all resolver futures launched before any get; each term's tpart
+        # is hashed once per field and reused for the twi build
+        tparts: list[dict[str, int]] = [
+            {t: zlib.crc32(t.encode("utf-8")) % nt for t in uniq}
+            for nt in self.field_ntparts
+        ]
         futures: list[tuple[int, int, list[str]]] = []
         handles = []
-        for fi, nt in enumerate(self.field_ntparts):
+        for fi in range(len(self.field_dirs)):
             by_r: dict[int, list[str]] = {}
             for t in uniq:
-                tp = zlib.crc32(t.encode("utf-8")) % nt
-                by_r.setdefault(self.resolver_of[fi][tp], []).append(t)
+                by_r.setdefault(
+                    self.resolver_of[fi][tparts[fi][t]], []
+                ).append(t)
             for rid, ts in by_r.items():
                 futures.append((fi, rid, ts))
                 handles.append(self.resolvers[fi][rid].resolve_idf.remote(ts))
         results = ray.get(handles)
-        per_field_twi: list[list[tuple[str, int, float]]] = [
-            [] for _ in self.field_dirs
-        ]
         resolved: list[dict[str, float]] = [{} for _ in self.field_dirs]
         for (fi, _rid, ts), vals in zip(futures, results):
             for t, v in zip(ts, vals):
                 resolved[fi][t] = v
-        for fi, nt in enumerate(self.field_ntparts):
-            per_field_twi[fi] = [
-                (t, zlib.crc32(t.encode("utf-8")) % nt, resolved[fi][t] * w)
+        per_field_twi: list[list[tuple[str, int, float]]] = [
+            [
+                (t, tparts[fi][t], resolved[fi][t] * w)
                 for t, w in agg.items() if resolved[fi][t] != 0.0
             ]
+            for fi in range(len(self.field_dirs))
+        ]
         if not any(per_field_twi):
             return []
         # phase 2: fan out; each shard returns its summed-field top-k
