@@ -300,6 +300,43 @@ def test_field_validation(field_indexes):
         MultiFieldReader([(body_dir, 1.0), (rd, 2.0)])
 
 
+def test_cli_multifield_query(field_indexes, ray_session, capsys):
+    """``query --title-index`` routes through the multi-field engines —
+    local and served hits equal the library ranking; unsupported modes
+    are a named error."""
+    import json
+
+    from wikirec_ray.__main__ import main
+
+    body_dir, title_dir, *_ = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.5)])
+
+    def run(argv):
+        rc = main(argv)
+        return rc, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = ["query", "--index", body_dir, "--title-index", title_dir,
+            "--title-weight", "2.5"]
+    rc, res = run(base + ["spark src3", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        mf.topk(["spark", "src3"], 5)
+    rc, res = run(base + ["spark^2 src3", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        mf.topk(["spark", "src3"], 5, weights=[2.0, 1.0])
+    rc, res = run(base + ["--serve", "2", "spark src3", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        mf.topk(["spark", "src3"], 5)
+    for bad in (base + ['"spark src3"'],
+                base + ["--collapse", "lang", "spark"],
+                base + ["--facets", "lang", "spark"]):
+        with pytest.raises(SystemExit, match="title-index supports"):
+            main(bad)
+        capsys.readouterr()
+
+
 def test_served_doc_space_mismatch(ray_session, field_indexes, sf_dir,
                                    tmp_path_factory):
     """A field built over a TRUNCATED corpus shares every norms range-file

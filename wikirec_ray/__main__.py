@@ -13,7 +13,8 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray compact --index DIR
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
-        [--facets COLS] [--store EXPORT_DIR [--snippet-window W]]
+        [--facets COLS] [--store EXPORT_DIR [--snippet-window W]] \
+        [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
     python -m wikirec_ray explain --index DIR QUERY DOC_ID
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
@@ -255,9 +256,38 @@ def _parse_after(spec: str):
 
 
 def cmd_query(args) -> int:
-    from wikirec_ray.pipelines.query import IndexReader, search_with_terms
+    from wikirec_ray.pipelines.query import (
+        IndexReader,
+        parse_query,
+        search_with_terms,
+        split_filters,
+    )
 
-    if args.serve:
+    title = getattr(args, "title_index", "")
+    if title:
+        # multi-field (title^w + body, Lucene most_fields): the multi-field
+        # engines rank the weighted BM25 sum — positional/boolean/lexicon
+        # routes are per-field surfaces the sum has no semantics for, so
+        # reject those modes up front with a named error
+        mode, _, _ = parse_query(split_filters(args.query, [])[1])
+        if mode not in ("bm25", "boosted") or args.collapse or args.facets:
+            unsupported = ("collapsed" if args.collapse
+                           else "faceted" if args.facets else mode)
+            raise SystemExit(
+                "--title-index supports plain BM25 and ^boosted queries "
+                f"only (got a {unsupported} query)"
+            )
+        fields = [(args.index, 1.0), (title, args.title_weight)]
+        if args.serve:
+            _ensure_ray()
+            from wikirec_ray.state.server import MultiFieldShardedEngine
+
+            engine = MultiFieldShardedEngine(fields, pool_size=args.serve)
+        else:
+            from wikirec_ray.pipelines.multifield import MultiFieldReader
+
+            engine = MultiFieldReader(fields)
+    elif args.serve:
         _ensure_ray()  # the served engine needs a Ray session for actors
         from wikirec_ray.state.server import RangeShardedQueryEngine
 
@@ -525,6 +555,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="search_after cursor: the previous page's last "
                         "hit as doc_id:score, both copied VERBATIM from "
                         "that page's output — returns the next page")
+    q.add_argument("--title-index", default="", metavar="DIR",
+                   help="multi-field most_fields: also rank this title-"
+                        "field index at --title-weight (plain/boosted "
+                        "queries; --serve uses the sharded multi-field "
+                        "engine)")
+    q.add_argument("--title-weight", type=float, default=2.0)
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser(
