@@ -179,6 +179,7 @@ class IndexReader:
         self._meta: dict[str, tuple[np.ndarray, list[str]]] = {}  # per col
         self._meta_manifest: dict | None = None  # one snapshot per reader
         self._meta_cols: list[str] | None = None  # cached (incl. no-sidecar)
+        self._priors: dict[str, np.ndarray] = {}  # per-col static priors
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -348,6 +349,55 @@ class IndexReader:
             "dl": dl, "avgdl": float(avgdl), "deleted": deleted,
             "terms": out_terms,
         }
+
+    # ---------------- static-prior ranking --------------------------------
+    def prior_dense(self, col: str) -> np.ndarray:
+        """Per-doc float64 static prior from sidecar column ``col`` —
+        pagerank/recency/quality-style ranking signals stored like any
+        other attribute.  Each stored string goes through the SAME strict
+        numeric parse as range filters (``_strict_float``; the SQL twin is
+        the guarded TRY_CAST); non-numeric or absent values are 0.0.
+        O(n_docs) like ``norms``, cached per column."""
+        arr = self._priors.get(col)
+        if arr is None:
+            codes, values = self._meta_codes(col)
+            # one parsed slot per dictionary value + a trailing 0.0 that
+            # code -1 (doc absent from the sidecar) indexes
+            vals = np.array(
+                [_strict_float(v) or 0.0 for v in values] + [0.0], np.float64
+            )
+            arr = vals[codes]
+            self._priors[col] = arr
+        return arr
+
+    def prior_topk(
+        self, terms: list[str], k: int,
+        prior_col: str, prior_weight: float = 1.0,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Static-score ranking (Elasticsearch ``function_score`` with
+        ``boost_mode: sum``): ``score = BM25 + prior_weight ×
+        prior_col(doc)`` for docs MATCHING the query — the prior boosts
+        the ranking of matches, it never selects (a doc with bm25 = 0
+        stays out regardless of its prior), the contract web search uses
+        for pagerank/recency signals.  Composes with ``attrs`` filters,
+        ``after`` cursors and per-occurrence query ``weights``; a
+        negative ``prior_weight`` demotes, and a match whose combined
+        score rounds ≤ 0 drops (the ranking keeps the engine-wide
+        ``round(score, 9) > 0`` contract, which keeps results
+        SQL-replayable)."""
+        w = float(prior_weight)
+        if not math.isfinite(w):
+            raise ValueError(f"prior_weight must be finite, got {w!r}")
+        scores = self.score_exact(terms, weights=weights)
+        m = scores > 0.0  # the match set: bm25 only, post-tombstone
+        if m.any():
+            scores[m] += w * self.prior_dense(prior_col)[m]
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
+        return topk_from_dense(scores, k, after=after)
 
     # ---------------- boolean retrieval ----------------------------------
     def boolean_topk(

@@ -519,6 +519,69 @@ class RangeServerImpl:
             ]
         return docs
 
+    def _prior_range(self, r: int, col: str) -> np.ndarray:
+        """Range ``r``'s static-prior slots (float64, ``range_size`` long,
+        0.0 for absent/non-numeric docs) — the shard-local twin of
+        ``IndexReader.prior_dense`` (same strict numeric parse), cached
+        per column like the meta codes."""
+        cache = getattr(self, "_prior_arrays", None)
+        if cache is None:
+            cache = self._prior_arrays = {}
+        per_range = cache.get(col)
+        if per_range is None:
+            from wikirec_ray.pipelines.query import _strict_float
+
+            per_range = {}
+            for rr, (ids, codes, values) in self._meta(col).items():
+                vals = np.array(
+                    [_strict_float(v) or 0.0 for v in values] + [0.0],
+                    np.float64,
+                )
+                arr = np.zeros(self.range_size, np.float64)
+                base = rr * self.range_size
+                arr[(ids.astype(np.int64) - base)] = vals[codes]
+                per_range[rr] = arr
+            cache[col] = per_range
+        return per_range.get(r, np.zeros(self.range_size, np.float64))
+
+    def prior_topk(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        k: int,
+        prior_col: str,
+        prior_weight: float,
+        attrs: list[tuple[str, str]] | None = None,
+        after=None,
+    ):
+        """This shard's static-score top-k: the dense per-range BM25 of
+        ``topk`` plus ``prior_weight × prior`` on the MATCHING slots only
+        (bm25 > 0 decides membership, the prior only re-ranks) — the
+        served twin of ``IndexReader.prior_topk``, same add order."""
+        from wikirec_ray.pipelines.query import topk_from_dense
+
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is None:
+                continue
+            self._zero_tombs(r, local)
+            m = local > 0.0
+            if m.any():
+                local[m] += prior_weight * self._prior_range(r, prior_col)[m]
+            if attrs:
+                self._apply_attrs_dense(r, local, attrs)
+            loc_after = (after[0] - base, after[1]) if after else None
+            out.extend(
+                (d + base, s)
+                for d, s in topk_from_dense(local, k, after=loc_after)
+            )
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def _apply_attrs_dense(
         self, r: int, local: np.ndarray, attrs: list[tuple[str, str]]
     ) -> None:
@@ -1106,6 +1169,40 @@ class RangeShardedQueryEngine:
         partials = ray.get(
             [s.topk.remote(twi, k, attrs, after) for s in self.servers]
         )
+        merged = [hit for p in partials for hit in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
+
+    def prior_topk(
+        self, terms: list[str], k: int,
+        prior_col: str, prior_weight: float = 1.0,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed static-score ranking (== ``IndexReader.prior_topk``):
+        BM25 decides membership, ``prior_weight × prior_col`` re-ranks —
+        the prior arrays live IN the range shards (O(range) each, parsed
+        from the shard's own meta sidecar slice), so the coordinator ships
+        only the (col, weight) pair.  Each doc lives in exactly one shard;
+        the merge is unchanged."""
+        w = float(prior_weight)
+        if not math.isfinite(w):
+            raise ValueError(f"prior_weight must be finite, got {w!r}")
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        agg = aggregate_weights(terms, weights)
+        resolved = self._resolve_idfs(terms)
+        twi = [
+            (t, resolved[t][0], resolved[t][1] * ww)
+            for t, ww in agg.items() if resolved[t][1] != 0.0
+        ]
+        if not twi:
+            return []
+        partials = ray.get([
+            s.prior_topk.remote(twi, k, prior_col, w, attrs, after)
+            for s in self.servers
+        ])
         merged = [hit for p in partials for hit in p]
         merged.sort(key=lambda x: (-x[1], x[0]))
         return merged[:k]
