@@ -198,3 +198,38 @@ def test_prior_served_equals_local(prior_fx, ray_session):
                               after=p1[-1])
     finally:
         eng.shutdown()
+
+
+def test_cli_prior_query(prior_fx, capsys):
+    """``query --prior COL:W`` routes through prior_topk — local hits equal
+    the library ranking (incl. boosts and col:value filters); bad specs
+    and unsupported modes are named errors."""
+    import json
+
+    from wikirec_ray.__main__ import main
+
+    reader, _, _ = prior_fx
+    idx = reader.index_dir
+
+    def run(argv):
+        rc = main(argv)
+        return rc, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc, res = run(["query", "--index", idx, "--prior",
+                   f"n_chars:{PRIOR_W}", "spark join", "-k", "5"])
+    assert rc == 0 and res["prior"] == {"col": "n_chars", "weight": PRIOR_W}
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        reader.prior_topk(["spark", "join"], 5, "n_chars", PRIOR_W)
+    rc, res = run(["query", "--index", idx, "--prior",
+                   f"n_chars:{PRIOR_W}", "spark^2 join lang:de", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        reader.prior_topk(["spark", "join"], 5, "n_chars", PRIOR_W,
+                          attrs=[("lang", "de")], weights=[2.0, 1.0])
+    for bad in (["--prior", "nope:1", "spark"],
+                ["--prior", "n_chars", "spark"],
+                ["--prior", "n_chars:x", "spark"],
+                ["--prior", "n_chars:1", '"spark join"']):
+        with pytest.raises(SystemExit, match="prior"):
+            main(["query", "--index", idx] + bad)
+        capsys.readouterr()

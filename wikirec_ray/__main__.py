@@ -15,6 +15,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS] [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
+        [--prior COL:WEIGHT]                       # BM25 + static signal
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
     python -m wikirec_ray explain --index DIR QUERY DOC_ID
     python -m wikirec_ray serve  --index DIR [--coordinators N] [--pool P] \
@@ -263,7 +264,11 @@ def cmd_query(args) -> int:
         split_filters,
     )
 
+    prior = getattr(args, "prior", "")
     title = getattr(args, "title_index", "")
+    if prior and title:
+        raise SystemExit("--prior and --title-index do not compose yet — "
+                         "the multi-field engines have no prior surface")
     if title:
         # multi-field (title^w + body, Lucene most_fields): the multi-field
         # engines rank the weighted BM25 sum — positional/boolean/lexicon
@@ -295,6 +300,44 @@ def cmd_query(args) -> int:
     else:
         engine = IndexReader(args.index)  # pure local read, no Ray needed
     try:
+        if prior:
+            # static-score ranking: BM25 + w × sidecar prior — plain and
+            # ^boosted queries only (the prior rides the weighted dense
+            # path; positional/boolean/lexicon modes have no prior
+            # semantics), col:value chunks stay filters
+            col, sep, wtxt = prior.partition(":")
+            if not sep or col not in engine.meta_cols():
+                avail = engine.meta_cols() or "none — run the meta subcommand"
+                raise SystemExit(
+                    f"--prior needs COL:WEIGHT with COL in the metadata "
+                    f"sidecar (available: {avail})"
+                )
+            from wikirec_ray.pipelines.query import parse_query, split_filters
+
+            p_attrs, rest = split_filters(args.query, engine.meta_cols())
+            mode, parsed, _w = parse_query(rest)
+            if mode == "boosted":
+                p_terms, p_weights = list(parsed[0]), list(parsed[1])
+            elif mode == "bm25":
+                p_terms, p_weights = list(parsed), None
+            else:
+                raise SystemExit(
+                    f"--prior supports plain BM25 and ^boosted queries "
+                    f"only (got a {mode} query)"
+                )
+            try:
+                w = float(wtxt)
+            except ValueError:
+                raise SystemExit(f"--prior weight {wtxt!r} is not a number")
+            hits = engine.prior_topk(
+                p_terms, args.k, col, w, attrs=p_attrs or None,
+                after=_parse_after(args.after), weights=p_weights,
+            )
+            print(json.dumps({
+                "query": args.query, "prior": {"col": col, "weight": w},
+                "hits": [{"doc_id": d, "score": s} for d, s in hits],
+            }))
+            return 0
         # one parse + one lexicon expansion per request: `positive` is the
         # effective term set retrieval ran over, reused by the snippet
         # highlighter AND the facet counter below
@@ -561,6 +604,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "queries; --serve uses the sharded multi-field "
                         "engine)")
     q.add_argument("--title-weight", type=float, default=2.0)
+    q.add_argument("--prior", default="", metavar="COL:WEIGHT",
+                   help="static-score ranking: BM25 + WEIGHT × the numeric "
+                        "sidecar column COL (function_score; plain/boosted "
+                        "queries, col:value chunks stay filters)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser(
