@@ -175,6 +175,10 @@ def test_prior_non_numeric_and_validation(prior_fx):
             reader.prior_topk(["spark"], K, "n_chars", bad)
     with pytest.raises(Exception, match="nope"):
         reader.prior_topk(["spark"], K, "nope", 1.0)
+    # eager column validation: a typo'd column raises even when no term
+    # matches — a silent [] would look like a valid empty result
+    with pytest.raises(Exception, match="nope"):
+        reader.prior_topk(["zzzabsent"], K, "nope", 1.0)
 
 
 def test_prior_served_equals_local(prior_fx, ray_session):
@@ -196,6 +200,23 @@ def test_prior_served_equals_local(prior_fx, ray_session):
                               after=p1[-1]) == \
             reader.prior_topk(["spark", "join"], 10, "n_chars", PRIOR_W,
                               after=p1[-1])
+        # duplicate-terms + weights parity on the served route (the
+        # CLAUDE.md rule: every new scoring path needs one) — dup ≡
+        # integer boost, fractional weights served == local
+        dup = ["spark", "spark", "join"]
+        assert eng.prior_topk(dup, K, "n_chars", PRIOR_W) == \
+            reader.prior_topk(dup, K, "n_chars", PRIOR_W)
+        assert eng.prior_topk(dup, K, "n_chars", PRIOR_W) == \
+            eng.prior_topk(["spark", "join"], K, "n_chars", PRIOR_W,
+                           weights=[2.0, 1.0])
+        fw = ["spark", "join", "spark"]
+        assert eng.prior_topk(fw, K, "n_chars", PRIOR_W,
+                              weights=[2.0, 1.0, 0.5]) == \
+            reader.prior_topk(fw, K, "n_chars", PRIOR_W,
+                              weights=[2.0, 1.0, 0.5])
+        # eager column validation on the coordinator too
+        with pytest.raises(Exception, match="nope"):
+            eng.prior_topk(["zzzabsent"], K, "nope", 1.0)
     finally:
         eng.shutdown()
 
@@ -229,7 +250,10 @@ def test_cli_prior_query(prior_fx, capsys):
     for bad in (["--prior", "nope:1", "spark"],
                 ["--prior", "n_chars", "spark"],
                 ["--prior", "n_chars:x", "spark"],
-                ["--prior", "n_chars:1", '"spark join"']):
+                ["--prior", "n_chars:inf", "spark"],
+                ["--prior", "n_chars:1", '"spark join"'],
+                ["--prior", "n_chars:1", "--facets", "lang", "spark"],
+                ["--prior", "n_chars:1", "--collapse", "lang", "spark"]):
         with pytest.raises(SystemExit, match="prior"):
             main(["query", "--index", idx] + bad)
         capsys.readouterr()

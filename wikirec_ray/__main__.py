@@ -304,7 +304,15 @@ def cmd_query(args) -> int:
             # static-score ranking: BM25 + w × sidecar prior — plain and
             # ^boosted queries only (the prior rides the weighted dense
             # path; positional/boolean/lexicon modes have no prior
-            # semantics), col:value chunks stay filters
+            # semantics), col:value chunks stay filters.  Output shapes
+            # the prior branch does not produce reject loudly instead of
+            # being dropped (review r5).
+            if args.facets or args.store or args.collapse:
+                raise SystemExit(
+                    "--prior composes with filters/boosts/--after only — "
+                    "--facets/--store/--collapse are not produced by the "
+                    "prior branch"
+                )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
                 avail = engine.meta_cols() or "none — run the meta subcommand"
@@ -312,8 +320,6 @@ def cmd_query(args) -> int:
                     f"--prior needs COL:WEIGHT with COL in the metadata "
                     f"sidecar (available: {avail})"
                 )
-            from wikirec_ray.pipelines.query import parse_query, split_filters
-
             p_attrs, rest = split_filters(args.query, engine.meta_cols())
             mode, parsed, _w = parse_query(rest)
             if mode == "boosted":
@@ -329,6 +335,8 @@ def cmd_query(args) -> int:
                 w = float(wtxt)
             except ValueError:
                 raise SystemExit(f"--prior weight {wtxt!r} is not a number")
+            if not math.isfinite(w):
+                raise SystemExit(f"--prior weight {wtxt!r} is not finite")
             hits = engine.prior_topk(
                 p_terms, args.k, col, w, attrs=p_attrs or None,
                 after=_parse_after(args.after), weights=p_weights,

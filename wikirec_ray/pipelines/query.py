@@ -391,10 +391,13 @@ class IndexReader:
         w = float(prior_weight)
         if not math.isfinite(w):
             raise ValueError(f"prior_weight must be finite, got {w!r}")
+        # eager column load: a typo'd prior column must raise even when no
+        # term matches (a silent [] would look like a valid empty result)
+        prior = self.prior_dense(prior_col)
         scores = self.score_exact(terms, weights=weights)
         m = scores > 0.0  # the match set: bm25 only, post-tombstone
         if m.any():
-            scores[m] += w * self.prior_dense(prior_col)[m]
+            scores[m] += w * prior[m]
         if attrs:
             scores = self._apply_attrs_dense(scores, attrs)
         return topk_from_dense(scores, k, after=after)

@@ -292,6 +292,7 @@ class RangeServerImpl:
         self._chunks: dict[tuple[int, int], object] = {}
         self._meta_cols: dict[str, dict] = {}  # lazy attribute sidecar
         self._meta_manifest: dict | None = None  # one snapshot per shard
+        self._prior_arrays: dict[str, dict] = {}  # per-col static priors
         # byte sizes of THIS shard's posting chunks in the manifest snapshot
         # the shard was constructed on: compact_index rewrites chunks in
         # place, so a lazy open after one must fail loudly (see
@@ -519,15 +520,14 @@ class RangeServerImpl:
             ]
         return docs
 
-    def _prior_range(self, r: int, col: str) -> np.ndarray:
+    def _prior_range(self, r: int, col: str) -> np.ndarray | None:
         """Range ``r``'s static-prior slots (float64, ``range_size`` long,
-        0.0 for absent/non-numeric docs) — the shard-local twin of
+        0.0 for absent/non-numeric docs; None when the range has no
+        sidecar slice — the caller skips the add instead of paying a
+        fresh zeros allocation per query) — the shard-local twin of
         ``IndexReader.prior_dense`` (same strict numeric parse), cached
         per column like the meta codes."""
-        cache = getattr(self, "_prior_arrays", None)
-        if cache is None:
-            cache = self._prior_arrays = {}
-        per_range = cache.get(col)
+        per_range = self._prior_arrays.get(col)
         if per_range is None:
             from wikirec_ray.pipelines.query import _strict_float
 
@@ -541,8 +541,8 @@ class RangeServerImpl:
                 base = rr * self.range_size
                 arr[(ids.astype(np.int64) - base)] = vals[codes]
                 per_range[rr] = arr
-            cache[col] = per_range
-        return per_range.get(r, np.zeros(self.range_size, np.float64))
+            self._prior_arrays[col] = per_range
+        return per_range.get(r)
 
     def prior_topk(
         self,
@@ -571,7 +571,9 @@ class RangeServerImpl:
             self._zero_tombs(r, local)
             m = local > 0.0
             if m.any():
-                local[m] += prior_weight * self._prior_range(r, prior_col)[m]
+                pr = self._prior_range(r, prior_col)
+                if pr is not None:
+                    local[m] += prior_weight * pr[m]
             if attrs:
                 self._apply_attrs_dense(r, local, attrs)
             loc_after = (after[0] - base, after[1]) if after else None
@@ -1189,6 +1191,13 @@ class RangeShardedQueryEngine:
         w = float(prior_weight)
         if not math.isfinite(w):
             raise ValueError(f"prior_weight must be finite, got {w!r}")
+        if prior_col not in self.meta_cols():
+            # eager, like the local reader: a typo'd column must raise
+            # even when no term matches (not a silent [])
+            raise KeyError(
+                f"metadata column {prior_col!r} not in the sidecar "
+                f"(has {self.meta_cols()})"
+            )
         from wikirec_ray.pipelines.query import aggregate_weights
 
         agg = aggregate_weights(terms, weights)
