@@ -385,91 +385,21 @@ def _key_label_min(rows: ray.data.Dataset, n_parts: int = 64) -> ray.data.Datase
     )
 
 
-@ray.remote
-class _ComponentShard:
-    """Partition-pinned state for iterative min-label propagation: owns the
-    edges whose SOURCE hashes to this shard plus the labels of those source
-    nodes (symmetric edges make every node a source, so ownership is total
-    and disjoint).  Per-shard memory is O(edges / n_parts)."""
+# The shard class lives in the LEAF module ``functions/components.py``
+# (numpy + pyarrow imports only): a fresh actor process pays the import
+# graph of its class's defining module on the first method call, and
+# defining it here made every shard cold-import ``ray.data`` (~2-4 s per
+# process — the dominant cost of small component runs).  ``ray.remote`` is
+# applied here, driver-side, so the worker deserializes the class by
+# reference to the light module.
+from wikirec_ray.functions.components import ComponentShard as _ComponentShardImpl
 
-    def __init__(self, part_id: int, n_parts: int):
-        self.pid = part_id
-        self.P = n_parts
-        self._src_chunks: list[np.ndarray] = []
-        self._dst_chunks: list[np.ndarray] = []
-        self.nodes = np.empty(0, np.int64)
-        self.labels = np.empty(0, np.int64)
+_ComponentShard = ray.remote(_ComponentShardImpl)
 
-    def add_edges(self, t: pa.Table) -> None:
-        self._src_chunks.append(t["key"].to_numpy().astype(np.int64))
-        self._dst_chunks.append(t["val"].to_numpy().astype(np.int64))
-
-    def finalize(self) -> int:
-        src = np.concatenate(self._src_chunks) if self._src_chunks else np.empty(0, np.int64)
-        dst = np.concatenate(self._dst_chunks) if self._dst_chunks else np.empty(0, np.int64)
-        self._src_chunks = []
-        self._dst_chunks = []
-        order = np.argsort(src, kind="stable")
-        self.src, self.dst = src[order], dst[order]
-        self.nodes = np.unique(self.src)
-        self.labels = self.nodes.copy()
-        if len(self.src):
-            run_starts = np.searchsorted(self.src, self.nodes)
-            self.labels = np.minimum(
-                self.nodes, np.minimum.reduceat(self.dst, run_starts)
-            )
-        # bucket layout computed ONCE: per-round emit is then a gather +
-        # P slices, O(E + P), not P full-length masks (O(P·E))
-        pid = self.dst % self.P
-        self._emit_order = np.argsort(pid, kind="stable")
-        self._dst_by_pid = self.dst[self._emit_order]
-        self._src_idx_by_pid = np.searchsorted(
-            self.nodes, self.src[self._emit_order]
-        )
-        self._bucket_bounds = np.searchsorted(
-            pid[self._emit_order], np.arange(self.P + 1)
-        )
-        return len(self.nodes)
-
-    def emit(self):
-        """Messages (dst_nodes, candidate_labels) bucketed by owner shard —
-        one return value per shard (``num_returns`` routing, so a target
-        fetches only ITS bucket, never the full message set)."""
-        if len(self.src) == 0:
-            empty = (np.empty(0, np.int64), np.empty(0, np.int64))
-            return tuple(empty for _ in range(self.P)) if self.P > 1 else empty
-        lab_arranged = self.labels[self._src_idx_by_pid]
-        bb = self._bucket_bounds
-        out = [
-            (self._dst_by_pid[bb[p] : bb[p + 1]], lab_arranged[bb[p] : bb[p + 1]])
-            for p in range(self.P)
-        ]
-        return tuple(out) if self.P > 1 else out[0]
-
-    def apply(self, *buckets) -> int:
-        """Min-merge incoming candidate labels; returns the total label
-        decrease (0 = this shard converged this round)."""
-        if len(self.nodes) == 0:
-            return 0
-        nodes_all = np.concatenate([b[0] for b in buckets])
-        if len(nodes_all) == 0:
-            return 0
-        labs_all = np.concatenate([b[1] for b in buckets])
-        before = int(self.labels.sum())
-        # sort + reduceat instead of the slow unbuffered minimum.at ufunc
-        idx = np.searchsorted(self.nodes, nodes_all)
-        order = np.argsort(idx, kind="stable")
-        idx_s, labs_s = idx[order], labs_all[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
-        mins = np.minimum.reduceat(labs_s, starts)
-        pos = idx_s[starts]
-        self.labels[pos] = np.minimum(self.labels[pos], mins)
-        return before - int(self.labels.sum())
-
-    def table(self) -> pa.Table:
-        return pa.table(
-            {"key": pa.array(self.nodes), "label": pa.array(self.labels)}
-        )
+# Auto-sharding target for connected_components: one shard per this many
+# edges (ceil), capped by cluster CPUs.  Below this, per-iteration numpy is
+# microseconds and the P² message fan-out + actor bootstrap dominate.
+_EDGES_PER_SHARD = 1 << 18
 
 
 def connected_components(
@@ -497,10 +427,23 @@ def connected_components(
     This is the documented raw-actor escape hatch: iterative algorithms
     with shared mutable per-partition state are the one shape the Dataset
     API cannot express without re-shuffling every round.  Labels return as
-    a Dataset assembled from the shards' Arrow tables."""
+    a Dataset assembled from the shards' Arrow tables.
+
+    The automatic shard count scales with the EDGE COUNT, not the CPU
+    count: P² messaging + per-actor bootstrap dominate below ~250k edges
+    per shard, so a small candidate set (the common case after LSH
+    filtering) runs on one or two shards while a billion-edge graph still
+    fans out to the CPU-bounded maximum.  Sizing needs the edge count, so
+    the auto path materializes ``pairs`` (edges are the SMALL derivative
+    of a corpus; the blocks stay in the object store / spill — the driver
+    still never sees one).  Pass ``n_parts`` explicitly to skip that
+    materialization and pin the layout (e.g. on a multi-node cluster)."""
     if n_parts is None:
+        pairs = pairs.materialize()
+        n_edges = pairs.count()
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_parts = max(8, min(64, ncpu))
+        cpu_cap = max(8, min(64, ncpu))
+        n_parts = int(min(cpu_cap, max(1, -(-n_edges // _EDGES_PER_SHARD))))
     P = n_parts
     shards = [_ComponentShard.remote(p, P) for p in range(P)]
 
