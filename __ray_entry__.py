@@ -139,15 +139,20 @@ SLOPPY_K = 10
 # the should+must occurrences SCORES (the engine-wide filter-vs-score
 # contract).  Duplicate occurrences score once per occurrence (parity rule);
 # query 5 carries an absent must term (zero rows for that query); query 6
-# duplicates a must term (scores twice, filters once).
-BOOLEAN_QUERY_SET: list[tuple[int, list[str], list[str], list[str]]] = [
-    (0, ["spark", "join"], ["table"], []),
-    (1, ["vector", "window"], [], ["the"]),
-    (2, ["customer"], ["order", "row"], ["dup"]),
-    (3, [], ["group", "key"], []),
-    (4, ["scan", "scan"], [], ["slow"]),
-    (5, ["merge"], ["absentterm"], []),
-    (6, ["stream"], ["dup", "dup"], []),
+# duplicates a must term (scores twice, filters once).  The 5th field is
+# minimum_should_match (ES quorum over DISTINCT should terms; 0 = off):
+# query 7 needs 2 of 3 should terms, query 8 duplicates a should term
+# (scores twice, counts ONCE toward the quorum) alongside a must_not.
+BOOLEAN_QUERY_SET: list[tuple[int, list[str], list[str], list[str], int]] = [
+    (0, ["spark", "join"], ["table"], [], 0),
+    (1, ["vector", "window"], [], ["the"], 0),
+    (2, ["customer"], ["order", "row"], ["dup"], 0),
+    (3, [], ["group", "key"], [], 0),
+    (4, ["scan", "scan"], [], ["slow"], 0),
+    (5, ["merge"], ["absentterm"], [], 0),
+    (6, ["stream"], ["dup", "dup"], [], 0),
+    (7, ["scan", "table", "vector"], [], [], 2),
+    (8, ["dup", "dup", "stream"], [], ["slow"], 2),
 ]
 BOOLEAN_K = 10
 # hybrid retrieval (pipelines/hybrid.py): the BM25 leg and an
@@ -857,16 +862,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         must terms and NO must_not term; the clauses are filters, the
         score is the plain BM25 sum over should+must occurrences —
         SQL-replayable as the shared bm25 CTEs + per-query EXISTS /
-        NOT EXISTS predicates."""
+        NOT EXISTS predicates.  Queries with msm > 0 additionally require
+        the ES minimum_should_match quorum of DISTINCT should terms
+        (replayed as a COUNT(DISTINCT term)-over-the-should-set
+        predicate)."""
         import pandas as pd
 
         from wikirec_ray.pipelines.query import IndexReader
 
         reader = IndexReader(_ensure_index(sf_dir))
         rows = []
-        for qid, should, must, must_not in BOOLEAN_QUERY_SET:
+        for qid, should, must, must_not, msm in BOOLEAN_QUERY_SET:
             for rank, (doc, score) in enumerate(
-                reader.boolean_topk(should, must, must_not, BOOLEAN_K), 1
+                reader.boolean_topk(should, must, must_not, BOOLEAN_K,
+                                    min_should_match=msm), 1
             ):
                 rows.append((qid, rank, doc, round(score, 6)))
         return pd.DataFrame(
@@ -1875,22 +1884,39 @@ def oracle_sql() -> dict[str, str]:
     # (duplicates kept, the engine-wide parity rule); the per-query
     # candidate set is every doc passing EXISTS for each distinct must term
     # and NOT EXISTS for each distinct must_not term (an absent must term's
-    # EXISTS is never true -> zero rows, matching boolean_topk)
+    # EXISTS is never true -> zero rows, matching boolean_topk); a query
+    # with msm > 0 additionally requires COUNT(DISTINCT term) over the
+    # distinct should set >= msm (the ES minimum_should_match quorum —
+    # distinct, so duplicate should occurrences count once)
     bool_score_vals = ", ".join(
         f"({qid}, '{t}')"
-        for qid, should, must, _ in BOOLEAN_QUERY_SET for t in should + must
+        for qid, should, must, _, _ in BOOLEAN_QUERY_SET
+        for t in should + must
     )
+
+    def _bool_preds(should, must, must_not, msm):
+        preds = (
+            [f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
+             f"AND tf.term = '{t}')" for t in sorted(set(must))]
+            + [f"NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
+               f"AND tf.term = '{t}')" for t in sorted(set(must_not))]
+        )
+        if msm:
+            quorum_terms = ", ".join(f"'{t}'" for t in sorted(set(should)))
+            preds.append(
+                f"(SELECT COUNT(DISTINCT tf.term) FROM tf "
+                f"WHERE tf.doc_id = d.doc_id "
+                f"AND tf.term IN ({quorum_terms})) >= {msm}"
+            )
+        return preds
+
     bool_match_union = " UNION ALL ".join(
         "SELECT {qid} AS query_id, doc_id FROM dl d{where}".format(
             qid=qid,
-            where=(" WHERE " + " AND ".join(
-                [f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
-                 f"AND tf.term = '{t}')" for t in sorted(set(must))]
-                + [f"NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id "
-                   f"AND tf.term = '{t}')" for t in sorted(set(must_not))]
-            )) if (must or must_not) else "",
+            where=(" WHERE " + " AND ".join(preds)) if preds else "",
         )
-        for qid, _, must, must_not in BOOLEAN_QUERY_SET
+        for qid, should, must, must_not, msm in BOOLEAN_QUERY_SET
+        for preds in [_bool_preds(should, must, must_not, msm)]
     )
     snip_terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
 

@@ -58,7 +58,7 @@ def bool_index(ray_session, tmp_path_factory):
     return index_dir, toks
 
 
-def _brute_boolean(toks, should, must, must_not, k):
+def _brute_boolean(toks, should, must, must_not, k, msm=0):
     n = len(toks)
     df = Counter(t for tl in toks.values() for t in set(tl))
     avgdl = sum(len(tl) for tl in toks.values()) / n
@@ -69,6 +69,8 @@ def _brute_boolean(toks, should, must, must_not, k):
         if any(m not in present for m in must):
             continue
         if any(x in present for x in must_not):
+            continue
+        if msm and len(set(should) & present) < msm:
             continue
         s = 0.0
         for t in scoring:
@@ -162,6 +164,89 @@ def test_range_sharded_boolean_equals_local(bool_index, ray_session):
         # query-string route through the served engine
         q = "w0 +w2 -w19"
         assert search(eng, q) == search(reader, q)
+    finally:
+        eng.shutdown()
+
+
+# minimum_should_match (ES minimum_should_match / Lucene quorum):
+# (should, must, must_not, msm) — quorum counts DISTINCT should terms,
+# composes with must/must_not, and an OOV should term raises the arity
+# without ever being satisfiable
+MSM_CASES = [
+    (["w0", "w1", "w3"], [], [], 2),
+    (["w0", "w1", "w3"], [], [], 3),
+    (["w3", "w4", "w6"], ["w0"], ["w19"], 2),   # quorum + must + must_not
+    (["w0", "w0", "w1"], [], [], 2),            # dups count once in quorum
+    (["w0", "w0"], [], [], 2),                  # 1 distinct < msm -> empty
+    (["w0", "nosuchterm"], [], [], 2),          # OOV can't fill the quorum
+    (["w5", "w8"], [], [], 3),                  # msm > arity -> empty
+    (["w2"], ["w1", "w7"], [], 1),              # quorum with must present
+]
+
+
+def test_min_should_match_matches_brute(bool_index):
+    index_dir, toks = bool_index
+    reader = IndexReader(index_dir)
+    for should, must, must_not, msm in MSM_CASES:
+        got = reader.boolean_topk(should, must, must_not, 500,
+                                  min_should_match=msm)
+        want = _brute_boolean(toks, should, must, must_not, 500, msm=msm)
+        assert got == want, (should, must, must_not, msm)
+    # explicit empties: quorum over the distinct arity / only-dup should
+    assert reader.boolean_topk(["w0", "w0"], [], [], 10,
+                               min_should_match=2) == []
+    assert reader.boolean_topk(["w0", "nosuchterm"], [], [], 500,
+                               min_should_match=2) == []
+
+
+def test_min_should_match_boundary_equivalences(bool_index):
+    index_dir, _ = bool_index
+    reader = IndexReader(index_dir)
+    # msm=0 and msm=1 are both the plain OR for should-only queries (a
+    # scoring doc already has >= 1 should posting)
+    plain = reader.boolean_topk(["w2", "w5"], [], [], 500)
+    assert reader.boolean_topk(["w2", "w5"], [], [], 500,
+                               min_should_match=1) == plain
+    # msm == distinct arity == pure conjunction over the same scoring
+    # multiset (no duplicate occurrences, so the multisets agree)
+    assert reader.boolean_topk(["w2", "w5"], [], [], 500,
+                               min_should_match=2) == \
+        reader.boolean_topk([], ["w2", "w5"], [], 500)
+
+
+def test_min_should_match_validation(bool_index):
+    index_dir, _ = bool_index
+    reader = IndexReader(index_dir)
+    for bad in (-1, 1.5, "2", True):
+        with pytest.raises(ValueError, match="min_should_match"):
+            reader.boolean_topk(["w0"], [], [], 10, min_should_match=bad)
+
+
+def test_min_should_match_served_and_search(bool_index, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    index_dir, _ = bool_index
+    reader = IndexReader(index_dir)
+    eng = RangeShardedQueryEngine(index_dir, pool_size=3)
+    try:
+        for should, must, must_not, msm in MSM_CASES:
+            assert eng.boolean_topk(
+                should, must, must_not, 10, min_should_match=msm
+            ) == reader.boolean_topk(
+                should, must, must_not, 10, min_should_match=msm
+            ), (should, must, must_not, msm)
+        # the search() string surface: a plain term list + quorum routes
+        # through the should-only boolean path, identically on both engines
+        want = reader.boolean_topk(["w0", "w1", "w3"], [], [], 10,
+                                   min_should_match=2)
+        assert search(reader, "w0 w1 w3", min_should_match=2) == want
+        assert search(eng, "w0 w1 w3", min_should_match=2) == want
+        # quorum on an explicit boolean query
+        assert search(eng, "w3 w4 w6 +w0 -w19", min_should_match=2) == \
+            reader.boolean_topk(["w3", "w4", "w6"], ["w0"], ["w19"], 10,
+                                min_should_match=2)
+        with pytest.raises(ValueError, match="min_should_match requires"):
+            search(reader, '"w0 w1"', min_should_match=2)
     finally:
         eng.shutdown()
 

@@ -269,6 +269,13 @@ def cmd_query(args) -> int:
     if prior and title:
         raise SystemExit("--prior and --title-index do not compose yet — "
                          "the multi-field engines have no prior surface")
+    if getattr(args, "msm", 0) and (prior or title):
+        # the quorum rides the boolean route, which the prior/multi-field
+        # engines do not expose — reject instead of silently ignoring
+        raise SystemExit(
+            "--msm composes with boolean/plain queries only, not with "
+            "--prior or --title-index"
+        )
     if title:
         # multi-field (title^w + body, Lucene most_fields): the multi-field
         # engines rank the weighted BM25 sum — positional/boolean/lexicon
@@ -358,7 +365,7 @@ def cmd_query(args) -> int:
             )
         hits, positive, phrase = search_with_terms(
             engine, args.query, args.k, after=_parse_after(args.after),
-            collapse=collapse,
+            collapse=collapse, min_should_match=getattr(args, "msm", 0),
         )
         values = None
         if collapse is not None:
@@ -616,6 +623,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="static-score ranking: BM25 + WEIGHT × the numeric "
                         "sidecar column COL (function_score; plain/boosted "
                         "queries, col:value chunks stay filters)")
+    q.add_argument("--msm", type=int, default=0, metavar="N",
+                   help="minimum_should_match: hits must contain at least "
+                        "N distinct should terms (boolean +/- queries and "
+                        "plain term lists)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser(

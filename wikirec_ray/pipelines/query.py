@@ -133,6 +133,24 @@ def aggregate_weights(
     return agg
 
 
+def validate_min_should_match(min_should_match) -> int:
+    """Validated ``minimum_should_match`` quorum as a plain int (>= 0; 0 =
+    disabled).  Centralized like ``check_weights`` so the local reader and
+    the serving coordinator reject the same inputs — a bool sneaks through
+    ``int()`` and a negative quorum would silently behave like 0."""
+    if isinstance(min_should_match, bool) or not isinstance(
+        min_should_match, (int, np.integer)
+    ):
+        raise ValueError(
+            f"min_should_match must be an int >= 0, "
+            f"got {min_should_match!r}"
+        )
+    msm = int(min_should_match)
+    if msm < 0:
+        raise ValueError(f"min_should_match must be >= 0, got {msm}")
+    return msm
+
+
 def bm25_contrib(idf, tf, dl, avgdl):
     """Per-posting BM25 contribution — THE scoring kernel, shared by the
     local reader, the WAND cursors, and both serving engines so the formula
@@ -411,6 +429,7 @@ class IndexReader:
         k: int = 10,
         attrs: list[tuple[str, str]] | None = None,
         after: tuple[int, float] | None = None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Lucene-style boolean retrieval: a hit must contain EVERY ``must``
         term and NO ``must_not`` term; ``should`` terms only affect
@@ -425,15 +444,37 @@ class IndexReader:
         absent from the corpus empties the conjunction; a term that is
         both required and excluded excludes (production boolean-query
         semantics: MUST_NOT dominates).  ``after`` = search_after cursor,
-        as in ``topk``."""
+        as in ``topk``.
+
+        ``min_should_match`` (Elasticsearch ``minimum_should_match``):
+        when > 0, a hit must additionally contain at least that many
+        DISTINCT ``should`` terms (duplicate occurrences still score per
+        occurrence but count once toward the quorum — the Lucene clause-
+        count contract).  It constrains even when ``must`` clauses are
+        present (the explicit-parameter ES behavior; the default 0 is
+        ES's default for queries with a ``must`` clause, and a plain
+        boolean query already requires one posting to score, so 1 is
+        implicit for pure-``should`` queries).  Asking for more distinct
+        ``should`` terms than the query has can never match — empty, like
+        an absent ``must`` term."""
         should, must, must_not = list(should), list(must), list(must_not)
+        msm = validate_min_should_match(min_should_match)
         if not should and not must:
+            return []
+        should_set = sorted(set(should))
+        if msm > len(should_set):
             return []
         must_set = sorted(set(must))
         for t in must_set:
             if self.df.get(t, 0) == 0:
                 return []
         scores = self.score_exact(should + must)
+        if msm:
+            quorum = np.zeros(len(self.norms), dtype=np.int32)
+            for t in should_set:
+                if self.df.get(t, 0):
+                    quorum[self.postings(t)[0].astype(np.int64)] += 1
+            scores[quorum < msm] = 0.0
         if must_set:
             allowed = None
             for t in sorted(must_set, key=lambda t: (self.df[t], t)):
@@ -2045,6 +2086,7 @@ def search_with_terms(
     engine, query: str, k: int = 10,
     after: tuple[int, float] | None = None,
     collapse: str | None = None,
+    min_should_match: int = 0,
 ) -> tuple[list, list[str], list[str] | None]:
     """``search`` plus the resolved POSITIVE term multiset: returns
     ``(hits, positive_terms, phrase_or_None)`` where ``positive_terms``
@@ -2060,6 +2102,16 @@ def search_with_terms(
     attrs, rest = split_filters(query, cols)
     attrs = attrs or None
     mode, terms, window = parse_query(rest)
+    msm = validate_min_should_match(min_should_match)
+    if msm and mode not in ("boolean", "bm25"):
+        # minimum_should_match is a bool-query option (ES contract): it
+        # composes with +/- clauses or a plain should-only term list;
+        # silently ignoring it on a phrase/NEAR/expanded query would
+        # return hits the caller asked to exclude
+        raise ValueError(
+            f"min_should_match requires a boolean or plain BM25 query; "
+            f"got a {mode} query"
+        )
     if collapse is not None and mode not in ("bm25", "expand", "boosted"):
         # field collapsing is implemented on the dense BM25 scoring path
         # (plain and lexicon-expanded queries); a silent fall-through to
@@ -2076,7 +2128,14 @@ def search_with_terms(
     if mode == "boolean":
         should, must, must_not = terms
         hits = engine.boolean_topk(should, must, must_not, k, attrs=attrs,
-                                   after=after)
+                                   after=after, min_should_match=msm)
+        return hits, pos, None
+    if msm:
+        # plain term list + a quorum = a should-only bool query (the ES
+        # shape); the boolean route's score_exact scoring is rank-identical
+        # to the WAND router on plain multisets (pytest-asserted)
+        hits = engine.boolean_topk(terms, [], [], k, attrs=attrs,
+                                   after=after, min_should_match=msm)
         return hits, pos, None
     if mode == "phrase":
         hits = engine.phrase_topk(terms, k, attrs=attrs, after=after)
@@ -2106,7 +2165,8 @@ def search_with_terms(
 
 
 def search(engine, query: str, k: int = 10,
-           after: tuple[int, float] | None = None) -> list[tuple[int, float]]:
+           after: tuple[int, float] | None = None,
+           min_should_match: int = 0) -> list[tuple[int, float]]:
     """Route a query STRING to the right retrieval path of ``engine`` —
     an ``IndexReader`` or a ``RangeShardedQueryEngine`` (anything exposing
     ``topk`` / ``phrase_topk`` / ``near_topk`` / ``boolean_topk``): quoted
@@ -2129,9 +2189,14 @@ def search(engine, query: str, k: int = 10,
     assumes unfiltered scores).  ``after`` = optional search_after cursor
     — the previous page's last ``(doc_id, score)`` hit, passed back
     verbatim — applied on whatever route the query parses to (the same
-    query string pages consistently).  Callers that also need the resolved
-    term set (highlighting, facets) should use ``search_with_terms``."""
-    return search_with_terms(engine, query, k, after=after)[0]
+    query string pages consistently).  ``min_should_match`` = optional
+    distinct-``should``-term quorum (ES ``minimum_should_match``) for
+    boolean and plain term-list queries.  Callers that also need the
+    resolved term set (highlighting, facets) should use
+    ``search_with_terms``."""
+    return search_with_terms(
+        engine, query, k, after=after, min_should_match=min_should_match
+    )[0]
 
 
 # ---------------------------------------------------------------------------

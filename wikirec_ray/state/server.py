@@ -400,13 +400,18 @@ class RangeServerImpl:
         k: int,
         attrs: list[tuple[str, str]] | None = None,
         after=None,
+        msm_twt: list[tuple[str, int]] | None = None,
+        msm: int = 0,
     ):
         """This shard's boolean top-k: the dense per-range scoring of
         ``topk`` over ``score_twi`` (should + must occurrences), masked to
         the AND-intersection of the ``must`` terms' postings and zeroed on
         any ``must_not`` posting — the served twin of
         ``IndexReader.boolean_topk`` (boolean clauses filter, BM25
-        scores)."""
+        scores).  ``msm_twt`` + ``msm`` = the distinct ``should`` terms
+        (with tparts) and the ``minimum_should_match`` quorum: slots whose
+        distinct-presence count falls short are zeroed, range-locally —
+        quorum membership is per-doc, so shards decide it exactly."""
         from wikirec_ray.pipelines.query import topk_from_dense
 
         out: list[tuple[int, float]] = []
@@ -438,6 +443,15 @@ class RangeServerImpl:
                 sel = allowed.astype(np.int64) - base
                 masked[sel] = local[sel]
                 local = masked
+            if msm:
+                quorum = np.zeros(self.range_size, dtype=np.int32)
+                for term, tpart in msm_twt or ():
+                    chunk = self._chunk(tpart, r)
+                    if chunk is None or not chunk.has(term):
+                        continue
+                    d, _ = chunk.postings(term)
+                    quorum[d.astype(np.int64) - base] += 1
+                local[quorum < msm] = 0.0
             for term, tpart, _ in not_twi:
                 chunk = self._chunk(tpart, r)
                 if chunk is None or not chunk.has(term):
@@ -1224,15 +1238,25 @@ class RangeShardedQueryEngine:
         k: int = 10,
         attrs: list[tuple[str, str]] | None = None,
         after: tuple[int, float] | None = None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Distributed boolean retrieval (== ``IndexReader.boolean_topk``):
         every doc lives in exactly one range shard, so must/must_not
         filtering and scoring are shard-local and the global top-k is the
         merge of per-shard partials.  (The term-sharded engine cannot
         filter conjunctively without shipping doc sets between shards —
-        same limitation as phrase/NEAR, documented there.)"""
+        same limitation as phrase/NEAR, documented there.)
+        ``min_should_match`` ships the distinct ``should`` terms to the
+        shards as the quorum set — presence is per-doc, so the quorum is
+        decided shard-locally, exactly like the ``must`` mask."""
+        from wikirec_ray.pipelines.query import validate_min_should_match
+
         should, must, must_not = list(should), list(must), list(must_not)
+        msm = validate_min_should_match(min_should_match)
         if not should and not must:
+            return []
+        should_set = sorted(set(should))
+        if msm > len(should_set):
             return []
         resolved = self._resolve_idfs(should + must + must_not)
         must_set = sorted(set(must))
@@ -1250,9 +1274,15 @@ class RangeShardedQueryEngine:
             (t, *resolved[t])
             for t in sorted(set(must_not)) if resolved[t][1] != 0.0
         ]
+        # OOV should terms can never post — dropping them from the shipped
+        # quorum set changes no per-doc count (the quorum THRESHOLD keeps
+        # the full distinct-should arity via the early-exit above)
+        msm_twt = [
+            (t, resolved[t][0]) for t in should_set if resolved[t][1] != 0.0
+        ] if msm else None
         partials = ray.get([
             s.boolean_topk.remote(
-                score_twi, must_twi, not_twi, k, attrs, after
+                score_twi, must_twi, not_twi, k, attrs, after, msm_twt, msm
             )
             for s in self.servers
         ])
@@ -1694,9 +1724,11 @@ class SearchCoordinator:
         self.eng = RangeShardedQueryEngine(index_dir, handles=handles)
 
     def search(self, query: str, k: int = 10,
-               after: tuple[int, float] | None = None
+               after: tuple[int, float] | None = None,
+               min_should_match: int = 0
                ) -> list[tuple[int, float]]:
-        return self._search(self.eng, query, k, after=after)
+        return self._search(self.eng, query, k, after=after,
+                            min_should_match=min_should_match)
 
     def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         return self.eng.topk(terms, k)
@@ -1745,14 +1777,17 @@ class ReplicatedSearchTier:
         ]
 
     def submit(self, query: str, k: int = 10, client_id: int = 0,
-               after: tuple[int, float] | None = None):
+               after: tuple[int, float] | None = None,
+               min_should_match: int = 0):
         c = self.coordinators[client_id % len(self.coordinators)]
-        return c.search.remote(query, k, after)
+        return c.search.remote(query, k, after, min_should_match)
 
     def search(self, query: str, k: int = 10, client_id: int = 0,
-               after: tuple[int, float] | None = None
+               after: tuple[int, float] | None = None,
+               min_should_match: int = 0
                ) -> list[tuple[int, float]]:
-        return ray.get(self.submit(query, k, client_id, after=after))
+        return ray.get(self.submit(query, k, client_id, after=after,
+                                   min_should_match=min_should_match))
 
     def shutdown(self):
         for c in self.coordinators:
