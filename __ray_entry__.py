@@ -223,7 +223,19 @@ STRATA_RATES = {"en": 2, "de": 3}  # keep 1/2 of en, 1/3 of de, all others
 PHRASE_MIN_COUNT = 10
 PHRASE_THRESHOLD = 0.0002
 
-SAMPLE_RATE_BP, SAMPLE_SEED = 2000, 42  # hash_sample: keep 20%, seed 42
+# (qid, terms, attrs) for the stats_agg slot — the ES ``stats`` metric
+# aggregation over OR-matched docs of the index + n_chars sidecar; query 3
+# composes a categorical attr filter, query 4 a numeric RANGE filter
+# (both through the strict-grammar interpreter, like filtered_search).
+# Replaced the retired `random_sample` slot (its fmix64 SQL-exactness pin
+# lives on as tests/test_phrases_utils.py::test_hash_sample_fmix64_exact).
+STATS_QUERY_SET = [
+    (1, ["spark", "join"], None),
+    (2, ["window", "merge", "sort"], None),
+    (3, ["the", "vector"], [("lang", "en")]),
+    (4, ["spark", "data"], [("n_chars", ">=300")]),
+]
+STATS_COL = "n_chars"
 # web-curation entries (round 4): the documents table reshaped into a
 # deterministic "web corpus" — every 5th space becomes a newline, lines
 # starting with the vocab word 'line' get a '- ' bullet, every 7th doc
@@ -1349,13 +1361,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _token_head_join(out, STEM_SUB_N)
 
-    def random_sample_q(sf_dir):
-        from wikirec_ray.stages.stats import hash_sample
+    def stats_agg_q(sf_dir):
+        """ES ``stats`` metric aggregation: count/min/max/sum/avg of the
+        numeric ``n_chars`` sidecar column over docs matching ANY query
+        term (the ``facet_counts`` OR-match candidacy), optional attrs
+        pre-filter through the strict-grammar interpreter — one row per
+        query, SQL-replayable as the distinct OR-match join + a guarded
+        TRY_CAST aggregate (non-numeric stored values drop on both
+        sides)."""
+        import pandas as pd
 
-        return hash_sample(
-            _documents(sf_dir, columns=("doc_id",)),
-            rate_bp=SAMPLE_RATE_BP, seed=SAMPLE_SEED,
-        )
+        from wikirec_ray.pipelines.query import IndexReader
+
+        reader = IndexReader(_ensure_meta(sf_dir))
+        rows = []
+        for qid, terms, attrs in STATS_QUERY_SET:
+            st = reader.metric_stats(terms, STATS_COL, attrs=attrs)
+            if st["count"] == 0:
+                continue  # SQL's GROUP BY emits no row either
+            rows.append((
+                qid, st["count"], round(st["min"], 6), round(st["max"], 6),
+                round(st["sum"], 6), round(st["avg"], 6),
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "n_docs", "min_v", "max_v", "sum_v",
+                     "avg_v"],
+        ).astype({"query_id": "int64", "n_docs": "int64"})
 
     def minhash_dedup_q(sf_dir):
         from wikirec_ray.pipelines.dedup import minhash_dedup_groups
@@ -1713,7 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann": lsh_ann_q,
         "embedding_dups_bucketed": embedding_dups_bucketed_q,
         "stemmed_tokens": stemmed_q,
-        "random_sample": random_sample_q,
+        "stats_agg": stats_agg_q,
         "approx_distinct_users": approx_distinct_users_q,
         "corpus_stats": corpus_stats_q,
         "bm25_topk_wand": bm25_topk_wand,
@@ -2103,9 +2135,22 @@ def oracle_sql() -> dict[str, str]:
             f"list_transform({_TOKS_LIST}, t -> {_word_case(fn)})"
         )
 
-    # ---- random_sample: fmix64(id*GOLD + seed) % 10000 < rate ------------
-    sample_key = (
-        f"CAST(({mulmod64('CAST(doc_id AS HUGEINT)', _GOLD)} + {SAMPLE_SEED}) % {M64} AS UBIGINT)"
+    # ---- stats_agg: per-query attr predicate (shares _filter_pred) -------
+    from wikirec_ray.pipelines.query import NUMERIC_GRAMMAR_RE as _num_grammar
+
+    def _stats_pred(attrs) -> str:
+        if not attrs:
+            return "TRUE"
+        return " AND ".join(_filter_pred(c, s) for c, s in attrs)
+
+    stats_qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms, _a in STATS_QUERY_SET for t in sorted(set(terms))
+    )
+    stats_pred_union = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM documents "
+        f"WHERE {_stats_pred(attrs)}"
+        for qid, _t, attrs in STATS_QUERY_SET
     )
 
     # ---- simhash / minhash: signature simulation over the token hash -----
@@ -2462,10 +2507,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[1:{STEM_SUB_N}], ' ') AS toks_sub
             FROM t
         """,
-        "random_sample": f"""
-            WITH k0 AS (SELECT doc_id, {sample_key} AS h FROM documents),
-            {fmix64_steps('k0', 'kf', keys='doc_id')}
-            SELECT doc_id FROM kf WHERE h % 10000 < {SAMPLE_RATE_BP}
+        "stats_agg": f"""
+            WITH tok AS ({_TOK}),
+            q(query_id, term) AS (VALUES {stats_qvals}),
+            m AS (SELECT DISTINCT q.query_id, tok.doc_id
+                  FROM tok JOIN q USING (term)),
+            sp AS ({stats_pred_union}),
+            vals AS (
+                SELECT m.query_id, TRY_CAST(d.{STATS_COL} AS DOUBLE) AS v
+                FROM m
+                JOIN sp ON sp.query_id = m.query_id AND sp.doc_id = m.doc_id
+                JOIN documents d ON d.doc_id = m.doc_id
+                WHERE regexp_full_match(CAST(d.{STATS_COL} AS VARCHAR),
+                                        '{_num_grammar}')
+            )
+            SELECT query_id, COUNT(*)::BIGINT AS n_docs,
+                   ROUND(MIN(v), 6) AS min_v, ROUND(MAX(v), 6) AS max_v,
+                   ROUND(SUM(v), 6) AS sum_v, ROUND(AVG(v), 6) AS avg_v
+            FROM vals GROUP BY query_id
         """,
         "minhash_dedup": f"""
             -- full LSH simulation: token hash -> k=3 shingles -> {MINHASH_N_PERM}

@@ -205,6 +205,29 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     assert [(f["value"], f["n_docs"]) for f in res["facets"]["lang"]] == \
         rd.facet_counts(exp, "lang", 5)
 
+    # --stats: ES stats aggregation over a NUMERIC sidecar column; the
+    # query's col:value filter composes into the aggregation (attrs),
+    # unlike --facets which documents the unfiltered OR-match set.  The
+    # sidecar gains n_chars, so a FRESH reader (the old one pinned the
+    # two-column manifest snapshot).
+    rc, meta3 = run_cli(capsys, [
+        "meta", "--index", idx, "--input", docs,
+        "--cols", "lang,source,n_chars",
+    ])
+    assert rc == 0 and meta3["cols"] == ["lang", "source", "n_chars"]
+    rd2 = IndexReader(idx)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "lang:en the table", "-k", "5",
+        "--stats", "n_chars, lang",
+    ])
+    assert rc == 0
+    want = rd2.metric_stats(["the", "table"], "n_chars",
+                            attrs=[("lang", "en")])
+    assert res["stats"]["n_chars"] == want and want["count"] > 0
+    # a non-numeric column reports the ES empty-stats shape, no crash
+    assert res["stats"]["lang"]["count"] == 0
+    assert res["stats"]["lang"]["min"] is None
+
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):
     rc, out = run_cli(capsys, ["stats", "--index", str(tmp_path / "nope")])

@@ -539,6 +539,121 @@ def test_range_filters_compose_with_search_and_serving(numfx, ray_session):
 
 
 # ---------------------------------------------------------------------------
+# metric stats aggregation (Elasticsearch `stats`: count/min/max/sum/avg
+# of a numeric sidecar column over the OR-matched docs)
+# ---------------------------------------------------------------------------
+
+_EMPTY_STATS = {"count": 0, "sum": 0.0, "min": None, "max": None,
+                "avg": None}
+
+
+def _brute_stats(rows, terms, col, pred=None):
+    attr = {r["doc_id"]: r for r in rows}
+    vals = []
+    for d in _brute_matched(rows, terms):
+        r = attr[d]
+        if pred is not None and not pred(r):
+            continue
+        try:
+            vals.append(float(r[col]))
+        except ValueError:
+            continue
+    if not vals:
+        return dict(_EMPTY_STATS)
+    return {"count": len(vals), "sum": sum(vals), "min": min(vals),
+            "max": max(vals), "avg": sum(vals) / len(vals)}
+
+
+def _assert_stats_close(got, want):
+    assert got["count"] == want["count"]
+    for key in ("sum", "min", "max", "avg"):
+        if want[key] is None:
+            assert got[key] is None, key
+        else:
+            assert got[key] == pytest.approx(want[key], rel=1e-12), key
+
+
+def test_metric_stats_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    got = rd.metric_stats(QUERY, "n_tok")
+    _assert_stats_close(got, _brute_stats(rows, QUERY, "n_tok"))
+
+    # attrs compose: the filter narrows the match set BEFORE aggregation
+    got_f = rd.metric_stats(QUERY, "n_tok", attrs=[("lang", "de")])
+    _assert_stats_close(
+        got_f,
+        _brute_stats(rows, QUERY, "n_tok",
+                     pred=lambda r: r["lang"] == "de"),
+    )
+    assert got_f["count"] < got["count"]
+
+    # DuckDB replay: distinct OR-match join + strict-grammar-guarded cast
+    from wikirec_ray.pipelines.query import NUMERIC_GRAMMAR_RE
+
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],  # string, like the sidecar
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT COUNT(*)::BIGINT, SUM(v), MIN(v), MAX(v), AVG(v) FROM (
+            SELECT TRY_CAST(d.n_tok AS DOUBLE) AS v
+            FROM m JOIN documents d USING (doc_id)
+            WHERE regexp_full_match(d.n_tok, '{NUMERIC_GRAMMAR_RE}')
+        )
+    """).fetchone()
+    _assert_stats_close(got, {
+        "count": int(want[0]), "sum": float(want[1]), "min": float(want[2]),
+        "max": float(want[3]), "avg": float(want[4]),
+    })
+
+    # non-numeric column: every stored value fails the strict parse —
+    # the ES empty-stats shape, never a crash
+    assert rd.metric_stats(QUERY, "lang") == _EMPTY_STATS
+    # absent term / empty query: empty shape
+    assert rd.metric_stats(["zzz"], "n_tok") == _EMPTY_STATS
+    assert rd.metric_stats([], "n_tok") == _EMPTY_STATS
+    # attrs that empty the match set: empty shape
+    assert rd.metric_stats(QUERY, "n_tok",
+                           attrs=[("lang", "xx")]) == _EMPTY_STATS
+
+
+def test_metric_stats_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("lang", "en")]),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),  # duplicate-terms parity
+            (["zzz"], None),
+        ]:
+            _assert_stats_close(
+                eng.metric_stats(terms, "n_tok", attrs=attrs),
+                rd.metric_stats(terms, "n_tok", attrs=attrs),
+            )
+        assert eng.metric_stats(QUERY, "lang") == _EMPTY_STATS
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
 # field collapsing (Elasticsearch `collapse`: best doc per attribute value)
 # ---------------------------------------------------------------------------
 

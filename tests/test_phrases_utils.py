@@ -184,6 +184,44 @@ def test_frequent_terms_and_sample(ray_session):
     assert sorted(r["doc_id"] for r in sampled) == [1, 4, 7]
 
 
+def test_hash_sample_fmix64_exact(ray_session):
+    """hash_sample keeps a row iff fmix64(id*GOLD + seed) % 10000 <
+    rate_bp — pinned against an INDEPENDENT pure-int fmix64 (the public
+    MurmurHash3 finalizer), so the vectorized uint64 pipeline stays
+    SQL-replayable bit for bit (this was the retired `random_sample`
+    driver slot's oracle, kept here as a pytest)."""
+    from wikirec_ray.stages.stats import hash_sample
+
+    M = 1 << 64
+
+    def fmix64_int(h: int) -> int:  # scalar reference, no numpy
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) % M
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) % M
+        h ^= h >> 33
+        return h
+
+    ids = list(range(0, 4000, 7))
+    ds = _ds(ray_session, [(i, "x") for i in ids])
+    for rate_bp, seed in ((2000, 42), (500, 7), (0, 1), (10000, 3)):
+        got = sorted(
+            r["doc_id"]
+            for r in hash_sample(ds, rate_bp=rate_bp, seed=seed).take_all()
+        )
+        want = [
+            i for i in ids
+            if fmix64_int((i * 0x9E3779B97F4A7C15 + seed) % M) % 10000
+            < rate_bp
+        ]
+        assert got == want, (rate_bp, seed)
+    assert got == ids  # rate 10000 keeps everything
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample(ds, rate_bp=10001)
+
+
 def test_topic_aliases():
     from wikirec_ray.functions.utils import convert_topic, topic_alias_dict
 

@@ -13,7 +13,8 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray compact --index DIR
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
-        [--facets COLS] [--store EXPORT_DIR [--snippet-window W]] \
+        [--facets COLS] [--stats COLS] \
+        [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
@@ -282,9 +283,11 @@ def cmd_query(args) -> int:
         # routes are per-field surfaces the sum has no semantics for, so
         # reject those modes up front with a named error
         mode, _, _ = parse_query(split_filters(args.query, [])[1])
-        if mode not in ("bm25", "boosted") or args.collapse or args.facets:
+        if (mode not in ("bm25", "boosted") or args.collapse
+                or args.facets or args.stats):
             unsupported = ("collapsed" if args.collapse
-                           else "faceted" if args.facets else mode)
+                           else "faceted" if args.facets
+                           else "stats" if args.stats else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -314,11 +317,11 @@ def cmd_query(args) -> int:
             # semantics), col:value chunks stay filters.  Output shapes
             # the prior branch does not produce reject loudly instead of
             # being dropped (review r5).
-            if args.facets or args.store or args.collapse:
+            if args.facets or args.store or args.collapse or args.stats:
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
-                    "--facets/--store/--collapse are not produced by the "
-                    "prior branch"
+                    "--facets/--stats/--store/--collapse are not produced "
+                    "by the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -395,6 +398,18 @@ def cmd_query(args) -> int:
                 col: [{"value": v, "n_docs": n}
                       for v, n in engine.facet_counts(positive, col, args.k)]
                 for col in (c.strip() for c in args.facets.split(","))
+                if col
+            }
+        if args.stats:
+            # ES stats aggregation: count/min/max/sum/avg of each numeric
+            # sidecar column over docs matching ANY positive query term
+            # (same match set as --facets; col:value filters from the
+            # query string compose through `attrs`)
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["stats"] = {
+                col: engine.metric_stats(positive, col,
+                                         attrs=s_attrs or None)
+                for col in (c.strip() for c in args.stats.split(","))
                 if col
             }
         print(json.dumps(out))
@@ -600,6 +615,11 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--facets", default="", metavar="COLS",
                    help="also report per-value match counts for these "
                         "comma-separated sidecar columns")
+    q.add_argument("--stats", default="", metavar="COLS",
+                   help="also report count/min/max/sum/avg of these "
+                        "comma-separated NUMERIC sidecar columns over the "
+                        "matched docs (ES stats aggregation; col:value "
+                        "filters in the query compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

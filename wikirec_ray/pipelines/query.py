@@ -629,6 +629,58 @@ class IndexReader:
         )[:k]
         return [(values[c], int(counts[c])) for c in order]
 
+    def metric_stats(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict:
+        """Elasticsearch ``stats`` metric aggregation over the docs
+        matching ANY query term (the same OR-match candidacy as
+        ``facet_counts``: distinct terms, tombstones dropped):
+        count/min/max/sum/avg of sidecar column ``col``, each stored
+        string parsed under the engine's strict numeric grammar
+        (``_strict_float``; the SQL twin is the regexp_full_match-guarded
+        TRY_CAST, exactly like range filters).  A matched doc whose
+        stored value is non-numeric is SKIPPED — the ES missing-field
+        contract — so ``count`` is the number of docs that CONTRIBUTED,
+        not the match count.  ``attrs`` filters the match set first
+        (composes like every attribute route).  Zero contributing docs
+        returns the ES empty-stats shape: count 0, sum 0.0, min/max/avg
+        None.  A matched doc absent from the sidecar raises (stale
+        sidecar — re-run ``build_doc_meta``), never silently drops."""
+        empty = {"count": 0, "sum": 0.0, "min": None, "max": None,
+                 "avg": None}
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return empty
+        dense, values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        # one parse per dictionary value (not per doc); NaN marks a
+        # non-numeric stored string so it drops out of every moment
+        parsed = np.array(
+            [x if (x := _strict_float(v)) is not None else np.nan
+             for v in values],
+            np.float64,
+        )
+        x = parsed[codes]
+        x = x[~np.isnan(x)]
+        if not len(x):
+            return empty
+        return {
+            "count": int(len(x)),
+            "sum": float(x.sum()),
+            "min": float(x.min()),
+            "max": float(x.max()),
+            "avg": float(x.sum() / len(x)),
+        }
+
     def filtered_topk(
         self, terms: list[str], k: int, col: str, value: str
     ) -> list[tuple[int, float]]:

@@ -659,6 +659,74 @@ class RangeServerImpl:
                 out[v] = out.get(v, 0) + int(counts[c])
         return out
 
+    def metric_stats(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> tuple[int, float, float | None, float | None]:
+        """This shard's stats-aggregation partial over docs matching ANY
+        term (alive only, optional ``attrs`` pre-filter): (count, sum,
+        min, max) of ``col`` under the strict numeric parse — non-numeric
+        stored values are skipped, the ``IndexReader.metric_stats``
+        contract.  Every doc lives in exactly one shard, so the
+        coordinator's merge (sum counts/sums, min of mins, max of maxes)
+        is exact."""
+        from wikirec_ray.pipelines.query import _strict_float
+
+        meta = self._meta(col)
+        cnt, tot = 0, 0.0
+        mn: float | None = None
+        mx: float | None = None
+        for r in self.range_ids:
+            parts = []
+            for term, tpart in terms_with_tpart:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                parts.append(chunk.postings(term)[0])
+            if not parts:
+                continue
+            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
+            tr = self.tombs.get(r)
+            if tr is not None:
+                from wikirec_ray.state.segments import filter_tombstoned
+
+                docs = filter_tombstoned(docs, tr)
+            if attrs and len(docs):
+                docs = self._attr_keep_sorted(r, docs, attrs)
+            if not len(docs):
+                continue
+            mr = meta.get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has matches but no metadata sidecar file — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
+            ids, codes, values = mr
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"matched doc missing from metadata range {r} — stale "
+                    f"meta/: re-run build_doc_meta"
+                )
+            parsed = np.array(
+                [x if (x := _strict_float(v)) is not None else np.nan
+                 for v in values],
+                np.float64,
+            )
+            x = parsed[codes[sel]]
+            x = x[~np.isnan(x)]
+            if not len(x):
+                continue
+            cnt += int(len(x))
+            tot += float(x.sum())
+            rmn, rmx = float(x.min()), float(x.max())
+            mn = rmn if mn is None else min(mn, rmn)
+            mx = rmx if mx is None else max(mx, rmx)
+        return cnt, tot, mn, mx
+
     def filtered_topk(
         self,
         terms_with_idf: list[tuple[str, int, float]],
@@ -1313,6 +1381,44 @@ class RangeShardedQueryEngine:
             for v, n in p.items():
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def metric_stats(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict:
+        """Distributed stats aggregation (== ``IndexReader.metric_stats``):
+        each shard returns its (count, sum, min, max) partial over its own
+        OR-matched alive docs under the strict numeric parse; the
+        coordinator sums counts/sums and takes min-of-mins / max-of-maxes
+        — exact, every doc lives in exactly one shard.  Partials merge in
+        fixed shard order so the float sum is deterministic run to run."""
+        empty = {"count": 0, "sum": 0.0, "min": None, "max": None,
+                 "avg": None}
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return empty
+        partials = ray.get(
+            [s.metric_stats.remote(twt, col, attrs) for s in self.servers]
+        )
+        cnt = sum(p[0] for p in partials)
+        if cnt == 0:
+            return empty
+        tot = 0.0
+        for p in partials:
+            tot += p[1]
+        mins = [p[2] for p in partials if p[2] is not None]
+        maxes = [p[3] for p in partials if p[3] is not None]
+        return {
+            "count": int(cnt),
+            "sum": float(tot),
+            "min": float(min(mins)),
+            "max": float(max(maxes)),
+            "avg": float(tot / cnt),
+        }
 
     def filtered_topk(
         self, terms: list[str], k: int, col: str, value: str
