@@ -228,6 +228,29 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     assert res["stats"]["lang"]["count"] == 0
     assert res["stats"]["lang"]["min"] is None
 
+    # --extended-stats and --histogram ride the same match set
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "5",
+        "--extended-stats", "n_chars", "--histogram", "n_chars:100",
+    ])
+    assert rc == 0
+    assert res["extended_stats"]["n_chars"] == \
+        rd2.extended_stats(["the", "table"], "n_chars")
+    assert res["extended_stats"]["n_chars"]["variance"] > 0
+    assert res["histogram"] == {
+        "col": "n_chars", "interval": 100.0,
+        "buckets": [{"key": lo, "n_docs": n} for lo, n in
+                    rd2.histogram(["the", "table"], "n_chars", 100.0)],
+    }
+    # a malformed histogram spec is a named CLI error, not a crash
+    import pytest as _pytest
+
+    for bad in ("n_chars", "n_chars:0", "n_chars:x", "n_chars:-2",
+                "n_chars:inf"):
+        with _pytest.raises(SystemExit):
+            run_cli(capsys, ["query", "--index", idx, "the",
+                             "--histogram", bad])
+
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):
     rc, out = run_cli(capsys, ["stats", "--index", str(tmp_path / "nope")])

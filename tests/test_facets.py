@@ -654,6 +654,168 @@ def test_metric_stats_served_equals_local(numfx, ray_session):
 
 
 # ---------------------------------------------------------------------------
+# extended_stats (+ variance/std) and histogram aggregations
+# ---------------------------------------------------------------------------
+
+_EMPTY_EXT = {"count": 0, "sum": 0.0, "sum_of_squares": 0.0, "min": None,
+              "max": None, "avg": None, "variance": None,
+              "std_deviation": None}
+
+
+def test_extended_stats_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+    got = rd.extended_stats(QUERY, "n_tok")
+
+    # brute: population moments over the matched docs' values
+    vals = [float(r["n_tok"]) for r in rows
+            if r["doc_id"] in set(_brute_matched(rows, QUERY))]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    assert got["count"] == n
+    assert got["avg"] == pytest.approx(mean, rel=1e-12)
+    assert got["sum_of_squares"] == pytest.approx(
+        sum(v * v for v in vals), rel=1e-12)
+    assert got["variance"] == pytest.approx(var, rel=1e-9)
+    assert got["std_deviation"] == pytest.approx(var ** 0.5, rel=1e-9)
+    # the plain-stats fields agree with metric_stats exactly
+    st = rd.metric_stats(QUERY, "n_tok")
+    assert {k: got[k] for k in st} == st
+
+    # DuckDB replay (VAR_POP / STDDEV_POP are the ES population moments)
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT VAR_POP(v), STDDEV_POP(v) FROM (
+            SELECT TRY_CAST(d.n_tok AS DOUBLE) AS v
+            FROM m JOIN documents d USING (doc_id)
+        )
+    """).fetchone()
+    assert got["variance"] == pytest.approx(float(want[0]), rel=1e-9)
+    assert got["std_deviation"] == pytest.approx(float(want[1]), rel=1e-9)
+
+    # attrs compose; empty shapes
+    got_f = rd.extended_stats(QUERY, "n_tok", attrs=[("lang", "de")])
+    assert 0 < got_f["count"] < got["count"]
+    assert rd.extended_stats(QUERY, "lang") == _EMPTY_EXT
+    assert rd.extended_stats(["zzz"], "n_tok") == _EMPTY_EXT
+
+
+def _brute_hist(rows, terms, col, interval, pred=None):
+    import math as _m
+
+    buckets = {}
+    attr = {r["doc_id"]: r for r in rows}
+    for d in _brute_matched(rows, terms):
+        r = attr[d]
+        if pred is not None and not pred(r):
+            continue
+        try:
+            v = float(r[col])
+        except ValueError:
+            continue
+        key = _m.floor(v / interval) * interval
+        buckets[key] = buckets.get(key, 0) + 1
+    return sorted(buckets.items())
+
+
+def test_histogram_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    for interval in (5.0, 7.5, 1.0):
+        got = rd.histogram(QUERY, "n_tok", interval)
+        assert got == _brute_hist(rows, QUERY, "n_tok", interval), interval
+    got = rd.histogram(QUERY, "n_tok", 5.0)
+    assert sum(c for _, c in got) == rd.metric_stats(QUERY, "n_tok")["count"]
+    assert [lo for lo, _ in got] == sorted(lo for lo, _ in got)
+
+    # DuckDB replay: FLOOR(v/i)*i GROUP BY bucket
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT FLOOR(v / 5.0) * 5.0 AS b, COUNT(*) FROM (
+            SELECT TRY_CAST(d.n_tok AS DOUBLE) AS v
+            FROM m JOIN documents d USING (doc_id)
+        ) GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    assert got == [(float(b), int(c)) for b, c in want]
+
+    # attrs compose
+    assert rd.histogram(QUERY, "n_tok", 5.0, attrs=[("lang", "de")]) == \
+        _brute_hist(rows, QUERY, "n_tok", 5.0,
+                    pred=lambda r: r["lang"] == "de")
+    # empty shapes and validation
+    assert rd.histogram(["zzz"], "n_tok", 5.0) == []
+    assert rd.histogram(QUERY, "lang", 5.0) == []
+    for bad in (0.0, -1.0, float("inf"), float("nan")):
+        with pytest.raises(ValueError):
+            rd.histogram(QUERY, "n_tok", bad)
+
+
+def test_extended_and_histogram_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("lang", "en")]),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),  # duplicate-terms parity
+            (["zzz"], None),
+        ]:
+            got = eng.extended_stats(terms, "n_tok", attrs=attrs)
+            want = rd.extended_stats(terms, "n_tok", attrs=attrs)
+            assert got["count"] == want["count"]
+            for key in ("sum", "sum_of_squares", "min", "max", "avg",
+                        "variance", "std_deviation"):
+                if want[key] is None:
+                    assert got[key] is None, key
+                else:
+                    assert got[key] == pytest.approx(want[key],
+                                                     rel=1e-12), key
+            assert eng.histogram(terms, "n_tok", 5.0, attrs=attrs) == \
+                rd.histogram(terms, "n_tok", 5.0, attrs=attrs)
+        assert eng.extended_stats(QUERY, "lang") == _EMPTY_EXT
+        assert eng.histogram(QUERY, "lang", 5.0) == []
+        with pytest.raises(ValueError):
+            eng.histogram(QUERY, "n_tok", 0.0)
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
 # field collapsing (Elasticsearch `collapse`: best doc per attribute value)
 # ---------------------------------------------------------------------------
 

@@ -13,7 +13,8 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray compact --index DIR
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
-        [--facets COLS] [--stats COLS] \
+        [--facets COLS] [--stats COLS] [--extended-stats COLS] \
+        [--histogram COL:INTERVAL] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -284,10 +285,13 @@ def cmd_query(args) -> int:
         # reject those modes up front with a named error
         mode, _, _ = parse_query(split_filters(args.query, [])[1])
         if (mode not in ("bm25", "boosted") or args.collapse
-                or args.facets or args.stats):
+                or args.facets or args.stats or args.extended_stats
+                or args.histogram):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
-                           else "stats" if args.stats else mode)
+                           else "stats" if args.stats
+                           else "extended-stats" if args.extended_stats
+                           else "histogram" if args.histogram else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -317,11 +321,12 @@ def cmd_query(args) -> int:
             # semantics), col:value chunks stay filters.  Output shapes
             # the prior branch does not produce reject loudly instead of
             # being dropped (review r5).
-            if args.facets or args.store or args.collapse or args.stats:
+            if (args.facets or args.store or args.collapse or args.stats
+                    or args.extended_stats or args.histogram):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
-                    "--facets/--stats/--store/--collapse are not produced "
-                    "by the prior branch"
+                    "--facets/--stats/--extended-stats/--histogram/--store/"
+                    "--collapse are not produced by the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -411,6 +416,40 @@ def cmd_query(args) -> int:
                                          attrs=s_attrs or None)
                 for col in (c.strip() for c in args.stats.split(","))
                 if col
+            }
+        if args.extended_stats:
+            # ES extended_stats: the stats shape plus sum_of_squares /
+            # variance / std_deviation (population moments)
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["extended_stats"] = {
+                col: engine.extended_stats(positive, col,
+                                           attrs=s_attrs or None)
+                for col in (c.strip()
+                            for c in args.extended_stats.split(","))
+                if col
+            }
+        if args.histogram:
+            # ES histogram aggregation: COL:INTERVAL buckets keyed by
+            # floor(v/interval)*interval over the same match set
+            h_col, h_sep, h_itxt = args.histogram.partition(":")
+            try:
+                h_interval = float(h_itxt) if h_sep else float("nan")
+            except ValueError:
+                h_interval = float("nan")
+            if (not h_sep or not math.isfinite(h_interval)
+                    or h_interval <= 0):
+                raise SystemExit(
+                    "--histogram needs COL:INTERVAL with a finite "
+                    f"interval > 0 (got {args.histogram!r})"
+                )
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["histogram"] = {
+                "col": h_col, "interval": h_interval,
+                "buckets": [
+                    {"key": lo, "n_docs": n}
+                    for lo, n in engine.histogram(
+                        positive, h_col, h_interval, attrs=s_attrs or None)
+                ],
             }
         print(json.dumps(out))
     finally:
@@ -620,6 +659,16 @@ def make_parser() -> argparse.ArgumentParser:
                         "comma-separated NUMERIC sidecar columns over the "
                         "matched docs (ES stats aggregation; col:value "
                         "filters in the query compose)")
+    q.add_argument("--extended-stats", default="", metavar="COLS",
+                   dest="extended_stats",
+                   help="like --stats plus sum_of_squares/variance/"
+                        "std_deviation (ES extended_stats, population "
+                        "moments)")
+    q.add_argument("--histogram", default="", metavar="COL:INTERVAL",
+                   help="also report fixed-interval value buckets of this "
+                        "NUMERIC sidecar column over the matched docs "
+                        "(ES histogram aggregation, non-empty buckets "
+                        "only; col:value filters in the query compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

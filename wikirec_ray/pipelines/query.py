@@ -647,13 +647,32 @@ class IndexReader:
         returns the ES empty-stats shape: count 0, sum 0.0, min/max/avg
         None.  A matched doc absent from the sidecar raises (stale
         sidecar — re-run ``build_doc_meta``), never silently drops."""
-        empty = {"count": 0, "sum": 0.0, "min": None, "max": None,
-                 "avg": None}
+        x = self._numeric_matched_values(terms, col, attrs)
+        if not len(x):
+            return {"count": 0, "sum": 0.0, "min": None, "max": None,
+                    "avg": None}
+        return {
+            "count": int(len(x)),
+            "sum": float(x.sum()),
+            "min": float(x.min()),
+            "max": float(x.max()),
+            "avg": float(x.sum() / len(x)),
+        }
+
+    def _numeric_matched_values(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> np.ndarray:
+        """The float64 values of sidecar column ``col`` for every
+        OR-matched alive doc (optional ``attrs`` pre-filter) whose stored
+        string passes the strict numeric grammar — the shared input of
+        ``metric_stats`` / ``extended_stats`` / ``histogram``.  A matched
+        doc absent from the sidecar raises (stale meta/)."""
         docs = self._matched_docs(terms)
         if attrs and len(docs):
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
-            return empty
+            return np.empty(0, np.float64)
         dense, values = self._meta_codes(col)
         codes = dense[docs.astype(np.int64)]
         if (codes < 0).any():
@@ -670,16 +689,64 @@ class IndexReader:
             np.float64,
         )
         x = parsed[codes]
-        x = x[~np.isnan(x)]
+        return x[~np.isnan(x)]
+
+    def extended_stats(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict:
+        """Elasticsearch ``extended_stats``: ``metric_stats`` plus
+        sum_of_squares / variance / std_deviation (POPULATION moments,
+        the ES default) over the same contributing values.  Variance is
+        computed from the three merged scalars — ``sum_sq/n - mean²``,
+        clamped at 0 against float cancellation — the SAME formula the
+        sharded coordinator applies to its merged partials, so local and
+        served agree to float-sum reordering only (the SQL twin is
+        ``VAR_POP``/``STDDEV_POP``).  Empty shape extends the stats one
+        with sum_of_squares 0.0 and variance/std_deviation None."""
+        x = self._numeric_matched_values(terms, col, attrs)
         if not len(x):
-            return empty
+            return {"count": 0, "sum": 0.0, "sum_of_squares": 0.0,
+                    "min": None, "max": None, "avg": None,
+                    "variance": None, "std_deviation": None}
+        n = len(x)
+        tot = float(x.sum())
+        sum_sq = float((x * x).sum())
+        mean = tot / n
+        var = max(sum_sq / n - mean * mean, 0.0)
         return {
-            "count": int(len(x)),
-            "sum": float(x.sum()),
+            "count": int(n),
+            "sum": tot,
+            "sum_of_squares": sum_sq,
             "min": float(x.min()),
             "max": float(x.max()),
-            "avg": float(x.sum() / len(x)),
+            "avg": mean,
+            "variance": var,
+            "std_deviation": float(np.sqrt(var)),
         }
+
+    def histogram(
+        self, terms: list[str], col: str, interval: float,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[float, int]]:
+        """Elasticsearch ``histogram`` aggregation over the OR-matched
+        docs' numeric ``col`` values: buckets keyed by
+        ``floor(value / interval) * interval`` (the ES bucket key — exact
+        for any |value/interval| < 2^53), returned as ascending
+        (lower_bound, count) pairs.  Only non-empty buckets are emitted
+        (the ES ``min_doc_count=1`` shape — gap buckets carry no
+        information a caller can't reconstruct).  Non-numeric stored
+        values skip, like every numeric aggregation here; the SQL twin is
+        ``FLOOR(v / interval) * interval ... GROUP BY 1``.  ``interval``
+        must be a finite number > 0."""
+        interval = float(interval)
+        if not np.isfinite(interval) or interval <= 0:
+            raise ValueError("histogram: interval must be finite and > 0")
+        x = self._numeric_matched_values(terms, col, attrs)
+        if not len(x):
+            return []
+        idx, counts = np.unique(np.floor(x / interval), return_counts=True)
+        return [(float(i * interval), int(c)) for i, c in zip(idx, counts)]
 
     def filtered_topk(
         self, terms: list[str], k: int, col: str, value: str

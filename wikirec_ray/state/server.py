@@ -659,25 +659,21 @@ class RangeServerImpl:
                 out[v] = out.get(v, 0) + int(counts[c])
         return out
 
-    def metric_stats(
+    def _numeric_match_values(
         self,
         terms_with_tpart: list[tuple[str, int]],
         col: str,
-        attrs: list[tuple[str, str]] | None = None,
-    ) -> tuple[int, float, float | None, float | None]:
-        """This shard's stats-aggregation partial over docs matching ANY
-        term (alive only, optional ``attrs`` pre-filter): (count, sum,
-        min, max) of ``col`` under the strict numeric parse — non-numeric
-        stored values are skipped, the ``IndexReader.metric_stats``
-        contract.  Every doc lives in exactly one shard, so the
-        coordinator's merge (sum counts/sums, min of mins, max of maxes)
-        is exact."""
+        attrs: list[tuple[str, str]] | None,
+    ):
+        """Yield one float64 array per doc range: the strict-numeric-parsed
+        ``col`` values of this shard's OR-matched alive docs (optional
+        ``attrs`` pre-filter) — the shared per-range input of the
+        ``metric_stats`` and ``histogram`` partials.  Matches with a
+        missing sidecar file or missing doc raise (stale meta/), the
+        ``IndexReader`` contract."""
         from wikirec_ray.pipelines.query import _strict_float
 
         meta = self._meta(col)
-        cnt, tot = 0, 0.0
-        mn: float | None = None
-        mx: float | None = None
         for r in self.range_ids:
             parts = []
             for term, tpart in terms_with_tpart:
@@ -718,14 +714,55 @@ class RangeServerImpl:
             )
             x = parsed[codes[sel]]
             x = x[~np.isnan(x)]
-            if not len(x):
-                continue
+            if len(x):
+                yield x
+
+    def metric_stats(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> tuple[int, float, float | None, float | None, float]:
+        """This shard's stats-aggregation partial over docs matching ANY
+        term (alive only, optional ``attrs`` pre-filter): (count, sum,
+        min, max, sum_of_squares) of ``col`` under the strict numeric
+        parse — non-numeric stored values are skipped, the
+        ``IndexReader.metric_stats`` contract.  Every doc lives in
+        exactly one shard, so the coordinator's merge (sum
+        counts/sums/sum_sqs, min of mins, max of maxes) is exact; the
+        sum_of_squares leg feeds ``extended_stats``' variance with no
+        second shard round-trip."""
+        cnt, tot, sum_sq = 0, 0.0, 0.0
+        mn: float | None = None
+        mx: float | None = None
+        for x in self._numeric_match_values(terms_with_tpart, col, attrs):
             cnt += int(len(x))
             tot += float(x.sum())
+            sum_sq += float((x * x).sum())
             rmn, rmx = float(x.min()), float(x.max())
             mn = rmn if mn is None else min(mn, rmn)
             mx = rmx if mx is None else max(mx, rmx)
-        return cnt, tot, mn, mx
+        return cnt, tot, mn, mx, sum_sq
+
+    def histogram(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        col: str,
+        interval: float,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[float, int]:
+        """This shard's histogram partial: {floor(v / interval): count}
+        over the same contributing values as ``metric_stats`` — the key is
+        the integer-valued BUCKET INDEX as float64 (exact up to 2^53, so
+        it merges across shards without representation drift); the
+        coordinator sums dicts and multiplies by ``interval`` once."""
+        out: dict[float, int] = {}
+        for x in self._numeric_match_values(terms_with_tpart, col, attrs):
+            idx, counts = np.unique(np.floor(x / interval),
+                                    return_counts=True)
+            for i, c in zip(idx, counts):
+                out[float(i)] = out.get(float(i), 0) + int(c)
+        return out
 
     def filtered_topk(
         self,
@@ -1382,28 +1419,40 @@ class RangeShardedQueryEngine:
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
 
-    def metric_stats(
+    def _stats_partials(
         self, terms: list[str], col: str,
-        attrs: list[tuple[str, str]] | None = None,
-    ) -> dict:
-        """Distributed stats aggregation (== ``IndexReader.metric_stats``):
-        each shard returns its (count, sum, min, max) partial over its own
-        OR-matched alive docs under the strict numeric parse; the
-        coordinator sums counts/sums and takes min-of-mins / max-of-maxes
-        — exact, every doc lives in exactly one shard.  Partials merge in
-        fixed shard order so the float sum is deterministic run to run."""
-        empty = {"count": 0, "sum": 0.0, "min": None, "max": None,
-                 "avg": None}
+        attrs: list[tuple[str, str]] | None,
+    ) -> list[tuple[int, float, float | None, float | None, float]] | None:
+        """Fan the (count, sum, min, max, sum_sq) stats partial out to
+        every shard — the shared leg of ``metric_stats`` and
+        ``extended_stats``.  None when no query term exists in the index
+        (the empty-shape fast path, no shard round-trip)."""
         resolved = self._resolve_idfs(terms)
         twt = [
             (t, resolved[t][0])
             for t in sorted(set(terms)) if resolved[t][1] != 0.0
         ]
         if not twt:
-            return empty
-        partials = ray.get(
+            return None
+        return ray.get(
             [s.metric_stats.remote(twt, col, attrs) for s in self.servers]
         )
+
+    def metric_stats(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict:
+        """Distributed stats aggregation (== ``IndexReader.metric_stats``):
+        each shard returns its (count, sum, min, max, sum_sq) partial over
+        its own OR-matched alive docs under the strict numeric parse; the
+        coordinator sums counts/sums and takes min-of-mins / max-of-maxes
+        — exact, every doc lives in exactly one shard.  Partials merge in
+        fixed shard order so the float sum is deterministic run to run."""
+        empty = {"count": 0, "sum": 0.0, "min": None, "max": None,
+                 "avg": None}
+        partials = self._stats_partials(terms, col, attrs)
+        if partials is None:
+            return empty
         cnt = sum(p[0] for p in partials)
         if cnt == 0:
             return empty
@@ -1419,6 +1468,76 @@ class RangeShardedQueryEngine:
             "max": float(max(maxes)),
             "avg": float(tot / cnt),
         }
+
+    def extended_stats(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict:
+        """Distributed ``extended_stats`` (==
+        ``IndexReader.extended_stats``): the same shard partials as
+        ``metric_stats`` carry sum_of_squares, so variance/std come from
+        the merged scalars with no extra round-trip — variance is
+        ``sum_sq/n - mean²`` clamped at 0, the IDENTICAL formula the local
+        reader applies, so local and served differ only by float-sum
+        reordering across shards."""
+        empty = {"count": 0, "sum": 0.0, "sum_of_squares": 0.0,
+                 "min": None, "max": None, "avg": None,
+                 "variance": None, "std_deviation": None}
+        partials = self._stats_partials(terms, col, attrs)
+        if partials is None:
+            return empty
+        cnt = sum(p[0] for p in partials)
+        if cnt == 0:
+            return empty
+        tot, sum_sq = 0.0, 0.0
+        for p in partials:
+            tot += p[1]
+            sum_sq += p[4]
+        mins = [p[2] for p in partials if p[2] is not None]
+        maxes = [p[3] for p in partials if p[3] is not None]
+        mean = tot / cnt
+        var = max(sum_sq / cnt - mean * mean, 0.0)
+        return {
+            "count": int(cnt),
+            "sum": float(tot),
+            "sum_of_squares": float(sum_sq),
+            "min": float(min(mins)),
+            "max": float(max(maxes)),
+            "avg": float(mean),
+            "variance": float(var),
+            "std_deviation": float(np.sqrt(var)),
+        }
+
+    def histogram(
+        self, terms: list[str], col: str, interval: float,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[float, int]]:
+        """Distributed histogram aggregation (==
+        ``IndexReader.histogram``): shards return {bucket_index: count}
+        dicts over their own matches (indices are integer-valued float64,
+        exact across shards), the coordinator sums and converts to
+        ascending (index × interval, count) pairs once — exact, every doc
+        lives in exactly one shard."""
+        interval = float(interval)
+        if not np.isfinite(interval) or interval <= 0:
+            raise ValueError("histogram: interval must be finite and > 0")
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        partials = ray.get([
+            s.histogram.remote(twt, col, interval, attrs)
+            for s in self.servers
+        ])
+        merged: dict[float, int] = {}
+        for p in partials:
+            for i, c in p.items():
+                merged[i] = merged.get(i, 0) + c
+        return [(float(i * interval), int(merged[i]))
+                for i in sorted(merged)]
 
     def filtered_topk(
         self, terms: list[str], k: int, col: str, value: str
