@@ -232,8 +232,13 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     rc, res = run_cli(capsys, [
         "query", "--index", idx, "the table", "-k", "5",
         "--extended-stats", "n_chars", "--histogram", "n_chars:100",
+        "--cardinality", "lang,n_chars",
     ])
     assert rc == 0
+    assert res["cardinality"]["lang"] == \
+        rd2.cardinality(["the", "table"], "lang")
+    assert res["cardinality"]["n_chars"] == \
+        rd2.cardinality(["the", "table"], "n_chars")
     assert res["extended_stats"]["n_chars"] == \
         rd2.extended_stats(["the", "table"], "n_chars")
     assert res["extended_stats"]["n_chars"]["variance"] > 0

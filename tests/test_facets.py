@@ -782,6 +782,50 @@ def test_histogram_matches_brute_and_duckdb(numfx):
             rd.histogram(QUERY, "n_tok", bad)
 
 
+def test_cardinality_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    def brute(terms, col, pred=None):
+        attr = {r["doc_id"]: r for r in rows}
+        return len({attr[d][col] for d in _brute_matched(rows, terms)
+                    if pred is None or pred(attr[d])})
+
+    got = rd.cardinality(QUERY, "lang")
+    assert got == brute(QUERY, "lang") == 3
+    # works on ANY column (raw stored strings — no numeric parse)
+    assert rd.cardinality(QUERY, "n_tok") == brute(QUERY, "n_tok")
+    # attrs compose
+    assert rd.cardinality(QUERY, "n_tok", attrs=[("lang", "de")]) == \
+        brute(QUERY, "n_tok", pred=lambda r: r["lang"] == "de")
+    # empty match set
+    assert rd.cardinality(["zzz"], "lang") == 0
+    assert rd.cardinality([], "lang") == 0
+
+    # DuckDB replay: COUNT(DISTINCT value) over the OR-match join
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT COUNT(DISTINCT d.n_tok)
+        FROM m JOIN documents d USING (doc_id)
+    """).fetchone()[0]
+    assert rd.cardinality(QUERY, "n_tok") == int(want)
+
+
 def test_extended_and_histogram_served_equals_local(numfx, ray_session):
     from wikirec_ray.state.server import RangeShardedQueryEngine
 
@@ -807,6 +851,9 @@ def test_extended_and_histogram_served_equals_local(numfx, ray_session):
                                                      rel=1e-12), key
             assert eng.histogram(terms, "n_tok", 5.0, attrs=attrs) == \
                 rd.histogram(terms, "n_tok", 5.0, attrs=attrs)
+            for ccol in ("lang", "n_tok"):
+                assert eng.cardinality(terms, ccol, attrs=attrs) == \
+                    rd.cardinality(terms, ccol, attrs=attrs), (terms, ccol)
         assert eng.extended_stats(QUERY, "lang") == _EMPTY_EXT
         assert eng.histogram(QUERY, "lang", 5.0) == []
         with pytest.raises(ValueError):

@@ -14,7 +14,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray meta   --index DIR --input F --cols lang,source
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
-        [--histogram COL:INTERVAL] \
+        [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -286,12 +286,13 @@ def cmd_query(args) -> int:
         mode, _, _ = parse_query(split_filters(args.query, [])[1])
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
-                or args.histogram):
+                or args.histogram or args.cardinality):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
                            else "extended-stats" if args.extended_stats
-                           else "histogram" if args.histogram else mode)
+                           else "histogram" if args.histogram
+                           else "cardinality" if args.cardinality else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -322,11 +323,13 @@ def cmd_query(args) -> int:
             # the prior branch does not produce reject loudly instead of
             # being dropped (review r5).
             if (args.facets or args.store or args.collapse or args.stats
-                    or args.extended_stats or args.histogram):
+                    or args.extended_stats or args.histogram
+                    or args.cardinality):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
-                    "--facets/--stats/--extended-stats/--histogram/--store/"
-                    "--collapse are not produced by the prior branch"
+                    "--facets/--stats/--extended-stats/--histogram/"
+                    "--cardinality/--store/--collapse are not produced by "
+                    "the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -450,6 +453,16 @@ def cmd_query(args) -> int:
                     for lo, n in engine.histogram(
                         positive, h_col, h_interval, attrs=s_attrs or None)
                 ],
+            }
+        if args.cardinality:
+            # ES cardinality aggregation (exact here): distinct stored
+            # values per column over the same match set
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["cardinality"] = {
+                col: engine.cardinality(positive, col,
+                                        attrs=s_attrs or None)
+                for col in (c.strip() for c in args.cardinality.split(","))
+                if col
             }
         print(json.dumps(out))
     finally:
@@ -669,6 +682,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "NUMERIC sidecar column over the matched docs "
                         "(ES histogram aggregation, non-empty buckets "
                         "only; col:value filters in the query compose)")
+    q.add_argument("--cardinality", default="", metavar="COLS",
+                   help="also report the number of distinct stored values "
+                        "of these comma-separated sidecar columns over "
+                        "the matched docs (ES cardinality aggregation, "
+                        "exact; col:value filters in the query compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

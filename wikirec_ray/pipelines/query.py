@@ -748,6 +748,37 @@ class IndexReader:
         idx, counts = np.unique(np.floor(x / interval), return_counts=True)
         return [(float(i * interval), int(c)) for i, c in zip(idx, counts)]
 
+    def cardinality(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> int:
+        """Elasticsearch ``cardinality`` aggregation: the number of
+        DISTINCT stored values of sidecar column ``col`` among the
+        OR-matched alive docs (optional ``attrs`` pre-filter) — EXACT here
+        (the sidecar is dictionary-encoded, so distinct codes are free),
+        where ES itself is HLL-approximate.  Raw stored strings count as
+        they are (no numeric parse — a categorical aggregation, like
+        ``facet_counts``); the served twin unions per-shard distinct VALUE
+        sets, bounded by the column's dictionary size — for a genuinely
+        high-cardinality column at cluster scale the right swap is the
+        engine's HLL registers (``textstats.approx_distinct``), which
+        merge in O(4 KB) per shard.  A matched doc missing from the
+        sidecar raises (stale meta/)."""
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return 0
+        dense, _values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        return int(len(np.unique(codes)))
+
     def filtered_topk(
         self, terms: list[str], k: int, col: str, value: str
     ) -> list[tuple[int, float]]:

@@ -659,6 +659,57 @@ class RangeServerImpl:
                 out[v] = out.get(v, 0) + int(counts[c])
         return out
 
+    def distinct_values(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[str]:
+        """This shard's DISTINCT stored values of ``col`` over docs
+        matching ANY term (alive only, optional ``attrs`` pre-filter) —
+        the ``cardinality`` aggregation partial.  Bounded by the column's
+        dictionary size, not the match count; the coordinator unions the
+        sets (for a genuinely high-cardinality column at cluster scale the
+        right swap is HLL registers, see ``IndexReader.cardinality``)."""
+        meta = self._meta(col)
+        out: set[str] = set()
+        for r in self.range_ids:
+            parts = []
+            for term, tpart in terms_with_tpart:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                parts.append(chunk.postings(term)[0])
+            if not parts:
+                continue
+            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
+            tr = self.tombs.get(r)
+            if tr is not None:
+                from wikirec_ray.state.segments import filter_tombstoned
+
+                docs = filter_tombstoned(docs, tr)
+            if attrs and len(docs):
+                docs = self._attr_keep_sorted(r, docs, attrs)
+            if not len(docs):
+                continue
+            mr = meta.get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has matches but no metadata sidecar file — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
+            ids, codes, values = mr
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"matched doc missing from metadata range {r} — stale "
+                    f"meta/: re-run build_doc_meta"
+                )
+            for c in np.unique(codes[sel]):
+                out.add(values[c])
+        return sorted(out)
+
     def _numeric_match_values(
         self,
         terms_with_tpart: list[tuple[str, int]],
@@ -1507,6 +1558,28 @@ class RangeShardedQueryEngine:
             "variance": float(var),
             "std_deviation": float(np.sqrt(var)),
         }
+
+    def cardinality(
+        self, terms: list[str], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> int:
+        """Distributed exact cardinality aggregation (==
+        ``IndexReader.cardinality``): shards return their DISTINCT stored
+        values of ``col`` over their own OR-matched alive docs (bounded by
+        the column's dictionary size), the coordinator counts the union —
+        exact, a value seen in two shards is one value."""
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return 0
+        partials = ray.get([
+            s.distinct_values.remote(twt, col, attrs)
+            for s in self.servers
+        ])
+        return len({v for p in partials for v in p})
 
     def histogram(
         self, terms: list[str], col: str, interval: float,
