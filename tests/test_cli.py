@@ -247,7 +247,20 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         "buckets": [{"key": lo, "n_docs": n} for lo, n in
                     rd2.histogram(["the", "table"], "n_chars", 100.0)],
     }
-    # a malformed histogram spec is a named CLI error, not a crash
+    # --stats-by: per-value stats (ES terms+stats sub-aggregation)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "2",
+        "--stats-by", "lang:n_chars",
+    ])
+    assert rc == 0
+    assert res["stats_by"] == {
+        "by": "lang", "col": "n_chars",
+        "buckets": rd2.grouped_stats(["the", "table"], "lang", "n_chars",
+                                     k=2),
+    }
+    assert len(res["stats_by"]["buckets"]) == 2  # -k cuts buckets
+
+    # malformed specs are named CLI errors, not crashes
     import pytest as _pytest
 
     for bad in ("n_chars", "n_chars:0", "n_chars:x", "n_chars:-2",
@@ -255,6 +268,9 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         with _pytest.raises(SystemExit):
             run_cli(capsys, ["query", "--index", idx, "the",
                              "--histogram", bad])
+    with _pytest.raises(SystemExit):
+        run_cli(capsys, ["query", "--index", idx, "the",
+                         "--stats-by", "lang"])
 
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):

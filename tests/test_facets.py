@@ -782,6 +782,128 @@ def test_histogram_matches_brute_and_duckdb(numfx):
             rd.histogram(QUERY, "n_tok", bad)
 
 
+def _brute_grouped(rows, terms, by_col, val_col, k, pred=None):
+    attr = {r["doc_id"]: r for r in rows}
+    groups = {}
+    for d in _brute_matched(rows, terms):
+        r = attr[d]
+        if pred is not None and not pred(r):
+            continue
+        g = groups.setdefault(r[by_col], {"n": 0, "vals": []})
+        g["n"] += 1
+        try:
+            g["vals"].append(float(r[val_col]))
+        except ValueError:
+            pass
+    out = []
+    for v in sorted(groups, key=lambda v: (-groups[v]["n"], v))[:k]:
+        g = groups[v]
+        bucket = {"value": v, "n_docs": g["n"], "count": len(g["vals"])}
+        if not g["vals"]:
+            bucket.update(sum=0.0, min=None, max=None, avg=None)
+        else:
+            bucket.update(sum=sum(g["vals"]), min=min(g["vals"]),
+                          max=max(g["vals"]),
+                          avg=sum(g["vals"]) / len(g["vals"]))
+        out.append(bucket)
+    return out
+
+
+def _assert_buckets_close(got, want):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["value"], g["n_docs"], g["count"]) == \
+            (w["value"], w["n_docs"], w["count"])
+        for key in ("sum", "min", "max", "avg"):
+            if w[key] is None:
+                assert g[key] is None, key
+            else:
+                assert g[key] == pytest.approx(w[key], rel=1e-12), key
+
+
+def test_grouped_stats_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    got = rd.grouped_stats(QUERY, "lang", "n_tok")
+    _assert_buckets_close(got, _brute_grouped(rows, QUERY, "lang", "n_tok",
+                                              10))
+    # bucket keys and order == facet_counts (the ES terms-agg contract)
+    assert [(b["value"], b["n_docs"]) for b in got] == \
+        rd.facet_counts(QUERY, "lang", 10)
+    # k cuts buckets
+    assert rd.grouped_stats(QUERY, "lang", "n_tok", k=2) == got[:2]
+    # attrs compose
+    _assert_buckets_close(
+        rd.grouped_stats(QUERY, "lang", "n_tok",
+                         attrs=[("n_tok", ">=20")]),
+        _brute_grouped(rows, QUERY, "lang", "n_tok", 10,
+                       pred=lambda r: float(r["n_tok"]) >= 20),
+    )
+    # non-numeric VALCOL: buckets still come back with empty stats
+    allnull = rd.grouped_stats(QUERY, "lang", "lang")
+    assert [b["value"] for b in allnull] == [b["value"] for b in got]
+    assert all(b["count"] == 0 and b["min"] is None for b in allnull)
+    # empty match set
+    assert rd.grouped_stats(["zzz"], "lang", "n_tok") == []
+
+    # DuckDB replay: GROUP BY with a guarded-cast aggregate
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT d.lang, COUNT(*), COUNT(v), SUM(v), MIN(v), MAX(v), AVG(v)
+        FROM (SELECT doc_id, lang, TRY_CAST(n_tok AS DOUBLE) AS v
+              FROM documents) d
+        JOIN m USING (doc_id)
+        GROUP BY d.lang ORDER BY COUNT(*) DESC, d.lang
+    """).fetchall()
+    assert [(b["value"], b["n_docs"], b["count"]) for b in got] == \
+        [(w[0], int(w[1]), int(w[2])) for w in want]
+    for b, w in zip(got, want):
+        assert b["sum"] == pytest.approx(float(w[3]), rel=1e-12)
+        assert b["avg"] == pytest.approx(float(w[6]), rel=1e-12)
+
+
+def test_grouped_stats_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),
+            (["zzz"], None),
+        ]:
+            _assert_buckets_close(
+                eng.grouped_stats(terms, "lang", "n_tok", attrs=attrs),
+                rd.grouped_stats(terms, "lang", "n_tok", attrs=attrs),
+            )
+        # k cut and non-numeric VALCOL parity
+        assert eng.grouped_stats(QUERY, "lang", "n_tok", k=2) == \
+            rd.grouped_stats(QUERY, "lang", "n_tok", k=2)
+        assert eng.grouped_stats(QUERY, "lang", "lang") == \
+            rd.grouped_stats(QUERY, "lang", "lang")
+    finally:
+        eng.shutdown()
+
+
 def test_cardinality_matches_brute_and_duckdb(numfx):
     import duckdb
 

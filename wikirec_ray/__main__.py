@@ -15,6 +15,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
         [--histogram COL:INTERVAL] [--cardinality COLS] \
+        [--stats-by BYCOL:VALCOL] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -286,13 +287,14 @@ def cmd_query(args) -> int:
         mode, _, _ = parse_query(split_filters(args.query, [])[1])
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
-                or args.histogram or args.cardinality):
+                or args.histogram or args.cardinality or args.stats_by):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
                            else "extended-stats" if args.extended_stats
                            else "histogram" if args.histogram
-                           else "cardinality" if args.cardinality else mode)
+                           else "cardinality" if args.cardinality
+                           else "stats-by" if args.stats_by else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -324,12 +326,12 @@ def cmd_query(args) -> int:
             # being dropped (review r5).
             if (args.facets or args.store or args.collapse or args.stats
                     or args.extended_stats or args.histogram
-                    or args.cardinality):
+                    or args.cardinality or args.stats_by):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "--facets/--stats/--extended-stats/--histogram/"
-                    "--cardinality/--store/--collapse are not produced by "
-                    "the prior branch"
+                    "--cardinality/--stats-by/--store/--collapse are not "
+                    "produced by the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -463,6 +465,21 @@ def cmd_query(args) -> int:
                                         attrs=s_attrs or None)
                 for col in (c.strip() for c in args.cardinality.split(","))
                 if col
+            }
+        if args.stats_by:
+            # ES terms + stats sub-aggregation: BYCOL:VALCOL — per-value
+            # numeric stats over the same match set, buckets ordered and
+            # cut like --facets
+            g_by, g_sep, g_val = args.stats_by.partition(":")
+            if not g_sep or not g_by or not g_val:
+                raise SystemExit(
+                    f"--stats-by needs BYCOL:VALCOL (got {args.stats_by!r})"
+                )
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["stats_by"] = {
+                "by": g_by, "col": g_val,
+                "buckets": engine.grouped_stats(
+                    positive, g_by, g_val, args.k, attrs=s_attrs or None),
             }
         print(json.dumps(out))
     finally:
@@ -687,6 +704,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "of these comma-separated sidecar columns over "
                         "the matched docs (ES cardinality aggregation, "
                         "exact; col:value filters in the query compose)")
+    q.add_argument("--stats-by", default="", metavar="BYCOL:VALCOL",
+                   dest="stats_by",
+                   help="also report per-BYCOL-value stats of NUMERIC "
+                        "VALCOL over the matched docs (ES terms+stats "
+                        "sub-aggregation; buckets ordered and cut like "
+                        "--facets at -k; col:value filters compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

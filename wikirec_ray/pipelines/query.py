@@ -748,6 +748,85 @@ class IndexReader:
         idx, counts = np.unique(np.floor(x / interval), return_counts=True)
         return [(float(i * interval), int(c)) for i, c in zip(idx, counts)]
 
+    def grouped_stats(
+        self, terms: list[str], by_col: str, val_col: str, k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[dict]:
+        """Elasticsearch ``terms`` aggregation with a ``stats``
+        sub-aggregation: for the top-k values of ``by_col`` among the
+        OR-matched alive docs (BUCKET order and cut = ``facet_counts``:
+        match count desc, value asc — so the k buckets here are exactly
+        ``facet_counts(terms, by_col, k)``'s keys), the
+        count/min/max/sum/avg of ``val_col`` over the bucket's docs under
+        the strict numeric parse.  Each bucket dict carries ``value`` /
+        ``n_docs`` (matched docs — the terms-agg doc_count) plus the
+        ``metric_stats`` fields, where ``count`` is the docs that
+        CONTRIBUTED a numeric value (the ES missing-field contract); a
+        bucket whose values are all non-numeric gets the empty-stats
+        shape.  Fully vectorized: one bincount per moment plus a
+        sort+``reduceat`` for min/max (starts clamped, zero-count groups
+        masked)."""
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return []
+        dd = docs.astype(np.int64)
+        dense_b, values_b = self._meta_codes(by_col)
+        bcodes = dense_b[dd]
+        dense_v, values_v = self._meta_codes(val_col)
+        vcodes = dense_v[dd]
+        for codes in (bcodes, vcodes):
+            if (codes < 0).any():
+                missing = int(docs[codes < 0][0])
+                raise RuntimeError(
+                    f"doc {missing} is in the index but not in the metadata "
+                    f"sidecar — stale meta/: re-run build_doc_meta"
+                )
+        parsed = np.array(
+            [x if (x := _strict_float(v)) is not None else np.nan
+             for v in values_v],
+            np.float64,
+        )
+        x = parsed[vcodes]
+        nb = len(values_b)
+        n_match = np.bincount(bcodes, minlength=nb)
+        ok = ~np.isnan(x)
+        n_contrib = np.bincount(bcodes[ok], minlength=nb)
+        sums = np.bincount(bcodes[ok], weights=x[ok], minlength=nb)
+        # group min/max: stable sort the contributing values by bucket,
+        # reduceat at each bucket's start — starts CLAMPED and zero-count
+        # groups masked (reduceat on an empty segment returns the element
+        # AT the start index, the documented numpy footgun)
+        order = np.argsort(bcodes[ok], kind="stable")
+        bs, xs = bcodes[ok][order], x[ok][order]
+        starts = np.minimum(
+            np.searchsorted(bs, np.arange(nb)), max(len(bs) - 1, 0)
+        )
+        if len(xs):
+            mins = np.minimum.reduceat(xs, starts)
+            maxs = np.maximum.reduceat(xs, starts)
+        else:
+            mins = maxs = np.zeros(nb)
+        top = sorted(
+            np.flatnonzero(n_match).tolist(),
+            key=lambda c: (-int(n_match[c]), values_b[c]),
+        )[:k]
+        out = []
+        for c in top:
+            n = int(n_contrib[c])
+            bucket = {"value": values_b[c], "n_docs": int(n_match[c]),
+                      "count": n}
+            if n == 0:
+                bucket.update(sum=0.0, min=None, max=None, avg=None)
+            else:
+                bucket.update(
+                    sum=float(sums[c]), min=float(mins[c]),
+                    max=float(maxs[c]), avg=float(sums[c] / n),
+                )
+            out.append(bucket)
+        return out
+
     def cardinality(
         self, terms: list[str], col: str,
         attrs: list[tuple[str, str]] | None = None,

@@ -710,6 +710,84 @@ class RangeServerImpl:
                 out.add(values[c])
         return sorted(out)
 
+    def grouped_stats(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        by_col: str,
+        val_col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[str, tuple[int, int, float, float | None, float | None]]:
+        """This shard's terms+stats sub-aggregation partial: {by-value:
+        (n_match, n_contrib, sum, min, max)} of ``val_col`` over docs
+        matching ANY term (alive only, optional ``attrs`` pre-filter),
+        grouped by ``by_col``.  The coordinator merges per value (sums /
+        min-of-mins / max-of-maxes), then orders and cuts top-k — exact,
+        every doc lives in exactly one shard.  Dict size is bounded by
+        ``by_col``'s dictionary, not the match count."""
+        from wikirec_ray.pipelines.query import _strict_float
+
+        meta_b = self._meta(by_col)
+        meta_v = self._meta(val_col)
+        out: dict[str, tuple[int, int, float, float | None, float | None]] = {}
+        for r in self.range_ids:
+            parts = []
+            for term, tpart in terms_with_tpart:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                parts.append(chunk.postings(term)[0])
+            if not parts:
+                continue
+            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
+            tr = self.tombs.get(r)
+            if tr is not None:
+                from wikirec_ray.state.segments import filter_tombstoned
+
+                docs = filter_tombstoned(docs, tr)
+            if attrs and len(docs):
+                docs = self._attr_keep_sorted(r, docs, attrs)
+            if not len(docs):
+                continue
+            sels = []
+            for meta in (meta_b, meta_v):
+                mr = meta.get(r)
+                if mr is None:
+                    raise RuntimeError(
+                        f"range {r} has matches but no metadata sidecar "
+                        f"file — stale meta/: re-run build_doc_meta"
+                    )
+                ids, codes, values = mr
+                sel = np.searchsorted(ids, docs)
+                if (sel >= len(ids)).any() or (
+                        ids[np.minimum(sel, len(ids) - 1)] != docs).any():
+                    raise RuntimeError(
+                        f"matched doc missing from metadata range {r} — "
+                        f"stale meta/: re-run build_doc_meta"
+                    )
+                sels.append((codes[sel], values))
+            (bc, values_b), (vc, values_v) = sels
+            parsed = np.array(
+                [x if (x := _strict_float(v)) is not None else np.nan
+                 for v in values_v],
+                np.float64,
+            )
+            x = parsed[vc]
+            ok = ~np.isnan(x)
+            for c in np.unique(bc):
+                in_g = bc == c
+                xs = x[in_g & ok]
+                v = values_b[c]
+                nm, nc, tot, mn, mx = out.get(v, (0, 0, 0.0, None, None))
+                nm += int(in_g.sum())
+                if len(xs):
+                    nc += int(len(xs))
+                    tot += float(xs.sum())
+                    gmn, gmx = float(xs.min()), float(xs.max())
+                    mn = gmn if mn is None else min(mn, gmn)
+                    mx = gmx if mx is None else max(mx, gmx)
+                out[v] = (nm, nc, tot, mn, mx)
+        return out
+
     def _numeric_match_values(
         self,
         terms_with_tpart: list[tuple[str, int]],
@@ -1558,6 +1636,52 @@ class RangeShardedQueryEngine:
             "variance": float(var),
             "std_deviation": float(np.sqrt(var)),
         }
+
+    def grouped_stats(
+        self, terms: list[str], by_col: str, val_col: str, k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[dict]:
+        """Distributed terms+stats sub-aggregation (==
+        ``IndexReader.grouped_stats``): shards return {by-value: (n_match,
+        n_contrib, sum, min, max)} partials bounded by the by-column's
+        dictionary size; the coordinator merges per value in fixed shard
+        order (deterministic float sums), then applies the SAME bucket
+        order and top-k cut as the local reader (match count desc, value
+        asc) — exact, every doc lives in exactly one shard."""
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        partials = ray.get([
+            s.grouped_stats.remote(twt, by_col, val_col, attrs)
+            for s in self.servers
+        ])
+        merged: dict[str, tuple[int, int, float, float | None, float | None]] = {}
+        for p in partials:
+            for v, (nm, nc, tot, mn, mx) in p.items():
+                pnm, pnc, ptot, pmn, pmx = merged.get(
+                    v, (0, 0, 0.0, None, None))
+                merged[v] = (
+                    pnm + nm, pnc + nc, ptot + tot,
+                    mn if pmn is None else pmn if mn is None
+                    else min(pmn, mn),
+                    mx if pmx is None else pmx if mx is None
+                    else max(pmx, mx),
+                )
+        top = sorted(merged.items(), key=lambda it: (-it[1][0], it[0]))[:k]
+        out = []
+        for v, (nm, nc, tot, mn, mx) in top:
+            bucket = {"value": v, "n_docs": int(nm), "count": int(nc)}
+            if nc == 0:
+                bucket.update(sum=0.0, min=None, max=None, avg=None)
+            else:
+                bucket.update(sum=float(tot), min=float(mn), max=float(mx),
+                              avg=float(tot / nc))
+            out.append(bucket)
+        return out
 
     def cardinality(
         self, terms: list[str], col: str,
