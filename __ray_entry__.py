@@ -283,6 +283,7 @@ FACET_QUERY_SET = [
     (3, ["the", "vector"]),
 ]
 FACET_COL, FACET_K = "source", 12
+GROUPED_VAL_COL = "n_chars"  # grouped_search: per-bucket stats column
 # (qid, scoring terms, sidecar column, value spec).  Specs 4-5 are
 # NUMERIC RANGE predicates (final r5): the sidecar stores every attribute
 # as a string, so `attr_matching_codes` parses both sides with the strict
@@ -894,12 +895,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["query_id", "rank", "doc_id", "score"]
         ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
 
-    def facet_search_q(sf_dir):
-        """Facet counts (the Elasticsearch terms-aggregation): top-FACET_K
-        (source, n_docs) pairs over docs matching ANY query term, via the
-        doc-meta attribute sidecar — SQL-replayable as a distinct OR-match
-        join + GROUP BY.  Order: count desc, value asc (total, so the
-        k-cut is deterministic)."""
+    def grouped_search_q(sf_dir):
+        """Terms aggregation WITH a stats sub-aggregation (the late-r5
+        upgrade of the retired ``facet_search`` slot — same buckets, same
+        (count desc, value asc) order and FACET_K cut, so the old facet
+        check is a strict subset): per top bucket of ``source`` over docs
+        matching ANY query term, the count/min/max/sum/avg of the numeric
+        ``n_chars`` sidecar column — SQL-replayable as the distinct
+        OR-match join + GROUP BY with a guarded-TRY_CAST aggregate.
+        ``n_docs`` (matched) vs ``n_num`` (numeric contributors) are both
+        emitted; on this corpus every stored n_chars parses, so the two
+        also cross-check each other."""
         import pandas as pd
 
         from wikirec_ray.pipelines.query import IndexReader
@@ -907,13 +913,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reader = IndexReader(_ensure_meta(sf_dir))
         rows = []
         for qid, terms in FACET_QUERY_SET:
-            for rank, (value, n) in enumerate(
-                reader.facet_counts(terms, FACET_COL, FACET_K), 1
+            for rank, b in enumerate(
+                reader.grouped_stats(terms, FACET_COL, GROUPED_VAL_COL,
+                                     FACET_K), 1
             ):
-                rows.append((qid, rank, value, n))
+                rows.append((
+                    qid, rank, b["value"], b["n_docs"], b["count"],
+                    round(b["min"], 6), round(b["max"], 6),
+                    round(b["sum"], 6), round(b["avg"], 6),
+                ))
         return pd.DataFrame(
-            rows, columns=["query_id", "rank", "value", "n_docs"]
-        ).astype({"query_id": "int64", "rank": "int64", "n_docs": "int64"})
+            rows,
+            columns=["query_id", "rank", "value", "n_docs", "n_num",
+                     "min_v", "max_v", "sum_v", "avg_v"],
+        ).astype({"query_id": "int64", "rank": "int64", "n_docs": "int64",
+                  "n_num": "int64"})
 
     def filtered_search_q(sf_dir):
         """Metadata-FILTERED BM25 top-k: the attribute is a pure filter —
@@ -1672,7 +1686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # analyzer path moved to a pytest in test_analyze.py) and props_k_hist
     # (a plain regex-extract histogram, the least informative green slot)
     # to fund facet_search + filtered_search (the doc-meta attribute
-    # sidecar: terms-aggregation and metadata-filtered retrieval).
+    # sidecar: terms-aggregation and metadata-filtered retrieval); late r5
+    # facet_search was UPGRADED in place to grouped_search (terms + stats
+    # sub-aggregation — the old bucket/order/count check is a strict
+    # subset of the new one, so no coverage was retired).
     # Final r5 swap: lm_scores retired (the quality family keeps FOUR
     # driver checks — quality_scores, gopher_quality, line_dup_ratio,
     # repetition_ratios; the unigram-LM scorer gained a brute pytest
@@ -1723,7 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": regex_search_q,
         "sloppy_search": sloppy_search_q,
         "fuzzy_search": fuzzy_search_q,
-        "facet_search": facet_search_q,
+        "grouped_search": grouped_search_q,
         "filtered_search": filtered_search_q,
         "boolean_search": boolean_search_q,
         "near_search": near_search_q,
@@ -2833,20 +2850,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM filt WHERE round(score, 9) > 0
             ) WHERE rn <= {SLOPPY_K}
         """,
-        "facet_search": f"""
+        "grouped_search": f"""
             WITH tok AS ({_TOK}),
             q(query_id, term) AS (VALUES {facet_qvals}),
             m AS (SELECT DISTINCT q.query_id, tok.doc_id
-                  FROM tok JOIN q USING (term))
-            SELECT query_id, CAST(rn AS BIGINT) AS rank, value, n_docs FROM (
+                  FROM tok JOIN q USING (term)),
+            j AS (
                 SELECT m.query_id, d.{FACET_COL} AS value,
-                       COUNT(*)::BIGINT AS n_docs,
-                       row_number() OVER (
-                           PARTITION BY m.query_id
-                           ORDER BY COUNT(*) DESC, d.{FACET_COL}
-                       ) AS rn
+                       CASE WHEN regexp_full_match(
+                                CAST(d.{GROUPED_VAL_COL} AS VARCHAR),
+                                '{_num_grammar}')
+                            THEN TRY_CAST(d.{GROUPED_VAL_COL} AS DOUBLE)
+                       END AS v
                 FROM m JOIN documents d USING (doc_id)
-                GROUP BY m.query_id, d.{FACET_COL}
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, value, n_docs,
+                   n_num, min_v, max_v, sum_v, avg_v FROM (
+                SELECT query_id, value,
+                       COUNT(*)::BIGINT AS n_docs,
+                       COUNT(v)::BIGINT AS n_num,
+                       ROUND(MIN(v), 6) AS min_v, ROUND(MAX(v), 6) AS max_v,
+                       ROUND(SUM(v), 6) AS sum_v, ROUND(AVG(v), 6) AS avg_v,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY COUNT(*) DESC, value
+                       ) AS rn
+                FROM j GROUP BY query_id, value
             ) WHERE rn <= {FACET_K}
         """,
         "collapsed_search": f"""
