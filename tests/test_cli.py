@@ -260,6 +260,18 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     }
     assert len(res["stats_by"]["buckets"]) == 2  # -k cuts buckets
 
+    # --percentiles: default percents and a custom list
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "2",
+        "--percentiles", "n_chars:50,90",
+    ])
+    assert rc == 0
+    wantp = rd2.percentiles(["the", "table"], "n_chars", (50.0, 90.0))
+    assert res["percentiles"] == {
+        "col": "n_chars",
+        "values": {"50.0": wantp[50.0], "90.0": wantp[90.0]},
+    }
+
     # malformed specs are named CLI errors, not crashes
     import pytest as _pytest
 
@@ -271,6 +283,10 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     with _pytest.raises(SystemExit):
         run_cli(capsys, ["query", "--index", idx, "the",
                          "--stats-by", "lang"])
+    for bad in ("n_chars:", "n_chars:101", "n_chars:x", "n_chars:-5"):
+        with _pytest.raises(SystemExit):
+            run_cli(capsys, ["query", "--index", idx, "the",
+                             "--percentiles", bad])
 
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):

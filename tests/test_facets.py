@@ -904,6 +904,85 @@ def test_grouped_stats_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_percentiles_matches_numpy_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+    attr = {r["doc_id"]: r for r in rows}
+    vals = np.array([float(attr[d]["n_tok"])
+                     for d in _brute_matched(rows, QUERY)])
+
+    percents = (0.0, 25.0, 50.0, 75.0, 95.0, 99.0, 100.0)
+    got = rd.percentiles(QUERY, "n_tok", percents)
+    # EXACT numpy.percentile equality (linear interpolation) — not approx
+    for p in percents:
+        assert got[p] == float(np.percentile(vals, p)), p
+    assert got[0.0] == vals.min() and got[100.0] == vals.max()
+
+    # DuckDB quantile_cont replay (same linear interpolation)
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT quantile_cont(v, [0.25, 0.5, 0.75]) FROM (
+            SELECT TRY_CAST(d.n_tok AS DOUBLE) AS v
+            FROM m JOIN documents d USING (doc_id)
+        )
+    """).fetchone()[0]
+    for p, w in zip((25.0, 50.0, 75.0), want):
+        assert got[p] == pytest.approx(float(w), rel=1e-12), p
+
+    # attrs compose
+    sub = np.array([float(attr[d]["n_tok"])
+                    for d in _brute_matched(rows, QUERY)
+                    if attr[d]["lang"] == "de"])
+    got_f = rd.percentiles(QUERY, "n_tok", (50.0,), attrs=[("lang", "de")])
+    assert got_f[50.0] == float(np.percentile(sub, 50.0))
+    # empty / non-numeric: all-None shape
+    assert rd.percentiles(["zzz"], "n_tok", (50.0,)) == {50.0: None}
+    assert rd.percentiles(QUERY, "lang", (50.0,)) == {50.0: None}
+    # out-of-range percents raise
+    for bad in (-1.0, 100.5):
+        with pytest.raises(ValueError):
+            rd.percentiles(QUERY, "n_tok", (bad,))
+
+
+def test_percentiles_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    percents = (10.0, 50.0, 90.0, 99.0)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("lang", "en")]),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),
+            (["zzz"], None),
+        ]:
+            # bit-for-bit: both sides run the same weighted kernel
+            assert eng.percentiles(terms, "n_tok", percents, attrs=attrs) \
+                == rd.percentiles(terms, "n_tok", percents, attrs=attrs)
+        assert eng.percentiles(QUERY, "lang", (50.0,)) == {50.0: None}
+        with pytest.raises(ValueError):
+            eng.percentiles(QUERY, "n_tok", (101.0,))
+    finally:
+        eng.shutdown()
+
+
 def test_cardinality_matches_brute_and_duckdb(numfx):
     import duckdb
 

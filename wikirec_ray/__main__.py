@@ -15,7 +15,7 @@ CLI adds no second code path to keep correct.
     python -m wikirec_ray query  --index DIR QUERY [-k 10] [--serve POOL] \
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
         [--histogram COL:INTERVAL] [--cardinality COLS] \
-        [--stats-by BYCOL:VALCOL] \
+        [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -287,14 +287,16 @@ def cmd_query(args) -> int:
         mode, _, _ = parse_query(split_filters(args.query, [])[1])
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
-                or args.histogram or args.cardinality or args.stats_by):
+                or args.histogram or args.cardinality or args.stats_by
+                or args.percentiles):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
                            else "extended-stats" if args.extended_stats
                            else "histogram" if args.histogram
                            else "cardinality" if args.cardinality
-                           else "stats-by" if args.stats_by else mode)
+                           else "stats-by" if args.stats_by
+                           else "percentiles" if args.percentiles else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -326,12 +328,13 @@ def cmd_query(args) -> int:
             # being dropped (review r5).
             if (args.facets or args.store or args.collapse or args.stats
                     or args.extended_stats or args.histogram
-                    or args.cardinality or args.stats_by):
+                    or args.cardinality or args.stats_by
+                    or args.percentiles):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "--facets/--stats/--extended-stats/--histogram/"
-                    "--cardinality/--stats-by/--store/--collapse are not "
-                    "produced by the prior branch"
+                    "--cardinality/--stats-by/--percentiles/--store/"
+                    "--collapse are not produced by the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -480,6 +483,32 @@ def cmd_query(args) -> int:
                 "by": g_by, "col": g_val,
                 "buckets": engine.grouped_stats(
                     positive, g_by, g_val, args.k, attrs=s_attrs or None),
+            }
+        if args.percentiles:
+            # ES percentiles aggregation (exact here): COL or
+            # COL:P1,P2,... over the same match set
+            p_col, p_sep, p_txt = args.percentiles.partition(":")
+            if p_sep:
+                try:
+                    percents = tuple(
+                        float(p) for p in p_txt.split(",") if p.strip()
+                    )
+                except ValueError:
+                    percents = ()
+                if not percents or not all(
+                        math.isfinite(p) and 0.0 <= p <= 100.0
+                        for p in percents):
+                    raise SystemExit(
+                        "--percentiles needs COL or COL:P1,P2,... with "
+                        f"each P in [0, 100] (got {args.percentiles!r})"
+                    )
+            else:
+                percents = (25.0, 50.0, 75.0, 95.0, 99.0)
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            pcts = engine.percentiles(positive, p_col, percents,
+                                      attrs=s_attrs or None)
+            out["percentiles"] = {
+                "col": p_col, "values": {str(p): v for p, v in pcts.items()}
             }
         print(json.dumps(out))
     finally:
@@ -710,6 +739,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "VALCOL over the matched docs (ES terms+stats "
                         "sub-aggregation; buckets ordered and cut like "
                         "--facets at -k; col:value filters compose)")
+    q.add_argument("--percentiles", default="", metavar="COL[:P1,P2,...]",
+                   help="also report exact percentiles of this NUMERIC "
+                        "sidecar column over the matched docs (ES "
+                        "percentiles aggregation; default percents "
+                        "25,50,75,95,99; col:value filters compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

@@ -827,6 +827,29 @@ class IndexReader:
             out.append(bucket)
         return out
 
+    def percentiles(
+        self, terms: list[str], col: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[float, float | None]:
+        """Elasticsearch ``percentiles`` aggregation over the OR-matched
+        docs' numeric ``col`` values — EXACT here (linear interpolation on
+        the sorted multiset, ``numpy.percentile``'s default and DuckDB's
+        ``quantile_cont``), where ES itself is t-digest-approximate.
+        Returns {percent: value}, every value None when no doc
+        contributes.  Local and served run the IDENTICAL weighted kernel
+        over (distinct value, count) pairs — bounded by the sidecar
+        dictionary, not the match count — so they agree bit for bit.
+        Percents outside [0, 100] raise."""
+        for p in percents:
+            if not (0.0 <= float(p) <= 100.0):
+                raise ValueError(f"percentiles: percent {p} not in [0, 100]")
+        x = self._numeric_matched_values(terms, col, attrs)
+        if not len(x):
+            return {float(p): None for p in percents}
+        vals, counts = np.unique(x, return_counts=True)
+        return _weighted_percentiles(vals, counts, percents)
+
     def cardinality(
         self, terms: list[str], col: str,
         attrs: list[tuple[str, str]] | None = None,
@@ -1980,6 +2003,32 @@ def _strict_float(s) -> float | None:
     if not isinstance(s, str) or not _NUMERIC_RE.match(s):
         return None
     return float(s)
+
+
+def _weighted_percentiles(
+    vals: np.ndarray, counts: np.ndarray, percents,
+) -> dict[float, float]:
+    """Linear-interpolation percentiles of the multiset where ``vals[i]``
+    (sorted ascending, distinct) occurs ``counts[i]`` times — the ONE
+    kernel behind local and served ``percentiles``, so the two sides
+    agree bit for bit.  Arithmetic is exactly ``numpy.percentile``'s
+    default (and DuckDB's ``quantile_cont``): rank ``h = (n-1)·p/100``,
+    interpolate between the floor- and ceil-rank elements — without ever
+    expanding the multiset (the inputs are dictionary-bounded)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    def at(i: int) -> float:
+        return float(vals[np.searchsorted(cum, i, side="right")])
+
+    out = {}
+    for p in percents:
+        h = (n - 1) * float(p) / 100.0
+        lo = int(np.floor(h))
+        v_lo = at(lo)
+        v_hi = at(min(lo + 1, n - 1)) if h > lo else v_lo
+        out[float(p)] = v_lo + (h - lo) * (v_hi - v_lo)
+    return out
 
 
 def attr_matching_codes(values: list, spec: str) -> np.ndarray:

@@ -873,6 +873,25 @@ class RangeServerImpl:
             mx = rmx if mx is None else max(mx, rmx)
         return cnt, tot, mn, mx, sum_sq
 
+    def numeric_value_counts(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[float, int]:
+        """This shard's {parsed value: contributing-doc count} of ``col``
+        over its OR-matched alive docs — the ``percentiles`` partial,
+        bounded by the sidecar dictionary (distinct parsed values), not
+        the match count.  Both sides run the same strict parse, so the
+        float keys are identical across shards and the coordinator's
+        merged multiset is exact."""
+        out: dict[float, int] = {}
+        for x in self._numeric_match_values(terms_with_tpart, col, attrs):
+            v, c = np.unique(x, return_counts=True)
+            for val, cnt in zip(v, c):
+                out[float(val)] = out.get(float(val), 0) + int(cnt)
+        return out
+
     def histogram(
         self,
         terms_with_tpart: list[tuple[str, int]],
@@ -1704,6 +1723,44 @@ class RangeShardedQueryEngine:
             for s in self.servers
         ])
         return len({v for p in partials for v in p})
+
+    def percentiles(
+        self, terms: list[str], col: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[float, float | None]:
+        """Distributed EXACT percentiles (==
+        ``IndexReader.percentiles``): shards return {parsed value: count}
+        multiset partials bounded by the sidecar dictionary; the
+        coordinator merges, sorts, and runs the IDENTICAL
+        linear-interpolation kernel as the local reader — bit-for-bit
+        equal, where ES itself settles for t-digest."""
+        from wikirec_ray.pipelines.query import _weighted_percentiles
+
+        for p in percents:
+            if not (0.0 <= float(p) <= 100.0):
+                raise ValueError(
+                    f"percentiles: percent {p} not in [0, 100]")
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return {float(p): None for p in percents}
+        partials = ray.get([
+            s.numeric_value_counts.remote(twt, col, attrs)
+            for s in self.servers
+        ])
+        merged: dict[float, int] = {}
+        for p in partials:
+            for v, c in p.items():
+                merged[v] = merged.get(v, 0) + c
+        if not merged:
+            return {float(p): None for p in percents}
+        keys = np.array(sorted(merged), np.float64)
+        counts = np.array([merged[float(k)] for k in keys], np.int64)
+        return _weighted_percentiles(keys, counts, percents)
 
     def histogram(
         self, terms: list[str], col: str, interval: float,
