@@ -272,6 +272,15 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         "values": {"50.0": wantp[50.0], "90.0": wantp[90.0]},
     }
 
+    # --significant: overrepresented sidecar values (ES significant_terms)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "5",
+        "--significant", "lang",
+    ])
+    assert rc == 0
+    assert res["significant"]["lang"] == \
+        rd2.significant_terms(["the", "table"], "lang", 5)
+
     # malformed specs are named CLI errors, not crashes
     import pytest as _pytest
 

@@ -904,6 +904,117 @@ def test_grouped_stats_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def _brute_significant(rows, terms, col, k, pred=None):
+    attr = {r["doc_id"]: r for r in rows}
+    fg = {}
+    matched = [attr[d] for d in _brute_matched(rows, terms)]
+    if pred is not None:
+        matched = [r for r in matched if pred(r)]
+    for r in matched:
+        fg[r[col]] = fg.get(r[col], 0) + 1
+    bg = {}
+    for r in rows:  # background = whole corpus, never pred-narrowed
+        bg[r[col]] = bg.get(r[col], 0) + 1
+    n_fg, n_bg = len(matched), len(rows)
+    out = []
+    for v, f in fg.items():
+        fp, bp = f / n_fg, bg[v] / n_bg
+        if fp <= bp:
+            continue
+        out.append({"value": v, "n_docs": f, "bg_docs": bg[v],
+                    "score": (fp - bp) * (fp / bp)})
+    out.sort(key=lambda b: (-round(b["score"], 9), b["value"]))
+    return out[:k]
+
+
+def test_significant_terms_matches_brute_and_duckdb(numfx):
+    import duckdb
+
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    # a skewed query: w0 appears in nearly every doc, so use a rarer one
+    for terms in (["w15", "w17"], QUERY, ["w9"]):
+        got = rd.significant_terms(terms, "lang", 10)
+        want = _brute_significant(rows, terms, "lang", 10)
+        assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] == \
+            [(b["value"], b["n_docs"], b["bg_docs"]) for b in want], terms
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+    # every reported value is genuinely overrepresented
+    for b in rd.significant_terms(["w15", "w17"], "lang", 10):
+        n_fg = len(_brute_matched(rows, ["w15", "w17"]))
+        assert b["n_docs"] / n_fg > b["bg_docs"] / len(rows)
+    # attrs narrow the FOREGROUND only (background stays corpus-global)
+    got_f = rd.significant_terms(QUERY, "n_tok", 5,
+                                 attrs=[("lang", "de")])
+    want_f = _brute_significant(rows, QUERY, "n_tok", 5,
+                                pred=lambda r: r["lang"] == "de")
+    assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got_f] == \
+        [(b["value"], b["n_docs"], b["bg_docs"]) for b in want_f]
+    # empty match set
+    assert rd.significant_terms(["zzz"], "lang") == []
+
+    # DuckDB replay of the JLH scoring end to end
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted({"w15", "w17"}))
+    want_sql = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term)),
+        fg AS (SELECT d.lang AS value, COUNT(*)::DOUBLE AS f
+               FROM m JOIN documents d USING (doc_id) GROUP BY 1),
+        bg AS (SELECT lang AS value, COUNT(*)::DOUBLE AS b
+               FROM documents GROUP BY 1),
+        tot AS (SELECT (SELECT SUM(f) FROM fg) AS nf,
+                       (SELECT COUNT(*)::DOUBLE FROM documents) AS nb)
+        SELECT value, CAST(f AS BIGINT), CAST(b AS BIGINT),
+               (f/nf - b/nb) * ((f/nf)/(b/nb)) AS score
+        FROM fg JOIN bg USING (value) CROSS JOIN tot
+        WHERE f/nf > b/nb ORDER BY round(score, 9) DESC, value
+    """).fetchall()
+    got = rd.significant_terms(["w15", "w17"], "lang", 10)
+    assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] == \
+        [(w[0], int(w[1]), int(w[2])) for w in want_sql]
+    for g, w in zip(got, want_sql):
+        assert g["score"] == pytest.approx(float(w[3]), rel=1e-12)
+
+
+def test_significant_terms_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (["w15", "w17"], None),
+            (QUERY, None),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),
+            (["zzz"], None),
+        ]:
+            got = eng.significant_terms(terms, "lang", 10, attrs=attrs)
+            want = rd.significant_terms(terms, "lang", 10, attrs=attrs)
+            assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] \
+                == [(b["value"], b["n_docs"], b["bg_docs"]) for b in want]
+            for g, w in zip(got, want):
+                assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+        # second call hits the coordinator's background cache — same result
+        assert eng.significant_terms(QUERY, "lang", 10) == \
+            eng.significant_terms(QUERY, "lang", 10)
+    finally:
+        eng.shutdown()
+
+
 def test_percentiles_matches_numpy_and_duckdb(numfx):
     import duckdb
 

@@ -16,6 +16,7 @@ CLI adds no second code path to keep correct.
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
+        [--significant COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -288,7 +289,7 @@ def cmd_query(args) -> int:
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
-                or args.percentiles):
+                or args.percentiles or args.significant):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -296,7 +297,8 @@ def cmd_query(args) -> int:
                            else "histogram" if args.histogram
                            else "cardinality" if args.cardinality
                            else "stats-by" if args.stats_by
-                           else "percentiles" if args.percentiles else mode)
+                           else "percentiles" if args.percentiles
+                           else "significant" if args.significant else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -329,12 +331,11 @@ def cmd_query(args) -> int:
             if (args.facets or args.store or args.collapse or args.stats
                     or args.extended_stats or args.histogram
                     or args.cardinality or args.stats_by
-                    or args.percentiles):
+                    or args.percentiles or args.significant):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
-                    "--facets/--stats/--extended-stats/--histogram/"
-                    "--cardinality/--stats-by/--percentiles/--store/"
-                    "--collapse are not produced by the prior branch"
+                    "the aggregation and --store/--collapse outputs are "
+                    "not produced by the prior branch"
                 )
             col, sep, wtxt = prior.partition(":")
             if not sep or col not in engine.meta_cols():
@@ -509,6 +510,17 @@ def cmd_query(args) -> int:
                                       attrs=s_attrs or None)
             out["percentiles"] = {
                 "col": p_col, "values": {str(p): v for p, v in pcts.items()}
+            }
+        if args.significant:
+            # ES significant_terms: values overrepresented in the match
+            # set vs the whole corpus (JLH score); col:value filters
+            # narrow the FOREGROUND only, like the ES default background
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["significant"] = {
+                col: engine.significant_terms(positive, col, args.k,
+                                              attrs=s_attrs or None)
+                for col in (c.strip() for c in args.significant.split(","))
+                if col
             }
         print(json.dumps(out))
     finally:
@@ -744,6 +756,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "sidecar column over the matched docs (ES "
                         "percentiles aggregation; default percents "
                         "25,50,75,95,99; col:value filters compose)")
+    q.add_argument("--significant", default="", metavar="COLS",
+                   help="also report which values of these comma-separated "
+                        "sidecar columns are overrepresented in the "
+                        "matched docs vs the whole corpus (ES "
+                        "significant_terms, JLH score, top -k; col:value "
+                        "filters narrow the foreground only)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

@@ -198,6 +198,7 @@ class IndexReader:
         self._meta_manifest: dict | None = None  # one snapshot per reader
         self._meta_cols: list[str] | None = None  # cached (incl. no-sidecar)
         self._priors: dict[str, np.ndarray] = {}  # per-col static priors
+        self._bg_counts: dict[str, tuple[np.ndarray, int]] = {}  # sig-terms
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -826,6 +827,60 @@ class IndexReader:
                 )
             out.append(bucket)
         return out
+
+    def _background_counts(self, col: str) -> tuple[np.ndarray, int]:
+        """(per-dictionary-code doc counts, total) of ``col`` over ALL
+        alive sidecar docs — the ``significant_terms`` background, cached
+        per column (this reader is an immutable snapshot, so tombstones
+        and sidecar are frozen together)."""
+        cached = self._bg_counts.get(col)
+        if cached is None:
+            dense, values = self._meta_codes(col)
+            alive = dense.copy()
+            if len(self.tombstones):
+                alive[self.tombstones.astype(np.int64)] = -1
+            present = alive[alive >= 0]
+            counts = np.bincount(present, minlength=len(values))
+            cached = (counts, int(len(present)))
+            self._bg_counts[col] = cached
+        return cached
+
+    def significant_terms(
+        self, terms: list[str], col: str, k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[dict]:
+        """Elasticsearch ``significant_terms`` aggregation over sidecar
+        column ``col``: which values are OVERREPRESENTED in the OR-matched
+        docs relative to the whole alive corpus (the ES default
+        background)?  Scored with JLH — ``(fg% − bg%) × (fg% / bg%)``, the
+        ES formula balancing absolute lift (rare-term precision) against
+        relative lift (common-term recall) — keeping only values with
+        positive lift (fg% > bg%), ordered (round(score, 9) desc, value
+        asc), cut at k.  ``attrs`` narrows the FOREGROUND only (the
+        background deliberately stays corpus-global, matching ES).  Each
+        bucket: value / n_docs (fg) / bg_docs / score."""
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return []
+        dense, values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        fg = np.bincount(codes, minlength=len(values))
+        bg, n_bg = self._background_counts(col)
+        nz = np.flatnonzero(fg)
+        return _score_significant(
+            {values[c]: int(fg[c]) for c in nz},
+            int(len(docs)),
+            {values[c]: int(bg[c]) for c in nz},
+            n_bg, k,
+        )
 
     def percentiles(
         self, terms: list[str], col: str,
@@ -2003,6 +2058,29 @@ def _strict_float(s) -> float | None:
     if not isinstance(s, str) or not _NUMERIC_RE.match(s):
         return None
     return float(s)
+
+
+def _score_significant(
+    fg: dict[str, int], n_fg: int, bg: dict[str, int], n_bg: int, k: int,
+) -> list[dict]:
+    """JLH-score foreground value counts against the background — the ONE
+    kernel behind local and served ``significant_terms`` (the served
+    coordinator feeds merged shard dicts through the same arithmetic).
+    ``bg`` must cover every ``fg`` key with bg >= fg >= 1 (the foreground
+    is a subset of the background, so the ratio is always defined).
+    Keeps positive-lift values only, orders (round(score, 9) desc, value
+    asc) — the engine's ranking convention — and cuts at k."""
+    out = []
+    for v, f in fg.items():
+        fg_pct = f / n_fg
+        bg_pct = bg[v] / n_bg
+        if fg_pct <= bg_pct:
+            continue
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        out.append({"value": v, "n_docs": int(f), "bg_docs": int(bg[v]),
+                    "score": float(score)})
+    out.sort(key=lambda b: (-round(b["score"], 9), b["value"]))
+    return out[:k]
 
 
 def _weighted_percentiles(

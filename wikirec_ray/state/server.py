@@ -615,11 +615,13 @@ class RangeServerImpl:
         local[~keep] = 0.0
 
     def facet_counts(
-        self, terms_with_tpart: list[tuple[str, int]], col: str
+        self, terms_with_tpart: list[tuple[str, int]], col: str,
+        attrs: list[tuple[str, str]] | None = None,
     ) -> dict[str, int]:
         """This shard's {value: match count} of ``col`` over docs matching
-        ANY term (alive only) — the coordinator sums shard dicts; every doc
-        lives in exactly one shard, so the sum is exact."""
+        ANY term (alive only, optional ``attrs`` pre-filter — the
+        significant-terms foreground) — the coordinator sums shard dicts;
+        every doc lives in exactly one shard, so the sum is exact."""
         meta = self._meta(col)
         out: dict[str, int] = {}
         for r in self.range_ids:
@@ -637,6 +639,8 @@ class RangeServerImpl:
                 from wikirec_ray.state.segments import filter_tombstoned
 
                 docs = filter_tombstoned(docs, tr)
+            if attrs and len(docs):
+                docs = self._attr_keep_sorted(r, docs, attrs)
             if not len(docs):
                 continue
             mr = meta.get(r)
@@ -872,6 +876,33 @@ class RangeServerImpl:
             mn = rmn if mn is None else min(mn, rmn)
             mx = rmx if mx is None else max(mx, rmx)
         return cnt, tot, mn, mx, sum_sq
+
+    def background_value_counts(self, col: str) -> dict[str, int]:
+        """{value: alive doc count} of ``col`` over ALL of this shard's
+        sidecar docs — the ``significant_terms`` background partial
+        (corpus-global, no query).  Tombstoned docs are dropped, matching
+        the local reader's ``_background_counts``; the coordinator sums
+        shard dicts (each doc lives in exactly one shard)."""
+        from wikirec_ray.state.segments import filter_tombstoned
+
+        meta = self._meta(col)
+        out: dict[str, int] = {}
+        for r in self.range_ids:
+            mr = meta.get(r)
+            if mr is None:
+                continue
+            ids, codes, values = mr
+            tr = self.tombs.get(r)
+            if tr is not None and len(tr):
+                alive = filter_tombstoned(ids.astype(np.uint64), tr)
+                codes_r = codes[np.searchsorted(ids, alive)]
+            else:
+                codes_r = codes
+            counts = np.bincount(codes_r, minlength=len(values))
+            for c in np.flatnonzero(counts):
+                v = values[c]
+                out[v] = out.get(v, 0) + int(counts[c])
+        return out
 
     def numeric_value_counts(
         self,
@@ -1331,6 +1362,10 @@ class RangeShardedQueryEngine:
         self.stats = load_stats(index_dir)
         self.index_dir = index_dir
         self._meta_cols_cache: list[str] | None = None
+        # significant_terms background cache: {col: ({value: n}, n_bg)} —
+        # query-independent and snapshot-frozen, so one shard fan-out per
+        # column per coordinator lifetime (O(dictionary) state)
+        self._bg_cache: dict[str, tuple[dict[str, int], int]] = {}
         self.n_tparts = int(self.stats.get("n_term_partitions", N_TERM_PARTITIONS))
         self.n_docs = self.stats["n_docs"]
         # precomputed composite terms (O(K) coordinator state, K = the
@@ -1566,6 +1601,50 @@ class RangeShardedQueryEngine:
             for v, n in p.items():
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def significant_terms(
+        self, terms: list[str], col: str, k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[dict]:
+        """Distributed ``significant_terms`` (==
+        ``IndexReader.significant_terms``): shards return foreground
+        {value: match count} dicts (the attrs-filtered facet partial) and
+        — once per column, cached — background {value: alive count}
+        dicts; the coordinator sums both sides and runs the shared JLH
+        kernel.  Exact: every doc lives in exactly one shard, and the
+        background is query-independent snapshot state."""
+        from wikirec_ray.pipelines.query import _score_significant
+
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        bg_cached = self._bg_cache.get(col)
+        fg_refs = [
+            s.facet_counts.remote(twt, col, attrs) for s in self.servers
+        ]
+        if bg_cached is None:
+            bg_parts = ray.get([
+                s.background_value_counts.remote(col) for s in self.servers
+            ])
+            bg: dict[str, int] = {}
+            for p in bg_parts:
+                for v, n in p.items():
+                    bg[v] = bg.get(v, 0) + n
+            bg_cached = (bg, sum(bg.values()))
+            self._bg_cache[col] = bg_cached
+        bg, n_bg = bg_cached
+        fg: dict[str, int] = {}
+        for p in ray.get(fg_refs):
+            for v, n in p.items():
+                fg[v] = fg.get(v, 0) + n
+        n_fg = sum(fg.values())
+        if n_fg == 0:
+            return []
+        return _score_significant(fg, n_fg, bg, n_bg, k)
 
     def _stats_partials(
         self, terms: list[str], col: str,
