@@ -249,20 +249,24 @@ def run_bench() -> dict:
 
     def meta_of(b: pa.Table) -> pa.Table:
         u = b["url"]
+        doc_id = pc.cast(
+            pc.replace_substring_regex(u, r"^.*/", ""), pa.int64())
         return pa.table({
-            "doc_id": pc.cast(
-                pc.replace_substring_regex(u, r"^.*/", ""), pa.int64()),
+            "doc_id": doc_id,
             "source": pc.replace_substring_regex(
                 u, r"^https://[^/]+/([^/]+)/.*$", "\\1"),
             "lang": pc.replace_substring_regex(
                 u, r"^.*/([^/]+)/\d+$", "\\1"),
+            # a NUMERIC attribute for the aggregation leg (stored as a
+            # string like every sidecar column; strict-parsed at query)
+            "docnum": pc.cast(doc_id, pa.string()),
         })
 
     t_meta = time.monotonic()
     build_doc_meta(
         ray.data.read_parquet(pages_dir, columns=["url"]).map_batches(
             meta_of, batch_format="pyarrow"),
-        index_dir, ["lang", "source"], resume=False,
+        index_dir, ["lang", "source", "docnum"], resume=False,
     )
     meta_build_sec = time.monotonic() - t_meta
     log(f"doc-meta sidecar: built in {meta_build_sec:.2f}s")
@@ -328,6 +332,22 @@ def run_bench() -> dict:
         f"p99={np.percentile(lf,99):.1f}ms; facet p50={np.percentile(lfc,50):.1f}ms "
         f"p99={np.percentile(lfc,99):.1f}ms; boolean p50={np.percentile(lb,50):.1f}ms "
         f"p99={np.percentile(lb,99):.1f}ms"
+    )
+
+    # -- timed: the ES aggregation family over the match set (one sample =
+    # grouped terms+stats + exact percentiles + significant_terms — three
+    # full aggregations per query, the dashboard-request shape) ----------
+    lat_agg = []
+    for _, terms in queries:
+        q0 = time.monotonic()
+        reader.grouped_stats(terms, "source", "docnum", TOP_K)
+        reader.percentiles(terms, "docnum", (50.0, 95.0))
+        reader.significant_terms(terms, "lang", TOP_K)
+        lat_agg.append(time.monotonic() - q0)
+    la = np.array(lat_agg) * 1000
+    log(
+        f"aggregations (grouped+percentiles+significant per sample): "
+        f"p50={np.percentile(la,50):.1f}ms p99={np.percentile(la,99):.1f}ms"
     )
 
     # -- timed: distributed serving (range-sharded engine — the default
@@ -580,6 +600,8 @@ def run_bench() -> dict:
         "facet_p99_ms": round(float(np.percentile(lfc, 99)), 3),
         "boolean_p50_ms": round(float(np.percentile(lb, 50)), 3),
         "boolean_p99_ms": round(float(np.percentile(lb, 99)), 3),
+        "agg_p50_ms": round(float(np.percentile(la, 50)), 3),
+        "agg_p99_ms": round(float(np.percentile(la, 99)), 3),
         "serve_filtered_p50_ms": round(float(np.percentile(lsf, 50)), 3),
         "serve_facet_p50_ms": round(float(np.percentile(lsfc, 50)), 3),
         "serve_boolean_p50_ms": round(float(np.percentile(lsb, 50)), 3),

@@ -152,6 +152,27 @@ def test_deleted_docs_drop_from_facets_and_filter(fx, tmp_path):
     assert after["en"] == before["en"] - len(victims)
     assert all(d not in [h[0] for h in rd.filtered_topk(QUERY, 50, "lang", "en")]
                for d in victims)
+    # aggregations share the alive-match contract: stats count drops by
+    # the deleted matches, and the significant_terms BACKGROUND drops the
+    # tombstoned docs too (local and served agree after the delete)
+    assert rd.cardinality(QUERY, "lang") <= rd0.cardinality(QUERY, "lang")
+    _, n_bg0 = rd0._background_counts("lang")
+    _, n_bg = rd._background_counts("lang")
+    assert n_bg == n_bg0 - len(victims)
+    sig = rd.significant_terms(QUERY, "lang", 10)
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    eng = RangeShardedQueryEngine(idx, pool_size=2)
+    try:
+        got = eng.significant_terms(QUERY, "lang", 10)
+        assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] == \
+            [(b["value"], b["n_docs"], b["bg_docs"]) for b in sig]
+        assert eng.metric_stats(QUERY, "n_chars" if "n_chars" in
+                                rd.meta_cols() else "lang")["count"] == \
+            rd.metric_stats(QUERY, "n_chars" if "n_chars" in
+                            rd.meta_cols() else "lang")["count"]
+    finally:
+        eng.shutdown()
 
 
 def test_sidecar_resume_and_input_awareness(fx, ray_session):

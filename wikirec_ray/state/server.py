@@ -291,6 +291,11 @@ class RangeServerImpl:
                     self.tombs[r] = tr
         self._chunks: dict[tuple[int, int], object] = {}
         self._meta_cols: dict[str, dict] = {}  # lazy attribute sidecar
+        # strict-float-parsed dictionaries per (col, range) — snapshot
+        # state; re-parsing per query is O(dictionary) Python work (the
+        # 88 ms-per-call lesson at a 100k-value dictionary, see
+        # IndexReader._meta_parsed)
+        self._parsed_meta: dict[tuple[str, int], np.ndarray] = {}
         self._meta_manifest: dict | None = None  # one snapshot per shard
         self._prior_arrays: dict[str, dict] = {}  # per-col static priors
         # byte sizes of THIS shard's posting chunks in the manifest snapshot
@@ -728,8 +733,6 @@ class RangeServerImpl:
         min-of-mins / max-of-maxes), then orders and cuts top-k — exact,
         every doc lives in exactly one shard.  Dict size is bounded by
         ``by_col``'s dictionary, not the match count."""
-        from wikirec_ray.pipelines.query import _strict_float
-
         meta_b = self._meta(by_col)
         meta_v = self._meta(val_col)
         out: dict[str, tuple[int, int, float, float | None, float | None]] = {}
@@ -769,13 +772,8 @@ class RangeServerImpl:
                         f"stale meta/: re-run build_doc_meta"
                     )
                 sels.append((codes[sel], values))
-            (bc, values_b), (vc, values_v) = sels
-            parsed = np.array(
-                [x if (x := _strict_float(v)) is not None else np.nan
-                 for v in values_v],
-                np.float64,
-            )
-            x = parsed[vc]
+            (bc, values_b), (vc, _values_v) = sels
+            x = self._meta_parsed(val_col, r)[vc]
             ok = ~np.isnan(x)
             for c in np.unique(bc):
                 in_g = bc == c
@@ -804,8 +802,6 @@ class RangeServerImpl:
         ``metric_stats`` and ``histogram`` partials.  Matches with a
         missing sidecar file or missing doc raise (stale meta/), the
         ``IndexReader`` contract."""
-        from wikirec_ray.pipelines.query import _strict_float
-
         meta = self._meta(col)
         for r in self.range_ids:
             parts = []
@@ -840,15 +836,28 @@ class RangeServerImpl:
                     f"matched doc missing from metadata range {r} — stale "
                     f"meta/: re-run build_doc_meta"
                 )
-            parsed = np.array(
+            x = self._meta_parsed(col, r)[codes[sel]]
+            x = x[~np.isnan(x)]
+            if len(x):
+                yield x
+
+    def _meta_parsed(self, col: str, r: int) -> np.ndarray:
+        """Range ``r``'s sidecar dictionary of ``col`` strict-parsed to
+        float64 (NaN = non-numeric), CACHED per (col, range) — snapshot
+        state, same rationale as ``IndexReader._meta_parsed`` (per-query
+        re-parse is O(dictionary) Python work)."""
+        from wikirec_ray.pipelines.query import _strict_float
+
+        cached = self._parsed_meta.get((col, r))
+        if cached is None:
+            _ids, _codes, values = self._meta(col)[r]
+            cached = np.array(
                 [x if (x := _strict_float(v)) is not None else np.nan
                  for v in values],
                 np.float64,
             )
-            x = parsed[codes[sel]]
-            x = x[~np.isnan(x)]
-            if len(x):
-                yield x
+            self._parsed_meta[(col, r)] = cached
+        return cached
 
     def metric_stats(
         self,
