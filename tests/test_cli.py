@@ -281,6 +281,23 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
     assert res["significant"]["lang"] == \
         rd2.significant_terms(["the", "table"], "lang", 5)
 
+    # --top-hits: grouped search results (ES terms+top_hits)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "2",
+        "--top-hits", "lang:2",
+    ])
+    assert rc == 0
+    want_th = rd2.top_hits_by(["the", "table"], "lang", 2, 2)
+    assert res["top_hits"] == {
+        "col": "lang", "k_per_bucket": 2,
+        "buckets": [
+            {"value": b["value"], "n_docs": b["n_docs"],
+             "hits": [{"doc_id": d, "score": s} for d, s in b["hits"]]}
+            for b in want_th
+        ],
+    }
+    assert len(res["top_hits"]["buckets"]) == 2  # -k cuts buckets
+
     # malformed specs are named CLI errors, not crashes
     import pytest as _pytest
 
@@ -296,6 +313,10 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         with _pytest.raises(SystemExit):
             run_cli(capsys, ["query", "--index", idx, "the",
                              "--percentiles", bad])
+    for bad in ("lang:", "lang:0", "lang:x"):
+        with _pytest.raises(SystemExit):
+            run_cli(capsys, ["query", "--index", idx, "the",
+                             "--top-hits", bad])
 
 
 def test_cli_stats_missing_index(ray_session, tmp_path, capsys):

@@ -1036,6 +1036,70 @@ def test_significant_terms_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_top_hits_by_matches_global_ranking(numfx):
+    rows = numfx["rows"]
+    rd = IndexReader(numfx["idx"])
+
+    got = rd.top_hits_by(QUERY, "lang", n_buckets=3, k_per_bucket=4)
+    # bucket keys/order/counts == facet_counts (the ES terms-agg contract)
+    assert [(b["value"], b["n_docs"]) for b in got] == \
+        rd.facet_counts(QUERY, "lang", 3)
+    # each bucket's hit list is exactly the value-filtered slice of the
+    # independently-oracled global ranking
+    universe = rd.topk(QUERY, len(rows))
+    attr = {r["doc_id"]: r for r in rows}
+    for b in got:
+        want = [h for h in universe
+                if attr[h[0]]["lang"] == b["value"]][:4]
+        assert b["hits"] == want, b["value"]
+        # hits ordered by the engine convention and non-empty
+        assert b["hits"] == sorted(b["hits"],
+                                   key=lambda h: (-round(h[1], 9), h[0]))
+        assert 1 <= len(b["hits"]) <= 4
+    # attrs compose: restrict to one lang → one bucket, == filtered_topk
+    got_f = rd.top_hits_by(QUERY, "lang", 3, 5, attrs=[("lang", "de")])
+    assert len(got_f) == 1 and got_f[0]["value"] == "de"
+    assert got_f[0]["hits"] == rd.filtered_topk(QUERY, 5, "lang", "de")
+    # weights thread through (boost changes the ranking like topk)
+    got_w = rd.top_hits_by(["w7", "w15"], "lang", 3, 4,
+                           weights=[5.0, 1.0])
+    uw = rd.topk(["w7", "w15"], len(rows), weights=[5.0, 1.0])
+    for b in got_w:
+        assert b["hits"] == [h for h in uw
+                             if attr[h[0]]["lang"] == b["value"]][:4]
+    # empties and degenerate args
+    assert rd.top_hits_by(["zzz"], "lang") == []
+    assert rd.top_hits_by(QUERY, "lang", n_buckets=0) == []
+    assert rd.top_hits_by(QUERY, "lang", k_per_bucket=0) == []
+
+
+def test_top_hits_by_served_equals_local(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rd = IndexReader(numfx["idx"])
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),  # duplicate-terms parity
+            (["zzz"], None),
+        ]:
+            got = eng.top_hits_by(terms, "lang", 3, 4, attrs=attrs)
+            want = rd.top_hits_by(terms, "lang", 3, 4, attrs=attrs)
+            assert [(b["value"], b["n_docs"]) for b in got] == \
+                [(b["value"], b["n_docs"]) for b in want]
+            for g, w in zip(got, want):
+                assert [h[0] for h in g["hits"]] == [h[0] for h in w["hits"]]
+                for gh, wh in zip(g["hits"], w["hits"]):
+                    assert gh[1] == pytest.approx(wh[1], abs=1e-9)
+        # high-cardinality column: buckets still bounded at n_buckets
+        got = eng.top_hits_by(QUERY, "n_tok", 5, 2)
+        assert got == rd.top_hits_by(QUERY, "n_tok", 5, 2) and len(got) == 5
+    finally:
+        eng.shutdown()
+
+
 def test_percentiles_matches_numpy_and_duckdb(numfx):
     import duckdb
 

@@ -16,7 +16,7 @@ CLI adds no second code path to keep correct.
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
-        [--significant COLS] \
+        [--significant COLS] [--top-hits COL[:K]] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -289,7 +289,7 @@ def cmd_query(args) -> int:
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
-                or args.percentiles or args.significant):
+                or args.percentiles or args.significant or args.top_hits):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -298,7 +298,8 @@ def cmd_query(args) -> int:
                            else "cardinality" if args.cardinality
                            else "stats-by" if args.stats_by
                            else "percentiles" if args.percentiles
-                           else "significant" if args.significant else mode)
+                           else "significant" if args.significant
+                           else "top-hits" if args.top_hits else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -331,7 +332,8 @@ def cmd_query(args) -> int:
             if (args.facets or args.store or args.collapse or args.stats
                     or args.extended_stats or args.histogram
                     or args.cardinality or args.stats_by
-                    or args.percentiles or args.significant):
+                    or args.percentiles or args.significant
+                    or args.top_hits):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -521,6 +523,35 @@ def cmd_query(args) -> int:
                                               attrs=s_attrs or None)
                 for col in (c.strip() for c in args.significant.split(","))
                 if col
+            }
+        if args.top_hits:
+            # ES terms + top_hits sub-aggregation: grouped search results
+            # — COL or COL:K (K = hits per bucket, default 3), buckets
+            # cut at -k like --facets
+            t_col, t_sep, t_ktxt = args.top_hits.partition(":")
+            if t_sep:
+                try:
+                    t_k = int(t_ktxt)
+                except ValueError:
+                    t_k = 0
+                if t_k < 1:
+                    raise SystemExit(
+                        "--top-hits needs COL or COL:K with K >= 1 "
+                        f"(got {args.top_hits!r})"
+                    )
+            else:
+                t_k = 3
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["top_hits"] = {
+                "col": t_col, "k_per_bucket": t_k,
+                "buckets": [
+                    {"value": b["value"], "n_docs": b["n_docs"],
+                     "hits": [{"doc_id": d, "score": s}
+                              for d, s in b["hits"]]}
+                    for b in engine.top_hits_by(
+                        positive, t_col, args.k, t_k,
+                        attrs=s_attrs or None)
+                ],
             }
         print(json.dumps(out))
     finally:
@@ -762,6 +793,13 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--top-hits", default="", metavar="COL[:K]",
+                   dest="top_hits",
+                   help="also report the K best hits (default 3) per top "
+                        "value of this sidecar column — grouped search "
+                        "results (ES terms+top_hits; buckets cut at -k, "
+                        "ordered like --facets; col:value filters "
+                        "compose)")
     q.add_argument("--store", default="", metavar="EXPORT_DIR",
                    help="hydrate hits from this export_clean_corpus "
                         "directory (stored fields) and attach KWIC "

@@ -997,6 +997,60 @@ class IndexReader:
             )
         ]
 
+    def top_hits_by(
+        self, terms: list[str], col: str, n_buckets: int = 10,
+        k_per_bucket: int = 3,
+        attrs: list[tuple[str, str]] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[dict]:
+        """Elasticsearch ``terms`` aggregation with a ``top_hits``
+        sub-aggregation — grouped search results ("the 3 best hits per
+        site"): for the top ``n_buckets`` values of ``col`` among the
+        matched docs (bucket order and cut == ``facet_counts``: match
+        count desc, value asc), the ``k_per_bucket`` best docs of each
+        bucket under the engine's plain ranking (round(score, 9) desc,
+        doc asc) — so each bucket's hit list is exactly the
+        value-filtered slice of the global ranking, an invariant the
+        tests pin against ``topk``.  Scoring is the corpus-global BM25
+        contract (``attrs`` filter, ``weights`` boost as usual).  Each
+        bucket: {value, n_docs, hits: [(doc_id, score), ...]}."""
+        if n_buckets < 1 or k_per_bucket < 1:
+            return []
+        scores = self.score_exact(terms, weights=weights)
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
+        r = np.round(scores, ROUND_DP)
+        nz = np.flatnonzero(r > 0)
+        if not len(nz):
+            return []
+        dense, values = self._meta_codes(col)
+        codes = dense[nz]
+        if (codes < 0).any():
+            missing = int(nz[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        counts = np.bincount(codes, minlength=len(values))
+        top = sorted(
+            np.flatnonzero(counts).tolist(),
+            key=lambda c: (-int(counts[c]), values[c]),
+        )[:n_buckets]
+        out = []
+        for c in top:
+            in_b = nz[codes == c]
+            if len(in_b) > k_per_bucket:
+                kth = -np.partition(-r[in_b], k_per_bucket - 1)[
+                    k_per_bucket - 1]
+                in_b = in_b[r[in_b] >= kth]
+            hits = sorted(
+                ((int(d), float(r[d])) for d in in_b),
+                key=lambda h: (-h[1], h[0]),
+            )[:k_per_bucket]
+            out.append({"value": values[c], "n_docs": int(counts[c]),
+                        "hits": hits})
+        return out
+
     # ---------------- vocabulary: suggest + fuzzy ------------------------
     # Both run on the (term, df) vocabulary only — O(vocab) state, no
     # postings touched.  The normalization contract (lowercase input,

@@ -790,6 +790,72 @@ class RangeServerImpl:
                 out[v] = (nm, nc, tot, mn, mx)
         return out
 
+    def top_hits_for_values(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        col: str,
+        values: list[str],
+        k: int,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[str, list[tuple[int, float]]]:
+        """This shard's per-value top-k hits for the REQUESTED ``values``
+        only — the ``top_hits_by`` second round (the coordinator already
+        chose the buckets from bounded facet partials, so the payload here
+        is O(len(values) × k), never O(dictionary × k)).  Same scoring
+        and (round(score, 9) desc, doc asc) order as every route; the
+        global per-value top-k is a subset of the shard top-ks because
+        every doc lives in exactly one shard."""
+        from wikirec_ray.pipelines.query import ROUND_DP
+
+        vset = set(values)
+        out: dict[str, list[tuple[int, float]]] = {v: [] for v in values}
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is None:
+                continue
+            self._zero_tombs(r, local)
+            if attrs:
+                self._apply_attrs_dense(r, local, attrs)
+            rr = np.round(local, ROUND_DP)
+            nz = np.flatnonzero(rr > 0)
+            if not len(nz):
+                continue
+            mr = self._meta(col).get(r)
+            if mr is None:
+                raise RuntimeError(
+                    f"range {r} has live scoring docs but no metadata "
+                    f"sidecar file — stale meta/: re-run build_doc_meta"
+                )
+            ids, codes, rvalues = mr
+            docs = (nz + base).astype(np.uint64)
+            sel = np.searchsorted(ids, docs)
+            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                           != docs).any():
+                raise RuntimeError(
+                    f"live scoring doc missing from metadata range {r} — "
+                    f"stale meta/: re-run build_doc_meta"
+                )
+            nzc = codes[sel]
+            for ci, v in enumerate(rvalues):
+                if v not in vset:
+                    continue
+                in_b = nz[nzc == ci]
+                if not len(in_b):
+                    continue
+                if len(in_b) > k:
+                    kth = -np.partition(-rr[in_b], k - 1)[k - 1]
+                    in_b = in_b[rr[in_b] >= kth]
+                out[v].extend(
+                    (int(d + base), float(rr[d])) for d in in_b
+                )
+        for v in out:
+            out[v] = sorted(out[v], key=lambda h: (-h[1], h[0]))[:k]
+        return out
+
     def _numeric_match_values(
         self,
         terms_with_tpart: list[tuple[str, int]],
@@ -1610,6 +1676,60 @@ class RangeShardedQueryEngine:
             for v, n in p.items():
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def top_hits_by(
+        self, terms: list[str], col: str, n_buckets: int = 10,
+        k_per_bucket: int = 3,
+        attrs: list[tuple[str, str]] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[dict]:
+        """Distributed terms+top_hits sub-aggregation (==
+        ``IndexReader.top_hits_by``): round 1 picks the top buckets from
+        the shards' bounded facet partials (match count desc, value asc);
+        round 2 asks every shard for its per-value top-k of ONLY those
+        values (payload O(n_buckets × k) per shard); the coordinator
+        merges per value under the global ranking order — exact, every
+        doc lives in exactly one shard."""
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        if n_buckets < 1 or k_per_bucket < 1:
+            return []
+        agg = aggregate_weights(terms, weights)
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        twi = [
+            (t, resolved[t][0], resolved[t][1] * w)
+            for t, w in agg.items() if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        fg_parts = ray.get([
+            s.facet_counts.remote(twt, col, attrs) for s in self.servers
+        ])
+        counts: dict[str, int] = {}
+        for p in fg_parts:
+            for v, n in p.items():
+                counts[v] = counts.get(v, 0) + n
+        top = sorted(counts.items(), key=lambda it: (-it[1], it[0]))
+        top = top[:n_buckets]
+        if not top:
+            return []
+        wanted = [v for v, _ in top]
+        hit_parts = ray.get([
+            s.top_hits_for_values.remote(twi, col, wanted, k_per_bucket,
+                                         attrs)
+            for s in self.servers
+        ])
+        out = []
+        for v, n in top:
+            merged = [h for p in hit_parts for h in p.get(v, ())]
+            merged.sort(key=lambda h: (-h[1], h[0]))
+            out.append({"value": v, "n_docs": int(n),
+                        "hits": merged[:k_per_bucket]})
+        return out
 
     def significant_terms(
         self, terms: list[str], col: str, k: int = 10,
