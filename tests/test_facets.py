@@ -1179,6 +1179,84 @@ def test_percentiles_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_weighted_percentiles_property_vs_numpy():
+    """The shared percentile kernel must equal numpy.percentile on the
+    EXPANDED multiset for arbitrary (values, counts, percent) inputs —
+    hypothesis sweeps the space the fixture corpus cannot."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikirec_ray.pipelines.query import _weighted_percentiles
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.floats(-1e6, 1e6, allow_nan=False).map(
+                    lambda v: round(v, 3)),
+                st.integers(1, 7),
+            ),
+            min_size=1, max_size=20, unique_by=lambda p: p[0],
+        ),
+        p=st.floats(0.0, 100.0, allow_nan=False),
+    )
+    def check(pairs, p):
+        pairs.sort()
+        vals = np.array([v for v, _ in pairs], np.float64)
+        counts = np.array([c for _, c in pairs], np.int64)
+        expanded = np.repeat(vals, counts)
+        got = _weighted_percentiles(vals, counts, (p,))[p]
+        assert got == pytest.approx(
+            float(np.percentile(expanded, p)), rel=1e-12, abs=1e-12)
+
+    check()
+
+
+def test_score_significant_properties():
+    """JLH kernel invariants on arbitrary fg/bg count tables: output keys
+    are the positive-lift subset of fg, scores positive, order is
+    (round(score, 9) desc, value asc), k cuts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikirec_ray.pipelines.query import _score_significant
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        table=st.dictionaries(
+            st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                    min_size=1, max_size=4),
+            st.tuples(st.integers(1, 50), st.integers(0, 200)),
+            min_size=1, max_size=15,
+        ),
+        k=st.integers(1, 8),
+    )
+    def check(table, k):
+        fg = {v: f for v, (f, _) in table.items()}
+        bg = {v: f + extra for v, (f, extra) in table.items()}
+        n_fg = sum(fg.values())
+        n_bg = sum(bg.values()) + 17  # other docs outside every fg value
+        out = _score_significant(fg, n_fg, bg, n_bg, k)
+        assert len(out) <= k
+        seen = set()
+        for b in out:
+            v = b["value"]
+            assert v in fg and v not in seen
+            seen.add(v)
+            assert b["n_docs"] == fg[v] and b["bg_docs"] == bg[v]
+            assert b["n_docs"] / n_fg > b["bg_docs"] / n_bg
+            assert b["score"] > 0
+        keys = [(-round(b["score"], 9), b["value"]) for b in out]
+        assert keys == sorted(keys)
+        # k=len(fg) returns every positive-lift value
+        full = _score_significant(fg, n_fg, bg, n_bg, len(fg))
+        assert {b["value"] for b in full} == {
+            v for v in fg if fg[v] / n_fg > bg[v] / n_bg
+        }
+
+    check()
+
+
 def test_cardinality_matches_brute_and_duckdb(numfx):
     import duckdb
 
