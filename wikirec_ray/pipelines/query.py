@@ -200,6 +200,7 @@ class IndexReader:
         self._priors: dict[str, np.ndarray] = {}  # per-col static priors
         self._bg_counts: dict[str, tuple[np.ndarray, int]] = {}  # sig-terms
         self._parsed_meta: dict[str, np.ndarray] = {}  # strict-float dicts
+        self._match_memo: tuple[tuple, np.ndarray] | None = None  # 1-entry
 
     @property
     def bigrams(self) -> frozenset[str]:
@@ -592,17 +593,26 @@ class IndexReader:
     def _matched_docs(self, terms: list[str]) -> np.ndarray:
         """Sorted ALIVE doc_ids containing at least one query term — the
         OR-match set facets aggregate over (same candidacy rule as
-        ``score_exact``: distinct terms, tombstones dropped)."""
-        parts = []
-        for t in sorted(set(terms)):
-            if self.df.get(t, 0) == 0:
-                continue
-            parts.append(self.postings(t)[0])
+        ``score_exact``: distinct terms, tombstones dropped).  A
+        ONE-ENTRY memo keyed by the effective term set serves the
+        several-aggregations-per-request case (the ES ``_search`` body
+        shape: every agg shares one match set) without re-decoding
+        postings — valid for this reader's whole life (immutable
+        snapshot), and callers never mutate the returned array (they
+        ``astype``-copy or subset)."""
+        key = tuple(sorted({t for t in terms if self.df.get(t, 0)}))
+        memo = self._match_memo
+        if memo is not None and memo[0] == key:
+            return memo[1]
+        parts = [self.postings(t)[0] for t in key]
         if not parts:
-            return np.empty(0, np.uint64)
-        return self.alive(
-            np.unique(np.concatenate(parts)).astype(np.uint64)
-        )
+            docs = np.empty(0, np.uint64)
+        else:
+            docs = self.alive(
+                np.unique(np.concatenate(parts)).astype(np.uint64)
+            )
+        self._match_memo = (key, docs)
+        return docs
 
     def facet_counts(
         self, terms: list[str], col: str, k: int = 10
