@@ -451,3 +451,76 @@ def test_cli_boosted_query_and_explain(built_index, capsys):
     assert rc == 1 and "doc range" in err["error"]
     rc, err = run_cli(["explain", "--index", idx, "/[bad(/", "0"])
     assert rc == 1 and err["error"]
+
+
+# ---------------------------------------------------------------------------
+# significant_text (ES: which terms characterize the matching docs)
+# ---------------------------------------------------------------------------
+
+
+def brute_significant_text(reader, corpus_tokens, terms, k, sample):
+    hits = reader.topk_wand(terms, sample)
+    orig = set(terms)
+    fg, n_fg = {}, 0
+    for d, _ in hits:
+        toks = set(corpus_tokens[d]) - orig
+        if not toks:
+            continue
+        n_fg += 1
+        for t in toks:
+            fg[t] = fg.get(t, 0) + 1
+    n = reader.stats["n_docs"]
+    out = []
+    for t, f in fg.items():
+        df = reader.df.get(t, 0)
+        if df == 0:
+            continue
+        fp, bp = f / n_fg, df / n
+        if fp <= bp:
+            continue
+        out.append({"value": t, "n_docs": f, "bg_docs": df,
+                    "score": (fp - bp) * (fp / bp)})
+    out.sort(key=lambda b: (-round(b["score"], 9), b["value"]))
+    return out[:k]
+
+
+def test_significant_text_matches_brute(built_index, prf_store,
+                                        corpus_tokens):
+    from wikirec_ray.pipelines.query import significant_text
+
+    reader = IndexReader(built_index[0])
+    for terms in (["spark", "join"], ["window"]):
+        got = significant_text(reader, terms, prf_store, k=8, sample=20)
+        want = brute_significant_text(reader, corpus_tokens, terms, 8, 20)
+        assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] == \
+            [(b["value"], b["n_docs"], b["bg_docs"]) for b in want], terms
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+        # original query terms never surface; every bucket has real lift
+        assert not {b["value"] for b in got} & set(terms)
+        assert all(b["score"] > 0 for b in got)
+    # absent term / empty query → []
+    assert significant_text(reader, ["zzzabsent"], prf_store) == []
+    assert significant_text(reader, [], prf_store) == []
+    with pytest.raises(ValueError):
+        significant_text(reader, ["spark"], prf_store, k=0)
+    with pytest.raises(ValueError):
+        significant_text(reader, ["spark"], prf_store, sample=0)
+
+
+def test_significant_text_served_equals_local(built_index, prf_store,
+                                              ray_session):
+    from wikirec_ray.pipelines.query import significant_text
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    reader = IndexReader(built_index[0])
+    eng = RangeShardedQueryEngine(built_index[0], pool_size=2)
+    try:
+        for terms in (["spark", "join"], ["window"], ["zzzabsent"]):
+            got = significant_text(eng, terms, prf_store, k=8, sample=20)
+            want = significant_text(reader, terms, prf_store, k=8,
+                                    sample=20)
+            assert [(b["value"], b["n_docs"], b["bg_docs"]) for b in got] \
+                == [(b["value"], b["n_docs"], b["bg_docs"]) for b in want]
+    finally:
+        eng.shutdown()

@@ -313,6 +313,13 @@ class IndexReader:
         synonym weighting) work engine-agnostically."""
         return {t: self.idf(t) for t in set(terms)}
 
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        """{unique term: document frequency} (0 = out of vocabulary) —
+        the engine-agnostic df surface (the range-sharded engine's twin
+        batches resolver round trips); ``significant_text``'s corpus
+        background."""
+        return {t: int(self.df.get(t, 0)) for t in set(terms)}
+
     def explain(
         self, terms: list[str], doc_id: int,
         weights: list[float] | None = None,
@@ -2833,3 +2840,70 @@ def prf_topk(
     if attrs:
         return reader.topk(ex_terms, k, attrs=attrs, weights=ex_weights)
     return bm25_route(reader)(ex_terms, k, weights=ex_weights)
+
+
+def significant_text(
+    reader,
+    terms: list[str],
+    store,
+    k: int = 10,
+    sample: int = 100,
+    attrs: list[tuple[str, str]] | None = None,
+) -> list[dict]:
+    """Elasticsearch ``significant_text``: which TERMS characterize the
+    matching documents — overrepresented in their text relative to the
+    whole corpus?  ("spark join" → "shuffle", "executor", ...)
+
+    Foreground = per-document term PRESENCE over the top ``sample``
+    hits' stored text (ES also samples the best matches — scoring
+    significance over the full match set would be a corpus-wide text
+    scan at scale; the ranked sample is the designed behavior).
+    Background = the index's own df table over n_docs — presence per
+    doc corpus-wide, the EXACT statistic the foreground measures, so no
+    second corpus pass is ever needed.  Scoring is the shared JLH
+    kernel (``_score_significant``: positive lift only, (round(score,9)
+    desc, term asc), cut k); original query terms are excluded (they
+    are significant by construction), as are out-of-vocabulary tokens
+    (df 0 — nothing to compare against).  Each bucket: {value: term,
+    n_docs: sampled docs containing it, bg_docs: df, score}.
+
+    Engine-agnostic like PRF: ``reader`` is anything exposing
+    ``topk``/``idfs``/``dfs`` (local ``IndexReader`` or the
+    range-sharded coordinator — there the df resolve is batched resolver
+    round trips), ``store`` a ``state.docstore.DocStore`` (the index
+    keeps no text).  ``attrs`` scope the sampled hits, mirroring
+    ``prf_expand``'s contract; the background stays corpus-global like
+    ``significant_terms``."""
+    if k < 1 or sample < 1:
+        raise ValueError("k and sample must be >= 1")
+    if not terms:
+        return []
+    hits = reader.topk(terms, sample, attrs=attrs) if attrs \
+        else bm25_route(reader)(terms, sample)
+    if not hits:
+        return []
+    fetched = store.fetch([d for d, _ in hits])
+    orig = {t for q in terms for t in re.split(
+        TOKEN_SPLIT_REGEX, q.lower()) if t}
+    fg: dict[str, int] = {}
+    n_fg = 0
+    for d, _ in hits:
+        row = fetched.get(d)
+        if row is None:
+            continue
+        toks = {
+            t for t in re.split(
+                TOKEN_SPLIT_REGEX, (row[store.text_col] or "").lower()
+            ) if t and t not in orig
+        }
+        if not toks:
+            continue
+        n_fg += 1
+        for t in toks:
+            fg[t] = fg.get(t, 0) + 1
+    if n_fg == 0:
+        return []
+    bg = reader.dfs(list(fg))
+    fg = {t: c for t, c in fg.items() if bg.get(t, 0) > 0}
+    n_docs = getattr(reader, "n_docs", None) or reader.stats["n_docs"]
+    return _score_significant(fg, n_fg, bg, int(n_docs), k)

@@ -210,6 +210,11 @@ class DfResolver:
     def resolve_idf(self, terms: list[str]) -> list[float]:
         return [_idf_from_df(self.df.get(t, 0), self.n_docs) for t in terms]
 
+    def resolve_df(self, terms: list[str]) -> list[int]:
+        """Raw document frequencies (0 = out of vocabulary) — the
+        ``significant_text`` background surface."""
+        return [int(self.df.get(t, 0)) for t in terms]
+
     # ---- vocabulary lexicon over THIS shard's tparts only: suggest/fuzzy
     # state is O(vocab/P) per resolver; the shared ``lexicon.Lexicon``
     # wrapper owns the normalization contract (lowercase, bigram-composite
@@ -1511,6 +1516,28 @@ class RangeShardedQueryEngine:
         that query-rewrite helpers (more-like-this selection, PRF,
         synonym weighting) build on, so they serve distributed too."""
         return {t: v[1] for t, v in self._resolve_idfs(terms).items()}
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        """{unique term: document frequency} in batched resolver round
+        trips (one per owning resolver) — the engine-agnostic df surface
+        (`IndexReader.dfs` is the local twin); ``significant_text``'s
+        corpus background."""
+        uniq = sorted(set(terms))
+        tparts = {
+            t: zlib.crc32(t.encode("utf-8")) % self.n_tparts for t in uniq
+        }
+        by_resolver: dict[int, list[str]] = {}
+        for t in uniq:
+            by_resolver.setdefault(self.resolver_of[tparts[t]], []).append(t)
+        futures = {
+            rid: self.resolvers[rid].resolve_df.remote(ts)
+            for rid, ts in by_resolver.items()
+        }
+        out: dict[str, int] = {}
+        for rid, ts in by_resolver.items():
+            for t, v in zip(ts, ray.get(futures[rid])):
+                out[t] = v
+        return out
 
     def meta_cols(self) -> list[str]:
         """Attribute columns available for ``col:value`` filters — [] when
