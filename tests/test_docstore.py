@@ -208,6 +208,27 @@ def test_cli_query_store(built_index, exported, capsys):
          "snippet": r["snippet"]} for r in lib
     ]
 
+    # --significant-text rides the store: == the library call
+    from wikirec_ray.pipelines.query import significant_text
+
+    rc = main([
+        "query", "--index", built_index[0], "spark join", "-k", "5",
+        "--store", exported, "--significant-text", "20",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = significant_text(
+        IndexReader(built_index[0]), ["spark", "join"], DocStore(exported),
+        k=5, sample=20,
+    )
+    assert out["significant_text"] == want and want
+    # without --store it is a named error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "--index", built_index[0], "spark join",
+              "--significant-text", "20"])
+
 
 def test_search_results_expand_highlights_expansions(
     built_index, exported

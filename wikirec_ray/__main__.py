@@ -17,6 +17,7 @@ CLI adds no second code path to keep correct.
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
         [--significant COLS] [--top-hits COL[:K]] \
+        [--significant-text SAMPLE]                # needs --store \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -289,7 +290,8 @@ def cmd_query(args) -> int:
         if (mode not in ("bm25", "boosted") or args.collapse
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
-                or args.percentiles or args.significant or args.top_hits):
+                or args.percentiles or args.significant or args.top_hits
+                or args.sig_text):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -299,7 +301,9 @@ def cmd_query(args) -> int:
                            else "stats-by" if args.stats_by
                            else "percentiles" if args.percentiles
                            else "significant" if args.significant
-                           else "top-hits" if args.top_hits else mode)
+                           else "top-hits" if args.top_hits
+                           else "significant-text" if args.sig_text
+                           else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -333,7 +337,7 @@ def cmd_query(args) -> int:
                     or args.extended_stats or args.histogram
                     or args.cardinality or args.stats_by
                     or args.percentiles or args.significant
-                    or args.top_hits):
+                    or args.top_hits or args.sig_text):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -524,6 +528,22 @@ def cmd_query(args) -> int:
                 for col in (c.strip() for c in args.significant.split(","))
                 if col
             }
+        if args.sig_text:
+            # ES significant_text: the terms characterizing the matched
+            # docs — needs stored text, so it rides --store
+            if not args.store:
+                raise SystemExit(
+                    "--significant-text needs --store EXPORT_DIR (the "
+                    "index keeps no text to sample)"
+                )
+            from wikirec_ray.pipelines.query import significant_text
+            from wikirec_ray.state.docstore import DocStore
+
+            s_attrs, _ = split_filters(args.query, engine.meta_cols())
+            out["significant_text"] = significant_text(
+                engine, positive, DocStore(args.store), k=args.k,
+                sample=args.sig_text, attrs=s_attrs or None,
+            )
         if args.top_hits:
             # ES terms + top_hits sub-aggregation: grouped search results
             # — COL or COL:K (K = hits per bucket, default 3), buckets
@@ -793,6 +813,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--significant-text", default=0, type=int,
+                   metavar="SAMPLE", dest="sig_text",
+                   help="also report the terms characterizing the matched "
+                        "docs (ES significant_text): JLH vs the df "
+                        "background over the top SAMPLE hits' stored "
+                        "text; requires --store, top -k terms")
     q.add_argument("--top-hits", default="", metavar="COL[:K]",
                    dest="top_hits",
                    help="also report the K best hits (default 3) per top "
