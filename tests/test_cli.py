@@ -272,6 +272,18 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         "values": {"50.0": wantp[50.0], "90.0": wantp[90.0]},
     }
 
+    # --fields: per-hit sidecar decoration (ES docvalue_fields)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "3",
+        "--fields", "lang,source",
+    ])
+    assert rc == 0 and len(res["hits"]) == 3
+    want_f = rd2.attr_values([h["doc_id"] for h in res["hits"]],
+                             ["lang", "source"])
+    for h in res["hits"]:
+        assert h["fields"] == want_f[h["doc_id"]]
+        assert set(h["fields"]) == {"lang", "source"}
+
     # --significant: overrepresented sidecar values (ES significant_terms)
     rc, res = run_cli(capsys, [
         "query", "--index", idx, "the table", "-k", "5",

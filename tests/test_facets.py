@@ -1179,6 +1179,35 @@ def test_percentiles_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_attr_values_hit_decoration(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rows = numfx["rows"]
+    attr = {r["doc_id"]: r for r in rows}
+    rd = IndexReader(numfx["idx"])
+    hits = rd.topk(QUERY, 7)
+    ids = [d for d, _ in hits]
+
+    got = rd.attr_values(ids, ["lang", "n_tok"])
+    assert set(got) == set(ids)
+    for d in ids:
+        assert got[d] == {"lang": attr[d]["lang"],
+                          "n_tok": attr[d]["n_tok"]}
+    assert rd.attr_values([], ["lang"]) == {}
+    # a doc outside the sidecar fails loudly
+    with pytest.raises(RuntimeError):
+        rd.attr_values([ids[0] + 1], ["lang"])  # ID_STRIDE gaps
+
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        assert eng.attr_values(ids, ["lang", "n_tok"]) == got
+        assert eng.attr_values([], ["lang"]) == {}
+        with pytest.raises(RuntimeError):
+            eng.attr_values([ids[0] + 1], ["lang"])
+    finally:
+        eng.shutdown()
+
+
 def test_weighted_percentiles_property_vs_numpy():
     """The shared percentile kernel must equal numpy.percentile on the
     EXPANDED multiset for arbitrary (values, counts, percent) inputs —

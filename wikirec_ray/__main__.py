@@ -17,7 +17,7 @@ CLI adds no second code path to keep correct.
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
         [--significant COLS] [--top-hits COL[:K]] \
-        [--significant-text SAMPLE]                # needs --store \
+        [--significant-text SAMPLE (needs --store)] [--fields COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
         [--prior COL:WEIGHT]                       # BM25 + static signal
@@ -291,7 +291,7 @@ def cmd_query(args) -> int:
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
                 or args.percentiles or args.significant or args.top_hits
-                or args.sig_text):
+                or args.sig_text or args.fields):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -303,7 +303,7 @@ def cmd_query(args) -> int:
                            else "significant" if args.significant
                            else "top-hits" if args.top_hits
                            else "significant-text" if args.sig_text
-                           else mode)
+                           else "fields" if args.fields else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -337,7 +337,7 @@ def cmd_query(args) -> int:
                     or args.extended_stats or args.histogram
                     or args.cardinality or args.stats_by
                     or args.percentiles or args.significant
-                    or args.top_hits or args.sig_text):
+                    or args.top_hits or args.sig_text or args.fields):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -411,6 +411,14 @@ def cmd_query(args) -> int:
         if values is not None:
             for h, v in zip(out["hits"], values):
                 h["collapse_value"] = v
+        if args.fields:
+            # ES docvalue_fields: decorate every hit with its sidecar
+            # attribute values for result display
+            f_cols = [c.strip() for c in args.fields.split(",") if c.strip()]
+            fv = engine.attr_values([h["doc_id"] for h in out["hits"]],
+                                    f_cols)
+            for h in out["hits"]:
+                h["fields"] = fv[h["doc_id"]]
         if args.facets:
             # facet counts run over docs matching ANY positive query term
             # (the driver-checked facet_counts contract)
@@ -813,6 +821,9 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--fields", default="", metavar="COLS",
+                   help="decorate every hit with these comma-separated "
+                        "metadata sidecar columns (ES docvalue_fields)")
     q.add_argument("--significant-text", default=0, type=int,
                    metavar="SAMPLE", dest="sig_text",
                    help="also report the terms characterizing the matched "

@@ -852,6 +852,32 @@ class IndexReader:
             out.append(bucket)
         return out
 
+    def attr_values(
+        self, docs: list[int], cols: list[str]
+    ) -> dict[int, dict[str, str]]:
+        """Per-doc sidecar attribute values for result display — the
+        Elasticsearch ``docvalue_fields`` hit decoration ({doc_id: {col:
+        stored value}}).  O(len(docs) × len(cols)) dictionary lookups
+        against the cached dense code arrays; a requested doc missing
+        from the sidecar raises (stale meta/ — the shared loud
+        contract), an empty doc list returns {}."""
+        if not docs:
+            return {}
+        dd = np.asarray(sorted(set(int(d) for d in docs)), np.int64)
+        out: dict[int, dict[str, str]] = {int(d): {} for d in dd}
+        for col in cols:
+            dense, values = self._meta_codes(col)
+            codes = dense[dd]
+            if (codes < 0).any():
+                missing = int(dd[codes < 0][0])
+                raise RuntimeError(
+                    f"doc {missing} is in the index but not in the "
+                    f"metadata sidecar — stale meta/: re-run build_doc_meta"
+                )
+            for d, c in zip(dd.tolist(), codes.tolist()):
+                out[d][col] = values[c]
+        return out
+
     def _background_counts(self, col: str) -> tuple[np.ndarray, int]:
         """(per-dictionary-code doc counts, total) of ``col`` over ALL
         alive sidecar docs — the ``significant_terms`` background, cached

@@ -957,6 +957,46 @@ class RangeServerImpl:
             mx = rmx if mx is None else max(mx, rmx)
         return cnt, tot, mn, mx, sum_sq
 
+    def attr_values(
+        self, docs: list[int], cols: list[str]
+    ) -> dict[int, dict[str, str]]:
+        """Sidecar attribute values for the subset of ``docs`` living in
+        THIS shard's ranges (others are simply absent from the returned
+        dict — the coordinator unions shard dicts and checks coverage).
+        A doc in an owned range but missing from its sidecar file raises
+        (stale meta/)."""
+        by_range: dict[int, list[int]] = {}
+        owned = set(self.range_ids)
+        for d in docs:
+            r = int(d) // self.range_size
+            if r in owned:
+                by_range.setdefault(r, []).append(int(d))
+        out: dict[int, dict[str, str]] = {}
+        for col in cols:
+            meta = self._meta(col)
+            for r, ds_ in by_range.items():
+                mr = meta.get(r)
+                if mr is None:
+                    raise RuntimeError(
+                        f"range {r} is served but has no metadata sidecar "
+                        f"file — stale meta/: re-run build_doc_meta"
+                    )
+                ids, codes, values = mr
+                dd = np.asarray(sorted(set(ds_)), np.uint64)
+                sel = np.searchsorted(ids, dd)
+                if (sel >= len(ids)).any() or (
+                        ids[np.minimum(sel, len(ids) - 1)] != dd).any():
+                    missing = int(dd[(sel >= len(ids)) | (
+                        ids[np.minimum(sel, len(ids) - 1)] != dd)][0])
+                    raise RuntimeError(
+                        f"doc {missing} is in the index but not in the "
+                        f"metadata sidecar — stale meta/: re-run "
+                        f"build_doc_meta"
+                    )
+                for d, c in zip(dd.tolist(), codes[sel].tolist()):
+                    out.setdefault(int(d), {})[col] = values[c]
+        return out
+
     def background_value_counts(self, col: str) -> dict[str, int]:
         """{value: alive doc count} of ``col`` over ALL of this shard's
         sidecar docs — the ``significant_terms`` background partial
@@ -1756,6 +1796,31 @@ class RangeShardedQueryEngine:
             merged.sort(key=lambda h: (-h[1], h[0]))
             out.append({"value": v, "n_docs": int(n),
                         "hits": merged[:k_per_bucket]})
+        return out
+
+    def attr_values(
+        self, docs: list[int], cols: list[str]
+    ) -> dict[int, dict[str, str]]:
+        """Distributed ``docvalue_fields`` hit decoration (==
+        ``IndexReader.attr_values``): every shard returns values for the
+        docs in its own ranges, the coordinator unions — exact, each doc
+        lives in exactly one shard.  A doc no shard covered raises (it is
+        not in the served index, or its sidecar is stale)."""
+        if not docs:
+            return {}
+        parts = ray.get([
+            s.attr_values.remote(list(docs), list(cols))
+            for s in self.servers
+        ])
+        out: dict[int, dict[str, str]] = {}
+        for p in parts:
+            out.update(p)
+        missing = [int(d) for d in docs if int(d) not in out]
+        if missing:
+            raise RuntimeError(
+                f"doc {missing[0]} is in no served range's metadata "
+                f"sidecar — stale meta/ or a doc outside the index"
+            )
         return out
 
     def significant_terms(
