@@ -911,6 +911,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from wikirec_ray.pipelines.query import IndexReader
 
         reader = IndexReader(_ensure_meta(sf_dir))
+
+        def r6(x):
+            # an all-non-numeric bucket carries the empty-stats shape
+            # (None) — pass it through as the SQL side's NULL rather
+            # than crashing on round(None, 6) (review r5)
+            return None if x is None else round(x, 6)
+
         rows = []
         for qid, terms in FACET_QUERY_SET:
             for rank, b in enumerate(
@@ -919,8 +926,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ):
                 rows.append((
                     qid, rank, b["value"], b["n_docs"], b["count"],
-                    round(b["min"], 6), round(b["max"], 6),
-                    round(b["sum"], 6), round(b["avg"], 6),
+                    r6(b["min"]), r6(b["max"]),
+                    # SQL SUM over an empty (guard-filtered) group is
+                    # NULL, while the engine's empty shape carries 0.0
+                    None if b["count"] == 0 else r6(b["sum"]),
+                    r6(b["avg"]),
                 ))
         return pd.DataFrame(
             rows,

@@ -900,6 +900,50 @@ def test_grouped_stats_matches_brute_and_duckdb(numfx):
         assert b["avg"] == pytest.approx(float(w[6]), rel=1e-12)
 
 
+def test_grouped_stats_trailing_empty_bucket_minmax(ray_session,
+                                                    tmp_path_factory):
+    """Review-r5 regression (reproduced): when the highest-coded
+    dictionary value has NO contributing docs, the old clamped-reduceat
+    truncated the last non-empty bucket's segment and reported a wrong
+    min/max (e.g. [5, 9, 1] → min 5).  Two mirrored queries — each
+    matching docs of only ONE by-value — guarantee the
+    trailing-empty-after-last-nonempty shape regardless of which value
+    the dictionary codes first."""
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+    from wikirec_ray.stages.index_build import build_index
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rows = [
+        {"doc_id": 1, "text": "alpha common", "src": "a", "v": "5"},
+        {"doc_id": 2, "text": "alpha common", "src": "a", "v": "9"},
+        {"doc_id": 3, "text": "alpha common", "src": "a", "v": "1"},
+        {"doc_id": 4, "text": "beta common", "src": "b", "v": "7"},
+        {"doc_id": 5, "text": "beta common", "src": "b", "v": "2"},
+        {"doc_id": 6, "text": "beta common", "src": "b", "v": "8"},
+    ]
+    idx = str(tmp_path_factory.mktemp("trailing") / "idx")
+    build_index(_ds(rows, ("doc_id", "text")), idx, resume=False)
+    build_doc_meta(_ds(rows, ("doc_id", "src", "v")), idx,
+                   cols=["src", "v"])
+    rd = IndexReader(idx)
+    eng = RangeShardedQueryEngine(idx, pool_size=2)
+    try:
+        for terms, vals in [(["alpha"], [5.0, 9.0, 1.0]),
+                            (["beta"], [7.0, 2.0, 8.0])]:
+            (b,) = rd.grouped_stats(terms, "src", "v")
+            assert b["min"] == min(vals) and b["max"] == max(vals), terms
+            assert b["sum"] == sum(vals) and b["count"] == 3
+            (sb,) = eng.grouped_stats(terms, "src", "v")
+            assert sb == b, terms
+        # both buckets present: still exact
+        got = rd.grouped_stats(["common"], "src", "v")
+        assert [(b["value"], b["min"], b["max"]) for b in got] == \
+            [("a", 1.0, 9.0), ("b", 2.0, 8.0)]
+        assert eng.grouped_stats(["common"], "src", "v") == got
+    finally:
+        eng.shutdown()
+
+
 def test_grouped_stats_served_equals_local(numfx, ray_session):
     from wikirec_ray.state.server import RangeShardedQueryEngine
 

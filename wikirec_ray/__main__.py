@@ -419,6 +419,10 @@ def cmd_query(args) -> int:
                                     f_cols)
             for h in out["hits"]:
                 h["fields"] = fv[h["doc_id"]]
+        # one filter split serves every aggregation branch below (review
+        # r5: nine identical recomputations); s_attrs is the col:value
+        # chunks of the query string, the aggregations' shared scope
+        s_attrs, _ = split_filters(args.query, engine.meta_cols())
         if args.facets:
             # facet counts run over docs matching ANY positive query term
             # (the driver-checked facet_counts contract)
@@ -433,7 +437,6 @@ def cmd_query(args) -> int:
             # sidecar column over docs matching ANY positive query term
             # (same match set as --facets; col:value filters from the
             # query string compose through `attrs`)
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["stats"] = {
                 col: engine.metric_stats(positive, col,
                                          attrs=s_attrs or None)
@@ -443,7 +446,6 @@ def cmd_query(args) -> int:
         if args.extended_stats:
             # ES extended_stats: the stats shape plus sum_of_squares /
             # variance / std_deviation (population moments)
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["extended_stats"] = {
                 col: engine.extended_stats(positive, col,
                                            attrs=s_attrs or None)
@@ -459,13 +461,12 @@ def cmd_query(args) -> int:
                 h_interval = float(h_itxt) if h_sep else float("nan")
             except ValueError:
                 h_interval = float("nan")
-            if (not h_sep or not math.isfinite(h_interval)
+            if (not h_col or not h_sep or not math.isfinite(h_interval)
                     or h_interval <= 0):
                 raise SystemExit(
                     "--histogram needs COL:INTERVAL with a finite "
                     f"interval > 0 (got {args.histogram!r})"
                 )
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["histogram"] = {
                 "col": h_col, "interval": h_interval,
                 "buckets": [
@@ -477,7 +478,6 @@ def cmd_query(args) -> int:
         if args.cardinality:
             # ES cardinality aggregation (exact here): distinct stored
             # values per column over the same match set
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["cardinality"] = {
                 col: engine.cardinality(positive, col,
                                         attrs=s_attrs or None)
@@ -493,7 +493,6 @@ def cmd_query(args) -> int:
                 raise SystemExit(
                     f"--stats-by needs BYCOL:VALCOL (got {args.stats_by!r})"
                 )
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["stats_by"] = {
                 "by": g_by, "col": g_val,
                 "buckets": engine.grouped_stats(
@@ -503,6 +502,11 @@ def cmd_query(args) -> int:
             # ES percentiles aggregation (exact here): COL or
             # COL:P1,P2,... over the same match set
             p_col, p_sep, p_txt = args.percentiles.partition(":")
+            if not p_col:
+                raise SystemExit(
+                    "--percentiles needs COL or COL:P1,P2,... "
+                    f"(got {args.percentiles!r})"
+                )
             if p_sep:
                 try:
                     percents = tuple(
@@ -519,7 +523,6 @@ def cmd_query(args) -> int:
                     )
             else:
                 percents = (25.0, 50.0, 75.0, 95.0, 99.0)
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             pcts = engine.percentiles(positive, p_col, percents,
                                       attrs=s_attrs or None)
             out["percentiles"] = {
@@ -529,7 +532,6 @@ def cmd_query(args) -> int:
             # ES significant_terms: values overrepresented in the match
             # set vs the whole corpus (JLH score); col:value filters
             # narrow the FOREGROUND only, like the ES default background
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["significant"] = {
                 col: engine.significant_terms(positive, col, args.k,
                                               attrs=s_attrs or None)
@@ -539,6 +541,11 @@ def cmd_query(args) -> int:
         if args.sig_text:
             # ES significant_text: the terms characterizing the matched
             # docs — needs stored text, so it rides --store
+            if args.sig_text < 1:
+                raise SystemExit(
+                    "--significant-text needs SAMPLE >= 1 "
+                    f"(got {args.sig_text})"
+                )
             if not args.store:
                 raise SystemExit(
                     "--significant-text needs --store EXPORT_DIR (the "
@@ -547,7 +554,6 @@ def cmd_query(args) -> int:
             from wikirec_ray.pipelines.query import significant_text
             from wikirec_ray.state.docstore import DocStore
 
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["significant_text"] = significant_text(
                 engine, positive, DocStore(args.store), k=args.k,
                 sample=args.sig_text, attrs=s_attrs or None,
@@ -557,6 +563,10 @@ def cmd_query(args) -> int:
             # — COL or COL:K (K = hits per bucket, default 3), buckets
             # cut at -k like --facets
             t_col, t_sep, t_ktxt = args.top_hits.partition(":")
+            if not t_col:
+                raise SystemExit(
+                    f"--top-hits needs COL or COL:K (got {args.top_hits!r})"
+                )
             if t_sep:
                 try:
                     t_k = int(t_ktxt)
@@ -569,7 +579,6 @@ def cmd_query(args) -> int:
                     )
             else:
                 t_k = 3
-            s_attrs, _ = split_filters(args.query, engine.meta_cols())
             out["top_hits"] = {
                 "col": t_col, "k_per_bucket": t_k,
                 "buckets": [

@@ -819,20 +819,22 @@ class IndexReader:
         ok = ~np.isnan(x)
         n_contrib = np.bincount(bcodes[ok], minlength=nb)
         sums = np.bincount(bcodes[ok], weights=x[ok], minlength=nb)
-        # group min/max: stable sort the contributing values by bucket,
-        # reduceat at each bucket's start — starts CLAMPED and zero-count
-        # groups masked (reduceat on an empty segment returns the element
-        # AT the start index, the documented numpy footgun)
+        # group min/max: sort the contributing values by bucket and
+        # reduceat at the first occurrence of each NON-EMPTY group only
+        # (np.unique(return_index) on the sorted codes) — never clamp
+        # searchsorted starts: clamping an out-of-range start truncates
+        # the PRECEDING segment (reduceat reduces [starts[i], starts[i+1])),
+        # which silently corrupted the last non-empty bucket's min/max
+        # whenever trailing dictionary codes had no contributing docs
+        # (review r5, reproduced)
         order = np.argsort(bcodes[ok], kind="stable")
         bs, xs = bcodes[ok][order], x[ok][order]
-        starts = np.minimum(
-            np.searchsorted(bs, np.arange(nb)), max(len(bs) - 1, 0)
-        )
+        mins = np.zeros(nb)
+        maxs = np.zeros(nb)
         if len(xs):
-            mins = np.minimum.reduceat(xs, starts)
-            maxs = np.maximum.reduceat(xs, starts)
-        else:
-            mins = maxs = np.zeros(nb)
+            uniq, first = np.unique(bs, return_index=True)
+            mins[uniq] = np.minimum.reduceat(xs, first)
+            maxs[uniq] = np.maximum.reduceat(xs, first)
         top = sorted(
             np.flatnonzero(n_match).tolist(),
             key=lambda c: (-int(n_match[c]), values_b[c]),

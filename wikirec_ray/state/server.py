@@ -624,16 +624,17 @@ class RangeServerImpl:
         keep[(kept - np.uint64(base)).astype(np.int64)] = True
         local[~keep] = 0.0
 
-    def facet_counts(
-        self, terms_with_tpart: list[tuple[str, int]], col: str,
-        attrs: list[tuple[str, str]] | None = None,
-    ) -> dict[str, int]:
-        """This shard's {value: match count} of ``col`` over docs matching
-        ANY term (alive only, optional ``attrs`` pre-filter — the
-        significant-terms foreground) — the coordinator sums shard dicts;
-        every doc lives in exactly one shard, so the sum is exact."""
-        meta = self._meta(col)
-        out: dict[str, int] = {}
+    def _or_match_by_range(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        attrs: list[tuple[str, str]] | None,
+    ):
+        """Yield (range_id, docs) per doc range with a NON-EMPTY OR-matched
+        alive doc set (optional ``attrs`` pre-filter) — the one shared
+        preamble of every match-set aggregation partial (facets,
+        cardinality, grouped stats, numeric moments), so the match /
+        tombstone / filter logic cannot drift between routes (review
+        r5: it was four copies)."""
         for r in self.range_ids:
             parts = []
             for term, tpart in terms_with_tpart:
@@ -651,23 +652,42 @@ class RangeServerImpl:
                 docs = filter_tombstoned(docs, tr)
             if attrs and len(docs):
                 docs = self._attr_keep_sorted(r, docs, attrs)
-            if not len(docs):
-                continue
-            mr = meta.get(r)
-            if mr is None:
-                raise RuntimeError(
-                    f"range {r} has matches but no metadata sidecar file — "
-                    f"stale meta/: re-run build_doc_meta"
-                )
-            ids, codes, values = mr
-            sel = np.searchsorted(ids, docs)
-            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
-                                           != docs).any():
-                raise RuntimeError(
-                    f"matched doc missing from metadata range {r} — stale "
-                    f"meta/: re-run build_doc_meta"
-                )
-            counts = np.bincount(codes[sel], minlength=len(values))
+            if len(docs):
+                yield r, docs
+
+    def _meta_select(self, meta: dict, r: int, docs: np.ndarray):
+        """(dictionary codes, values) of one loaded meta column for
+        ``docs`` of range ``r`` — loud on a missing sidecar file or a doc
+        absent from it (the shared stale-meta contract)."""
+        mr = meta.get(r)
+        if mr is None:
+            raise RuntimeError(
+                f"range {r} has matches but no metadata sidecar file — "
+                f"stale meta/: re-run build_doc_meta"
+            )
+        ids, codes, values = mr
+        sel = np.searchsorted(ids, docs)
+        if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
+                                       != docs).any():
+            raise RuntimeError(
+                f"matched doc missing from metadata range {r} — stale "
+                f"meta/: re-run build_doc_meta"
+            )
+        return codes[sel], values
+
+    def facet_counts(
+        self, terms_with_tpart: list[tuple[str, int]], col: str,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[str, int]:
+        """This shard's {value: match count} of ``col`` over docs matching
+        ANY term (alive only, optional ``attrs`` pre-filter — the
+        significant-terms foreground) — the coordinator sums shard dicts;
+        every doc lives in exactly one shard, so the sum is exact."""
+        meta = self._meta(col)
+        out: dict[str, int] = {}
+        for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
+            codes, values = self._meta_select(meta, r, docs)
+            counts = np.bincount(codes, minlength=len(values))
             for c in np.flatnonzero(counts):
                 v = values[c]
                 out[v] = out.get(v, 0) + int(counts[c])
@@ -687,40 +707,9 @@ class RangeServerImpl:
         right swap is HLL registers, see ``IndexReader.cardinality``)."""
         meta = self._meta(col)
         out: set[str] = set()
-        for r in self.range_ids:
-            parts = []
-            for term, tpart in terms_with_tpart:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                parts.append(chunk.postings(term)[0])
-            if not parts:
-                continue
-            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
-            tr = self.tombs.get(r)
-            if tr is not None:
-                from wikirec_ray.state.segments import filter_tombstoned
-
-                docs = filter_tombstoned(docs, tr)
-            if attrs and len(docs):
-                docs = self._attr_keep_sorted(r, docs, attrs)
-            if not len(docs):
-                continue
-            mr = meta.get(r)
-            if mr is None:
-                raise RuntimeError(
-                    f"range {r} has matches but no metadata sidecar file — "
-                    f"stale meta/: re-run build_doc_meta"
-                )
-            ids, codes, values = mr
-            sel = np.searchsorted(ids, docs)
-            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
-                                           != docs).any():
-                raise RuntimeError(
-                    f"matched doc missing from metadata range {r} — stale "
-                    f"meta/: re-run build_doc_meta"
-                )
-            for c in np.unique(codes[sel]):
+        for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
+            codes, values = self._meta_select(meta, r, docs)
+            for c in np.unique(codes):
                 out.add(values[c])
         return sorted(out)
 
@@ -741,43 +730,9 @@ class RangeServerImpl:
         meta_b = self._meta(by_col)
         meta_v = self._meta(val_col)
         out: dict[str, tuple[int, int, float, float | None, float | None]] = {}
-        for r in self.range_ids:
-            parts = []
-            for term, tpart in terms_with_tpart:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                parts.append(chunk.postings(term)[0])
-            if not parts:
-                continue
-            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
-            tr = self.tombs.get(r)
-            if tr is not None:
-                from wikirec_ray.state.segments import filter_tombstoned
-
-                docs = filter_tombstoned(docs, tr)
-            if attrs and len(docs):
-                docs = self._attr_keep_sorted(r, docs, attrs)
-            if not len(docs):
-                continue
-            sels = []
-            for meta in (meta_b, meta_v):
-                mr = meta.get(r)
-                if mr is None:
-                    raise RuntimeError(
-                        f"range {r} has matches but no metadata sidecar "
-                        f"file — stale meta/: re-run build_doc_meta"
-                    )
-                ids, codes, values = mr
-                sel = np.searchsorted(ids, docs)
-                if (sel >= len(ids)).any() or (
-                        ids[np.minimum(sel, len(ids) - 1)] != docs).any():
-                    raise RuntimeError(
-                        f"matched doc missing from metadata range {r} — "
-                        f"stale meta/: re-run build_doc_meta"
-                    )
-                sels.append((codes[sel], values))
-            (bc, values_b), (vc, _values_v) = sels
+        for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
+            bc, values_b = self._meta_select(meta_b, r, docs)
+            vc, _values_v = self._meta_select(meta_v, r, docs)
             x = self._meta_parsed(val_col, r)[vc]
             ok = ~np.isnan(x)
             for c in np.unique(bc):
@@ -809,7 +764,8 @@ class RangeServerImpl:
         is O(len(values) × k), never O(dictionary × k)).  Same scoring
         and (round(score, 9) desc, doc asc) order as every route; the
         global per-value top-k is a subset of the shard top-ks because
-        every doc lives in exactly one shard."""
+        every doc lives in exactly one shard.  (Score-based, so it rides
+        the dense scorer, not ``_or_match_by_range``.)"""
         from wikirec_ray.pipelines.query import ROUND_DP
 
         vset = set(values)
@@ -829,22 +785,9 @@ class RangeServerImpl:
             nz = np.flatnonzero(rr > 0)
             if not len(nz):
                 continue
-            mr = self._meta(col).get(r)
-            if mr is None:
-                raise RuntimeError(
-                    f"range {r} has live scoring docs but no metadata "
-                    f"sidecar file — stale meta/: re-run build_doc_meta"
-                )
-            ids, codes, rvalues = mr
-            docs = (nz + base).astype(np.uint64)
-            sel = np.searchsorted(ids, docs)
-            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
-                                           != docs).any():
-                raise RuntimeError(
-                    f"live scoring doc missing from metadata range {r} — "
-                    f"stale meta/: re-run build_doc_meta"
-                )
-            nzc = codes[sel]
+            nzc, rvalues = self._meta_select(
+                self._meta(col), r, (nz + base).astype(np.uint64)
+            )
             for ci, v in enumerate(rvalues):
                 if v not in vset:
                     continue
@@ -874,40 +817,9 @@ class RangeServerImpl:
         missing sidecar file or missing doc raise (stale meta/), the
         ``IndexReader`` contract."""
         meta = self._meta(col)
-        for r in self.range_ids:
-            parts = []
-            for term, tpart in terms_with_tpart:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                parts.append(chunk.postings(term)[0])
-            if not parts:
-                continue
-            docs = np.unique(np.concatenate(parts)).astype(np.uint64)
-            tr = self.tombs.get(r)
-            if tr is not None:
-                from wikirec_ray.state.segments import filter_tombstoned
-
-                docs = filter_tombstoned(docs, tr)
-            if attrs and len(docs):
-                docs = self._attr_keep_sorted(r, docs, attrs)
-            if not len(docs):
-                continue
-            mr = meta.get(r)
-            if mr is None:
-                raise RuntimeError(
-                    f"range {r} has matches but no metadata sidecar file — "
-                    f"stale meta/: re-run build_doc_meta"
-                )
-            ids, codes, values = mr
-            sel = np.searchsorted(ids, docs)
-            if (sel >= len(ids)).any() or (ids[np.minimum(sel, len(ids) - 1)]
-                                           != docs).any():
-                raise RuntimeError(
-                    f"matched doc missing from metadata range {r} — stale "
-                    f"meta/: re-run build_doc_meta"
-                )
-            x = self._meta_parsed(col, r)[codes[sel]]
+        for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
+            codes, _values = self._meta_select(meta, r, docs)
+            x = self._meta_parsed(col, r)[codes]
             x = x[~np.isnan(x)]
             if len(x):
                 yield x
