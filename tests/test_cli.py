@@ -284,6 +284,26 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         assert h["fields"] == want_f[h["doc_id"]]
         assert set(h["fields"]) == {"lang", "source"}
 
+    # --rare: long-tail values (ES rare_terms)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "4",
+        "--rare", "source",
+    ])
+    assert rc == 0
+    assert res["rare"] == {
+        "col": "source", "max_doc_count": None,
+        "buckets": [{"value": v, "n_docs": n} for v, n in
+                    rd2.rare_terms(["the", "table"], "source", 4)],
+    }
+    for bad in ("source:", "source:0", "source:x", ":3"):
+        rc_bad = None
+        try:
+            run_cli(capsys, ["query", "--index", idx, "the",
+                             "--rare", bad])
+        except SystemExit:
+            rc_bad = "exit"
+        assert rc_bad == "exit", bad
+
     # --significant: overrepresented sidecar values (ES significant_terms)
     rc, res = run_cli(capsys, [
         "query", "--index", idx, "the table", "-k", "5",

@@ -1223,6 +1223,62 @@ def test_percentiles_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_rare_terms_matches_brute(numfx, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rows = numfx["rows"]
+    attr = {r["doc_id"]: r for r in rows}
+    rd = IndexReader(numfx["idx"])
+
+    def brute(terms, col, k, maxdc=None, pred=None):
+        counts = {}
+        for d in _brute_matched(rows, terms):
+            r = attr[d]
+            if pred is not None and not pred(r):
+                continue
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        return sorted(
+            ((v, n) for v, n in counts.items()
+             if maxdc is None or n <= maxdc),
+            key=lambda it: (it[1], it[0]),
+        )[:k]
+
+    got = rd.rare_terms(QUERY, "n_tok", 8)
+    assert got == brute(QUERY, "n_tok", 8)
+    assert got == sorted(got, key=lambda it: (it[1], it[0]))
+    # the rare end is the facet end reversed over the full value set
+    full = rd.rare_terms(QUERY, "lang", 100)
+    assert sorted(full, key=lambda it: (-it[1], it[0])) == \
+        rd.facet_counts(QUERY, "lang", 100)
+    # max_doc_count caps; attrs compose; validation
+    assert rd.rare_terms(QUERY, "n_tok", 100, max_doc_count=2) == \
+        brute(QUERY, "n_tok", 100, maxdc=2)
+    assert rd.rare_terms(QUERY, "n_tok", 8, attrs=[("lang", "de")]) == \
+        brute(QUERY, "n_tok", 8, pred=lambda r: r["lang"] == "de")
+    assert rd.rare_terms(["zzz"], "n_tok") == []
+    assert rd.rare_terms(QUERY, "n_tok", k=0) == []
+    with pytest.raises(ValueError):
+        rd.rare_terms(QUERY, "n_tok", max_doc_count=0)
+
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, maxdc, attrs in [
+            (QUERY, None, None),
+            (QUERY, 2, None),
+            (QUERY, None, [("lang", "en")]),
+            (["w0", "w0", "w7"], None, None),
+            (["zzz"], None, None),
+        ]:
+            assert eng.rare_terms(terms, "n_tok", 8, max_doc_count=maxdc,
+                                  attrs=attrs) == \
+                rd.rare_terms(terms, "n_tok", 8, max_doc_count=maxdc,
+                              attrs=attrs), (terms, maxdc, attrs)
+        with pytest.raises(ValueError):
+            eng.rare_terms(QUERY, "n_tok", max_doc_count=0)
+    finally:
+        eng.shutdown()
+
+
 def test_attr_values_hit_decoration(numfx, ray_session):
     from wikirec_ray.state.server import RangeShardedQueryEngine
 

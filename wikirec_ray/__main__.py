@@ -16,7 +16,7 @@ CLI adds no second code path to keep correct.
         [--facets COLS] [--stats COLS] [--extended-stats COLS] \
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
-        [--significant COLS] [--top-hits COL[:K]] \
+        [--significant COLS] [--top-hits COL[:K]] [--rare COL[:MAXDC]] \
         [--significant-text SAMPLE (needs --store)] [--fields COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
@@ -291,7 +291,7 @@ def cmd_query(args) -> int:
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
                 or args.percentiles or args.significant or args.top_hits
-                or args.sig_text or args.fields):
+                or args.sig_text or args.fields or args.rare):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -303,7 +303,8 @@ def cmd_query(args) -> int:
                            else "significant" if args.significant
                            else "top-hits" if args.top_hits
                            else "significant-text" if args.sig_text
-                           else "fields" if args.fields else mode)
+                           else "fields" if args.fields
+                           else "rare" if args.rare else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -337,7 +338,8 @@ def cmd_query(args) -> int:
                     or args.extended_stats or args.histogram
                     or args.cardinality or args.stats_by
                     or args.percentiles or args.significant
-                    or args.top_hits or args.sig_text or args.fields):
+                    or args.top_hits or args.sig_text or args.fields
+                    or args.rare):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -537,6 +539,35 @@ def cmd_query(args) -> int:
                                               attrs=s_attrs or None)
                 for col in (c.strip() for c in args.significant.split(","))
                 if col
+            }
+        if args.rare:
+            # ES rare_terms: the long tail — COL or COL:MAXDC (keep only
+            # values with at most MAXDC matches), ascending, cut at -k
+            r_col, r_sep, r_dtxt = args.rare.partition(":")
+            if r_sep:
+                try:
+                    r_maxdc = int(r_dtxt)
+                except ValueError:
+                    r_maxdc = 0
+                if r_maxdc < 1:
+                    raise SystemExit(
+                        "--rare needs COL or COL:MAXDC with MAXDC >= 1 "
+                        f"(got {args.rare!r})"
+                    )
+            else:
+                r_maxdc = None
+            if not r_col:
+                raise SystemExit(
+                    f"--rare needs COL or COL:MAXDC (got {args.rare!r})"
+                )
+            out["rare"] = {
+                "col": r_col, "max_doc_count": r_maxdc,
+                "buckets": [
+                    {"value": v, "n_docs": n}
+                    for v, n in engine.rare_terms(
+                        positive, r_col, args.k, max_doc_count=r_maxdc,
+                        attrs=s_attrs or None)
+                ],
             }
         if args.sig_text:
             # ES significant_text: the terms characterizing the matched
@@ -830,6 +861,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--rare", default="", metavar="COL[:MAXDC]",
+                   help="also report the long-tail values of this sidecar "
+                        "column over the matched docs (ES rare_terms, "
+                        "count asc, top -k; optional MAXDC keeps only "
+                        "values with at most that many matches)")
     q.add_argument("--fields", default="", metavar="COLS",
                    help="decorate every hit with these comma-separated "
                         "metadata sidecar columns (ES docvalue_fields)")

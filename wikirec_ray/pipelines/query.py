@@ -648,6 +648,43 @@ class IndexReader:
         )[:k]
         return [(values[c], int(counts[c])) for c in order]
 
+    def rare_terms(
+        self, terms: list[str], col: str, k: int = 10,
+        max_doc_count: int | None = None,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[str, int]]:
+        """Elasticsearch ``rare_terms`` aggregation: the LONG-TAIL values
+        of ``col`` among the OR-matched alive docs — ordered (match count
+        ASC, value asc), the mirror of ``facet_counts``, optionally
+        keeping only values with at most ``max_doc_count`` matches (the
+        ES knob; None = no cap).  Exact here (ES approximates with a CuckooFilter
+        at scale; our candidate set is already dictionary-bounded).
+        ``attrs`` filters the match set first."""
+        if k < 1:
+            return []
+        if max_doc_count is not None and max_doc_count < 1:
+            raise ValueError("rare_terms: max_doc_count must be >= 1")
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return []
+        dense, values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        counts = np.bincount(codes, minlength=len(values))
+        order = sorted(
+            (c for c in np.flatnonzero(counts).tolist()
+             if max_doc_count is None or counts[c] <= max_doc_count),
+            key=lambda c: (int(counts[c]), values[c]),
+        )[:k]
+        return [(values[c], int(counts[c])) for c in order]
+
     def metric_stats(
         self, terms: list[str], col: str,
         attrs: list[tuple[str, str]] | None = None,

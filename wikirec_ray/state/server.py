@@ -1656,6 +1656,41 @@ class RangeShardedQueryEngine:
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
 
+    def rare_terms(
+        self, terms: list[str], col: str, k: int = 10,
+        max_doc_count: int | None = None,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[str, int]]:
+        """Distributed ``rare_terms`` (== ``IndexReader.rare_terms``):
+        the same attrs-filtered facet partials as every terms-family
+        aggregation, merged then ordered ASCENDING (count, value) with
+        the optional ``max_doc_count`` cap applied AFTER the merge —
+        necessarily, since a value rare on one shard may be common
+        globally.  Exact, every doc lives in exactly one shard."""
+        if k < 1:
+            return []
+        if max_doc_count is not None and max_doc_count < 1:
+            raise ValueError("rare_terms: max_doc_count must be >= 1")
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        partials = ray.get([
+            s.facet_counts.remote(twt, col, attrs) for s in self.servers
+        ])
+        merged: dict[str, int] = {}
+        for p in partials:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        return sorted(
+            ((v, n) for v, n in merged.items()
+             if max_doc_count is None or n <= max_doc_count),
+            key=lambda it: (it[1], it[0]),
+        )[:k]
+
     def top_hits_by(
         self, terms: list[str], col: str, n_buckets: int = 10,
         k_per_bucket: int = 3,
