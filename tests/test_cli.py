@@ -284,6 +284,24 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         assert h["fields"] == want_f[h["doc_id"]]
         assert set(h["fields"]) == {"lang", "source"}
 
+    # --multi-terms: composite-key buckets (ES multi_terms)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "the table", "-k", "4",
+        "--multi-terms", "lang,source",
+    ])
+    assert rc == 0
+    assert res["multi_terms"] == {
+        "cols": ["lang", "source"],
+        "buckets": [{"values": list(t), "n_docs": n} for t, n in
+                    rd2.multi_terms(["the", "table"],
+                                    ["lang", "source"], 4)],
+    }
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        run_cli(capsys, ["query", "--index", idx, "the",
+                         "--multi-terms", "lang"])
+
     # --rare: long-tail values (ES rare_terms)
     rc, res = run_cli(capsys, [
         "query", "--index", idx, "the table", "-k", "4",

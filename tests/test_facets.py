@@ -1223,6 +1223,81 @@ def test_percentiles_served_equals_local(numfx, ray_session):
         eng.shutdown()
 
 
+def test_multi_terms_matches_brute_and_duckdb(numfx, ray_session):
+    import duckdb
+
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    rows = numfx["rows"]
+    attr = {r["doc_id"]: r for r in rows}
+    rd = IndexReader(numfx["idx"])
+
+    def brute(terms, cols, k, pred=None):
+        counts = {}
+        for d in _brute_matched(rows, terms):
+            r = attr[d]
+            if pred is not None and not pred(r):
+                continue
+            t = tuple(r[c] for c in cols)
+            counts[t] = counts.get(t, 0) + 1
+        return sorted(counts.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    got = rd.multi_terms(QUERY, ["lang", "n_tok"], 12)
+    assert got == brute(QUERY, ["lang", "n_tok"], 12)
+    # column order matters (distinct composite keys)
+    assert rd.multi_terms(QUERY, ["n_tok", "lang"], 12) == \
+        brute(QUERY, ["n_tok", "lang"], 12)
+    # attrs compose; empties; validation
+    assert rd.multi_terms(QUERY, ["lang", "n_tok"], 12,
+                          attrs=[("lang", "de")]) == \
+        brute(QUERY, ["lang", "n_tok"], 12,
+              pred=lambda r: r["lang"] == "de")
+    assert rd.multi_terms(["zzz"], ["lang", "n_tok"]) == []
+    assert rd.multi_terms(QUERY, ["lang", "n_tok"], k=0) == []
+    with pytest.raises(ValueError):
+        rd.multi_terms(QUERY, ["lang"])
+
+    # DuckDB replay: GROUP BY both columns over the OR-match join
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+        "n_tok": [r["n_tok"] for r in rows],
+    }))
+    terms = ", ".join(f"('{t}')" for t in sorted(set(QUERY)))
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms}),
+        m AS (SELECT DISTINCT doc_id FROM tok JOIN q USING (term))
+        SELECT d.lang, d.n_tok, COUNT(*) FROM m
+        JOIN documents d USING (doc_id)
+        GROUP BY 1, 2 ORDER BY COUNT(*) DESC, d.lang, d.n_tok
+        LIMIT 12
+    """).fetchall()
+    assert got == [((w[0], w[1]), int(w[2])) for w in want]
+
+    eng = RangeShardedQueryEngine(numfx["idx"], pool_size=3)
+    try:
+        for terms, attrs in [
+            (QUERY, None),
+            (QUERY, [("n_tok", ">=20")]),
+            (["w0", "w0", "w7"], None),
+            (["zzz"], None),
+        ]:
+            assert eng.multi_terms(terms, ["lang", "n_tok"], 12,
+                                   attrs=attrs) == \
+                rd.multi_terms(terms, ["lang", "n_tok"], 12, attrs=attrs)
+        with pytest.raises(ValueError):
+            eng.multi_terms(QUERY, ["lang"])
+    finally:
+        eng.shutdown()
+
+
 def test_rare_terms_matches_brute(numfx, ray_session):
     from wikirec_ray.state.server import RangeShardedQueryEngine
 

@@ -17,6 +17,7 @@ CLI adds no second code path to keep correct.
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
         [--significant COLS] [--top-hits COL[:K]] [--rare COL[:MAXDC]] \
+        [--multi-terms COLS] \
         [--significant-text SAMPLE (needs --store)] [--fields COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
@@ -291,7 +292,8 @@ def cmd_query(args) -> int:
                 or args.facets or args.stats or args.extended_stats
                 or args.histogram or args.cardinality or args.stats_by
                 or args.percentiles or args.significant or args.top_hits
-                or args.sig_text or args.fields or args.rare):
+                or args.sig_text or args.fields or args.rare
+                or args.multi_terms):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -304,7 +306,9 @@ def cmd_query(args) -> int:
                            else "top-hits" if args.top_hits
                            else "significant-text" if args.sig_text
                            else "fields" if args.fields
-                           else "rare" if args.rare else mode)
+                           else "rare" if args.rare
+                           else "multi-terms" if args.multi_terms
+                           else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -339,7 +343,7 @@ def cmd_query(args) -> int:
                     or args.cardinality or args.stats_by
                     or args.percentiles or args.significant
                     or args.top_hits or args.sig_text or args.fields
-                    or args.rare):
+                    or args.rare or args.multi_terms):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -539,6 +543,24 @@ def cmd_query(args) -> int:
                                               attrs=s_attrs or None)
                 for col in (c.strip() for c in args.significant.split(","))
                 if col
+            }
+        if args.multi_terms:
+            # ES multi_terms: composite-key buckets over 2+ sidecar
+            # columns, ordered/cut like --facets at -k
+            m_cols = [c.strip() for c in args.multi_terms.split(",")
+                      if c.strip()]
+            if len(m_cols) < 2:
+                raise SystemExit(
+                    "--multi-terms needs 2+ comma-separated columns "
+                    f"(got {args.multi_terms!r})"
+                )
+            out["multi_terms"] = {
+                "cols": m_cols,
+                "buckets": [
+                    {"values": list(t), "n_docs": n}
+                    for t, n in engine.multi_terms(
+                        positive, m_cols, args.k, attrs=s_attrs or None)
+                ],
             }
         if args.rare:
             # ES rare_terms: the long tail — COL or COL:MAXDC (keep only
@@ -861,6 +883,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--multi-terms", default="", metavar="COLS",
+                   dest="multi_terms",
+                   help="also report match counts per composite key of "
+                        "these 2+ comma-separated sidecar columns (ES "
+                        "multi_terms; ordered/cut like --facets at -k)")
     q.add_argument("--rare", default="", metavar="COL[:MAXDC]",
                    help="also report the long-tail values of this sidecar "
                         "column over the matched docs (ES rare_terms, "

@@ -648,6 +648,66 @@ class IndexReader:
         )[:k]
         return [(values[c], int(counts[c])) for c in order]
 
+    def multi_terms(
+        self, terms: list[str], cols: list[str], k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[tuple[str, ...], int]]:
+        """Elasticsearch ``multi_terms`` aggregation: match counts per
+        COMPOSITE key — one bucket per distinct tuple of the ``cols``
+        values among the OR-matched alive docs ("hits per (lang, site)
+        pair"), ordered like ``facet_counts`` (count desc, key tuple
+        asc), cut at k.  Vectorized as a mixed-radix composite code over
+        the per-column dictionaries (guarded against int64 overflow —
+        beyond that, bucket on the first column and sub-aggregate);
+        ``attrs`` filters the match set first."""
+        if k < 1:
+            return []
+        if len(cols) < 2:
+            raise ValueError("multi_terms needs at least 2 columns "
+                             "(use facet_counts for one)")
+        docs = self._matched_docs(terms)
+        if attrs and len(docs):
+            docs = self._attr_keep_sorted(docs, attrs)
+        if not len(docs):
+            return []
+        dd = docs.astype(np.int64)
+        per_col = []
+        radix = 1
+        for col in cols:
+            dense, values = self._meta_codes(col)
+            codes = dense[dd]
+            if (codes < 0).any():
+                missing = int(docs[codes < 0][0])
+                raise RuntimeError(
+                    f"doc {missing} is in the index but not in the "
+                    f"metadata sidecar — stale meta/: re-run build_doc_meta"
+                )
+            per_col.append((codes.astype(np.int64), values))
+            radix *= max(len(values), 1)
+            if radix >= (1 << 62):
+                raise ValueError(
+                    "multi_terms: composite dictionary space exceeds "
+                    "int64 — bucket on one column and sub-aggregate"
+                )
+        key = np.zeros(len(dd), np.int64)
+        for codes, values in per_col:
+            key = key * max(len(values), 1) + codes
+        uniq, counts = np.unique(key, return_counts=True)
+
+        def decode(c: int) -> tuple[str, ...]:
+            out = []
+            for codes, values in reversed(per_col):
+                base = max(len(values), 1)
+                out.append(values[c % base])
+                c //= base
+            return tuple(reversed(out))
+
+        buckets = sorted(
+            ((decode(int(c)), int(n)) for c, n in zip(uniq, counts)),
+            key=lambda it: (-it[1], it[0]),
+        )
+        return buckets[:k]
+
     def rare_terms(
         self, terms: list[str], col: str, k: int = 10,
         max_doc_count: int | None = None,

@@ -713,6 +713,36 @@ class RangeServerImpl:
                 out.add(values[c])
         return sorted(out)
 
+    def multi_value_counts(
+        self,
+        terms_with_tpart: list[tuple[str, int]],
+        cols: list[str],
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> dict[tuple[str, ...], int]:
+        """This shard's {composite value tuple: match count} over its
+        OR-matched alive docs — the ``multi_terms`` partial.  Composite
+        codes are range-local (each range has its own dictionaries), so
+        counting happens per range on a mixed-radix code and only the
+        DISTINCT tuples are decoded to strings; the dict is bounded by
+        the product of observed per-range value combinations."""
+        metas = [self._meta(c) for c in cols]
+        out: dict[tuple[str, ...], int] = {}
+        for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
+            per_col = [self._meta_select(m, r, docs) for m in metas]
+            key = np.zeros(len(docs), np.int64)
+            for codes, values in per_col:
+                key = key * max(len(values), 1) + codes.astype(np.int64)
+            uniq, counts = np.unique(key, return_counts=True)
+            for c, n in zip(uniq.tolist(), counts.tolist()):
+                parts = []
+                for codes, values in reversed(per_col):
+                    base = max(len(values), 1)
+                    parts.append(values[c % base])
+                    c //= base
+                t = tuple(reversed(parts))
+                out[t] = out.get(t, 0) + int(n)
+        return out
+
     def grouped_stats(
         self,
         terms_with_tpart: list[tuple[str, int]],
@@ -1655,6 +1685,38 @@ class RangeShardedQueryEngine:
             for v, n in p.items():
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def multi_terms(
+        self, terms: list[str], cols: list[str], k: int = 10,
+        attrs: list[tuple[str, str]] | None = None,
+    ) -> list[tuple[tuple[str, ...], int]]:
+        """Distributed ``multi_terms`` (== ``IndexReader.multi_terms``):
+        shards return {composite value tuple: count} dicts over their own
+        matches, the coordinator sums and applies the same (count desc,
+        key tuple asc) order and k cut — exact, every doc lives in
+        exactly one shard."""
+        if k < 1:
+            return []
+        if len(cols) < 2:
+            raise ValueError("multi_terms needs at least 2 columns "
+                             "(use facet_counts for one)")
+        resolved = self._resolve_idfs(terms)
+        twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(terms)) if resolved[t][1] != 0.0
+        ]
+        if not twt:
+            return []
+        partials = ray.get([
+            s.multi_value_counts.remote(twt, list(cols), attrs)
+            for s in self.servers
+        ])
+        merged: dict[tuple[str, ...], int] = {}
+        for p in partials:
+            for t, n in p.items():
+                merged[t] = merged.get(t, 0) + n
+        return sorted(merged.items(),
+                      key=lambda it: (-it[1], it[0]))[:k]
 
     def rare_terms(
         self, terms: list[str], col: str, k: int = 10,
