@@ -524,3 +524,72 @@ def test_significant_text_served_equals_local(built_index, prf_store,
                 == [(b["value"], b["n_docs"], b["bg_docs"]) for b in want]
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# boosting query (ES: soft demotion via negative_boost)
+# ---------------------------------------------------------------------------
+
+
+def test_boosting_topk_demotes_matching_docs(built_index, corpus_tokens):
+    import numpy as np
+
+    from wikirec_ray.pipelines.query import topk_from_dense
+
+    reader = IndexReader(built_index[0])
+    terms, neg, nb = ["spark", "join"], ["slow", "error"], 0.3
+
+    got = reader.boosting_topk(terms, K, neg, negative_boost=nb)
+    # independent brute: raw dense scores, demote docs whose ORACLE
+    # token set hits any negative term, rank with the shared kernel
+    scores = reader.score_exact(terms).copy()
+    negset = {d for d, toks in corpus_tokens.items()
+              if set(toks) & set(neg)}
+    for d in negset:
+        scores[d] *= nb
+    assert got == topk_from_dense(scores, K)
+
+    # per-doc invariant vs the plain ranking: demoted docs score nb x
+    # their plain score, others are untouched
+    plain = dict(reader.topk(terms, 10_000))
+    for d, s in got:
+        if d in negset:
+            assert s == pytest.approx(plain[d] * nb, abs=2e-9), d
+        else:
+            assert s == plain[d], d
+    # the demotion actually moved something
+    assert [d for d, _ in got] != [d for d, _ in reader.topk(terms, K)]
+    # nb=1 is a no-op; attrs/after compose like topk
+    assert reader.boosting_topk(terms, K, neg, 1.0) == reader.topk(terms, K)
+    page1 = reader.boosting_topk(terms, 5, neg, nb)
+    page2 = reader.boosting_topk(terms, 5, neg, nb, after=page1[-1])
+    assert page1 + page2 == reader.boosting_topk(terms, 10, neg, nb)
+    # no negative matches == plain; empty positives == []
+    assert reader.boosting_topk(terms, K, ["zzzabsent"], nb) == \
+        reader.topk(terms, K)
+    assert reader.boosting_topk([], K, neg, nb) == []
+    for bad in (0.0, -0.5, 1.5, float("nan")):
+        with pytest.raises(ValueError):
+            reader.boosting_topk(terms, K, neg, bad)
+
+
+def test_boosting_topk_served_equals_local(built_index, ray_session):
+    from wikirec_ray.state.server import RangeShardedQueryEngine
+
+    reader = IndexReader(built_index[0])
+    eng = RangeShardedQueryEngine(built_index[0], pool_size=2)
+    try:
+        for terms, neg, nb, w in [
+            (["spark", "join"], ["slow", "error"], 0.3, None),
+            (["spark", "join"], ["slow"], 0.9, None),
+            (["spark", "spark", "join"], ["slow"], 0.5, None),  # dups
+            (["spark", "join"], ["slow"], 0.4, [2.5, 1.0]),  # weights
+            (["spark"], ["zzzabsent"], 0.5, None),
+        ]:
+            got = eng.boosting_topk(terms, K, neg, nb, weights=w)
+            want = reader.boosting_topk(terms, K, neg, nb, weights=w)
+            assert got == want, (terms, neg, nb, w)
+        with pytest.raises(ValueError):
+            eng.boosting_topk(["spark"], K, ["slow"], 0.0)
+    finally:
+        eng.shutdown()

@@ -284,6 +284,24 @@ def test_cli_meta_filters_facets(ray_session, tmp_path, capsys, sf_dir):
         assert h["fields"] == want_f[h["doc_id"]]
         assert set(h["fields"]) == {"lang", "source"}
 
+    # --demote: ES boosting query (soft demotion)
+    rc, res = run_cli(capsys, [
+        "query", "--index", idx, "lang:en the table", "-k", "5",
+        "--demote", "slow line", "--negative-boost", "0.3",
+    ])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        rd2.boosting_topk(["the", "table"], 5, ["slow", "line"], 0.3,
+                          attrs=[("lang", "en")])
+    import pytest as _p2
+
+    with _p2.raises(SystemExit):  # non-plain demote terms
+        run_cli(capsys, ["query", "--index", idx, "the",
+                         "--demote", '"a phrase"'])
+    with _p2.raises(SystemExit):  # phrase main query has no demote route
+        run_cli(capsys, ["query", "--index", idx, '"the table"',
+                         "--demote", "slow"])
+
     # --multi-terms: composite-key buckets (ES multi_terms)
     rc, res = run_cli(capsys, [
         "query", "--index", idx, "the table", "-k", "4",

@@ -17,7 +17,7 @@ CLI adds no second code path to keep correct.
         [--histogram COL:INTERVAL] [--cardinality COLS] \
         [--stats-by BYCOL:VALCOL] [--percentiles COL[:P1,P2,...]] \
         [--significant COLS] [--top-hits COL[:K]] [--rare COL[:MAXDC]] \
-        [--multi-terms COLS] \
+        [--multi-terms COLS] [--demote TERMS [--negative-boost 0.5]] \
         [--significant-text SAMPLE (needs --store)] [--fields COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
         [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
@@ -293,7 +293,7 @@ def cmd_query(args) -> int:
                 or args.histogram or args.cardinality or args.stats_by
                 or args.percentiles or args.significant or args.top_hits
                 or args.sig_text or args.fields or args.rare
-                or args.multi_terms):
+                or args.multi_terms or args.demote):
             unsupported = ("collapsed" if args.collapse
                            else "faceted" if args.facets
                            else "stats" if args.stats
@@ -308,7 +308,7 @@ def cmd_query(args) -> int:
                            else "fields" if args.fields
                            else "rare" if args.rare
                            else "multi-terms" if args.multi_terms
-                           else mode)
+                           else "demote" if args.demote else mode)
             raise SystemExit(
                 "--title-index supports plain BM25 and ^boosted queries "
                 f"only (got a {unsupported} query)"
@@ -343,7 +343,7 @@ def cmd_query(args) -> int:
                     or args.cardinality or args.stats_by
                     or args.percentiles or args.significant
                     or args.top_hits or args.sig_text or args.fields
-                    or args.rare or args.multi_terms):
+                    or args.rare or args.multi_terms or args.demote):
                 raise SystemExit(
                     "--prior composes with filters/boosts/--after only — "
                     "the aggregation and --store/--collapse outputs are "
@@ -392,10 +392,43 @@ def cmd_query(args) -> int:
                 f"--collapse column {collapse!r} is not in the metadata "
                 f"sidecar (available: {avail})"
             )
-        hits, positive, phrase = search_with_terms(
-            engine, args.query, args.k, after=_parse_after(args.after),
-            collapse=collapse, min_should_match=getattr(args, "msm", 0),
-        )
+        if args.demote:
+            # ES boosting query: soft demotion — plain BM25 / ^boosted
+            # queries only (the demotion rides the dense scorer; other
+            # modes have no demote semantics), col:value chunks stay
+            # filters, collapse/msm do not compose
+            if collapse is not None or getattr(args, "msm", 0):
+                raise SystemExit(
+                    "--demote composes with plain/boosted queries, "
+                    "filters and --after only — not --collapse/--msm"
+                )
+            d_attrs, rest = split_filters(args.query, engine.meta_cols())
+            d_mode, d_parsed, _ = parse_query(rest)
+            if d_mode == "boosted":
+                d_terms, d_weights = list(d_parsed[0]), list(d_parsed[1])
+            elif d_mode == "bm25":
+                d_terms, d_weights = list(d_parsed), None
+            else:
+                raise SystemExit(
+                    "--demote supports plain BM25 and ^boosted queries "
+                    f"only (got a {d_mode} query)"
+                )
+            d_neg_mode, neg_terms, _ = parse_query(args.demote)
+            if d_neg_mode != "bm25" or not neg_terms:
+                raise SystemExit(
+                    f"--demote needs plain terms (got {args.demote!r})"
+                )
+            hits = engine.boosting_topk(
+                d_terms, args.k, neg_terms, args.negative_boost,
+                attrs=d_attrs or None, after=_parse_after(args.after),
+                weights=d_weights,
+            )
+            positive, phrase = d_terms, None
+        else:
+            hits, positive, phrase = search_with_terms(
+                engine, args.query, args.k, after=_parse_after(args.after),
+                collapse=collapse, min_should_match=getattr(args, "msm", 0),
+            )
         values = None
         if collapse is not None:
             # collapsed hits are (doc_id, score, value) triples; split the
@@ -883,6 +916,13 @@ def make_parser() -> argparse.ArgumentParser:
                         "matched docs vs the whole corpus (ES "
                         "significant_terms, JLH score, top -k; col:value "
                         "filters narrow the foreground only)")
+    q.add_argument("--demote", default="", metavar="TERMS",
+                   help="soft-demote docs containing ANY of these "
+                        "space-separated terms (ES boosting query; plain/"
+                        "^boosted queries only; see --negative-boost)")
+    q.add_argument("--negative-boost", default=0.5, type=float,
+                   dest="negative_boost", metavar="NB",
+                   help="the --demote multiplier in (0, 1] (default 0.5)")
     q.add_argument("--multi-terms", default="", metavar="COLS",
                    dest="multi_terms",
                    help="also report match counts per composite key of "

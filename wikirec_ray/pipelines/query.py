@@ -431,6 +431,37 @@ class IndexReader:
         return topk_from_dense(scores, k, after=after)
 
     # ---------------- boolean retrieval ----------------------------------
+    def boosting_topk(
+        self, terms: list[str], k: int, negative: list[str],
+        negative_boost: float = 0.5,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Elasticsearch ``boosting`` query: plain BM25 over ``terms``,
+        but any doc containing ANY ``negative`` term has its score
+        multiplied by ``negative_boost`` BEFORE ranking — soft demotion,
+        the middle ground between ranking normally and ``must_not``'s
+        hard exclusion ("prefer docs not about X").  ``negative_boost``
+        must be in (0, 1] (1 = no-op; ES's demotion contract — a value
+        above 1 would promote, which is what positive boosts are for).
+        Attribute filters, paging cursors, and query-time weights compose
+        exactly as on ``topk``; the ranking order stays (round(score, 9)
+        desc, doc asc) on the demoted scores.  Demotion is not rank-safe
+        under WAND bounds, so this route is always dense — the same
+        trade ``attrs`` filtering makes."""
+        if not (0.0 < negative_boost <= 1.0) or not math.isfinite(
+                negative_boost):
+            raise ValueError(
+                "boosting_topk: negative_boost must be in (0, 1]")
+        scores = self.score_exact(terms, weights=weights)
+        if attrs:
+            scores = self._apply_attrs_dense(scores, attrs)
+        neg = self._matched_docs(negative)
+        if len(neg):
+            scores[neg.astype(np.int64)] *= negative_boost
+        return topk_from_dense(scores, k, after=after)
+
     def boolean_topk(
         self,
         should: list[str],

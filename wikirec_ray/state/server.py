@@ -402,6 +402,51 @@ class RangeServerImpl:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def boosting_topk(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        neg_twt: list[tuple[str, int]],
+        negative_boost: float,
+        k: int,
+        attrs: list[tuple[str, str]] | None = None,
+        after=None,
+    ):
+        """This shard's ES-``boosting`` top-k: the dense per-range scoring
+        of ``topk``, with every slot on ANY negative term's posting list
+        multiplied by ``negative_boost`` before the per-range cut —
+        demotion is per-doc, so shards apply it exactly (postings of a
+        (tpart, range) chunk lie inside the range by construction)."""
+        from wikirec_ray.pipelines.query import topk_from_dense
+
+        out: list[tuple[int, float]] = []
+        for r in self.range_ids:
+            nr = self.norms.get(r)
+            if nr is None:
+                continue
+            base = r * self.range_size
+            local = self._score_range(r, nr, terms_with_idf)
+            if local is None:
+                continue
+            self._zero_tombs(r, local)
+            if attrs:
+                self._apply_attrs_dense(r, local, attrs)
+            parts = []
+            for term, tpart in neg_twt:
+                chunk = self._chunk(tpart, r)
+                if chunk is None or not chunk.has(term):
+                    continue
+                parts.append(chunk.postings(term)[0])
+            if parts:
+                negd = np.unique(np.concatenate(parts)).astype(np.int64)
+                local[negd - base] *= negative_boost
+            loc_after = (after[0] - base, after[1]) if after else None
+            out.extend(
+                (d + base, s)
+                for d, s in topk_from_dense(local, k, after=loc_after)
+            )
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def boolean_topk(
         self,
         score_twi: list[tuple[str, int, float]],
@@ -1685,6 +1730,47 @@ class RangeShardedQueryEngine:
             for v, n in p.items():
                 merged[v] = merged.get(v, 0) + n
         return sorted(merged.items(), key=lambda it: (-it[1], it[0]))[:k]
+
+    def boosting_topk(
+        self, terms: list[str], k: int, negative: list[str],
+        negative_boost: float = 0.5,
+        attrs: list[tuple[str, str]] | None = None,
+        after: tuple[int, float] | None = None,
+        weights: list[float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed ES-``boosting`` query (==
+        ``IndexReader.boosting_topk``): one idf resolve covers the
+        positive AND negative term sets, shards demote range-locally and
+        return their top-k, the coordinator merges — exact, demotion is
+        per-doc and every doc lives in exactly one shard."""
+        import math as _math
+
+        from wikirec_ray.pipelines.query import aggregate_weights
+
+        if not (0.0 < negative_boost <= 1.0) or not _math.isfinite(
+                negative_boost):
+            raise ValueError(
+                "boosting_topk: negative_boost must be in (0, 1]")
+        agg = aggregate_weights(terms, weights)
+        resolved = self._resolve_idfs(list(agg) + list(negative))
+        twi = [
+            (t, resolved[t][0], resolved[t][1] * w)
+            for t, w in agg.items() if resolved[t][1] != 0.0
+        ]
+        if not twi:
+            return []
+        neg_twt = [
+            (t, resolved[t][0])
+            for t in sorted(set(negative)) if resolved[t][1] != 0.0
+        ]
+        partials = ray.get([
+            s.boosting_topk.remote(twi, neg_twt, negative_boost, k,
+                                   attrs, after)
+            for s in self.servers
+        ])
+        merged = [h for p in partials for h in p]
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return merged[:k]
 
     def multi_terms(
         self, terms: list[str], cols: list[str], k: int = 10,
