@@ -721,6 +721,46 @@ def run_zipf() -> None:
         f"p99={np.percentile(ls,99):.1f}ms over {len(ls)} queries"
     )
 
+    # ES-aggregation latency at REALISTIC match sizes: the default bench's
+    # degenerate vocabulary matches ~all 100k docs per query (agg ~9 ms);
+    # these selective zipf queries match bounded sets — the operating
+    # point a real dashboard request sees.  Sidecar: a 7-value categorical
+    # + an ~80-value numeric attribute derived from doc_id.
+    from wikirec_ray.stages.doc_meta import build_doc_meta
+
+    def agg_meta(b: "pa.Table") -> "pa.Table":
+        import pyarrow as pa_
+
+        ids = b["doc_id"].to_numpy()
+        return pa_.table({
+            "doc_id": b["doc_id"],
+            "lang": pa_.array([f"l{i % 7}" for i in ids.tolist()]),
+            "nval": pa_.array([str(40 + i % 80) for i in ids.tolist()]),
+        })
+
+    build_doc_meta(
+        ray.data.read_parquet(corpus_dir_, columns=["doc_id"]).map_batches(
+            agg_meta, batch_format="pyarrow"),
+        index_dir, ["lang", "nval"], resume=False,
+    )
+    reader = IndexReader(index_dir)  # fresh snapshot sees the sidecar
+    agg_q = queries[:50]
+    match_sizes = [len(reader._matched_docs(q)) for q in agg_q[:20]]
+    lat_agg = []
+    for q in agg_q:
+        t = time.monotonic()
+        reader.grouped_stats(q, "lang", "nval", 7)
+        reader.percentiles(q, "nval", (50.0, 95.0))
+        reader.significant_terms(q, "lang", 7)
+        reader.multi_terms(q, ["lang", "nval"], 10)
+        lat_agg.append(time.monotonic() - t)
+    lagg = np.array(lat_agg) * 1000
+    log(
+        f"zipf aggregations (grouped+pctl+significant+multi per sample, "
+        f"median match {int(np.median(match_sizes))} docs): "
+        f"p50={np.percentile(lagg,50):.2f}ms p99={np.percentile(lagg,99):.2f}ms"
+    )
+
     # vocabulary lexicon on the realistic 50k-term vocabulary: one-time
     # sub-index builds (prefix array vs the SymSpell deletion dict —
     # lazily independent, so each is timed by its first call), then
@@ -923,6 +963,9 @@ def run_zipf() -> None:
             "wand_p99_ms": round(float(np.percentile(lw, 99)), 3),
             "serve_p50_ms": round(float(np.percentile(ls, 50)), 3),
             "serve_p99_ms": round(float(np.percentile(ls, 99)), 3),
+            "agg_p50_ms": round(float(np.percentile(lagg, 50)), 3),
+            "agg_p99_ms": round(float(np.percentile(lagg, 99)), 3),
+            "agg_median_match_docs": int(np.median(match_sizes)),
             "lex_prefix_build_sec": round(lex_prefix_build_sec, 3),
             "lex_symspell_build_sec": round(lex_fuzzy_build_sec, 3),
             "suggest_p50_ms": round(float(np.percentile(lsug, 50)), 3),
