@@ -745,7 +745,7 @@ def run_zipf() -> None:
     )
     reader = IndexReader(index_dir)  # fresh snapshot sees the sidecar
     agg_q = queries[:50]
-    match_sizes = [len(reader._matched_docs(q)) for q in agg_q[:20]]
+    match_sizes = [len(reader._matched_docs(q)) for q in agg_q]
     lat_agg = []
     for q in agg_q:
         t = time.monotonic()

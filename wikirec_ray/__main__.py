@@ -392,6 +392,10 @@ def cmd_query(args) -> int:
                 f"--collapse column {collapse!r} is not in the metadata "
                 f"sidecar (available: {avail})"
             )
+        # one filter split serves the demote branch AND every aggregation
+        # branch below (review r5: identical recomputations); s_attrs is
+        # the col:value chunks of the query string, the shared scope
+        s_attrs, s_rest = split_filters(args.query, engine.meta_cols())
         if args.demote:
             # ES boosting query: soft demotion — plain BM25 / ^boosted
             # queries only (the demotion rides the dense scorer; other
@@ -402,8 +406,8 @@ def cmd_query(args) -> int:
                     "--demote composes with plain/boosted queries, "
                     "filters and --after only — not --collapse/--msm"
                 )
-            d_attrs, rest = split_filters(args.query, engine.meta_cols())
-            d_mode, d_parsed, _ = parse_query(rest)
+            d_attrs = s_attrs
+            d_mode, d_parsed, _ = parse_query(s_rest)
             if d_mode == "boosted":
                 d_terms, d_weights = list(d_parsed[0]), list(d_parsed[1])
             elif d_mode == "bm25":
@@ -458,10 +462,6 @@ def cmd_query(args) -> int:
                                     f_cols)
             for h in out["hits"]:
                 h["fields"] = fv[h["doc_id"]]
-        # one filter split serves every aggregation branch below (review
-        # r5: nine identical recomputations); s_attrs is the col:value
-        # chunks of the query string, the aggregations' shared scope
-        s_attrs, _ = split_filters(args.query, engine.meta_cols())
         if args.facets:
             # facet counts run over docs matching ANY positive query term
             # (the driver-checked facet_counts contract)

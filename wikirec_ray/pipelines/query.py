@@ -596,14 +596,7 @@ class IndexReader:
         for col, value in attrs:
             if not len(docs):
                 return docs
-            dense, values = self._meta_codes(col)
-            codes = dense[docs.astype(np.int64)]
-            if (codes < 0).any():
-                missing = int(docs[codes < 0][0])
-                raise RuntimeError(
-                    f"doc {missing} is in the index but not in the metadata "
-                    f"sidecar — stale meta/: re-run build_doc_meta"
-                )
+            codes, values = self._codes_for_docs(docs, col)
             match = attr_matching_codes(values, value)
             if not len(match):
                 return docs[:0]
@@ -652,6 +645,24 @@ class IndexReader:
         self._match_memo = (key, docs)
         return docs
 
+    def _codes_for_docs(
+        self, docs: np.ndarray, col: str
+    ) -> tuple[np.ndarray, list[str]]:
+        """(dictionary codes for ``docs``, values) of sidecar column
+        ``col`` with the loud stale-sidecar check — the ONE shared
+        code-fetch behind every local aggregation (review r5: it had
+        drifted into several copies, the same failure mode the shard
+        side's ``_or_match_by_range`` consolidation fixed)."""
+        dense, values = self._meta_codes(col)
+        codes = dense[docs.astype(np.int64)]
+        if (codes < 0).any():
+            missing = int(docs[codes < 0][0])
+            raise RuntimeError(
+                f"doc {missing} is in the index but not in the metadata "
+                f"sidecar — stale meta/: re-run build_doc_meta"
+            )
+        return codes, values
+
     def facet_counts(
         self, terms: list[str], col: str, k: int = 10
     ) -> list[tuple[str, int]]:
@@ -664,14 +675,7 @@ class IndexReader:
         docs = self._matched_docs(terms)
         if not len(docs):
             return []
-        dense, values = self._meta_codes(col)
-        codes = dense[docs.astype(np.int64)]
-        if (codes < 0).any():
-            missing = int(docs[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, values = self._codes_for_docs(docs, col)
         counts = np.bincount(codes, minlength=len(values))
         order = sorted(
             np.flatnonzero(counts).tolist(),
@@ -705,14 +709,7 @@ class IndexReader:
         per_col = []
         radix = 1
         for col in cols:
-            dense, values = self._meta_codes(col)
-            codes = dense[dd]
-            if (codes < 0).any():
-                missing = int(docs[codes < 0][0])
-                raise RuntimeError(
-                    f"doc {missing} is in the index but not in the "
-                    f"metadata sidecar — stale meta/: re-run build_doc_meta"
-                )
+            codes, values = self._codes_for_docs(docs, col)
             per_col.append((codes.astype(np.int64), values))
             radix *= max(len(values), 1)
             if radix >= (1 << 62):
@@ -760,14 +757,7 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
             return []
-        dense, values = self._meta_codes(col)
-        codes = dense[docs.astype(np.int64)]
-        if (codes < 0).any():
-            missing = int(docs[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, values = self._codes_for_docs(docs, col)
         counts = np.bincount(codes, minlength=len(values))
         order = sorted(
             (c for c in np.flatnonzero(counts).tolist()
@@ -820,14 +810,7 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
             return np.empty(0, np.float64)
-        dense, _values = self._meta_codes(col)
-        codes = dense[docs.astype(np.int64)]
-        if (codes < 0).any():
-            missing = int(docs[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, _values = self._codes_for_docs(docs, col)
         x = self._meta_parsed(col)[codes]
         return x[~np.isnan(x)]
 
@@ -929,18 +912,8 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
             return []
-        dd = docs.astype(np.int64)
-        dense_b, values_b = self._meta_codes(by_col)
-        bcodes = dense_b[dd]
-        dense_v, _values_v = self._meta_codes(val_col)
-        vcodes = dense_v[dd]
-        for codes in (bcodes, vcodes):
-            if (codes < 0).any():
-                missing = int(docs[codes < 0][0])
-                raise RuntimeError(
-                    f"doc {missing} is in the index but not in the metadata "
-                    f"sidecar — stale meta/: re-run build_doc_meta"
-                )
+        bcodes, values_b = self._codes_for_docs(docs, by_col)
+        vcodes, _values_v = self._codes_for_docs(docs, val_col)
         x = self._meta_parsed(val_col)[vcodes]
         nb = len(values_b)
         n_match = np.bincount(bcodes, minlength=nb)
@@ -996,14 +969,7 @@ class IndexReader:
         dd = np.asarray(sorted(set(int(d) for d in docs)), np.int64)
         out: dict[int, dict[str, str]] = {int(d): {} for d in dd}
         for col in cols:
-            dense, values = self._meta_codes(col)
-            codes = dense[dd]
-            if (codes < 0).any():
-                missing = int(dd[codes < 0][0])
-                raise RuntimeError(
-                    f"doc {missing} is in the index but not in the "
-                    f"metadata sidecar — stale meta/: re-run build_doc_meta"
-                )
+            codes, values = self._codes_for_docs(dd, col)
             for d, c in zip(dd.tolist(), codes.tolist()):
                 out[d][col] = values[c]
         return out
@@ -1044,14 +1010,7 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
             return []
-        dense, values = self._meta_codes(col)
-        codes = dense[docs.astype(np.int64)]
-        if (codes < 0).any():
-            missing = int(docs[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, values = self._codes_for_docs(docs, col)
         fg = np.bincount(codes, minlength=len(values))
         bg, n_bg = self._background_counts(col)
         nz = np.flatnonzero(fg)
@@ -1106,14 +1065,7 @@ class IndexReader:
             docs = self._attr_keep_sorted(docs, attrs)
         if not len(docs):
             return 0
-        dense, _values = self._meta_codes(col)
-        codes = dense[docs.astype(np.int64)]
-        if (codes < 0).any():
-            missing = int(docs[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, _values = self._codes_for_docs(docs, col)
         return int(len(np.unique(codes)))
 
     def filtered_topk(
@@ -1196,14 +1148,7 @@ class IndexReader:
         nz = np.flatnonzero(r > 0)
         if not len(nz):
             return []
-        dense, values = self._meta_codes(col)
-        codes = dense[nz]
-        if (codes < 0).any():
-            missing = int(nz[codes < 0][0])
-            raise RuntimeError(
-                f"doc {missing} is in the index but not in the metadata "
-                f"sidecar — stale meta/: re-run build_doc_meta"
-            )
+        codes, values = self._codes_for_docs(nz, col)
         counts = np.bincount(codes, minlength=len(values))
         top = sorted(
             np.flatnonzero(counts).tolist(),

@@ -381,41 +381,24 @@ class RangeServerImpl:
         ``after`` = optional GLOBAL (doc_id, score) search_after cursor (the previous page's last hit) —
         the per-range dense accumulator localizes its doc_id by the range
         base (strictly-after is base-shift-invariant)."""
-        from wikirec_ray.pipelines.query import topk_from_dense
+        return self._dense_topk(terms_with_idf, k, attrs, after)
 
-        out: list[tuple[int, float]] = []
-        for r in self.range_ids:
-            nr = self.norms.get(r)
-            if nr is None:
-                continue
-            base = r * self.range_size
-            local = self._score_range(r, nr, terms_with_idf)
-            if local is not None:
-                self._zero_tombs(r, local)
-                if attrs:
-                    self._apply_attrs_dense(r, local, attrs)
-                loc_after = (after[0] - base, after[1]) if after else None
-                out.extend(
-                    (d + base, s)
-                    for d, s in topk_from_dense(local, k, after=loc_after)
-                )
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out[:k]
-
-    def boosting_topk(
+    def _dense_topk(
         self,
         terms_with_idf: list[tuple[str, int, float]],
-        neg_twt: list[tuple[str, int]],
-        negative_boost: float,
         k: int,
-        attrs: list[tuple[str, str]] | None = None,
-        after=None,
+        attrs: list[tuple[str, str]] | None,
+        after,
+        neg_twt: list[tuple[str, int]] | None = None,
+        negative_boost: float = 1.0,
     ):
-        """This shard's ES-``boosting`` top-k: the dense per-range scoring
-        of ``topk``, with every slot on ANY negative term's posting list
-        multiplied by ``negative_boost`` before the per-range cut —
-        demotion is per-doc, so shards apply it exactly (postings of a
-        (tpart, range) chunk lie inside the range by construction)."""
+        """The ONE per-range dense scoring loop behind ``topk`` and
+        ``boosting_topk`` (review r5: the demotion variant had copied it
+        — any cursor/attrs/tombstone fix must land once).  ``neg_twt`` +
+        ``negative_boost`` = the optional ES-boosting demotion: slots on
+        any negative term's posting list are multiplied before the
+        per-range cut (a (tpart, range) chunk's postings lie inside the
+        range by construction)."""
         from wikirec_ray.pipelines.query import topk_from_dense
 
         out: list[tuple[int, float]] = []
@@ -430,15 +413,17 @@ class RangeServerImpl:
             self._zero_tombs(r, local)
             if attrs:
                 self._apply_attrs_dense(r, local, attrs)
-            parts = []
-            for term, tpart in neg_twt:
-                chunk = self._chunk(tpart, r)
-                if chunk is None or not chunk.has(term):
-                    continue
-                parts.append(chunk.postings(term)[0])
-            if parts:
-                negd = np.unique(np.concatenate(parts)).astype(np.int64)
-                local[negd - base] *= negative_boost
+            if neg_twt:
+                parts = []
+                for term, tpart in neg_twt:
+                    chunk = self._chunk(tpart, r)
+                    if chunk is None or not chunk.has(term):
+                        continue
+                    parts.append(chunk.postings(term)[0])
+                if parts:
+                    negd = np.unique(
+                        np.concatenate(parts)).astype(np.int64)
+                    local[negd - base] *= negative_boost
             loc_after = (after[0] - base, after[1]) if after else None
             out.extend(
                 (d + base, s)
@@ -446,6 +431,24 @@ class RangeServerImpl:
             )
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
+
+    def boosting_topk(
+        self,
+        terms_with_idf: list[tuple[str, int, float]],
+        neg_twt: list[tuple[str, int]],
+        negative_boost: float,
+        k: int,
+        attrs: list[tuple[str, str]] | None = None,
+        after=None,
+    ):
+        """This shard's ES-``boosting`` top-k — ``topk``'s shared dense
+        loop (``_dense_topk``) with the demotion hook engaged: slots on
+        ANY negative term's posting list are multiplied by
+        ``negative_boost`` before the per-range cut.  Demotion is
+        per-doc, so shards apply it exactly."""
+        return self._dense_topk(terms_with_idf, k, attrs, after,
+                                neg_twt=neg_twt,
+                                negative_boost=negative_boost)
 
     def boolean_topk(
         self,
@@ -774,6 +777,17 @@ class RangeServerImpl:
         out: dict[tuple[str, ...], int] = {}
         for r, docs in self._or_match_by_range(terms_with_tpart, attrs):
             per_col = [self._meta_select(m, r, docs) for m in metas]
+            radix = 1
+            for _codes, values in per_col:
+                radix *= max(len(values), 1)
+                if radix >= (1 << 62):
+                    # the same named error (and threshold) as the local
+                    # route — silent int64 wraparound would collide
+                    # composite keys into wrong buckets (review r5 #2)
+                    raise ValueError(
+                        "multi_terms: composite dictionary space exceeds "
+                        "int64 — bucket on one column and sub-aggregate"
+                    )
             key = np.zeros(len(docs), np.int64)
             for codes, values in per_col:
                 key = key * max(len(values), 1) + codes.astype(np.int64)
