@@ -356,3 +356,85 @@ def test_served_doc_space_mismatch(ray_session, field_indexes, sf_dir,
     build_index(ds, short_dir, resume=False)
     with pytest.raises(ValueError, match="doc-id space"):
         MultiFieldShardedEngine([(body_dir, 1.0), (short_dir, 2.0)])
+
+
+# ---------------------------------------------------------------------------
+# best_fields (Lucene DisMax: max + tie_breaker x the rest)
+# ---------------------------------------------------------------------------
+
+
+def brute_bestfields_topk(field_toks, field_weights, terms, k, tb):
+    per_field = [brute_field_bm25(ft, terms) for ft in field_toks]
+    docs = sorted(per_field[0])
+    out = {}
+    for d in docs:
+        fs = [fw * pf[d] for fw, pf in zip(field_weights, per_field)]
+        mx = max(fs)
+        out[d] = mx + tb * (sum(fs) - mx)
+    r = {d: round(out[d], 9) for d in docs}
+    order = sorted((d for d in docs if r[d] > 0), key=lambda d: (-r[d], d))[:k]
+    return [(d, float(r[d])) for d in order]
+
+
+def test_best_fields_matches_brute_dismax(field_indexes):
+    body_dir, title_dir, body_toks, title_toks = field_indexes
+    for tb in (0.0, 0.3, 1.0):
+        mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)],
+                              mode="best_fields", tie_breaker=tb)
+        for terms in (["spark", "join"], ["src3", "spark"], ["doc"]):
+            expect = brute_bestfields_topk(
+                [body_toks, title_toks], [1.0, 2.0], terms, K, tb
+            )
+            got = mf.topk(terms, K)
+            assert [d for d, _ in got] == [d for d, _ in expect], (tb, terms)
+            for (gd, gs), (wd, ws) in zip(got, expect):
+                assert gs == pytest.approx(ws, abs=2e-9), (tb, terms, gd)
+    # tie_breaker=1 == most_fields sum, bit for bit
+    mf1 = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)],
+                           mode="best_fields", tie_breaker=1.0)
+    mfs = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)])
+    for terms in (["spark", "join"], ["src1"]):
+        got1, gots = mf1.topk(terms, K), mfs.topk(terms, K)
+        assert [d for d, _ in got1] == [d for d, _ in gots]
+        for (d1, s1), (_, s2) in zip(got1, gots):
+            assert s1 == pytest.approx(s2, abs=2e-9)
+    # the mode actually changes a ranking somewhere
+    mf0 = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)],
+                           mode="best_fields", tie_breaker=0.0)
+    assert any(
+        mf0.topk(t, K) != mfs.topk(t, K)
+        for t in (["spark", "join"], ["src3", "spark"], ["doc"])
+    )
+    # explain recomposes the DisMax score exactly
+    top = mf0.topk(["src3", "spark"], 3)
+    for d, s in top:
+        ex = mf0.explain(["src3", "spark"], d)
+        assert ex["score"] == s and ex["mode"] == "best_fields"
+    # validation
+    with pytest.raises(ValueError):
+        MultiFieldReader([(body_dir, 1.0)], mode="nope")
+    with pytest.raises(ValueError):
+        MultiFieldReader([(body_dir, 1.0)], mode="best_fields",
+                         tie_breaker=1.5)
+
+
+def test_best_fields_served_equals_local(field_indexes, ray_session):
+    from wikirec_ray.state.server import MultiFieldShardedEngine
+
+    body_dir, title_dir, _, _ = field_indexes
+    mf = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.0)],
+                          mode="best_fields", tie_breaker=0.3)
+    eng = MultiFieldShardedEngine([(body_dir, 1.0), (title_dir, 2.0)],
+                                  pool_size=2, mode="best_fields",
+                                  tie_breaker=0.3)
+    try:
+        for terms in (["spark", "join"], ["src3", "spark"], ["doc"],
+                      ["zzzabsent"]):
+            got, want = eng.topk(terms, K), mf.topk(terms, K)
+            assert [d for d, _ in got] == [d for d, _ in want], terms
+            for (gd, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=2e-9), (terms, gd)
+        with pytest.raises(ValueError):
+            MultiFieldShardedEngine([(body_dir, 1.0)], mode="bad")
+    finally:
+        eng.shutdown()

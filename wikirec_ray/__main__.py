@@ -20,7 +20,8 @@ CLI adds no second code path to keep correct.
         [--multi-terms COLS] [--demote TERMS [--negative-boost 0.5]] \
         [--significant-text SAMPLE (needs --store)] [--fields COLS] \
         [--store EXPORT_DIR [--snippet-window W]] \
-        [--title-index DIR [--title-weight 2.0]]   # multi-field most_fields
+        [--title-index DIR [--title-weight 2.0] \
+            [--mf-mode most_fields|best_fields [--tie-breaker TB]]]
         [--prior COL:WEIGHT]                       # BM25 + static signal
     python -m wikirec_ray suggest --index DIR PREFIX [-k 10]
     python -m wikirec_ray explain --index DIR QUERY DOC_ID
@@ -318,11 +319,15 @@ def cmd_query(args) -> int:
             _ensure_ray()
             from wikirec_ray.state.server import MultiFieldShardedEngine
 
-            engine = MultiFieldShardedEngine(fields, pool_size=args.serve)
+            engine = MultiFieldShardedEngine(
+                fields, pool_size=args.serve, mode=args.mf_mode,
+                tie_breaker=args.tie_breaker,
+            )
         else:
             from wikirec_ray.pipelines.multifield import MultiFieldReader
 
-            engine = MultiFieldReader(fields)
+            engine = MultiFieldReader(fields, mode=args.mf_mode,
+                                      tie_breaker=args.tie_breaker)
     elif args.serve:
         _ensure_ray()  # the served engine needs a Ray session for actors
         from wikirec_ray.state.server import RangeShardedQueryEngine
@@ -968,6 +973,15 @@ def make_parser() -> argparse.ArgumentParser:
                         "queries; --serve uses the sharded multi-field "
                         "engine)")
     q.add_argument("--title-weight", type=float, default=2.0)
+    q.add_argument("--mf-mode", default="most_fields", dest="mf_mode",
+                   choices=["most_fields", "best_fields"],
+                   help="multi-field combine: field-weighted SUM "
+                        "(most_fields, default) or Lucene DisMax — best "
+                        "field + tie-breaker x the rest (best_fields)")
+    q.add_argument("--tie-breaker", type=float, default=0.0,
+                   dest="tie_breaker", metavar="TB",
+                   help="best_fields tie breaker in [0, 1] (0 = pure "
+                        "dis_max, 1 = the most_fields sum)")
     q.add_argument("--prior", default="", metavar="COL:WEIGHT",
                    help="static-score ranking: BM25 + WEIGHT × the numeric "
                         "sidecar column COL (function_score; plain/boosted "

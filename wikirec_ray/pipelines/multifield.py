@@ -44,6 +44,27 @@ import numpy as np
 from wikirec_ray.pipelines.query import ROUND_DP, IndexReader, topk_from_dense
 
 
+def _combine_fields(
+    per: list[np.ndarray], mode: str, tie_breaker: float
+) -> np.ndarray:
+    """Combine weighted per-field dense score arrays — the ONE formula
+    shared by the local reader and the served range shards (which apply
+    it per range): ``most_fields`` sums; ``best_fields`` is Lucene's
+    DisjunctionMax ``max + tie_breaker × (sum − max)``."""
+    out = per[0].copy()
+    if len(per) == 1:
+        return out
+    if mode == "most_fields":
+        for s in per[1:]:
+            out += s
+        return out
+    mx = out.copy()
+    for s in per[1:]:
+        out += s
+        np.maximum(mx, s, out=mx)
+    return mx + tie_breaker * (out - mx)
+
+
 class MultiFieldReader:
     """Field-weighted BM25 over per-field ``IndexReader``s sharing one
     doc-id space.
@@ -57,9 +78,24 @@ class MultiFieldReader:
     caller should drop).
     """
 
-    def __init__(self, fields: list[tuple]):
+    def __init__(self, fields: list[tuple], mode: str = "most_fields",
+                 tie_breaker: float = 0.0):
         if not fields:
             raise ValueError("MultiFieldReader needs at least one field")
+        if mode not in ("most_fields", "best_fields"):
+            raise ValueError(
+                f"mode must be 'most_fields' or 'best_fields', got {mode!r}"
+            )
+        tie_breaker = float(tie_breaker)
+        if not (0.0 <= tie_breaker <= 1.0) or not math.isfinite(tie_breaker):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        # Lucene/ES ``best_fields`` (DisjunctionMaxQuery): score = the BEST
+        # field's weighted BM25 + tie_breaker × the rest — the right mode
+        # when a match concentrated in ONE field beats matches smeared
+        # across fields ("to be or not to be" in the title).  tie_breaker
+        # 0 = pure dis_max, 1 = identical to most_fields' sum.
+        self.mode = mode
+        self.tie_breaker = tie_breaker
         self.readers: list[IndexReader] = []
         self.field_weights: list[float] = []
         for src, w in fields:
@@ -102,10 +138,16 @@ class MultiFieldReader:
         ``weights`` = per-OCCURRENCE query boosts, applied inside every
         field (a boosted term is boosted wherever it matches) — the same
         contract as ``IndexReader.score_exact``.  Summation order is field
-        order, matching ``explain``'s recomposition exactly."""
-        out = np.zeros(len(self.primary.norms), dtype=np.float64)
-        for fw, rd in zip(self.field_weights, self.readers):
-            out += fw * rd.score_exact(terms, weights=weights)
+        order, matching ``explain``'s recomposition exactly.  In
+        ``best_fields`` mode the combine is
+        ``max_f + tie_breaker × (Σ_f − max_f)`` over the SAME weighted
+        per-field arrays (the Lucene DisMax formula; an absent field
+        scores 0, exactly like the sum treats it)."""
+        per = [
+            fw * rd.score_exact(terms, weights=weights)
+            for fw, rd in zip(self.field_weights, self.readers)
+        ]
+        out = _combine_fields(per, self.mode, self.tie_breaker)
         if len(self._dead):
             out[self._dead] = 0.0
         return out
@@ -137,6 +179,7 @@ class MultiFieldReader:
         sum actually used)."""
         field_ex = []
         total = 0.0
+        best = None
         for fw, rd in zip(self.field_weights, self.readers):
             ex = rd.explain(terms, doc_id, weights=weights)
             # recompose from the unrounded per-term contributions in the
@@ -149,10 +192,16 @@ class MultiFieldReader:
             ex["field_score"] = fw * ftotal
             field_ex.append(ex)
             total += fw * ftotal
+            best = ex["field_score"] if best is None else max(
+                best, ex["field_score"])
+        if self.mode == "best_fields":
+            # the DisMax recomposition, same arithmetic as score_exact
+            total = best + self.tie_breaker * (total - best)
         deleted = any(ex["deleted"] for ex in field_ex)
         return {
             "doc_id": int(doc_id),
             "score": 0.0 if deleted else float(np.round(total, ROUND_DP)),
             "deleted": deleted,
+            "mode": self.mode,
             "fields": field_ex,
         }

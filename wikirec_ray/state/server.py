@@ -1430,16 +1430,23 @@ class MultiFieldRangeShard:
         k: int,
         attrs: list[tuple[str, str]] | None = None,
         after=None,
+        mode: str = "most_fields",
+        tie_breaker: float = 0.0,
     ):
-        """This shard's top-k over Σ_f weight × BM25_f.  ``per_field_twi``
-        = one (term, tpart, weighted idf) list per field, resolved against
-        THAT field's vocabulary (idfs differ per field by design)."""
+        """This shard's top-k over the combined per-field BM25.
+        ``per_field_twi`` = one (term, tpart, weighted idf) list per
+        field, resolved against THAT field's vocabulary (idfs differ per
+        field by design); the combine — ``most_fields`` sum or
+        ``best_fields`` DisMax — is the SAME ``_combine_fields`` kernel
+        the local reader uses, applied per range (scores are ≥ 0, so a
+        field absent from a range is equivalent to its zero array)."""
+        from wikirec_ray.pipelines.multifield import _combine_fields
         from wikirec_ray.pipelines.query import topk_from_dense
 
         primary = self.fields[0]
         out: list[tuple[int, float]] = []
         for r in self.range_ids:
-            local = None
+            per = []
             for fw, twi, f in zip(field_weights, per_field_twi, self.fields):
                 nr = f.norms.get(r)
                 if nr is None or not twi:
@@ -1447,9 +1454,10 @@ class MultiFieldRangeShard:
                 s = f._score_range(r, nr, twi)
                 if s is None:
                     continue
-                local = fw * s if local is None else local + fw * s
-            if local is None:
+                per.append(fw * s)
+            if not per:
                 continue
+            local = _combine_fields(per, mode, tie_breaker)
             for f in self.fields:
                 f._zero_tombs(r, local)
             if attrs:
@@ -2472,13 +2480,23 @@ class MultiFieldShardedEngine:
     ``MultiFieldReader`` (``tests/test_multifield.py``)."""
 
     def __init__(self, fields: list[tuple], pool_size: int = 4,
-                 resolver_pool_size: int = 2):
+                 resolver_pool_size: int = 2, mode: str = "most_fields",
+                 tie_breaker: float = 0.0):
         from wikirec_ray.state.segments import load_stats
 
         if not fields:
             raise ValueError(
                 "MultiFieldShardedEngine needs at least one field"
             )
+        if mode not in ("most_fields", "best_fields"):
+            raise ValueError(
+                f"mode must be 'most_fields' or 'best_fields', got {mode!r}"
+            )
+        tie_breaker = float(tie_breaker)
+        if not (0.0 <= tie_breaker <= 1.0) or not math.isfinite(tie_breaker):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        self.mode = mode
+        self.tie_breaker = tie_breaker
         self.field_dirs: list[str] = []
         self.field_weights: list[float] = []
         for d, w in fields:
@@ -2575,9 +2593,11 @@ class MultiFieldShardedEngine:
         ]
         if not any(per_field_twi):
             return []
-        # phase 2: fan out; each shard returns its summed-field top-k
+        # phase 2: fan out; each shard returns its combined-field top-k
+        # (most_fields sum or best_fields DisMax, per the engine's mode)
         partials = ray.get([
-            s.topk.remote(per_field_twi, self.field_weights, k, attrs, after)
+            s.topk.remote(per_field_twi, self.field_weights, k, attrs,
+                          after, self.mode, self.tie_breaker)
             for s in self.shards
         ])
         merged = [hit for p in partials for hit in p]
