@@ -336,6 +336,29 @@ def test_cli_multifield_query(field_indexes, ray_session, capsys):
             main(bad)
         capsys.readouterr()
 
+    # --mf-mode best_fields wires the DisMax reader through the CLI
+    mfb = MultiFieldReader([(body_dir, 1.0), (title_dir, 2.5)],
+                           mode="best_fields", tie_breaker=0.3)
+    rc, res = run(base + ["--mf-mode", "best_fields",
+                          "--tie-breaker", "0.3", "spark src3", "-k", "5"])
+    assert rc == 0
+    assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+        mfb.topk(["spark", "src3"], 5)
+    # orphaned mf flags (no --title-index) are a loud error, never a
+    # silently-plain query
+    for orphan in (["query", "--index", body_dir, "spark",
+                    "--mf-mode", "best_fields"],
+                   ["query", "--index", body_dir, "spark",
+                    "--tie-breaker", "0.3"]):
+        with pytest.raises(SystemExit, match="mf-mode"):
+            main(orphan)
+        capsys.readouterr()
+    # an out-of-range tie breaker hits the reader's validation
+    with pytest.raises(ValueError):
+        main(base + ["--mf-mode", "best_fields", "--tie-breaker", "1.5",
+                     "spark"])
+    capsys.readouterr()
+
 
 def test_served_doc_space_mismatch(ray_session, field_indexes, sf_dir,
                                    tmp_path_factory):
@@ -410,6 +433,14 @@ def test_best_fields_matches_brute_dismax(field_indexes):
     for d, s in top:
         ex = mf0.explain(["src3", "spark"], d)
         assert ex["score"] == s and ex["mode"] == "best_fields"
+    # duplicate-terms parity (the CLAUDE.md rule: every new scoring path
+    # needs one): a repeated occurrence == the same term integer-boosted,
+    # on the DisMax route too
+    dup = mf0.topk(["spark", "spark", "join"], K)
+    boosted = mf0.topk(["spark", "join"], K, weights=[2.0, 1.0])
+    assert [d for d, _ in dup] == [d for d, _ in boosted]
+    for (_, s1), (_, s2) in zip(dup, boosted):
+        assert s1 == pytest.approx(s2, abs=2e-9)
     # validation
     with pytest.raises(ValueError):
         MultiFieldReader([(body_dir, 1.0)], mode="nope")
@@ -429,6 +460,7 @@ def test_best_fields_served_equals_local(field_indexes, ray_session):
                                   tie_breaker=0.3)
     try:
         for terms in (["spark", "join"], ["src3", "spark"], ["doc"],
+                      ["spark", "spark", "join"],  # duplicate-terms parity
                       ["zzzabsent"]):
             got, want = eng.topk(terms, K), mf.topk(terms, K)
             assert [d for d, _ in got] == [d for d, _ in want], terms

@@ -276,6 +276,15 @@ def cmd_query(args) -> int:
     if prior and title:
         raise SystemExit("--prior and --title-index do not compose yet — "
                          "the multi-field engines have no prior surface")
+    if not title and (args.mf_mode != "most_fields"
+                      or args.tie_breaker != 0.0):
+        # silently running a plain single-field query while the user
+        # believes best_fields ranked it is the worst outcome — reject
+        # loudly like every other non-composing flag (review r5)
+        raise SystemExit(
+            "--mf-mode/--tie-breaker only apply with --title-index "
+            "(multi-field retrieval)"
+        )
     if getattr(args, "msm", 0) and (prior or title):
         # the quorum rides the boolean route, which the prior/multi-field
         # engines do not expose — reject instead of silently ignoring

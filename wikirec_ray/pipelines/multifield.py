@@ -50,19 +50,28 @@ def _combine_fields(
     """Combine weighted per-field dense score arrays — the ONE formula
     shared by the local reader and the served range shards (which apply
     it per range): ``most_fields`` sums; ``best_fields`` is Lucene's
-    DisjunctionMax ``max + tie_breaker × (sum − max)``."""
-    out = per[0].copy()
+    DisjunctionMax ``max + tie_breaker × (sum − max)``.
+
+    IN-PLACE over ``per[0]`` (every caller passes freshly-allocated
+    ``weight × score`` arrays): most_fields allocates nothing, best_fields
+    exactly one max-tracking array — fresh full-corpus allocations are
+    real money on this hot path (the ~1.5 s/65 MB first-touch lesson)."""
+    out = per[0]
     if len(per) == 1:
         return out
     if mode == "most_fields":
         for s in per[1:]:
             out += s
         return out
-    mx = out.copy()
+    mx = per[0].copy()
     for s in per[1:]:
-        out += s
         np.maximum(mx, s, out=mx)
-    return mx + tie_breaker * (out - mx)
+        out += s
+    # out = max + tb × (sum − max), reusing the sum buffer
+    out -= mx
+    out *= tie_breaker
+    out += mx
+    return out
 
 
 class MultiFieldReader:
